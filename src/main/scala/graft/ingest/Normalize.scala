@@ -1,0 +1,67 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PDP normalization: realign irregular samples onto the fixed step grid
+  * (SURVEY.md §2.2; normative doc /root/reference/doc/rrd_pdpcalc.pod;
+  * code /root/reference/src/rrd_update.c:1599-1651,1739-1783).
+  *
+  * Each consecutive sample pair defines a coverage interval (t0, t1] with
+  * one rate value; the interval is split across step boundaries with
+  * time-overlap weights (`pre_int`/`post_int` in the reference), and each
+  * step's PDP is the time-weighted average of the known rate seconds:
+  *
+  *   pdp(step k) = Σ rate·overlap / Σ known_overlap
+  *   unknown iff unknown_time > step/2          (rrd_update.c:1775-1783)
+  *
+  * The heartbeat gate already ran in [[Rates]] (null rate ⇒ the whole
+  * interval counts as unknown time).
+  *
+  * Spark shape: `explode(sequence(...))` fans each interval out to the
+  * steps it overlaps, then one hash aggregation on (series, step). At
+  * 100 TB this is a map-side expand (bounded by gap/step, itself bounded
+  * by heartbeat/step) followed by a single shuffle on the grid key —
+  * partial aggregation keeps the shuffle small (one row per series·step).
+  */
+object Normalize {
+
+  /** PDPs on the `stepSec` grid, end-labeled: the PDP stamped `t` covers
+    * (t-step, t]. Output: series columns + `pdp_ts` (epoch sec, bigint) +
+    * `pdp` (double, null = unknown) + `known_us` (bigint).
+    */
+  def pdp(df: DataFrame, series: Seq[String], tsUs: String, rate: String,
+      stepSec: Long): DataFrame = {
+    val stepUs = stepSec * 1000000L
+    val w = Window.partitionBy(series.map(col): _*).orderBy(col(tsUs))
+    val t0 = lag(col(tsUs), 1).over(w)
+    val t1 = col(tsUs)
+
+    val intervals = df
+      .select(series.map(col) :+ t0.as("t0") :+ t1.as("t1") :+
+        col(rate).as("r"): _*)
+      .where(col("t0").isNotNull)
+      // step index k covers ((k-1)·S, k·S]; (t0,t1] overlaps it iff
+      // k > t0/S and (k-1) < t1/S  ⇒  k ∈ [t0 div S + 1, (t1-1) div S + 1]
+      .withColumn("k",
+        explode(sequence(expr(s"t0 div $stepUs + 1"),
+          expr(s"(t1 - 1) div $stepUs + 1"))))
+      .withColumn("overlap_us",
+        least(col("t1"), col("k") * stepUs) -
+          greatest(col("t0"), (col("k") - 1) * stepUs))
+
+    intervals
+      .groupBy(series.map(col) :+ col("k"): _*)
+      .agg(
+        sum(when(col("r").isNotNull, col("overlap_us"))).as("known_us"),
+        sum(col("r") * col("overlap_us")).as("rate_us"))
+      .select(series.map(col) :+
+        (col("k") * stepSec).as("pdp_ts") :+
+        // unknown iff unknown time > step/2 (strict; reference counts whole
+        // seconds, we count µs — finer, same rule)
+        when(coalesce(col("known_us"), lit(0L)) < stepUs - stepUs / 2,
+          lit(null)).otherwise(col("rate_us") / col("known_us")).as("pdp") :+
+        coalesce(col("known_us"), lit(0L)).as("known_us"): _*)
+  }
+}

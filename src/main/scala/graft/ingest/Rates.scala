@@ -1,0 +1,79 @@
+package graft.ingest
+
+import graft.model.{DsDef, Dst}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DST rate conversion — the first stage of the RRD update dataflow
+  * (SURVEY.md §2.2; /root/reference/src/rrd_update.c:1433-1597).
+  *
+  * Batch form: one window pass per series, `lag` supplying the reference's
+  * `pdp_prep.last_ds` scratch value. Scale notes:
+  *   - the only shuffle is the hash partition on the series key for the
+  *     window sort — unavoidable and proportional to series cardinality;
+  *   - everything else is per-row whole-stage-codegen'd expressions;
+  *   - all per-row arithmetic is single IEEE ops (deterministic across
+  *     engines — the DuckDB oracle reproduces it bit-exactly).
+  */
+object Rates {
+
+  /** 2^32-1 then 2^64-2^32: the reference's 32→64-bit counter overflow
+    * correction (/root/reference/src/rrd_update.c:1494-1497). */
+  private val Wrap32 = 4294967295.0
+  private val Wrap64 = 18446744069414584320.0
+
+  /** Append a `rate` column computed per `spec.dst` over each series.
+    *
+    * @param df       input with one row per sample
+    * @param series   partitioning key columns (one window per series)
+    * @param tsUs     epoch-microseconds column (bigint); also the sort key
+    * @param tieBreak extra deterministic sort column for equal timestamps
+    * @param value    sampled value column (double)
+    */
+  def withRate(df: DataFrame, series: Seq[String], tsUs: String,
+      tieBreak: String, value: String, spec: DsDef): DataFrame = {
+    val w = Window.partitionBy(series.map(col): _*)
+      .orderBy(col(tsUs), col(tieBreak))
+    val v = col(value)
+    val prevV = lag(v, 1).over(w)
+    val prevT = lag(col(tsUs), 1).over(w)
+    // Interval in seconds; µs delta is exact in double (< 2^53 for any
+    // realistic gap), division by 1e6 is one deterministic IEEE op.
+    val interval = (col(tsUs) - prevT).cast("double") / lit(1e6)
+
+    val raw: Column = spec.dst match {
+      case Dst.Gauge => v // value is already a rate (rrd_update.c:1516-1521)
+      case Dst.Absolute => v / interval // rrd_update.c:1509-1515
+      case Dst.Counter => // unsigned diff with wrap fix (rrd_update.c:1487-1499)
+        val d0 = v - prevV
+        val d1 = when(d0 < 0, d0 + lit(Wrap32)).otherwise(d0)
+        val d2 = when(d1 < 0, d1 + lit(Wrap64)).otherwise(d1)
+        d2 / interval
+      case Dst.Derive | Dst.DDerive => (v - prevV) / interval
+      case Dst.DCounter => // direction-change reset (rrd_update.c:1534-1546)
+        val reset = (v > 0 && prevV > v) || (v < 0 && v > prevV)
+        when(reset, lit(null)).otherwise((v - prevV) / interval)
+      case Dst.Compute =>
+        throw new IllegalArgumentException(
+          "COMPUTE DS rates come from the RPN compiler, not rate conversion")
+    }
+
+    // Heartbeat gate: interval > mrhb ⇒ unknown (rrd_update.c:1448-1460).
+    // A null interval (first sample of a series) yields null for the
+    // diff-based DSTs naturally; GAUGE keeps its value (no previous sample
+    // to measure an interval against — documented batch-mode semantics).
+    val gated = when(interval > lit(spec.heartbeatSec.toDouble), lit(null))
+      .otherwise(raw)
+
+    // min/max clamp ⇒ unknown outside bounds (rrd_update.c:1565-1571).
+    val clamped = (spec.min, spec.max) match {
+      case (None, None) => gated
+      case (mn, mx) =>
+        val low = mn.map(m => gated < lit(m)).getOrElse(lit(false))
+        val high = mx.map(m => gated > lit(m)).getOrElse(lit(false))
+        when(low || high, lit(null)).otherwise(gated)
+    }
+    df.withColumn("rate", clamped)
+  }
+}

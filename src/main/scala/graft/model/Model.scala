@@ -1,0 +1,162 @@
+package graft.model
+
+/** RRD data model: schema objects mirroring the reference's create-time
+  * vocabulary (SURVEY.md §1; /root/reference/src/rrd_format.h:110-435),
+  * re-expressed as plain case classes. In the Spark engine a "file" is a
+  * logical series table plus this schema sidecar; RRAs become materialized
+  * rollup DataFrames.
+  */
+
+/** Consolidation function (enum cf_en, /root/reference/src/rrd_format.h:179-202). */
+sealed abstract class Cf(val name: String)
+object Cf {
+  case object Average extends Cf("AVERAGE")
+  case object Min extends Cf("MIN")
+  case object Max extends Cf("MAX")
+  case object Last extends Cf("LAST")
+  // Aberrant-behavior family (§2.6)
+  case object HwPredict extends Cf("HWPREDICT")
+  case object MhwPredict extends Cf("MHWPREDICT")
+  case object Seasonal extends Cf("SEASONAL")
+  case object DevSeasonal extends Cf("DEVSEASONAL")
+  case object DevPredict extends Cf("DEVPREDICT")
+  case object Failures extends Cf("FAILURES")
+
+  val all: Seq[Cf] = Seq(Average, Min, Max, Last, HwPredict, MhwPredict,
+    Seasonal, DevSeasonal, DevPredict, Failures)
+  def parse(s: String): Cf = all.find(_.name == s.toUpperCase)
+    .getOrElse(throw new IllegalArgumentException(s"unknown CF '$s'"))
+}
+
+/** DS type (enum dst_en, /root/reference/src/rrd_format.h:138-145). */
+sealed abstract class Dst(val name: String)
+object Dst {
+  case object Counter extends Dst("COUNTER")   // unsigned int counter, 32/64-bit wrap
+  case object Absolute extends Dst("ABSOLUTE") // resets on read: value/interval
+  case object Gauge extends Dst("GAUGE")       // value is already a rate
+  case object Derive extends Dst("DERIVE")     // signed counter, no wrap
+  case object DCounter extends Dst("DCOUNTER") // double counter, direction-change reset
+  case object DDerive extends Dst("DDERIVE")   // double derive
+  case object Compute extends Dst("COMPUTE")   // RPN over other DSes
+
+  val all: Seq[Dst] =
+    Seq(Counter, Absolute, Gauge, Derive, DCounter, DDerive, Compute)
+  def parse(s: String): Dst = all.find(_.name == s.toUpperCase)
+    .getOrElse(throw new IllegalArgumentException(s"unknown DST '$s'"))
+}
+
+/** One data source (column). Mirrors ds_def_t
+  * (/root/reference/src/rrd_format.h:170-174): name, type, heartbeat,
+  * min/max clamp (None = unbounded "U"), or an RPN expression for COMPUTE.
+  * DS name grammar per /root/reference/src/rrd_create.c:310-312.
+  */
+final case class DsDef(
+    name: String,
+    dst: Dst,
+    heartbeatSec: Long = 600L,
+    min: Option[Double] = None,
+    max: Option[Double] = None,
+    rpn: Option[String] = None) {
+  require(DsDef.NameRe.matches(name), s"bad DS name '$name'")
+  require((dst == Dst.Compute) == rpn.isDefined,
+    "COMPUTE iff an RPN expression is given")
+}
+object DsDef {
+  /** [a-zA-Z0-9_-]{1,19} per rrd_format.h:162-164 (length relaxed here,
+    * validated only in compat mode). */
+  val NameRe = "[a-zA-Z0-9_-]+".r
+
+  /** Parse "DS:name:TYPE:heartbeat:min:max" or "DS:name:COMPUTE:rpn"
+    * (grammar: /root/reference/src/rrd_create.c:310-480). */
+  def parse(spec: String): DsDef = spec.split(":", -1).toList match {
+    case "DS" :: name :: "COMPUTE" :: rest if rest.nonEmpty =>
+      DsDef(name, Dst.Compute, rpn = Some(rest.mkString(":")))
+    case "DS" :: name :: dst :: hb :: mn :: mx :: Nil =>
+      DsDef(name, Dst.parse(dst), hb.toLong, parseBound(mn), parseBound(mx))
+    case "DS" :: name :: dst :: hb :: Nil =>
+      DsDef(name, Dst.parse(dst), hb.toLong)
+    case _ => throw new IllegalArgumentException(s"bad DS spec '$spec'")
+  }
+  private def parseBound(s: String): Option[Double] =
+    if (s == "U" || s.isEmpty) None else Some(s.toDouble)
+}
+
+/** One round-robin archive (materialized rollup). Mirrors rra_def_t
+  * (/root/reference/src/rrd_format.h:267-275): CF, xff, PDPs per CDP, row
+  * count (retention). Holt-Winters RRAs carry their parameters instead of
+  * xff/pdpCnt (/root/reference/src/rrd_create.c:480-790).
+  */
+final case class RraDef(
+    cf: Cf,
+    xff: Double = 0.5,
+    pdpCnt: Long = 1L,
+    rowCnt: Long,
+    hw: Option[HwParams] = None) {
+  require(xff >= 0.0 && xff < 1.0, s"xff out of range: $xff")
+  require(pdpCnt >= 1 && rowCnt >= 1, "pdpCnt/rowCnt must be >= 1")
+}
+object RraDef {
+  /** Parse "RRA:CF:xff:steps:rows" or
+    * "RRA:HWPREDICT:rows:alpha:beta:period" /
+    * "RRA:SEASONAL:period:gamma:rra-num" /
+    * "RRA:DEVPREDICT:rows:rra-num" / "RRA:FAILURES:rows:thr:win:rra-num"
+    * (/root/reference/src/rrd_create.c:480-790). */
+  def parse(spec: String): RraDef = spec.split(":", -1).toList match {
+    case "RRA" :: cf :: rest =>
+      (Cf.parse(cf), rest) match {
+        case (c @ (Cf.Average | Cf.Min | Cf.Max | Cf.Last),
+            xff :: steps :: rows :: Nil) =>
+          RraDef(c, xff.toDouble, steps.toLong, rows.toLong)
+        case (c @ (Cf.HwPredict | Cf.MhwPredict), rows :: a :: b :: per :: _) =>
+          RraDef(c, rowCnt = rows.toLong,
+            hw = Some(HwParams(alpha = a.toDouble, beta = b.toDouble,
+              period = per.toLong)))
+        case (c @ (Cf.Seasonal | Cf.DevSeasonal), per :: g :: _) =>
+          RraDef(c, rowCnt = per.toLong,
+            hw = Some(HwParams(gamma = g.toDouble, period = per.toLong)))
+        case (Cf.DevPredict, rows :: _) => RraDef(Cf.DevPredict, rowCnt = rows.toLong)
+        case (Cf.Failures, rows :: thr :: win :: _) =>
+          RraDef(Cf.Failures, rowCnt = rows.toLong,
+            hw = Some(HwParams(failThreshold = thr.toInt, windowLen = win.toInt)))
+        case _ => throw new IllegalArgumentException(s"bad RRA spec '$spec'")
+      }
+    case _ => throw new IllegalArgumentException(s"bad RRA spec '$spec'")
+  }
+}
+
+/** Holt-Winters parameters (rra_def_t.par, /root/reference/src/rrd_format.h:223-259). */
+final case class HwParams(
+    alpha: Double = 0.1,
+    beta: Double = 0.1,
+    gamma: Double = 0.1,
+    period: Long = 1L,
+    deltaPos: Double = 2.0,
+    deltaNeg: Double = 2.0,
+    failThreshold: Int = 7,
+    windowLen: Int = 9,
+    smoothingWindow: Double = 0.05)
+
+/** A full logical RRD: base step + DS columns + RRA rollups
+  * (stat_head_t, /root/reference/src/rrd_format.h:114-131).
+  */
+final case class RrdSchema(
+    stepSec: Long,
+    startSec: Long,
+    ds: Seq[DsDef],
+    rras: Seq[RraDef]) {
+  require(stepSec >= 1, "step must be >= 1s")
+  require(ds.map(_.name).distinct.size == ds.size, "duplicate DS names")
+  def dsByName(n: String): DsDef = ds.find(_.name == n)
+    .getOrElse(throw new NoSuchElementException(s"no DS '$n'"))
+  /** Retention horizon of an RRA in seconds. */
+  def retentionSec(r: RraDef): Long = stepSec * r.pdpCnt * r.rowCnt
+}
+object RrdSchema {
+  /** Parse a full create-style spec list:
+    * `create(step, start, "DS:...", "RRA:...", ...)`. */
+  def parse(stepSec: Long, startSec: Long, specs: Seq[String]): RrdSchema = {
+    val (dsSpecs, rraSpecs) = specs.partition(_.startsWith("DS:"))
+    RrdSchema(stepSec, startSec, dsSpecs.map(DsDef.parse),
+      rraSpecs.map(RraDef.parse))
+  }
+}
