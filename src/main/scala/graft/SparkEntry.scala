@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.immutable.ListMap
+
 import graft.ingest.Rates
 import graft.model.{DsDef, Dst}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -44,6 +46,56 @@ object SparkEntry {
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q02_cf_consolidate")(spark, "/root/testdata/sf0.001")
+
+  /** Hourly AVERAGE-consolidated, gap-filled grid series of one
+    * event_type over (T0, T1] — the canonical DEF input frame. */
+  private def hourlySeries(s: SparkSession, dir: String,
+      typ: String): DataFrame = {
+    val ev = Tables.events(s, dir).where(col("event_type") === typ)
+    val roll = ev.groupBy(bucketEnd(3600).as("bts"))
+      .agg(davg(col("value")).as("v"))
+    query.Fetch.fetch(s, roll, "bts", Seq("v"), T0, T1, 3600L)
+  }
+
+  /** Per-event_type hourly grid (5 series × 720 slots, gap-filled). */
+  private def typedGrid(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val roll = ev.groupBy(col("event_type"), bucketEnd(3600).as("bts"))
+      .agg(davg(col("value")).as("v"))
+    val types = EventTypes.foldLeft(Seq.empty[Column])((a, t) => a :+ lit(t))
+    val grid = query.Fetch.grid(s, T0, T1, 3600L)
+      .crossJoin(s.range(1).select(explode(array(types: _*)).as("event_type")))
+      .select(col("event_type"), col("ts"))
+    grid.join(roll, grid("event_type") === roll("event_type") &&
+        grid("ts") === roll("bts"), "left")
+      .select(grid("event_type"), grid("ts"), roll("v"))
+  }
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** SQL CTE mirroring [[hourlySeries]] — defines relation `g(ts, v)`. */
+  private def sqlHourly(typ: String): String =
+    s"""WITH g AS (
+       | SELECT gs.ts AS ts, b.v AS v
+       | FROM generate_series(${T0 + 3600}, $T1, 3600) AS gs(ts)
+       | LEFT JOIN (
+       |  SELECT epoch_us(ts)//1000000//3600*3600 + 3600 AS bts,
+       |         CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS v
+       |  FROM events WHERE event_type = '$typ' GROUP BY 1) b
+       | ON b.bts = gs.ts)""".stripMargin
+
+  /** SQL CTE mirroring [[typedGrid]] — defines `j(event_type, ts, v)`. */
+  private val sqlTypedGrid: String =
+    s"""WITH grid AS (
+       | SELECT t.event_type, gs.ts
+       | FROM generate_series(${T0 + 3600}, $T1, 3600) AS gs(ts)
+       | CROSS JOIN (VALUES ('click'),('error'),('purchase'),('signup'),('view')) t(event_type)),
+       |b AS (
+       | SELECT event_type, epoch_us(ts)//1000000//3600*3600 + 3600 AS bts,
+       |        CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS v
+       | FROM events GROUP BY 1, 2),
+       |j AS (
+       | SELECT grid.event_type, grid.ts, b.v
+       | FROM grid LEFT JOIN b ON b.event_type = grid.event_type AND b.bts = grid.ts)""".stripMargin
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -143,6 +195,82 @@ object SparkEntry {
           min(col("ts_sec")).as("first_ts"),
           max(col("lv")).as("last_v"),
           max(col("ts_sec")).as("last_ts"))
+        .orderBy("event_type")
+    }),
+
+    // §2.4 CDEF via the RPN→Column compiler: UN/IF, ADDNAN, GT/IF,
+    // LIMIT, TIME/%, MIN/MAXNAN over a gap-filled series.
+    "q07_cdef_rpn" -> ((s, dir) => {
+      query.Cdef.compiled(hourlySeries(s, dir, "click"), Nil, "ts",
+          Seq("v"), ListMap(
+            "fill0" -> "v,UN,0,v,IF",
+            "scaled" -> "v,2,*,10,ADDNAN",
+            "over50" -> "v,50,GT,v,50,-,0,IF",
+            "clamp" -> "v,10,90,LIMIT",
+            "tmod" -> "TIME,86400,%",
+            "minmax" -> "v,60,MIN,40,MAXNAN"), 3600L)
+        .select("ts", "fill0", "scaled", "over50", "clamp", "tmod", "minmax")
+        .orderBy("ts")
+    }),
+
+    // §2.4 TREND/TRENDNAN sliding windows (NaN-propagating vs -skipping,
+    // /root/reference/src/rrd_rpncalc.c:1169-1203).
+    "q08_trend" -> ((s, dir) => {
+      query.Cdef.compiled(hourlySeries(s, dir, "click"), Nil, "ts",
+          Seq("v"), ListMap(
+            "trend6" -> "v,21600,TREND",
+            "trendnan6" -> "v,21600,TRENDNAN"), 3600L)
+        .select("ts", "v", "trend6", "trendnan6")
+        .orderBy("ts")
+    }),
+
+    // §2.4 self-referential PREV via the sequential interpreter:
+    // forward-fill and running max (rrd_rpncalc.c:685-691).
+    "q09_prev_fill" -> ((s, dir) => {
+      query.Cdef.interpreted(hourlySeries(s, dir, "click"), Nil, "ts",
+          Seq("v"), ListMap(
+            "ffill" -> "v,UN,PREV,v,IF",
+            "runmax" -> "PREV,v,MAXNAN"), 3600L)
+        .orderBy("ts")
+    }),
+
+    // §2.5 VDEF PERCENT (NaN-in-population, NaN-first sort) and
+    // PERCENTNAN (rrd_graph.c:5882-5939).
+    "q10_vdef_percent" -> ((s, dir) => {
+      val steps = count(lit(1))
+      typedGrid(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          steps.as("steps"),
+          count(col("v")).as("known"),
+          query.Vdef.percent(col("v"), steps, 50.0).as("pct50"),
+          query.Vdef.percent(col("v"), steps, 95.0).as("pct95"),
+          query.Vdef.percentNan(col("v"), 95.0).as("pctnan95"))
+        .orderBy("event_type")
+    }),
+
+    // §2.5 VDEF least-squares family over (slot index, value)
+    // (rrd_graph.c:6065-6115).
+    "q11_vdef_lsl" -> ((s, dir) => {
+      val x = ((col("ts") - T0) / 3600 - 1).cast("long")
+      val lsl = query.Vdef.lslExprs(x, col("v"))
+      typedGrid(s, dir)
+        .groupBy(col("event_type"))
+        .agg(lsl("lslslope").as("lslslope"),
+          lsl("lslint").as("lslint"),
+          lsl("lslcorrel").as("lslcorrel"))
+        .orderBy("event_type")
+    }),
+
+    // §2.5 VDEF AVERAGE / TOTAL / STDEV(population)
+    // (rrd_graph.c:5964-6003).
+    "q12_vdef_stats" -> ((s, dir) => {
+      typedGrid(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          query.Vdef.average(col("v")).as("avg_v"),
+          query.Vdef.total(col("v"), 3600L).as("total_v"),
+          query.Vdef.stdev(col("v")).as("stdev_v"))
         .orderBy("event_type")
     })
   )
@@ -247,6 +375,85 @@ object SparkEntry {
         | MIN(value) AS min_v, MIN(CASE WHEN value = mn THEN ts_sec END) AS min_ts,
         | MAX(fv) AS first_v, MIN(ts_sec) AS first_ts,
         | MAX(lv) AS last_v, MAX(ts_sec) AS last_ts
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_cdef_rpn" ->
+      s"""${sqlHourly("click")}
+        |SELECT ts,
+        | COALESCE(v, 0.0) AS fill0,
+        | CASE WHEN v IS NULL THEN 10.0 ELSE v * 2 + 10 END AS scaled,
+        | CASE WHEN v > 50 THEN v - 50 ELSE 0.0 END AS over50,
+        | CASE WHEN v IS NULL THEN NULL WHEN v < 10 OR v > 90 THEN NULL ELSE v END AS clamp,
+        | CAST(ts % 86400 AS DOUBLE) AS tmod,
+        | CASE WHEN (CASE WHEN v IS NULL THEN NULL ELSE LEAST(v, 60.0) END) IS NULL THEN 40.0
+        |      ELSE GREATEST(CASE WHEN v IS NULL THEN NULL ELSE LEAST(v, 60.0) END, 40.0) END AS minmax
+        |FROM g ORDER BY ts""".stripMargin,
+
+    "q08_trend" ->
+      s"""${sqlHourly("click")},
+        |w AS (
+        | SELECT ts, v,
+        |  row_number() OVER (ORDER BY ts) AS rn,
+        |  CAST(CAST(SUM(CAST(v AS DECIMAL(28,10))) OVER win AS VARCHAR) AS DOUBLE) AS s,
+        |  COUNT(v) OVER win AS c
+        | FROM g
+        | WINDOW win AS (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT ts, v,
+        | CASE WHEN rn >= 6 AND c = 6 THEN s / 6 END AS trend6,
+        | CASE WHEN rn >= 6 AND c > 0 THEN s / c END AS trendnan6
+        |FROM w ORDER BY ts""".stripMargin,
+
+    "q09_prev_fill" ->
+      s"""${sqlHourly("click")}
+        |SELECT ts,
+        | last_value(v IGNORE NULLS) OVER win AS ffill,
+        | max(v) OVER win AS runmax
+        |FROM g
+        |WINDOW win AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY ts""".stripMargin,
+
+    "q10_vdef_percent" -> {
+      def pct(p: Int) =
+        s"""CASE WHEN round($p * (count(*) - 1) / 100.0) < count(*) - count(v) THEN NULL
+           | ELSE list_extract(list_sort(list(v) FILTER (WHERE v IS NOT NULL)),
+           |   CAST(round($p * (count(*) - 1) / 100.0) AS BIGINT) - (count(*) - count(v)) + 1) END""".stripMargin
+      s"""$sqlTypedGrid
+        |SELECT event_type, count(*) AS steps, count(v) AS known,
+        | ${pct(50)} AS pct50,
+        | ${pct(95)} AS pct95,
+        | CASE WHEN count(v) = 0 THEN NULL
+        |  ELSE list_extract(list_sort(list(v) FILTER (WHERE v IS NOT NULL)),
+        |    CAST(round(95 * (count(v) - 1) / 100.0) AS BIGINT) + 1) END AS pctnan95
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q11_vdef_lsl" -> {
+      val sums =
+        """ SELECT event_type,
+          |  CAST(COUNT(v) AS DOUBLE) AS cnt,
+          |  CAST(SUM(CASE WHEN v IS NOT NULL THEN (ts - 1704067200)//3600 - 1 END) AS DOUBLE) AS sx,
+          |  CAST(SUM(CASE WHEN v IS NOT NULL THEN ((ts - 1704067200)//3600 - 1) * ((ts - 1704067200)//3600 - 1) END) AS DOUBLE) AS sxx,
+          |  CAST(CAST(SUM(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sy,
+          |  CAST(CAST(SUM(CAST(v * v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS syy,
+          |  CAST(CAST(SUM(CAST(CAST((ts - 1704067200)//3600 - 1 AS DOUBLE) * v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxy
+          | FROM j GROUP BY 1""".stripMargin
+      s"""$sqlTypedGrid,
+        |m AS ($sums)
+        |SELECT event_type,
+        | (sx * sy - cnt * sxy) / (sx * sx - cnt * sxx) AS lslslope,
+        | (sy - ((sx * sy - cnt * sxy) / (sx * sx - cnt * sxx)) * sx) / cnt AS lslint,
+        | (sxy - (sx * sy) / cnt) / sqrt((sxx - (sx * sx) / cnt) * (syy - (sy * sy) / cnt)) AS lslcorrel
+        |FROM m ORDER BY 1""".stripMargin
+    },
+
+    "q12_vdef_stats" ->
+      s"""$sqlTypedGrid
+        |SELECT event_type,
+        | ${sqlDsum("v")} / COUNT(v) AS avg_v,
+        | ${sqlDsum("v")} * 3600 AS total_v,
+        | CASE WHEN COUNT(v) = 0 THEN NULL ELSE
+        |  sqrt(${sqlDsum("v * v")} / CAST(COUNT(v) AS DOUBLE)
+        |   - (${sqlDsum("v")} / CAST(COUNT(v) AS DOUBLE)) * (${sqlDsum("v")} / CAST(COUNT(v) AS DOUBLE))) END AS stdev_v
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
