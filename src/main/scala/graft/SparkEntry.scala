@@ -272,6 +272,107 @@ object SparkEntry {
           query.Vdef.total(col("v"), 3600L).as("total_v"),
           query.Vdef.stdev(col("v")).as("stdev_v"))
         .orderBy("event_type")
+    }),
+
+    // §2.3 XPORT: multi-series tabular frame on the common grid
+    // (/root/reference/src/rrd_xport.c:260-430), pivot form (one shuffle).
+    "q13_xport_frame" -> ((s, dir) => {
+      query.Xport.pivotFrame(typedGrid(s, dir), "event_type", "ts", "v",
+          EventTypes)
+        .orderBy("ts")
+    }),
+
+    // §2.3 SHIFT: day-over-day self-comparison via constant time shift
+    // (/root/reference/src/rrd_graph.c:1142-1163).
+    "q14_shift" -> ((s, dir) => {
+      val cur = hourlySeries(s, dir, "click")
+      val prev = query.Xport.shift(hourlySeries(s, dir, "click"), "ts", 86400L)
+        .withColumnRenamed("v", "v_prev_day")
+      cur.join(prev, Seq("ts"), "left")
+        .select(col("ts"), col("v"), col("v_prev_day"),
+          (col("v") - col("v_prev_day")).as("delta"))
+        .orderBy("ts")
+    }),
+
+    // §2.3 reduce_data: re-consolidate 1h → 6h with all four CFs
+    // (/root/reference/src/rrd_graph.c:786-956).
+    "q15_reduce" -> ((s, dir) => {
+      val hourly = hourlySeries(s, dir, "click")
+      val w = Window.partitionBy(expr("(ts - 1) div 21600"))
+        .orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hourly.withColumn("lv", last(col("v"), ignoreNulls = true).over(w))
+        .groupBy(((expr("(ts - 1) div 21600") + 1) * 21600).as("ts6"))
+        .agg(
+          davg(col("v")).as("avg6"),
+          min(col("v")).as("min6"),
+          max(col("v")).as("max6"),
+          max(col("lv")).as("last6"),
+          count(col("v")).as("known6"))
+        .orderBy("ts6")
+    }),
+
+    // §2.2 PDP normalization: irregular GAUGE samples → 300s grid with
+    // overlap weighting, heartbeat gap, >50%-unknown rule
+    // (/root/reference/src/rrd_update.c:1599-1651,1739-1783).
+    "q16_pdp_normalize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val rated = Rates.withRate(ev, Seq("user_id"), "ts_us", "event_id",
+        "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
+      ingest.Normalize.pdp(rated, Seq("user_id"), "ts_us", "rate", 300L, rateScale = Some(2))
+        .orderBy("user_id", "pdp_ts")
+    }),
+
+    // §2.2 CDP consolidation over normalized PDPs with the xff rule
+    // (/root/reference/src/rrd_update.c:2006-2141).
+    "q17_cdp_xff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val rated = Rates.withRate(ev, Seq("user_id"), "ts_us", "event_id",
+        "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
+      val pdp = ingest.Normalize.pdp(rated, Seq("user_id"), "ts_us",
+        "rate", 300L, rateScale = Some(2))
+      ingest.Consolidate.cdp(pdp, Seq("user_id"), "pdp_ts", "pdp",
+          300L, 12L, graft.model.Cf.Average, 0.5)
+        .orderBy("user_id", "cdp_ts")
+    }),
+
+    // §2.3 first/last/lastupdate surface per series
+    // (/root/reference/src/rrd_first.c:84-123, rrd_lastupdate.c:98).
+    "q18_first_last" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev.withColumn("lv", last(col("value")).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          min(col("ts_sec")).as("first_ts"),
+          max(col("ts_sec")).as("last_ts"),
+          max(col("lv")).as("last_value"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    // Beyond the reference (§2.7): multi-way dimension join with
+    // broadcast hints — revenue per nation.
+    "q19_join_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.table(s, dir, "customer")
+      val n = Tables.table(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // Beyond the reference (§2.7): deterministic top-k.
+    "q20_topk" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
     })
   )
 
@@ -454,6 +555,104 @@ object SparkEntry {
         | CASE WHEN COUNT(v) = 0 THEN NULL ELSE
         |  sqrt(${sqlDsum("v * v")} / CAST(COUNT(v) AS DOUBLE)
         |   - (${sqlDsum("v")} / CAST(COUNT(v) AS DOUBLE)) * (${sqlDsum("v")} / CAST(COUNT(v) AS DOUBLE))) END AS stdev_v
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_xport_frame" ->
+      s"""$sqlTypedGrid
+        |SELECT ts,
+        | MAX(CASE WHEN event_type = 'click' THEN v END) AS click,
+        | MAX(CASE WHEN event_type = 'error' THEN v END) AS error,
+        | MAX(CASE WHEN event_type = 'purchase' THEN v END) AS purchase,
+        | MAX(CASE WHEN event_type = 'signup' THEN v END) AS signup,
+        | MAX(CASE WHEN event_type = 'view' THEN v END) AS view
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_shift" ->
+      s"""${sqlHourly("click")}
+        |SELECT g.ts AS ts, g.v AS v, p.v AS v_prev_day, g.v - p.v AS delta
+        |FROM g LEFT JOIN (SELECT ts + 86400 AS ts, v FROM g) p
+        |ON p.ts = g.ts ORDER BY 1""".stripMargin,
+
+    "q15_reduce" ->
+      s"""${sqlHourly("click")},
+        |w AS (
+        | SELECT ts, v,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY (ts - 1)//21600 ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+        | FROM g)
+        |SELECT ((ts - 1)//21600 + 1) * 21600 AS ts6,
+        | ${sqlDsum("v")} / COUNT(v) AS avg6,
+        | MIN(v) AS min6, MAX(v) AS max6, MAX(lv) AS last6,
+        | COUNT(v) AS known6
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_pdp_normalize" -> (sqlPdp +
+      """SELECT user_id, k * 300 AS pdp_ts,
+        | CASE WHEN COALESCE(known_us, 0) < 150000000 THEN NULL
+        |      ELSE rate_sum / known_us END AS pdp,
+        | CAST(COALESCE(known_us, 0) AS BIGINT) AS known_us
+        |FROM ag ORDER BY user_id, pdp_ts""".stripMargin),
+
+    "q17_cdp_xff" -> (sqlPdp +
+      """,pdp AS (
+        | SELECT user_id, k * 300 AS pdp_ts,
+        |  CASE WHEN COALESCE(known_us, 0) < 150000000 THEN NULL
+        |       ELSE rate_sum / known_us END AS pdp
+        | FROM ag)
+        |SELECT user_id, ((pdp_ts - 1)//3600 + 1) * 3600 AS cdp_ts,
+        | CASE WHEN 12 - COUNT(pdp) > 6.0 THEN NULL
+        |      ELSE CAST(CAST(SUM(CAST(pdp AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(pdp) END AS cdp,
+        | COUNT(pdp) AS known_cnt
+        |FROM pdp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q18_first_last" ->
+      """WITH b AS (
+        | SELECT user_id, value, epoch_us(ts)//1000000 AS ts_sec,
+        |  last_value(value) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+        | FROM events)
+        |SELECT user_id, MIN(ts_sec) AS first_ts, MAX(ts_sec) AS last_ts,
+        | MAX(lv) AS last_value, COUNT(*) AS n
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_join_agg" ->
+      s"""SELECT n_name,
+        | ${sqlDsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
   )
+
+  /** Shared PDP-normalization CTE chain (mirrors Rates GAUGE + Normalize):
+    * defines `ag(user_id, k, known_us, rate_sum)` on the 300s grid. */
+  private val sqlPdp: String =
+    """WITH r AS (
+      | SELECT user_id, epoch_us(ts) AS t1,
+      |        lag(epoch_us(ts)) OVER w AS t0,
+      |        CASE WHEN (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 > 7200.0
+      |             THEN NULL ELSE value END AS rate
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |iv AS (SELECT * FROM r WHERE t0 IS NOT NULL AND t1 > t0),
+      |ex AS (
+      | SELECT user_id, t0, t1, rate,
+      |        unnest(generate_series(t0//300000000 + 1, (t1 - 1)//300000000 + 1)) AS k
+      | FROM iv),
+      |ov AS (
+      | SELECT user_id, k, rate,
+      |        least(t1, k * 300000000) - greatest(t0, (k - 1) * 300000000) AS overlap
+      | FROM ex),
+      |ag AS (
+      | SELECT user_id, k,
+      |        SUM(CASE WHEN rate IS NOT NULL THEN overlap END) AS known_us,
+      |        CAST(CAST(SUM(CAST(rate AS DECIMAL(18,2)) * overlap) AS VARCHAR) AS DOUBLE) AS rate_sum
+      | FROM ov GROUP BY 1, 2)
+      |""".stripMargin
 }

@@ -3,6 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** PDP normalization: realign irregular samples onto the fixed step grid
   * (SURVEY.md §2.2; normative doc /root/reference/doc/rrd_pdpcalc.pod;
@@ -30,9 +31,16 @@ object Normalize {
   /** PDPs on the `stepSec` grid, end-labeled: the PDP stamped `t` covers
     * (t-step, t]. Output: series columns + `pdp_ts` (epoch sec, bigint) +
     * `pdp` (double, null = unknown) + `known_us` (bigint).
+    *
+    * @param rateScale when the rate column is known to carry at most this
+    *   many decimal digits (e.g. GAUGE over 2-decimal inputs), the
+    *   rate·overlap products are summed as exact decimals — fully
+    *   order-independent and bit-reproducible. Default: decimal-routed at
+    *   scale 10 (deterministic to the last bit only when the scaled
+    *   product stays under 2^53 — fine for typical rates).
     */
   def pdp(df: DataFrame, series: Seq[String], tsUs: String, rate: String,
-      stepSec: Long): DataFrame = {
+      stepSec: Long, rateScale: Option[Int] = None): DataFrame = {
     val stepUs = stepSec * 1000000L
     val w = Window.partitionBy(series.map(col): _*).orderBy(col(tsUs))
     val t0 = lag(col(tsUs), 1).over(w)
@@ -41,7 +49,9 @@ object Normalize {
     val intervals = df
       .select(series.map(col) :+ t0.as("t0") :+ t1.as("t1") :+
         col(rate).as("r"): _*)
-      .where(col("t0").isNotNull)
+      // monotonicity gate (rrd_update.c:1416-1423): drop the first sample
+      // of each series and any non-advancing timestamp
+      .where(col("t0").isNotNull && col("t1") > col("t0"))
       // step index k covers ((k-1)·S, k·S]; (t0,t1] overlaps it iff
       // k > t0/S and (k-1) < t1/S  ⇒  k ∈ [t0 div S + 1, (t1-1) div S + 1]
       .withColumn("k",
@@ -55,7 +65,13 @@ object Normalize {
       .groupBy(series.map(col) :+ col("k"): _*)
       .agg(
         sum(when(col("r").isNotNull, col("overlap_us"))).as("known_us"),
-        sum(col("r") * col("overlap_us")).as("rate_us"))
+        // decimal-routed: order-independent, deterministic across engines
+        (rateScale match {
+          case Some(sc) => // exact: decimal rate × integer µs
+            sum(col("r").cast(DecimalType(18, sc)) * col("overlap_us"))
+          case None => // (38,10): rate·µs products reach ~1e18 for counters
+            sum((col("r") * col("overlap_us")).cast(DecimalType(38, 10)))
+        }).cast("double").as("rate_us"))
       .select(series.map(col) :+
         (col("k") * stepSec).as("pdp_ts") :+
         // unknown iff unknown time > step/2 (strict; reference counts whole
