@@ -373,6 +373,133 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
+    }),
+
+    // ---- training-data pipeline extensions (BASELINE.json north-star)
+
+    // Text quality scoring: counts, ratios, repetition detector.
+    "q21_text_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val q = ext.TextAnalysis.qualityExprs(col("text"))
+      d.select(col("doc_id") +: Seq("n_chars_m", "n_words", "avg_word_len",
+        "stopword_ratio", "distinct_ratio").map(n => q(n).as(n)): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: per-language marker scores + argmax.
+    "q22_langid" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val ws = ext.TextAnalysis.words(col("text"))
+      val scores = ext.TextAnalysis.langMarkers.map { case (l, ms) =>
+        ext.TextAnalysis.langScore(ws, ms).as(s"s_$l")
+      }
+      d.select(Seq(col("doc_id")) ++ scores :+
+          ext.TextAnalysis.langId(col("text")).as("lang_pred") :+
+          (ext.TextAnalysis.langId(col("text")) === col("lang"))
+            .cast("int").as("label_match"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace + alnum-regex + distinct.
+    "q23_tokens" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = ext.TextAnalysis.tokenExprs(col("text"))
+      d.select(col("doc_id") +: Seq("ws_tokens", "alnum_tokens",
+        "uniq_tokens").map(n => t(n).as(n)): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting (md5 of normalized text + prefix form).
+    "q24_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          ext.TextAnalysis.fingerprint(col("text")).as("fp"),
+          ext.TextAnalysis.fingerprintPrefix(col("text"), 8).as("fp8"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup: hash-groupBy, canonical id + group size.
+    "q25_dedup_exact" -> ((s, dir) => {
+      ext.Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("fp")
+    }),
+
+    // n-gram Jaccard near-dup scoring over bounded candidate pairs
+    // (each doc vs the next 10 ids — equi-join, no n² blowup).
+    "q26_shingle_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), ext.Dedup.shingles(col("text"), 3).as("sh"))
+      val left = d.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        .withColumn("id2", explode(sequence(col("id1") + 1, col("id1") + 10)))
+      val joined = left.join(
+        d.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      val inter = size(array_intersect(col("sh1"), col("sh2")))
+      val uni = size(col("sh1")) + size(col("sh2")) - inter
+      joined.select(col("id1"), col("id2"),
+          (inter.cast("double") / uni.cast("double")).as("jaccard"))
+        .where(col("jaccard") > 0.05)
+        .orderBy("id1", "id2")
+    }),
+
+    // MinHash + LSH banding: md5-seeded signatures, band-key equi-join,
+    // candidate pairs with signature agreement.
+    "q27_minhash_lsh" -> ((s, dir) => {
+      ext.Dedup.lshCandidates(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, h = 16, r = 4)
+        .where(col("sig_agreement") >= 0.25)
+        .orderBy("id1", "id2")
+    }),
+
+    // SimHash signatures + hamming distance over bounded pairs.
+    "q28_simhash" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), ext.Dedup.simhash(col("text"), 16).as("sig"))
+      val left = d.select(col("doc_id").as("id1"), col("sig").as("sig1"))
+        .withColumn("id2", explode(sequence(col("id1") + 1, col("id1") + 10)))
+      left.join(d.select(col("doc_id").as("id2"), col("sig").as("sig2")),
+          Seq("id2"))
+        .select(col("id1"), col("id2"), col("sig1"), col("sig2"),
+          ext.Dedup.hamming(col("sig1"), col("sig2")).cast("int").as("hamming"))
+        .orderBy("id1", "id2")
+    }),
+
+    // Brute-force cosine top-k (the ANN exactness baseline).
+    "q29_ann_bruteforce" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      ext.Similarity.bruteForceTopK(
+          e.where(col("vec_id") < 20), e, "vec_id", "embedding", 64, 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding corpus stats per label (norms via deterministic folds).
+    "q30_embed_stats" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"),
+          ext.Similarity.norm(col("embedding"), 64).as("nrm"))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("nrm")).as("sum_norm"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm"))
+        .withColumn("avg_norm", col("sum_norm") / col("n"))
+        .orderBy("label")
+    }),
+
+    // Multimodal binary plumbing: payload + typed metadata + frame
+    // sampling (decode itself is the stubbed codec, exercised in specs).
+    "q31_multimodal" -> ((s, dir) => {
+      val m = ext.Multimodal.asMedia(Tables.documents(s, dir), "doc_id",
+        "text", "doc")
+      m.select(col("doc_id"),
+          col("meta.media_type").as("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"),
+          size(ext.Multimodal.sampleFrames(col("bytes"), 256, 1))
+            .cast("int").as("n_frames"),
+          size(ext.Multimodal.sampleFrames(col("bytes"), 256, 4))
+            .cast("int").as("kept_frames"))
+        .orderBy("doc_id")
     })
   )
 
@@ -627,8 +754,183 @@ object SparkEntry {
 
     "q20_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q21_text_quality" ->
+      s"""$sqlDocWords
+        |SELECT doc_id,
+        | length(norm) AS n_chars_m,
+        | len(ws) AS n_words,
+        | CAST(length(norm) - (len(ws) - 1) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_word_len,
+        | CAST(len(list_filter(ws, x -> x IN ('the','a','of','to','and','is','in'))) AS DOUBLE)
+        |   / CAST(len(ws) AS DOUBLE) AS stopword_ratio,
+        | CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS distinct_ratio
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q22_langid" -> sqlLangId,
+
+    "q23_tokens" ->
+      s"""$sqlDocWords
+        |SELECT doc_id,
+        | len(ws) AS ws_tokens,
+        | len(list_filter(string_split_regex(norm, '[^a-z0-9]+'), x -> length(x) > 0)) AS alnum_tokens,
+        | len(list_distinct(ws)) AS uniq_tokens
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q24_fingerprint" ->
+      s"""$sqlDocWords
+        |SELECT doc_id, md5(norm) AS fp, substr(md5(norm), 1, 8) AS fp8
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q25_dedup_exact" ->
+      s"""$sqlDocWords
+        |SELECT md5(norm) AS fp, MIN(doc_id) AS canonical_id,
+        | COUNT(*) AS n_dups
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_shingle_jaccard" ->
+      s"""$sqlShingles,
+        |pairs AS (
+        | SELECT a.doc_id AS id1,
+        |        unnest(generate_series(a.doc_id + 1, a.doc_id + 10)) AS id2,
+        |        a.sh AS sh1
+        | FROM sh a),
+        |j AS (
+        | SELECT p.id1, p.id2,
+        |  len(list_filter(p.sh1, x -> list_contains(b.sh, x))) AS inter,
+        |  len(p.sh1) + len(b.sh)
+        |    - len(list_filter(p.sh1, x -> list_contains(b.sh, x))) AS uni
+        | FROM pairs p JOIN sh b ON b.doc_id = p.id2)
+        |SELECT id1, id2, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+        |FROM j WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) > 0.05
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q27_minhash_lsh" ->
+      s"""$sqlShingles,
+        |sigr AS (
+        | SELECT doc_id, j,
+        |  MIN(substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 16)) AS s
+        | FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+        | CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+        | GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(s ORDER BY j) AS sa FROM sigr GROUP BY 1),
+        |band AS (
+        | SELECT doc_id, sa,
+        |  unnest(list_transform(generate_series(0, 3), b ->
+        |    md5(CAST(b AS VARCHAR) || '|' ||
+        |        array_to_string(list_slice(sa, b*4 + 1, b*4 + 4), ',')))) AS bk
+        | FROM sig),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(len(list_filter(generate_series(1, 16),
+        |        i -> a.sa[i] = b.sa[i])) AS DOUBLE) / 16 AS sig_agreement
+        | FROM band a JOIN band b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, sig_agreement FROM cand
+        |WHERE sig_agreement >= 0.25 ORDER BY id1, id2""".stripMargin,
+
+    "q28_simhash" -> sqlSimhash,
+
+    "q29_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        | SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  ${sqlDot("q.qv", "c.embedding")} /
+        |   (sqrt(${sqlDot("q.qv", "q.qv")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cosine
+        | FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q30_embed_stats" ->
+      s"""WITH n AS (
+        | SELECT label, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+        | FROM embeddings)
+        |SELECT label, COUNT(*) AS n,
+        | ${sqlDsum("nrm")} AS sum_norm,
+        | MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+        | ${sqlDsum("nrm")} / COUNT(*) AS avg_norm
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_multimodal" ->
+      """SELECT doc_id,
+        | 'doc' AS media_type,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | md5(text) AS checksum,
+        | CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 256) AS INT) AS n_frames,
+        | CAST((CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 256) AS INT) + 3) // 4 AS INT) AS kept_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared docs CTE: `d(doc_id, lang, norm, ws)`. */
+  private val sqlDocWords: String =
+    """WITH d AS (
+      | SELECT doc_id, lang, lower(trim(text)) AS norm,
+      |        string_split(lower(trim(text)), ' ') AS ws
+      | FROM documents)""".stripMargin
+
+  /** Shared 3-shingle CTE: `sh(doc_id, sh)` (distinct shingles). */
+  private val sqlShingles: String =
+    s"""$sqlDocWords,
+      |sh AS (
+      | SELECT doc_id,
+      |  list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |   ELSE list_transform(generate_series(1, len(ws) - 2),
+      |          i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END) AS sh
+      | FROM d)""".stripMargin
+
+  /** Language-ID oracle: replicates TextAnalysis.langId's strict-> fold
+    * (tie goes to the earlier-listed language). */
+  private val sqlLangId: String = {
+    val markers = ext.TextAnalysis.langMarkers
+    val scoreDefs = markers.map { case (l, ms) =>
+      s"len(list_filter(ws, x -> x IN (${ms.map("'" + _ + "'").mkString(",")}))) AS s_$l"
+    }.mkString(",\n  ")
+    // fold: best=(en); for l in tail: if s_l > best then l
+    val (pred, _) = markers.tail.foldLeft((s"'${markers.head._1}'",
+        s"s_${markers.head._1}")) { case ((bl, bs), (l, _)) =>
+      (s"CASE WHEN s_$l > ($bs) THEN '$l' ELSE $bl END",
+        s"CASE WHEN s_$l > ($bs) THEN s_$l ELSE $bs END")
+    }
+    s"""$sqlDocWords,
+      |sc AS (SELECT doc_id, lang, ws, $scoreDefs FROM d)
+      |SELECT doc_id, ${markers.map("s_" + _._1).mkString(", ")},
+      | $pred AS lang_pred,
+      | CAST(($pred) = lang AS INT) AS label_match
+      |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash oracle: 16 md5-digit votes per distinct token, built
+    * programmatically to mirror Dedup.simhash exactly. */
+  private val sqlSimhash: String = {
+    val votes = (1 to 16).map(i =>
+      s"list_reduce(list_transform(wd, w -> CASE WHEN substr(md5(w), $i, 1) >= '8' THEN 1 ELSE -1 END), (a,b) -> a + b) AS v$i"
+    ).mkString(",\n  ")
+    val sig = (1 to 16).map(i =>
+      s"CASE WHEN v$i > 0 THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
+    s"""$sqlDocWords,
+      |wd AS (SELECT doc_id, list_distinct(ws) AS wd FROM d),
+      |v AS (SELECT doc_id, $votes FROM wd),
+      |s AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM v),
+      |pairs AS (
+      | SELECT a.doc_id AS id1,
+      |        unnest(generate_series(a.doc_id + 1, a.doc_id + 10)) AS id2,
+      |        a.sig AS sig1
+      | FROM s a)
+      |SELECT p.id1, p.id2, p.sig1, b.sig AS sig2,
+      | CAST(bit_count(xor(p.sig1, b.sig)) AS INT) AS hamming
+      |FROM pairs p JOIN s b ON b.doc_id = p.id2
+      |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Deterministic dot product: strict left fold over vector positions —
+    * matches Similarity.dot's aggregate(0.0, +) order exactly. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
   /** Shared PDP-normalization CTE chain (mirrors Rates GAUGE + Normalize):
     * defines `ag(user_id, k, known_us, rate_sum)` on the 300s grid. */

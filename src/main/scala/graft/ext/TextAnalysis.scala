@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north-star: language-ID, quality scoring, token
+  * counting, fingerprinting). All pure column expressions —
+  * whole-stage-codegen'd, no UDFs, shuffle-free (per-row), and
+  * replicable in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Canonical normalization shared by every text operator. */
+  def normalize(text: Column): Column = lower(trim(text))
+
+  /** Whitespace tokens of the normalized text. */
+  def words(text: Column): Column = split(normalize(text), " ")
+
+  /** Count of tokens equal to `w` (list-filter based: exact even for
+    * adjacent repeats, unlike replace-counting). */
+  def wordCount(ws: Column, w: String): Column =
+    size(filter(ws, x => x === lit(w)))
+
+  /** Quality metrics: char/word counts, average word length, stopword
+    * ratio, distinct-token ratio (repetition detector). */
+  def qualityExprs(text: Column): Map[String, Column] = {
+    val ws = words(text)
+    val n = size(ws).cast("double")
+    val stop = Seq("the", "a", "of", "to", "and", "is", "in")
+    Map(
+      "n_chars_m" -> length(normalize(text)).cast("long"),
+      "n_words" -> size(ws).cast("long"),
+      "avg_word_len" ->
+        (length(normalize(text)) - (size(ws) - 1)).cast("double") / n,
+      "stopword_ratio" ->
+        size(filter(ws, x => x.isin(stop.map(lit): _*))).cast("double") / n,
+      "distinct_ratio" -> size(array_distinct(ws)).cast("double") / n)
+  }
+
+  /** Per-language marker vocabularies for the n-gram/stopword language
+    * heuristic. Deterministic scoring: hits per marker list; argmax with
+    * fixed tie order (en, fr, es, de, zh). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "is", "of"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "y", "que", "en"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  /** Score for one language = total marker-token hits. */
+  def langScore(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, x => x.isin(markers.map(lit): _*))).cast("long")
+
+  /** Predicted language: argmax score, first-listed wins ties. */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val scored = langMarkers.map { case (l, ms) => (l, langScore(ws, ms)) }
+    // fold right so earlier languages win ties via strict >
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestL, bestS), (l, s)) =>
+        (when(s > bestS, lit(l)).otherwise(bestL),
+          when(s > bestS, s).otherwise(bestS))
+    }._1
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish alnum/punct tokens
+    * (explicit char classes — identical across regex dialects). */
+  def tokenExprs(text: Column): Map[String, Column] = {
+    val ws = words(text)
+    Map(
+      "ws_tokens" -> size(ws).cast("long"),
+      "alnum_tokens" ->
+        size(filter(split(normalize(text), "[^a-z0-9]+"),
+          x => length(x) > 0)).cast("long"),
+      "uniq_tokens" -> size(array_distinct(ws)).cast("long"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (exact-dup key)
+    * plus a short prefix form for bucketing. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+  def fingerprintPrefix(text: Column, n: Int): Column =
+    substring(fingerprint(text), 1, n)
+}
