@@ -807,24 +807,32 @@ object SparkEntry {
 
     "q27_minhash_lsh" ->
       s"""$sqlShingles,
+        |hh AS (
+        | SELECT doc_id,
+        |  ${sqlHexToLong("substr(md5(shingle), 1, 15)")} AS h0,
+        |  ${sqlHexToLong("substr(md5(shingle), 17, 14)")} AS h1
+        | FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
         |sigr AS (
-        | SELECT doc_id, j,
-        |  MIN(substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 16)) AS s
-        | FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)
-        | CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+        | SELECT doc_id, j, MIN(h0 + j * h1) AS s
+        | FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
         | GROUP BY 1, 2),
         |sig AS (SELECT doc_id, list(s ORDER BY j) AS sa FROM sigr GROUP BY 1),
         |band AS (
         | SELECT doc_id, sa,
         |  unnest(list_transform(generate_series(0, 3), b ->
         |    md5(CAST(b AS VARCHAR) || '|' ||
-        |        array_to_string(list_slice(sa, b*4 + 1, b*4 + 4), ',')))) AS bk
+        |        array_to_string(list_transform(list_slice(sa, b*4 + 1, b*4 + 4),
+        |          x -> CAST(x AS VARCHAR)), ',')))) AS bk
         | FROM sig),
+        |bandc AS (
+        | SELECT band.* FROM band
+        | JOIN (SELECT bk FROM band GROUP BY bk HAVING COUNT(*) <= 100) ok
+        | USING (bk)),
         |cand AS (
         | SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
         |  CAST(len(list_filter(generate_series(1, 16),
         |        i -> a.sa[i] = b.sa[i])) AS DOUBLE) / 16 AS sig_agreement
-        | FROM band a JOIN band b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        | FROM bandc a JOIN bandc b ON a.bk = b.bk AND a.doc_id < b.doc_id)
         |SELECT id1, id2, sig_agreement FROM cand
         |WHERE sig_agreement >= 0.25 ORDER BY id1, id2""".stripMargin,
 
@@ -926,6 +934,12 @@ object SparkEntry {
       |FROM pairs p JOIN s b ON b.doc_id = p.id2
       |ORDER BY id1, id2""".stripMargin
   }
+
+  /** DuckDB hex→bigint (≤15 hex chars): strict left fold over digits —
+    * mirrors Spark's `conv(hex, 16, 10).cast("long")`. */
+  private def sqlHexToLong(hexExpr: String): String =
+    s"list_reduce(list_transform(regexp_extract_all($hexExpr, '.'), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
 
   /** Deterministic dot product: strict left fold over vector positions —
     * matches Similarity.dot's aggregate(0.0, +) order exactly. */

@@ -40,8 +40,20 @@ object Tables {
     table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
+
+  /** documents/embeddings feed per-row compute-heavy operators (hashing,
+    * shingling, dot products). The testdata files are single-split small
+    * parquet, which would serialize that compute on one core — round-robin
+    * repartition to the cluster's parallelism. At real scale the scan has
+    * many splits already and this is a bounded reshuffle ahead of a
+    * compute-bound stage.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
   def documents(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    spread(table(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "embeddings")
+    spread(table(spark, dir, "embeddings"))
 }

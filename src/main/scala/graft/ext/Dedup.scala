@@ -33,35 +33,64 @@ object Dedup {
           i => concat_ws(" ", slice(ws, i + 1, lit(k))))))
   }
 
-  /** MinHash signature: `h` independent permutations simulated by
-    * seeded md5; signature j = min over shingles of
-    * substr(md5(j || ':' || shingle), 1, 16) (lexicographic on hex —
-    * portable across engines). */
-  def minhashSignature(sh: Column, h: Int): Column =
-    transform(sequence(lit(0), lit(h - 1)),
-      j => array_min(transform(sh,
-        s => substring(md5(concat(j.cast("string"), lit(":"), s)), 1, 16))))
+  /** MinHash signature via Kirsch–Mitzenmacher double hashing: ONE md5
+    * per shingle (the round-1 16-md5s-per-shingle version was 59% of the
+    * whole benchmark), split into two independent non-overlapping halves
+    *   h0 = hex[1..15]  (60 bits)   h1 = hex[17..30] (56 bits)
+    * and slot j = min over shingles of (h0 + j·h1) — exact in signed
+    * 64-bit for j ≤ 15 (max < 2^60 + 15·2^56 < 2^63), engine-portable
+    * (the DuckDB oracle replays the same integer arithmetic). */
+  def minhashSignature(sh: Column, h: Int): Column = {
+    require(h <= 16, "h0+j*h1 is overflow-free only for j <= 15")
+    val hashed = transform(sh, s => {
+      val hex = md5(s)
+      struct(conv(substring(hex, 1, 15), 16, 10).cast("long").as("h0"),
+        conv(substring(hex, 17, 14), 16, 10).cast("long").as("h1"))
+    })
+    // Single fold carrying h running minima: the md5 stage is evaluated
+    // once per shingle. (Splicing `hashed` under each of h slot exprs
+    // would re-evaluate it h times — Catalyst does not CSE across
+    // higher-order-function lambdas.)
+    aggregate(hashed,
+      array_repeat(lit(Long.MaxValue), h),
+      (acc, p) => zip_with(acc, sequence(lit(0), lit(h - 1)),
+        (m, j) => least(m, p("h0") + j.cast("long") * p("h1"))))
+  }
 
   /** LSH band keys: split the signature into bands of `r` rows; band key
     * = md5 of the joined band slice. A shared band key ⇒ candidate pair. */
   def bandKeys(sig: Column, h: Int, r: Int): Column =
     transform(sequence(lit(0), lit(h / r - 1)),
       b => md5(concat(b.cast("string"), lit("|"),
-        concat_ws(",", slice(sig, b * r + 1, lit(r))))))
+        concat_ws(",", transform(slice(sig, b * r + 1, lit(r)),
+          _.cast("string"))))))
 
   /** Candidate near-dup pairs via LSH: docs sharing ≥1 band key.
     * Output: (id1, id2, sig_agreement) with id1 < id2, distinct pairs.
-    * The join shuffles on the band key — candidate-sized, not n². */
+    *
+    * Scale design: the join shuffles on the band key — candidate-sized,
+    * never n². Two guards make it safe on duplicate-heavy corpora:
+    *   - `maxBand` drops band buckets with more members than the cap
+    *     before the self-join (a bucket of m docs costs m² pairs; docs
+    *     that duplicate-heavy are caught by [[exactGroups]] anyway);
+    *   - the banded projection is cached so the signature computation
+    *     (the expensive part) runs once, not once per join side.
+    */
   def lshCandidates(df: DataFrame, id: String, text: String,
-      k: Int = 3, h: Int = 16, r: Int = 4): DataFrame = {
+      k: Int = 3, h: Int = 16, r: Int = 4,
+      maxBand: Int = 100): DataFrame = {
     val base = df.select(col(id).as("doc_id"),
         minhashSignature(shingles(col(text), k), h).as("sig"))
     val banded = base.select(col("doc_id"), col("sig"),
         explode(bandKeys(col("sig"), h, r)).as("band"))
-      .select(col("doc_id"), col("sig"), col("band"))
-    val a = banded.select(col("band"), col("doc_id").as("id1"),
+      .persist()
+    val capped = banded.join(
+      banded.groupBy("band").agg(count(lit(1)).as("bn"))
+        .where(col("bn") <= maxBand).select("band"),
+      Seq("band"))
+    val a = capped.select(col("band"), col("doc_id").as("id1"),
       col("sig").as("sig1"))
-    val b = banded.select(col("band"), col("doc_id").as("id2"),
+    val b = capped.select(col("band"), col("doc_id").as("id2"),
       col("sig").as("sig2"))
     a.join(b, Seq("band")).where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),

@@ -53,9 +53,13 @@ object Cdef {
     val vIdx = vnames.map(n => n -> inSchema.fieldIndex(n)).toMap
     val sIdx = series.map(inSchema.fieldIndex)
 
-    df.groupByKey((r: Row) =>
-        sIdx.map(i => String.valueOf(r.get(i))).mkString("")
-      )(Encoders.STRING)
+    // Length-prefixed key parts: collision-proof for any multi-column
+    // series key (separator/concat schemes merge e.g. ("ab","c")/("a","bc")).
+    df.groupByKey { (r: Row) =>
+        sIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s"${s.length}:$s"
+        }.mkString
+      }(Encoders.STRING)
       .flatMapGroups { (_: String, rows: Iterator[Row]) =>
         val sorted = rows.toArray.sortBy(_.getLong(tsIdx))
         val tsArr = sorted.map(_.getLong(tsIdx))

@@ -42,6 +42,25 @@ class QueriesSpec extends SparkSuite {
     assert(out(3).isEmpty)
   }
 
+  test("Cdef.interpreted keeps colliding multi-column series keys apart") {
+    import spark.implicits._
+    import scala.collection.immutable.ListMap
+    // ("ab","c") vs ("a","bc"): any separator-less concat merges them and
+    // interleaves their slots; PREV-based ffill would then leak across.
+    val df = Seq(
+      ("ab", "c", 60L, Some(1.0)), ("ab", "c", 120L, None),
+      ("a", "bc", 60L, Some(9.0)), ("a", "bc", 120L, None)
+    ).toDF("k1", "k2", "ts", "v")
+    val out = query.Cdef.interpreted(df, Seq("k1", "k2"), "ts", Seq("v"),
+        ListMap("ffill" -> "v,UN,PREV,v,IF"), 60L)
+      .orderBy("k1", "k2", "ts")
+      .select("k1", "k2", "ts", "ffill")
+      .as[(String, String, Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      ("a", "bc", 60L, Some(9.0)), ("a", "bc", 120L, Some(9.0)),
+      ("ab", "c", 60L, Some(1.0)), ("ab", "c", 120L, Some(1.0))))
+  }
+
   test("consolidation xff rule (rrd_update.c:2040-2045)") {
     import spark.implicits._
     import graft.model.Cf
