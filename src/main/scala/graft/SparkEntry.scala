@@ -375,6 +375,24 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // §2.2 COMPUTE DS: the RPN runs over the other DSes' rates of the
+    // same sample (/root/reference/src/rrd_update.c:1787-1815), with the
+    // op restrictions of rrd_rpncalc.c:274-293 enforced at definition.
+    "q32_compute_ds" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hb = 7200L
+      val g = Rates.withRate(ev, Seq("user_id"), "ts_us", "event_id",
+        "value", DsDef("g", Dst.Gauge, hb)).withColumnRenamed("rate", "gauge_r")
+      val a = Rates.withRate(g, Seq("user_id"), "ts_us", "event_id",
+        "value", DsDef("a", Dst.Absolute, hb)).withColumnRenamed("rate", "abs_r")
+      Rates.withComputeRate(a, Map("g" -> "gauge_r", "a" -> "abs_r"),
+          DsDef("c", Dst.Compute, rpn = Some("g,a,ADDNAN,2,/")),
+          out = "compute_r")
+        .select(col("user_id"), col("event_id"), col("gauge_r"),
+          col("abs_r"), col("compute_r"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // ---- training-data pipeline extensions (BASELINE.json north-star)
 
     // Text quality scoring: counts, ratios, repetition detector.
@@ -755,6 +773,23 @@ object SparkEntry {
     "q20_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q32_compute_ds" ->
+      """WITH r AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |        CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE) / 1000000.0 AS iv
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        | SELECT user_id, event_id, ts_us,
+        |  CASE WHEN iv > 7200.0 THEN NULL ELSE value END AS gauge_r,
+        |  CASE WHEN iv > 7200.0 THEN NULL ELSE value / iv END AS abs_r
+        | FROM r)
+        |SELECT user_id, event_id, gauge_r, abs_r,
+        | CASE WHEN gauge_r IS NULL AND abs_r IS NULL THEN NULL
+        |      ELSE (COALESCE(gauge_r, 0.0) + COALESCE(abs_r, 0.0)) / 2.0
+        | END AS compute_r
+        |FROM s ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q21_text_quality" ->
       s"""$sqlDocWords

@@ -56,7 +56,7 @@ object Rates {
         when(reset, lit(null)).otherwise((v - prevV) / interval)
       case Dst.Compute =>
         throw new IllegalArgumentException(
-          "COMPUTE DS rates come from the RPN compiler, not rate conversion")
+          "COMPUTE DS rates come from withComputeRate, not rate conversion")
     }
 
     // Heartbeat gate: interval > mrhb ⇒ unknown (rrd_update.c:1448-1460).
@@ -75,5 +75,35 @@ object Rates {
         when(low || high, lit(null)).otherwise(gated)
     }
     df.withColumn("rate", clamped)
+  }
+
+  /** Ops the reference rejects in a COMPUTE DS RPN
+    * (/root/reference/src/rrd_rpncalc.c:274-293): time/sequence ops have
+    * no meaning when the expression runs per PDP close-out. */
+  private val ComputeForbidden = Set("TIME", "LTIME", "STEPWIDTH", "COUNT",
+    "PREV", "TREND", "TRENDNAN", "PREDICT", "PREDICTSIGMA", "PREDICTPERC",
+    "NEWDAY", "NEWWEEK", "NEWMONTH", "NEWYEAR")
+
+  /** COMPUTE DS rate (/root/reference/src/rrd_update.c:1787-1815): the
+    * "rate" is the DS's RPN evaluated over the *other DSes'* rates of the
+    * same sample — a pure per-row projection once those rates exist.
+    *
+    * @param dsRates DS name (as referenced in the RPN) → rate column name
+    */
+  def withComputeRate(df: DataFrame, dsRates: Map[String, String],
+      spec: DsDef, out: String = "rate"): DataFrame = {
+    require(spec.dst == Dst.Compute, s"${spec.name} is not a COMPUTE DS")
+    val tokens = graft.rpn.RToken.tokenize(spec.rpn.get)
+    val bad = tokens.collect {
+      case graft.rpn.RToken.Fn(op) if ComputeForbidden(op) => op
+      case graft.rpn.RToken.PrevVar(_) => "PREV(vname)"
+    }
+    require(bad.isEmpty,
+      s"ops not supported with DS COMPUTE: ${bad.distinct.mkString(",")}")
+    val ctx = graft.rpn.RpnCompiler.Ctx(
+      series = dsRates.map { case (n, c) => n -> col(c) },
+      tsSec = lit(0L), stepSec = 1L,
+      window = Window.orderBy(lit(1))) // unused: sequential ops rejected
+    df.withColumn(out, graft.rpn.RpnCompiler.compileTokens(tokens, ctx))
   }
 }
