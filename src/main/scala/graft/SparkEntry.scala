@@ -393,6 +393,24 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // §2.6 Holt-Winters aberrant family, additive: HWPREDICT + SEASONAL
+    // + DEVSEASONAL + DEVPREDICT + FAILURES over the 5-series hourly
+    // grid, period 24 (/root/reference/src/rrd_hw_update.c:38-475).
+    "q33_hwpredict" -> ((s, dir) => {
+      hw.HoltWinters(typedGrid(s, dir), Seq("event_type"), "ts", "v",
+          hw.HoltWinters.HwSpec(0.1, 0.035, 24, 0.1, 0.1))
+        .orderBy("event_type", "ts")
+    }),
+
+    // §2.6 MHWPREDICT: multiplicative seasonality
+    // (/root/reference/src/rrd_hw_math.c:64-113; rrd_hw.c:437-461).
+    "q34_mhwpredict" -> ((s, dir) => {
+      hw.HoltWinters(typedGrid(s, dir), Seq("event_type"), "ts", "v",
+          hw.HoltWinters.HwSpec(0.1, 0.035, 24, 0.1, 0.1,
+            multiplicative = true))
+        .orderBy("event_type", "ts")
+    }),
+
     // ---- training-data pipeline extensions (BASELINE.json north-star)
 
     // Text quality scoring: counts, ratios, repetition detector.
@@ -791,6 +809,9 @@ object SparkEntry {
         | END AS compute_r
         |FROM s ORDER BY user_id, ts_us, event_id""".stripMargin,
 
+    "q33_hwpredict" -> sqlHoltWinters(mult = false),
+    "q34_mhwpredict" -> sqlHoltWinters(mult = true),
+
     "q21_text_quality" ->
       s"""$sqlDocWords
         |SELECT doc_id,
@@ -968,6 +989,106 @@ object SparkEntry {
       | CAST(bit_count(xor(p.sig1, b.sig)) AS INT) AS hamming
       |FROM pairs p JOIN s b ON b.doc_id = p.id2
       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Holt-Winters oracle: a DuckDB recursive CTE replaying the exact
+    * per-step recurrence of HoltWinters.run (one iteration per grid slot,
+    * state carried as columns, seasonal/deviation cyclic arrays as
+    * history lists — index i+2-period IS the slot one cycle back).
+    * Constants mirror q33/q34's HwSpec: alpha .1, beta .035, gammas .1,
+    * period 24, deltas 2.0, threshold 7, window 9. Period 24 < 40 makes
+    * the reference's seasonal smoothing a no-op (offset =
+    * floor(0.05/2*24) = 0, rrd_hw.c:146-154), so the recursion is exact.
+    */
+  private def sqlHoltWinters(mult: Boolean): String = {
+    val (a, b, g, gd, dp, dn, thr, w, p) =
+      ("0.1", "0.035", "0.1", "0.1", "2.0", "2.0", 7, 9, 24)
+    val (pred, icf, initse, seasf, predd) =
+      if (mult) (
+        "CASE WHEN prednan THEN NULL ELSE (ic + sl*nc) * shs END",
+        s"CASE WHEN shs <= 0 THEN NULL ELSE $a*(x/shs) + (1.0-$a)*(ic + sl*nc) END",
+        "CASE WHEN newlic <= 0 THEN NULL ELSE x / newlic END",
+        s"CASE WHEN newic <= 0 THEN NULL ELSE $g*(x/newic) + (1.0-$g)*seasold END",
+        "(newlic + newlsl*newlnc) * newshls")
+      else (
+        "CASE WHEN prednan THEN NULL ELSE ic + sl*nc + shs END",
+        s"$a*(x - shs) + (1.0-$a)*(ic + sl*nc)",
+        "x - newlic",
+        s"$g*(x - newic) + (1.0-$g)*seasold",
+        "newlic + newlsl*newlnc + newshls")
+    val violExpr =
+      s"""CASE WHEN newlsdv IS NULL THEN 0
+         |        WHEN x IS NULL THEN 1
+         |        WHEN (x > predd + $dp*newlsdv) OR (x < predd - $dn*newlsdv) THEN 1
+         |        ELSE 0 END""".stripMargin
+    s"""WITH RECURSIVE ${sqlTypedGrid.stripPrefix("WITH ")},
+       |dd AS (SELECT event_type, (ts - $T0)//3600 - 1 AS i, ts, v FROM j),
+       |st AS (
+       | SELECT event_type, CAST(-1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS ts,
+       |  CAST(NULL AS DOUBLE) AS x,
+       |  CAST(NULL AS DOUBLE) AS ic, CAST(NULL AS DOUBLE) AS lic,
+       |  CAST(NULL AS DOUBLE) AS sl, CAST(NULL AS DOUBLE) AS lsl,
+       |  CAST(1 AS BIGINT) AS nc, CAST(1 AS BIGINT) AS lnc,
+       |  CAST(NULL AS DOUBLE) AS shs, CAST(NULL AS DOUBLE) AS shls,
+       |  CAST(NULL AS DOUBLE) AS sdv, CAST(NULL AS DOUBLE) AS lsdv,
+       |  CAST([] AS DOUBLE[]) AS shist, CAST([] AS DOUBLE[]) AS dhist,
+       |  CAST([] AS INTEGER[]) AS vwin,
+       |  CAST(NULL AS DOUBLE) AS hwpredict, CAST(NULL AS DOUBLE) AS seasonal,
+       |  CAST(NULL AS DOUBLE) AS devseasonal, CAST(NULL AS DOUBLE) AS devpredict,
+       |  CAST(NULL AS DOUBLE) AS failures, CAST(0 AS INTEGER) AS violation
+       | FROM (SELECT DISTINCT event_type FROM dd)
+       | UNION ALL
+       | SELECT event_type, i, ts, x, newic, newlic, newsl, newlsl, newnc, newlnc,
+       |  newshs, newshls, newsdv, newlsdv,
+       |  list_append(shist, snew), list_append(dhist, dnew), newvwin,
+       |  pred, snew, dnew, newlsdv, fail, viol
+       | FROM (
+       |  SELECT *,
+       |   CASE WHEN newlic IS NULL OR newlsl IS NULL OR newshls IS NULL THEN NULL
+       |        WHEN x IS NULL THEN newlsdv
+       |        WHEN newlsdv IS NULL THEN abs(predd - x)
+       |        ELSE $gd*abs(predd - x) + (1.0-$gd)*newlsdv END AS dnew,
+       |   $violExpr AS viol,
+       |   CASE WHEN ($violExpr) + COALESCE(list_sum(vwin[1:${w - 1}]), 0) >= $thr
+       |      THEN 1.0 ELSE 0.0 END AS fail,
+       |   list_concat([$violExpr], vwin[1:${w - 1}]) AS newvwin
+       |  FROM (
+       |   SELECT *,
+       |    CASE WHEN x IS NULL THEN seasold
+       |         WHEN newlic IS NULL OR newlsl IS NULL THEN NULL
+       |         WHEN seasold IS NULL THEN $initse
+       |         ELSE $seasf END AS snew,
+       |    sdv AS newlsdv, dlook AS newsdv,
+       |    $predd AS predd
+       |   FROM (
+       |    SELECT *,
+       |     CASE WHEN boot THEN 0.0 WHEN prednan THEN sl WHEN x IS NULL THEN sl
+       |          ELSE $b*(newic - ic) + (1.0-$b)*sl END AS newsl,
+       |     CASE WHEN boot THEN 0.0 ELSE sl END AS newlsl,
+       |     shs AS seasold, slook AS newshs, shs AS newshls
+       |    FROM (
+       |     SELECT *,
+       |      $pred AS pred,
+       |      CASE WHEN boot THEN x WHEN prednan THEN ic WHEN x IS NULL THEN ic
+       |           ELSE $icf END AS newic,
+       |      CASE WHEN boot THEN x ELSE ic END AS newlic,
+       |      CASE WHEN boot THEN 1 WHEN prednan THEN nc WHEN x IS NULL THEN nc + 1
+       |           ELSE 1 END AS newnc,
+       |      CASE WHEN boot THEN 1 ELSE nc END AS newlnc
+       |     FROM (
+       |      SELECT st.event_type AS event_type, dd.i AS i, dd.ts AS ts, dd.v AS x,
+       |       st.ic, st.sl, st.nc, st.shs, st.shls, st.sdv, st.lsdv,
+       |       st.shist, st.dhist, st.vwin,
+       |       CASE WHEN dd.i + 2 - $p >= 1 THEN st.shist[CAST(dd.i + 2 - $p AS BIGINT)] END AS slook,
+       |       CASE WHEN dd.i + 2 - $p >= 1 THEN st.dhist[CAST(dd.i + 2 - $p AS BIGINT)] END AS dlook,
+       |       (st.ic IS NULL OR st.sl IS NULL OR st.shs IS NULL) AS prednan,
+       |       (st.ic IS NULL AND dd.v IS NOT NULL) AS boot
+       |      FROM st JOIN dd ON dd.event_type = st.event_type AND dd.i = st.i + 1
+       |     )))))
+       |)
+       |SELECT event_type, ts, x AS v, hwpredict, seasonal, devseasonal, devpredict,
+       | failures, violation
+       |FROM st WHERE i >= 0 ORDER BY event_type, ts""".stripMargin
   }
 
   /** DuckDB hex→bigint (≤15 hex chars): strict left fold over digits —
