@@ -411,6 +411,28 @@ object SparkEntry {
         .orderBy("event_type", "ts")
     }),
 
+    // §2.1/2.2 materialized write path + §2.3 RRA best-match selection:
+    // the store persists three RRAs (AVG 300s×4000, AVG 3600s×800,
+    // MAX 3600s×400); a step-300 AVERAGE fetch must pick the 3600s RRA —
+    // the only one with FULL coverage wins over the exact-step partial
+    // one (/root/reference/src/rrd_fetch.c:344-441).
+    "q35_rra_select" -> ((s, dir) => {
+      val path = ensureStore(s, dir)
+      store.RrdStore.fetch(s, path, graft.model.Cf.Average, "v",
+          Seq("user_id"), T0, T1, 300L)
+        .orderBy("user_id", "ts")
+    }),
+
+    // §2.1 retention: a MAX fetch selects the MAX 3600s RRA (best partial
+    // coverage, pdpCnt==1 plain-CF cross-candidacy considered); its
+    // 400-row horizon nulls the first half of the month per series.
+    "q36_store_retention" -> ((s, dir) => {
+      val path = ensureStore(s, dir)
+      store.RrdStore.fetch(s, path, graft.model.Cf.Max, "v",
+          Seq("user_id"), T0, T1, 3600L)
+        .orderBy("user_id", "ts")
+    }),
+
     // ---- training-data pipeline extensions (BASELINE.json north-star)
 
     // Text quality scoring: counts, ratios, repetition detector.
@@ -812,6 +834,23 @@ object SparkEntry {
     "q33_hwpredict" -> sqlHoltWinters(mult = false),
     "q34_mhwpredict" -> sqlHoltWinters(mult = true),
 
+    // Store fetch oracles: the SQL hard-codes the RRA the selection rule
+    // MUST pick — a different selection changes step/coverage and fails
+    // the hash compare.
+    "q35_rra_select" -> (sqlPdp + sqlStoreCdp("AVERAGE") +
+      s"""SELECT u.user_id AS user_id, g.ts AS ts, k.cdp AS v
+         |FROM (SELECT DISTINCT user_id FROM kept) u
+         |CROSS JOIN generate_series(${T0 + 3600}, $T1, 3600) AS g(ts)
+         |LEFT JOIN kept k ON k.user_id = u.user_id AND k.cdp_ts = g.ts
+         |ORDER BY 1, 2""".stripMargin),
+
+    "q36_store_retention" -> (sqlPdp + sqlStoreCdp("MAX") +
+      s"""SELECT u.user_id AS user_id, g.ts AS ts, k.cdp AS v
+         |FROM (SELECT DISTINCT user_id FROM kept) u
+         |CROSS JOIN generate_series(${T0 + 3600}, $T1, 3600) AS g(ts)
+         |LEFT JOIN kept k ON k.user_id = u.user_id AND k.cdp_ts = g.ts
+         |ORDER BY 1, 2""".stripMargin),
+
     "q21_text_quality" ->
       s"""$sqlDocWords
         |SELECT doc_id,
@@ -991,6 +1030,25 @@ object SparkEntry {
       |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Build the q35/q36 store once per testdata dir (marker-gated; the
+    * path carries a version tag so semantics changes invalidate it). */
+  private def ensureStore(s: SparkSession, dir: String): String = {
+    val name = new java.io.File(dir).getName
+    val path = s"/tmp/graft_store_v1/$name"
+    val marker = java.nio.file.Paths.get(path, "_built")
+    if (!java.nio.file.Files.exists(marker)) {
+      store.RrdStore.create(path, graft.model.RrdSchema(300L, T0,
+        Seq(DsDef("v", Dst.Gauge, 7200L)),
+        Seq(graft.model.RraDef(graft.model.Cf.Average, 0.5, 1L, 4000L),
+          graft.model.RraDef(graft.model.Cf.Average, 0.5, 12L, 800L),
+          graft.model.RraDef(graft.model.Cf.Max, 0.5, 12L, 400L))))
+      store.RrdStore.update(s, path, Tables.events(s, dir), Seq("user_id"),
+        "ts_us", "event_id", Map("v" -> "value"), rateScale = Some(2))
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    path
+  }
+
   /** Holt-Winters oracle: a DuckDB recursive CTE replaying the exact
     * per-step recurrence of HoltWinters.run (one iteration per grid slot,
     * state carried as columns, seasonal/deviation cyclic arrays as
@@ -1101,6 +1159,33 @@ object SparkEntry {
     * matches Similarity.dot's aggregate(0.0, +) order exactly. */
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** q35/q36 store rollup: CDP 3600s over the sqlPdp 300s grid with xff
+    * 0.5, then the per-series retention horizon of the selected RRA
+    * (AVERAGE → 800 rows = no-op for this window; MAX → 400 rows = first
+    * half of the month dropped). Defines `kept(user_id, cdp_ts, cdp)`. */
+  private def sqlStoreCdp(cf: String): String = {
+    val (agg, rowCnt) =
+      if (cf == "MAX") ("MAX(pdp)", 400L)
+      else ("CAST(CAST(SUM(CAST(pdp AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(pdp)", 800L)
+    s""",pdp AS (
+       | SELECT user_id, k * 300 AS pdp_ts,
+       |  CASE WHEN COALESCE(known_us, 0) < 150000000 THEN NULL
+       |       ELSE rate_sum / known_us END AS pdp
+       | FROM ag),
+       |cdp AS (
+       | SELECT user_id, ((pdp_ts - 1)//3600 + 1) * 3600 AS cdp_ts,
+       |  CASE WHEN 12 - COUNT(pdp) > 6.0 THEN NULL ELSE $agg END AS cdp
+       | FROM pdp GROUP BY 1, 2),
+       |ret AS (
+       | SELECT user_id, cdp_ts, cdp,
+       |        MAX(cdp_ts) OVER (PARTITION BY user_id) AS lastts
+       | FROM cdp),
+       |kept AS (
+       | SELECT user_id, cdp_ts, cdp FROM ret
+       | WHERE cdp_ts > lastts - ${rowCnt * 3600})
+       |""".stripMargin
+  }
 
   /** Shared PDP-normalization CTE chain (mirrors Rates GAUGE + Normalize):
     * defines `ag(user_id, k, known_us, rate_sum)` on the 300s grid. */

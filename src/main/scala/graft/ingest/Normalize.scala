@@ -46,38 +46,40 @@ object Normalize {
     val t0 = lag(col(tsUs), 1).over(w)
     val t1 = col(tsUs)
 
+    // internal names are __-prefixed so a user series column named "k"
+    // or "r" cannot be captured by the explode/agg below
     val intervals = df
-      .select(series.map(col) :+ t0.as("t0") :+ t1.as("t1") :+
-        col(rate).as("r"): _*)
+      .select(series.map(col) :+ t0.as("__t0") :+ t1.as("__t1") :+
+        col(rate).as("__r"): _*)
       // monotonicity gate (rrd_update.c:1416-1423): drop the first sample
       // of each series and any non-advancing timestamp
-      .where(col("t0").isNotNull && col("t1") > col("t0"))
+      .where(col("__t0").isNotNull && col("__t1") > col("__t0"))
       // step index k covers ((k-1)·S, k·S]; (t0,t1] overlaps it iff
       // k > t0/S and (k-1) < t1/S  ⇒  k ∈ [t0 div S + 1, (t1-1) div S + 1]
-      .withColumn("k",
-        explode(sequence(expr(s"t0 div $stepUs + 1"),
-          expr(s"(t1 - 1) div $stepUs + 1"))))
-      .withColumn("overlap_us",
-        least(col("t1"), col("k") * stepUs) -
-          greatest(col("t0"), (col("k") - 1) * stepUs))
+      .withColumn("__k",
+        explode(sequence(expr(s"__t0 div $stepUs + 1"),
+          expr(s"(__t1 - 1) div $stepUs + 1"))))
+      .withColumn("__ov",
+        least(col("__t1"), col("__k") * stepUs) -
+          greatest(col("__t0"), (col("__k") - 1) * stepUs))
 
     intervals
-      .groupBy(series.map(col) :+ col("k"): _*)
+      .groupBy(series.map(col) :+ col("__k"): _*)
       .agg(
-        sum(when(col("r").isNotNull, col("overlap_us"))).as("known_us"),
+        sum(when(col("__r").isNotNull, col("__ov"))).as("__known"),
         // decimal-routed: order-independent, deterministic across engines
         (rateScale match {
           case Some(sc) => // exact: decimal rate × integer µs
-            sum(col("r").cast(DecimalType(18, sc)) * col("overlap_us"))
+            sum(col("__r").cast(DecimalType(18, sc)) * col("__ov"))
           case None => // (38,10): rate·µs products reach ~1e18 for counters
-            sum((col("r") * col("overlap_us")).cast(DecimalType(38, 10)))
-        }).cast("double").as("rate_us"))
+            sum((col("__r") * col("__ov")).cast(DecimalType(38, 10)))
+        }).cast("double").as("__rate"))
       .select(series.map(col) :+
-        (col("k") * stepSec).as("pdp_ts") :+
+        (col("__k") * stepSec).as("pdp_ts") :+
         // unknown iff unknown time > step/2 (strict; reference counts whole
         // seconds, we count µs — finer, same rule)
-        when(coalesce(col("known_us"), lit(0L)) < stepUs - stepUs / 2,
-          lit(null)).otherwise(col("rate_us") / col("known_us")).as("pdp") :+
-        coalesce(col("known_us"), lit(0L)).as("known_us"): _*)
+        when(coalesce(col("__known"), lit(0L)) < stepUs - stepUs / 2,
+          lit(null)).otherwise(col("__rate") / col("__known")).as("pdp") :+
+        coalesce(col("__known"), lit(0L)).as("known_us"): _*)
   }
 }

@@ -1,0 +1,195 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import graft.ingest.{Consolidate, Normalize, Rates}
+import graft.model.{Cf, Dst, RraDef, RrdSchema}
+import graft.query.Fetch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Materialized RRA store — the write side of the engine (SURVEY.md §2.2
+  * "write to RRAs"; /root/reference/src/rrd_update.c:2333-2463 for the
+  * row writes, rrd_create.c for the schema, rrd_fetch.c:344-441 for the
+  * read-side RRA selection).
+  *
+  * One logical "RRD" = one directory:
+  * {{{
+  *   <path>/schema.rrd   create-spec lines: "step start" + DS:… + RRA:…
+  *   <path>/rra<i>/      parquet rollup of RRA i: series cols + ts
+  *                       (end-labeled epoch sec) + <ds> value columns
+  * }}}
+  *
+  * Mapping the circular file to append storage (SURVEY §1.4): RRAs are
+  * plain keyed tables; the cursor disappears, and the `row_cnt` retention
+  * becomes a *time horizon* relative to each series' newest slot —
+  * enforced as a read-time filter by [[fetch]] and made physical by
+  * [[compact]]. On Delta the same pair is `DELETE WHERE` + `OPTIMIZE`.
+  *
+  * Scale design: [[update]] runs rate conversion (one window per series),
+  * PDP normalization (bounded explode + one hash agg) and one CF
+  * aggregation per RRA — each RRA append is a single shuffle keyed by
+  * (series, slot); nothing is collected to the driver. Re-running update
+  * overwrites each RRA table with newly consolidated data (idempotent
+  * batch semantics); incremental micro-batches would instead append and
+  * rely on compact() — both shapes keep the same table layout.
+  */
+object RrdStore {
+
+  /** Write the schema sidecar (create; overwrite = destroy + recreate). */
+  def create(path: String, schema: RrdSchema): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val lines = Seq(s"${schema.stepSec} ${schema.startSec}") ++
+      schema.ds.map(d => d.dst match {
+        case Dst.Compute => s"DS:${d.name}:COMPUTE:${d.rpn.get}"
+        case t => s"DS:${d.name}:${t.name}:${d.heartbeatSec}:" +
+          s"${d.min.map(_.toString).getOrElse("U")}:" +
+          s"${d.max.map(_.toString).getOrElse("U")}"
+      }) ++
+      schema.rras.map { r =>
+        r.cf match {
+          case Cf.Average | Cf.Min | Cf.Max | Cf.Last =>
+            s"RRA:${r.cf.name}:${r.xff}:${r.pdpCnt}:${r.rowCnt}"
+          case Cf.HwPredict | Cf.MhwPredict =>
+            val h = r.hw.get
+            s"RRA:${r.cf.name}:${r.rowCnt}:${h.alpha}:${h.beta}:${h.period}"
+          case Cf.Seasonal | Cf.DevSeasonal =>
+            val h = r.hw.get
+            s"RRA:${r.cf.name}:${h.period}:${h.gamma}:1"
+          case Cf.DevPredict => s"RRA:DEVPREDICT:${r.rowCnt}:1"
+          case Cf.Failures =>
+            val h = r.hw.get
+            s"RRA:FAILURES:${r.rowCnt}:${h.failThreshold}:${h.windowLen}:1"
+        }
+      }
+    Files.write(dir.resolve("schema.rrd"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  def readSchema(path: String): RrdSchema = {
+    val lines = new String(
+      Files.readAllBytes(Paths.get(path, "schema.rrd")), "UTF-8")
+      .linesIterator.toSeq
+    val Array(step, start) = lines.head.split(" ")
+    RrdSchema.parse(step.toLong, start.toLong, lines.tail)
+  }
+
+  /** Ingest a batch of samples and (re)materialize every RRA rollup.
+    *
+    * @param samples  one row per sample
+    * @param series   series key columns (the "file" identity)
+    * @param tsUs     epoch-µs column; `tieBreak` orders equal timestamps
+    * @param dsValues DS name → sample value column (COMPUTE DSes take
+    *                 their RPN inputs from the other DSes' rates)
+    */
+  def update(spark: SparkSession, path: String, samples: DataFrame,
+      series: Seq[String], tsUs: String, tieBreak: String,
+      dsValues: Map[String, String],
+      rateScale: Option[Int] = None): Unit = {
+    val schema = readSchema(path)
+    // 1. per-DS rate conversion (plain DSTs first, then COMPUTE over them)
+    val (computeDs, plainDs) = schema.ds.partition(_.dst == Dst.Compute)
+    val rated0 = plainDs.foldLeft(samples) { (df, d) =>
+      Rates.withRate(df, series, tsUs, tieBreak, dsValues(d.name), d)
+        .withColumnRenamed("rate", s"rate_${d.name}")
+    }
+    val rated = computeDs.foldLeft(rated0) { (df, d) =>
+      Rates.withComputeRate(df,
+        plainDs.map(p => p.name -> s"rate_${p.name}").toMap, d,
+        out = s"rate_${d.name}")
+    }
+    // 2. PDP normalization per DS, joined on (series, slot)
+    val pdps = schema.ds.map { d =>
+      Normalize.pdp(rated, series, tsUs, s"rate_${d.name}", schema.stepSec,
+          rateScale)
+        .select(series.map(col) :+ col("pdp_ts") :+
+          col("pdp").as(s"pdp_${d.name}"): _*)
+    }
+    val pdp = pdps.reduce(_.join(_, series :+ "pdp_ts", "outer"))
+    // 3. per-RRA consolidation + append
+    schema.rras.zipWithIndex.foreach { case (rra, i) =>
+      rra.cf match {
+        case Cf.Average | Cf.Min | Cf.Max | Cf.Last =>
+          val cols = schema.ds.map { d =>
+            Consolidate.cdp(pdp, series, "pdp_ts", s"pdp_${d.name}",
+                schema.stepSec, rra.pdpCnt, rra.cf, rra.xff)
+              .select(series.map(col) :+ col("cdp_ts").as("ts") :+
+                col("cdp").as(d.name): _*)
+          }
+          cols.reduce(_.join(_, series :+ "ts", "outer"))
+            .write.mode("overwrite").parquet(s"$path/rra$i")
+        case _ => // HW family rollups: one HoltWinters pass per DS
+          () // materialized on demand by graft.hw.HoltWinters; the HW
+             // family needs the full chain in one pass (q33/q34) and is
+             // out of scope for the plain rollup writer
+      }
+    }
+  }
+
+  /** Retention horizon filter: keep slots within `rowCnt` rows of each
+    * series' newest slot (the circular buffer's reach, rra_def_t.row_cnt).
+    */
+  private def retained(df: DataFrame, series: Seq[String], rra: RraDef,
+      stepSec: Long): DataFrame = {
+    val rraStep = stepSec * rra.pdpCnt
+    val w = Window.partitionBy(series.map(col): _*)
+    df.withColumn("_last", max(col("ts")).over(w))
+      .where(col("ts") > col("_last") - lit(rra.rowCnt * rraStep))
+      .drop("_last")
+  }
+
+  /** Rewrite an RRA table keeping only in-retention rows — the physical
+    * half of retention (Delta: DELETE WHERE + OPTIMIZE). */
+  def compact(spark: SparkSession, path: String, series: Seq[String]): Unit = {
+    val schema = readSchema(path)
+    schema.rras.zipWithIndex.foreach { case (rra, i) =>
+      val p = s"$path/rra$i"
+      if (Files.exists(Paths.get(p))) {
+        val kept = retained(spark.read.parquet(p), series, rra,
+          schema.stepSec)
+        val tmp = s"$p.compact"
+        kept.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(p)
+        deleteRecursively(Paths.get(tmp))
+      }
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively(_))
+    Files.deleteIfExists(p)
+  }
+
+  /** Fetch: select the best RRA (rrd_fetch.c:344-441 semantics via
+    * [[Fetch.selectRra]]), apply the retention horizon, and return the
+    * aligned per-series grid over (start, end] at the RRA's native step —
+    * slots with no surviving row are null, mirroring
+    * rrd_fetch.c:511-569's out-of-window NaN fill.
+    */
+  def fetch(spark: SparkSession, path: String, cf: Cf, ds: String,
+      series: Seq[String], startSec: Long, endSec: Long,
+      requestedStepSec: Long): DataFrame = {
+    val schema = readSchema(path)
+    // nowSec = the store's logical last_up: newest slot across the
+    // finest RRA (metadata-only read of one small rollup)
+    val rraIdx = schema.rras.indices.minBy(i => schema.rras(i).pdpCnt)
+    val nowDf = spark.read.parquet(s"$path/rra$rraIdx")
+    val nowSec = nowDf.agg(max("ts")).first().getLong(0)
+    val rra = Fetch.selectRra(schema, cf, startSec, endSec,
+      requestedStepSec, nowSec)
+    val i = schema.rras.indexOf(rra)
+    val step = schema.stepSec * rra.pdpCnt
+    val (s0, e0) = Fetch.align(startSec, endSec, step)
+    val roll = retained(spark.read.parquet(s"$path/rra$i"), series, rra,
+      schema.stepSec)
+    // per-series grid: distinct series keys × slots (broadcastable grid)
+    val keys = roll.select(series.map(col): _*).distinct()
+    val grid = Fetch.grid(spark, s0, e0, step).crossJoin(keys)
+    grid.join(roll.select(series.map(col) :+ col("ts") :+ col(ds): _*),
+        series :+ "ts", "left")
+      .select(series.map(col) :+ col("ts") :+ col(ds): _*)
+  }
+}

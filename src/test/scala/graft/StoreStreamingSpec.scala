@@ -1,0 +1,88 @@
+package graft
+
+import graft.model._
+import graft.store.RrdStore
+import graft.streaming.StreamingIngest
+import graft.streaming.StreamingIngest.Sample
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Write-side coverage: schema sidecar round-trip, materialize + fetch +
+  * retention + compact, and the Structured Streaming monotonic gate. */
+class StoreStreamingSpec extends SparkSuite {
+
+  test("schema sidecar round-trips through create/readSchema") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val schema = RrdSchema(300L, 1000L,
+      Seq(DsDef("a", Dst.Gauge, 600L, Some(0.0), Some(100.0)),
+        DsDef("c", Dst.Compute, rpn = Some("a,2,*"))),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 100L),
+        RraDef(Cf.Max, 0.25, 12L, 50L)))
+    RrdStore.create(path, schema)
+    val back = RrdStore.readSchema(path)
+    assert(back.stepSec == 300L && back.startSec == 1000L)
+    assert(back.ds.map(_.name) == Seq("a", "c"))
+    assert(back.ds(1).rpn.contains("a,2,*"))
+    assert(back.rras == schema.rras)
+  }
+
+  test("update materializes RRAs; fetch answers from the right one") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_store").toString
+    RrdStore.create(path, RrdSchema(10L, 0L,
+      Seq(DsDef("v", Dst.Gauge, 3600L)),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 1000L),
+        RraDef(Cf.Average, 0.5, 6L, 1000L))))
+    // samples every 10s for 600s: GAUGE rate = value
+    val samples = (0 to 60).map(i => ("s1", i * 10000000L, i.toLong, 5.0))
+      .toDF("k", "ts_us", "id", "v")
+    RrdStore.update(spark, path, samples, Seq("k"), "ts_us", "id",
+      Map("v" -> "v"), rateScale = Some(2))
+    // step-10 fetch: the 10s RRA covers fully and matches exactly
+    val f1 = RrdStore.fetch(spark, path, Cf.Average, "v", Seq("k"),
+      0L, 600L, 10L).orderBy("ts")
+    val v1 = f1.select("v").as[Option[Double]].collect()
+    assert(v1.length == 60)
+    assert(v1.tail.forall(_.contains(5.0))) // first slot lost to rate lag
+    // step-60 fetch: picks the 6-PDP RRA
+    val f2 = RrdStore.fetch(spark, path, Cf.Average, "v", Seq("k"),
+      0L, 600L, 60L).orderBy("ts")
+    assert(f2.count() == 10)
+    assert(f2.select("v").as[Option[Double]].collect().last.contains(5.0))
+  }
+
+  test("compact physically drops out-of-retention rows") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_store").toString
+    RrdStore.create(path, RrdSchema(10L, 0L,
+      Seq(DsDef("v", Dst.Gauge, 3600L)),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 10L)))) // retention = 100s
+    val samples = (0 to 60).map(i => ("s1", i * 10000000L, i.toLong, 1.0))
+      .toDF("k", "ts_us", "id", "v")
+    RrdStore.update(spark, path, samples, Seq("k"), "ts_us", "id",
+      Map("v" -> "v"), rateScale = Some(2))
+    assert(spark.read.parquet(s"$path/rra0").count() == 60)
+    RrdStore.compact(spark, path, Seq("k"))
+    assert(spark.read.parquet(s"$path/rra0").count() == 10)
+  }
+
+  test("streaming monotonic gate rejects t <= last_up across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sample]
+    val q = StreamingIngest.monotonicGate(input.toDS())
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Sample("a", 100, 1.0), Sample("a", 200, 2.0),
+        Sample("b", 100, 9.0))
+      q.processAllAvailable()
+      // batch 2: a@150 and b@100 are late/non-advancing -> rejected
+      input.addData(Sample("a", 150, 3.0), Sample("a", 250, 4.0),
+        Sample("b", 100, 8.0))
+      q.processAllAvailable()
+      val out = spark.table("gate_out").as[Sample].collect().toSet
+      assert(out == Set(Sample("a", 100, 1.0), Sample("a", 200, 2.0),
+        Sample("b", 100, 9.0), Sample("a", 250, 4.0)))
+    } finally q.stop()
+  }
+}
