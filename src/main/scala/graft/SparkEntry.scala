@@ -433,6 +433,19 @@ object SparkEntry {
         .orderBy("user_id", "ts")
     }),
 
+    // §2.3 graphv data_proc: 400-pixel resample of the 5-series frame
+    // with STACK accumulation (view stacked on click)
+    // (/root/reference/src/rrd_graph.c:1365-1543).
+    "q37_graphv_dataproc" -> ((s, dir) => {
+      val frame = query.Xport.pivotFrame(typedGrid(s, dir), "event_type",
+        "ts", "v", EventTypes)
+      val (out, _, _) = query.Graphv.dataProc(s, frame, "ts",
+        Seq("p_click" -> query.Graphv.Element.line("click"),
+          "p_view" -> query.Graphv.Element.line("view", stack = true)),
+        T0, T1, 3600L, 400)
+      out.orderBy("px")
+    }),
+
     // ---- training-data pipeline extensions (BASELINE.json north-star)
 
     // Text quality scoring: counts, ratios, repetition detector.
@@ -830,6 +843,26 @@ object SparkEntry {
         |      ELSE (COALESCE(gauge_r, 0.0) + COALESCE(abs_r, 0.0)) / 2.0
         | END AS compute_r
         |FROM s ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q37_graphv_dataproc" ->
+      s"""$sqlTypedGrid,
+        |f AS (
+        | SELECT ts,
+        |  MAX(CASE WHEN event_type = 'click' THEN v END) AS click,
+        |  MAX(CASE WHEN event_type = 'view' THEN v END) AS view
+        | FROM j GROUP BY 1),
+        |px AS (
+        | SELECT i AS px,
+        |  $T0 + CAST(trunc(6480.0 * i) AS BIGINT) AS gr_time
+        | FROM generate_series(0, 399) t(i)),
+        |jo AS (
+        | SELECT px.px, px.gr_time, f.click, f.view
+        | FROM px LEFT JOIN f
+        | ON f.ts = $T0 + ((px.gr_time - $T0)//3600 + 1)*3600)
+        |SELECT px, gr_time, click AS p_click,
+        | CASE WHEN view IS NULL THEN NULL
+        |      ELSE COALESCE(click, 0.0) + view END AS p_view
+        |FROM jo ORDER BY px""".stripMargin,
 
     "q33_hwpredict" -> sqlHoltWinters(mult = false),
     "q34_mhwpredict" -> sqlHoltWinters(mult = true),

@@ -30,11 +30,15 @@ object Cdef {
       stepSec: Long): DataFrame = {
     val w = if (series.isEmpty) Window.orderBy(col(ts))
       else Window.partitionBy(series.map(col): _*).orderBy(col(ts))
-    val ctx = RpnCompiler.Ctx(
+    // earlier CDEFs are referenceable by later ones (single forward
+    // pass over the gdes array, /root/reference/src/rrd_graph.c:1135-1139)
+    var ctx = RpnCompiler.Ctx(
       series = vnames.map(n => n -> col(n)).toMap,
       tsSec = col(ts), stepSec = stepSec, window = w)
     exprs.foldLeft(df) { case (d, (name, e)) =>
-      d.withColumn(name, RpnCompiler.compile(e, ctx))
+      val out = d.withColumn(name, RpnCompiler.compile(e, ctx))
+      ctx = ctx.copy(series = ctx.series + (name -> col(name)))
+      out
     }
   }
 
