@@ -800,7 +800,7 @@ object SparkEntry {
         | FROM ag)
         |SELECT user_id, ((pdp_ts - 1)//3600 + 1) * 3600 AS cdp_ts,
         | CASE WHEN 12 - COUNT(pdp) > 6.0 THEN NULL
-        |      ELSE CAST(CAST(SUM(CAST(pdp AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(pdp) END AS cdp,
+        |      ELSE CAST(CAST(SUM(CAST(pdp AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(pdp) END AS cdp,
         | COUNT(pdp) AS known_cnt
         |FROM pdp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
@@ -1067,7 +1067,7 @@ object SparkEntry {
     * path carries a version tag so semantics changes invalidate it). */
   private def ensureStore(s: SparkSession, dir: String): String = {
     val name = new java.io.File(dir).getName
-    val path = s"/tmp/graft_store_v1/$name"
+    val path = s"/tmp/graft_store_v2/$name"
     val marker = java.nio.file.Paths.get(path, "_built")
     if (!java.nio.file.Files.exists(marker)) {
       store.RrdStore.create(path, graft.model.RrdSchema(300L, T0,
@@ -1200,7 +1200,7 @@ object SparkEntry {
   private def sqlStoreCdp(cf: String): String = {
     val (agg, rowCnt) =
       if (cf == "MAX") ("MAX(pdp)", 400L)
-      else ("CAST(CAST(SUM(CAST(pdp AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(pdp)", 800L)
+      else ("CAST(CAST(SUM(CAST(pdp AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(pdp)", 800L)
     s""",pdp AS (
        | SELECT user_id, k * 300 AS pdp_ts,
        |  CASE WHEN COALESCE(known_us, 0) < 150000000 THEN NULL

@@ -17,18 +17,29 @@ import org.apache.spark.sql.types.DecimalType
   * aggregation then a shuffle that carries one row per output bucket —
   * the plan scales linearly and the shuffle is the minimum possible.
   *
-  * Determinism: AVERAGE sums route through DECIMAL(38,10) so the result
+  * Determinism: AVERAGE sums route through DECIMAL(38,20) so the result
   * is independent of partial-aggregation order and matches the DuckDB
   * oracle bit-exactly (see SparkEntry's `dsumOverCount` note).
   */
 object Consolidate {
 
-  /** Exact, order-independent sum: cast to decimal, sum, back to double. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 10))).cast("double")
+  /** Exact, order-independent sum: cast to decimal, sum, back to double.
+    *
+    * Scale choice matters two ways: 10 fractional digits round away the
+    * binary representation error of few-decimal inputs (95.78 casts to
+    * the clean decimal in every engine — the cross-engine oracle
+    * contract), while small derived values (PDP rates ~1e-3) need the
+    * wider scale 20 to keep 7 significant digits through a consolidation
+    * (the reference-golden contract). Default is the oracle scale.
+    */
+  def dsum(c: Column,
+      t: DecimalType = DecimalType(28, 10)): Column =
+    sum(c.cast(t)).cast("double")
 
   /** Apply `cf` over known values of `v`; `ord` breaks LAST ties. */
-  def cfAgg(cf: Cf, v: Column, ord: Column): Column = cf match {
-    case Cf.Average => dsum(v) / count(v)
+  def cfAgg(cf: Cf, v: Column, ord: Column,
+      sumType: DecimalType = DecimalType(28, 10)): Column = cf match {
+    case Cf.Average => dsum(v, sumType) / count(v)
     case Cf.Min => min(v)
     case Cf.Max => max(v)
     case Cf.Last => max_by(v, when(v.isNotNull, struct(ord))) // last known
@@ -42,12 +53,13 @@ object Consolidate {
     * `known_cnt`.
     */
   def cdp(df: DataFrame, series: Seq[String], pdpTs: String, pdp: String,
-      stepSec: Long, pdpCnt: Long, cf: Cf, xff: Double): DataFrame = {
+      stepSec: Long, pdpCnt: Long, cf: Cf, xff: Double,
+      sumType: DecimalType = DecimalType(28, 10)): DataFrame = {
     val cdpStep = stepSec * pdpCnt
     val bucket = (expr(s"($pdpTs - 1) div $cdpStep") + 1) * cdpStep
     df.groupBy(series.map(col) :+ bucket.as("cdp_ts"): _*)
       .agg(
-        cfAgg(cf, col(pdp), col(pdpTs)).as("cf_val"),
+        cfAgg(cf, col(pdp), col(pdpTs), sumType).as("cf_val"),
         count(col(pdp)).as("known_cnt"))
       .select(series.map(col) :+ col("cdp_ts") :+
         // xff: unknown PDPs (incl. grid slots with no row at all) vs budget

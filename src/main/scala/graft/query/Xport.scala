@@ -21,30 +21,118 @@ object Xport {
   @annotation.tailrec
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
-  /** Build the xport frame: one row per slot of the common grid, one
-    * column per named series, aligned by left joins (null = unknown,
-    * rrd_xport.c:413-424). Each input is (ts, value) grid-aligned.
-    * The grid side is a bounded `spark.range` — Catalyst broadcasts it;
-    * each series joins without re-shuffling the grid.
-    */
-  def frame(spark: SparkSession, series: Map[String, DataFrame], ts: String,
-      value: String, startSec: Long, endSec: Long,
-      stepSec: Long): DataFrame = {
-    val grid = Fetch.grid(spark, startSec, endSec, stepSec)
-    series.foldLeft(grid) { case (acc, (name, df)) =>
-      val s = df.select(col(ts).as(s"__ts_$name"), col(value).as(name))
-      acc.join(s, acc("ts") === s(s"__ts_$name"), "left")
-        .drop(s"__ts_$name")
-    }
-  }
-
   /** Pivot a long (key, ts, v) frame into xport columns in one hash
     * aggregation — the scalable form when all series share a source
-    * (no per-series join chain; one shuffle on ts). */
+    * (no per-series join chain; one shuffle on ts). For series from
+    * separate sources, union them into long form first. (A fold of one
+    * left join per series — round 1's `frame` — is O(series) join
+    * stages and was removed.) */
   def pivotFrame(long: DataFrame, key: String, ts: String, value: String,
       names: Seq[String]): DataFrame = {
     val aggs = names.map(n =>
       max(when(col(key) === n, col(value))).as(n))
     long.groupBy(col(ts)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---- serializers (rrd_xport_format_xmljson / _sv,
+  // /root/reference/src/rrd_xport.c:486-513,614-711,713-1008). The
+  // emitters run on a COLLECTED frame: an xport result is bounded by
+  // (end-start)/step rows by construction (the reference materializes
+  // the same matrix in memory).
+
+  /** One xport result ready for serialization: `rows` sorted by ts,
+    * one `Option[Double]` per legend entry. */
+  final case class Result(startSec: Long, endSec: Long, stepSec: Long,
+      legend: Seq[String], rows: Seq[(Long, Seq[Option[Double]])])
+
+  /** Collect a grid frame into a [[Result]] (driver-side, bounded). */
+  def collect(df: DataFrame, ts: String, cols: Seq[String], startSec: Long,
+      endSec: Long, stepSec: Long): Result = {
+    val rows = df.orderBy(ts).collect().toSeq.map { r =>
+      (r.getLong(r.fieldIndex(ts)), cols.map { c =>
+        val i = r.fieldIndex(c)
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      })
+    }
+    Result(startSec, endSec, stepSec, cols, rows)
+  }
+
+  private def e10(v: Double): String =
+    "%.10e".formatLocal(java.util.Locale.ROOT, v)
+
+  /** `--json` output, byte-for-byte the reference layout
+    * (rrd_xport.c:768-1008; null for NaN/Inf, %0.10e values). */
+  def toJson(r: Result, showtime: Boolean = false): String = {
+    val sb = new StringBuilder
+    sb ++= "{ \"about\": \"RRDtool graph JSON output\",\n  \"meta\": {\n"
+    sb ++= s"""    "start": ${r.startSec + r.stepSec},\n"""
+    sb ++= s"""    "end": ${r.endSec},\n"""
+    sb ++= s"""    "step": ${r.stepSec},\n"""
+    sb ++= "    \"legend\": [\n"
+    sb ++= r.legend.zipWithIndex.map { case (l, j) =>
+      "      \"" + l.dropWhile(_.isWhitespace) +
+        (if (j < r.legend.size - 1) "\"," else "\"")
+    }.mkString("", "\n", "\n")
+    sb ++= "          ]\n"
+    sb ++= "     },\n  \"data\": [\n"
+    val n = r.rows.size
+    r.rows.zipWithIndex.foreach { case ((t, vs), i) =>
+      sb ++= "    [ "
+      if (showtime) sb ++= s""""$t","""
+      sb ++= vs.map {
+        case Some(v) if !v.isNaN && !v.isInfinite => e10(v)
+        case _ => "null"
+      }.mkString(", ")
+      sb ++= (if (i < n - 1) " ],\n" else " ]\n")
+    }
+    sb ++= "  ]\n}\n"
+    sb.toString
+  }
+
+  /** XML output (default format; `enumds` numbers the value tags v0…,
+    * `showtime` adds `<t>`; NaN literal for unknowns). */
+  def toXml(r: Result, showtime: Boolean = false,
+      enumds: Boolean = false): String = {
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>\n\n<xport>\n  <meta>\n"
+    sb ++= s"    <start>${r.startSec + r.stepSec}</start>\n"
+    sb ++= s"    <end>${r.endSec}</end>\n"
+    sb ++= s"    <step>${r.stepSec}</step>\n"
+    sb ++= s"    <rows>${(r.endSec - r.startSec) / r.stepSec}</rows>\n"
+    sb ++= s"    <columns>${r.legend.size}</columns>\n"
+    sb ++= "    <legend>\n"
+    r.legend.foreach(l => sb ++= s"      <entry>$l</entry>\n")
+    sb ++= "    </legend>\n  </meta>\n  <data>\n"
+    r.rows.foreach { case (t, vs) =>
+      sb ++= "    <row>"
+      if (showtime) sb ++= s"<t>$t</t>"
+      vs.zipWithIndex.foreach { case (ov, j) =>
+        val tag = if (enumds) s"v$j" else "v"
+        val s = ov.filter(v => !v.isNaN).map(e10).getOrElse("NaN")
+        sb ++= s"<$tag>$s</$tag>"
+      }
+      sb ++= "</row>\n"
+    }
+    sb ++= "  </data>\n</xport>\n"
+    sb.toString
+  }
+
+  /** Separated-value output: ',' = CSV, '\t' = TSV, ';' = SSV
+    * (rrd_xport_format_sv: quoted header + values, CRLF lines). */
+  def toSv(r: Result, sep: Char): String = {
+    val sb = new StringBuilder
+    sb ++= "\"time\""
+    r.legend.foreach(l =>
+      sb ++= s"""$sep"${l.dropWhile(_.isWhitespace)}"""" )
+    sb ++= "\r\n"
+    r.rows.foreach { case (t, vs) =>
+      sb ++= t.toString
+      vs.foreach { ov =>
+        val s = ov.filter(v => !v.isNaN).map(e10).getOrElse("NaN")
+        sb ++= s"""$sep"$s""""
+      }
+      sb ++= "\r\n"
+    }
+    sb.toString
   }
 }
