@@ -446,6 +446,14 @@ object SparkEntry {
       out.orderBy("px")
     }),
 
+    // §2.3 info: key/value schema introspection of the materialized
+    // store (/root/reference/src/rrd_info.c:143-330).
+    "q38_info" -> ((s, dir) => {
+      val path = ensureStore(s, dir)
+      import s.implicits._
+      store.Dump.info(s, path).toDF("k", "v").orderBy("k")
+    }),
+
     // ---- training-data pipeline extensions (BASELINE.json north-star)
 
     // Text quality scoring: counts, ratios, repetition detector.
@@ -495,20 +503,24 @@ object SparkEntry {
         .orderBy("fp")
     }),
 
-    // n-gram Jaccard near-dup scoring over bounded candidate pairs
-    // (each doc vs the next 10 ids — equi-join, no n² blowup).
+    // n-gram Jaccard scoring over LSH candidates — the real near-dup
+    // pipeline: banded MinHash proposes pairs, exact Jaccard verifies.
+    // No all-pairs stage anywhere; the join keys are band buckets then
+    // doc ids.
     "q26_shingle_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), ext.Dedup.shingles(col("text"), 3).as("sh"))
-      val left = d.select(col("doc_id").as("id1"), col("sh").as("sh1"))
-        .withColumn("id2", explode(sequence(col("id1") + 1, col("id1") + 10)))
-      val joined = left.join(
-        d.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      val sh = d.select(col("doc_id"),
+        ext.Dedup.shingles(col("text"), 3).as("sh"))
+      val cand = ext.Dedup.lshCandidates(d, "doc_id", "text", 3, 16, 4)
+        .select("id1", "id2")
+      val joined = cand
+        .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
       val inter = size(array_intersect(col("sh1"), col("sh2")))
       val uni = size(col("sh1")) + size(col("sh2")) - inter
       joined.select(col("id1"), col("id2"),
           (inter.cast("double") / uni.cast("double")).as("jaccard"))
-        .where(col("jaccard") > 0.05)
+        .where(col("jaccard") >= 0.4)
         .orderBy("id1", "id2")
     }),
 
@@ -521,16 +533,14 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
-    // SimHash signatures + hamming distance over bounded pairs.
+    // SimHash near-dup: signature bands (4-bit nibbles) bucket the
+    // corpus; pairs sharing a band get exact hamming distance — the
+    // same candidates-only shape as MinHash LSH, no all-pairs.
     "q28_simhash" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), ext.Dedup.simhash(col("text"), 16).as("sig"))
-      val left = d.select(col("doc_id").as("id1"), col("sig").as("sig1"))
-        .withColumn("id2", explode(sequence(col("id1") + 1, col("id1") + 10)))
-      left.join(d.select(col("doc_id").as("id2"), col("sig").as("sig2")),
-          Seq("id2"))
-        .select(col("id1"), col("id2"), col("sig1"), col("sig2"),
-          ext.Dedup.hamming(col("sig1"), col("sig2")).cast("int").as("hamming"))
+      ext.Dedup.simhashCandidates(d, "doc_id", "sig", bits = 16, bands = 4)
+        .where(col("hamming") <= 3)
         .orderBy("id1", "id2")
     }),
 
@@ -541,6 +551,29 @@ object SparkEntry {
           e.where(col("vec_id") < 20), e, "vec_id", "embedding", 64, 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ANN scale path: hyperplane-LSH top-k measured against the
+    // brute-force truth — recall@5 per query (the missing CORRECTNESS
+    // coverage for Similarity.lshTopK).
+    "q39_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 20)
+      val bf = ext.Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+          64, 5).select(col("query_id"), col("neighbor_id"))
+      val lsh = ext.Similarity.lshTopK(q, e, "vec_id", "embedding",
+          64, 5, planes = 4).select(col("query_id"), col("neighbor_id"))
+      val agg = lsh.join(bf.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("lsh_n"), count(col("hit")).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(agg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("lsh_n"), lit(0L)).as("lsh_n"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) / 5.0).as("recall"))
+        .orderBy("query_id")
     }),
 
     // Embedding corpus stats per label (norms via deterministic folds).
@@ -864,6 +897,29 @@ object SparkEntry {
         |      ELSE COALESCE(click, 0.0) + view END AS p_view
         |FROM jo ORDER BY px""".stripMargin,
 
+    "q38_info" -> (sqlPdp +
+      """,lu AS (SELECT CAST(MAX(k) * 300 AS VARCHAR) AS v FROM ag)
+        |SELECT k, v FROM (VALUES
+        | ('step', '300'),
+        | ('last_update', (SELECT v FROM lu)),
+        | ('ds[v].type', 'GAUGE'),
+        | ('ds[v].minimal_heartbeat', '7200'),
+        | ('ds[v].min', 'NaN'),
+        | ('ds[v].max', 'NaN'),
+        | ('rra[0].cf', 'AVERAGE'),
+        | ('rra[0].rows', '4000'),
+        | ('rra[0].pdp_per_row', '1'),
+        | ('rra[0].xff', '5.0000000000e-01'),
+        | ('rra[1].cf', 'AVERAGE'),
+        | ('rra[1].rows', '800'),
+        | ('rra[1].pdp_per_row', '12'),
+        | ('rra[1].xff', '5.0000000000e-01'),
+        | ('rra[2].cf', 'MAX'),
+        | ('rra[2].rows', '400'),
+        | ('rra[2].pdp_per_row', '12'),
+        | ('rra[2].xff', '5.0000000000e-01')
+        |) t(k, v) ORDER BY k""".stripMargin),
+
     "q33_hwpredict" -> sqlHoltWinters(mult = false),
     "q34_mhwpredict" -> sqlHoltWinters(mult = true),
 
@@ -916,53 +972,25 @@ object SparkEntry {
         | COUNT(*) AS n_dups
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q26_shingle_jaccard" ->
-      s"""$sqlShingles,
-        |pairs AS (
-        | SELECT a.doc_id AS id1,
-        |        unnest(generate_series(a.doc_id + 1, a.doc_id + 10)) AS id2,
-        |        a.sh AS sh1
-        | FROM sh a),
-        |j AS (
-        | SELECT p.id1, p.id2,
-        |  len(list_filter(p.sh1, x -> list_contains(b.sh, x))) AS inter,
-        |  len(p.sh1) + len(b.sh)
-        |    - len(list_filter(p.sh1, x -> list_contains(b.sh, x))) AS uni
-        | FROM pairs p JOIN sh b ON b.doc_id = p.id2)
-        |SELECT id1, id2, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
-        |FROM j WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) > 0.05
-        |ORDER BY id1, id2""".stripMargin,
 
     "q27_minhash_lsh" ->
-      s"""$sqlShingles,
-        |hh AS (
-        | SELECT doc_id,
-        |  ${sqlHexToLong("substr(md5(shingle), 1, 15)")} AS h0,
-        |  ${sqlHexToLong("substr(md5(shingle), 17, 14)")} AS h1
-        | FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
-        |sigr AS (
-        | SELECT doc_id, j, MIN(h0 + j * h1) AS s
-        | FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
-        | GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(s ORDER BY j) AS sa FROM sigr GROUP BY 1),
-        |band AS (
-        | SELECT doc_id, sa,
-        |  unnest(list_transform(generate_series(0, 3), b ->
-        |    md5(CAST(b AS VARCHAR) || '|' ||
-        |        array_to_string(list_transform(list_slice(sa, b*4 + 1, b*4 + 4),
-        |          x -> CAST(x AS VARCHAR)), ',')))) AS bk
-        | FROM sig),
-        |bandc AS (
-        | SELECT band.* FROM band
-        | JOIN (SELECT bk FROM band GROUP BY bk HAVING COUNT(*) <= 100) ok
-        | USING (bk)),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-        |  CAST(len(list_filter(generate_series(1, 16),
-        |        i -> a.sa[i] = b.sa[i])) AS DOUBLE) / 16 AS sig_agreement
-        | FROM bandc a JOIN bandc b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+      s"""$sqlLshCand
         |SELECT id1, id2, sig_agreement FROM cand
         |WHERE sig_agreement >= 0.25 ORDER BY id1, id2""".stripMargin,
+
+    "q26_shingle_jaccard" ->
+      s"""$sqlLshCand,
+        |jac AS (
+        | SELECT c.id1, c.id2,
+        |  len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+        |  len(a.sh) + len(b.sh)
+        |    - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+        | FROM cand c
+        | JOIN sh a ON a.doc_id = c.id1
+        | JOIN sh b ON b.doc_id = c.id2)
+        |SELECT id1, id2, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+        |FROM jac WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
 
     "q28_simhash" -> sqlSimhash,
 
@@ -981,6 +1009,53 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q39_ann_recall" -> {
+      // hyperplane bucket: plane p's component d is +/- per md5("p:d"),
+      // projection is the same left fold as sqlDot
+      def proj(p: Int) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> " +
+          s"CASE WHEN substr(md5('$p' || ':' || CAST(i AS VARCHAR)), 1, 1) >= '8' " +
+          s"THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END), (a,b) -> a + b)"
+      val bucket = (0 until 4).map(p =>
+        s"(CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH keyed AS (
+        | SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+        |q AS (SELECT * FROM keyed WHERE vec_id < 20),
+        |qp AS (
+        | SELECT vec_id, embedding,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        | FROM q),
+        |bf AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |     ${sqlDot("q.embedding", "c.embedding")} /
+        |      (sqrt(${sqlDot("q.embedding", "q.embedding")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) DESC,
+        |     c.vec_id) AS rank
+        |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.vec_id)
+        | WHERE rank <= 5),
+        |lsh AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |     ${sqlDot("q.embedding", "c.embedding")} /
+        |      (sqrt(${sqlDot("q.embedding", "q.embedding")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) DESC,
+        |     c.vec_id) AS rank
+        |  FROM keyed c JOIN qp AS q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+        | WHERE rank <= 5),
+        |ag AS (
+        | SELECT l.query_id, COUNT(*) AS lsh_n, COUNT(b.neighbor_id) AS hits
+        | FROM lsh l LEFT JOIN bf b
+        | ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+        | GROUP BY 1)
+        |SELECT q.vec_id AS query_id,
+        | COALESCE(ag.lsh_n, 0) AS lsh_n, COALESCE(ag.hits, 0) AS hits,
+        | COALESCE(ag.hits, 0) / 5.0 AS recall
+        |FROM q LEFT JOIN ag ON ag.query_id = q.vec_id
+        |ORDER BY 1""".stripMargin
+    },
 
     "q30_embed_stats" ->
       s"""WITH n AS (
@@ -1040,28 +1115,65 @@ object SparkEntry {
       |FROM sc ORDER BY doc_id""".stripMargin
   }
 
-  /** SimHash oracle: 16 md5-digit votes per distinct token, built
-    * programmatically to mirror Dedup.simhash exactly. */
+  /** SimHash oracle: 16 md5-digit votes per distinct token, then 4-bit
+    * band bucketing with the same cap as Dedup.simhashCandidates. */
   private val sqlSimhash: String = {
     val votes = (1 to 16).map(i =>
       s"list_reduce(list_transform(wd, w -> CASE WHEN substr(md5(w), $i, 1) >= '8' THEN 1 ELSE -1 END), (a,b) -> a + b) AS v$i"
     ).mkString(",\n  ")
     val sig = (1 to 16).map(i =>
       s"CASE WHEN v$i > 0 THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
+    val bandVals = (0 until 4).map(b =>
+      s"('$b:' || CAST((sig >> ${b * 4}) & 15 AS VARCHAR))").mkString(", ")
     s"""$sqlDocWords,
       |wd AS (SELECT doc_id, list_distinct(ws) AS wd FROM d),
       |v AS (SELECT doc_id, $votes FROM wd),
       |s AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM v),
-      |pairs AS (
-      | SELECT a.doc_id AS id1,
-      |        unnest(generate_series(a.doc_id + 1, a.doc_id + 10)) AS id2,
-      |        a.sig AS sig1
-      | FROM s a)
-      |SELECT p.id1, p.id2, p.sig1, b.sig AS sig2,
-      | CAST(bit_count(xor(p.sig1, b.sig)) AS INT) AS hamming
-      |FROM pairs p JOIN s b ON b.doc_id = p.id2
-      |ORDER BY id1, id2""".stripMargin
+      |band AS (
+      | SELECT doc_id, sig, unnest([$bandVals]) AS band FROM s),
+      |bandc AS (
+      | SELECT band.* FROM band
+      | JOIN (SELECT band AS bb FROM band GROUP BY 1 HAVING COUNT(*) <= 1000) ok
+      | ON ok.bb = band.band),
+      |cand AS (
+      | SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+      |  a.sig AS sig1, b.sig AS sig2,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      | FROM bandc a JOIN bandc b ON a.band = b.band AND a.doc_id < b.doc_id)
+      |SELECT id1, id2, sig1, sig2, hamming FROM cand
+      |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin
   }
+
+  /** MinHash LSH candidate chain shared by q26/q27: defines
+    * `sh(doc_id, sh)` and `cand(id1, id2, sig_agreement)`. */
+  private val sqlLshCand: String =
+    s"""$sqlShingles,
+      |hh AS (
+      | SELECT doc_id,
+      |  ${sqlHexToLong("substr(md5(shingle), 1, 15)")} AS h0,
+      |  ${sqlHexToLong("substr(md5(shingle), 17, 14)")} AS h1
+      | FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
+      |sigr AS (
+      | SELECT doc_id, j, MIN(h0 + j * h1) AS s
+      | FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+      | GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, list(s ORDER BY j) AS sa FROM sigr GROUP BY 1),
+      |band AS (
+      | SELECT doc_id, sa,
+      |  unnest(list_transform(generate_series(0, 3), b ->
+      |    md5(CAST(b AS VARCHAR) || '|' ||
+      |        array_to_string(list_transform(list_slice(sa, b*4 + 1, b*4 + 4),
+      |          x -> CAST(x AS VARCHAR)), ',')))) AS bk
+      | FROM sig),
+      |bandc AS (
+      | SELECT band.* FROM band
+      | JOIN (SELECT bk FROM band GROUP BY bk HAVING COUNT(*) <= 100) ok
+      | USING (bk)),
+      |cand AS (
+      | SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+      |  CAST(len(list_filter(generate_series(1, 16),
+      |        i -> a.sa[i] = b.sa[i])) AS DOUBLE) / 16 AS sig_agreement
+      | FROM bandc a JOIN bandc b ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Build the q35/q36 store once per testdata dir (marker-gated; the
     * path carries a version tag so semantics changes invalidate it). */

@@ -123,4 +123,35 @@ object Dedup {
 
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: split each signature into `bands`
+    * equal bit-slices; docs sharing any slice value become a candidate
+    * pair scored with exact hamming distance. Pigeonhole: two signatures
+    * within hamming (bands-1) of each other share at least one band, so
+    * a `hamming <= bands-1` filter downstream loses nothing. Same
+    * equi-join shape as MinHash LSH — never all-pairs. */
+  def simhashCandidates(df: DataFrame, id: String, sig: String,
+      bits: Int, bands: Int, maxBand: Int = 1000): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val w = bits / bands
+    val bandExprs = (0 until bands).map(b =>
+      concat(lit(s"$b:"),
+        shiftright(col(sig), b * w).bitwiseAND(lit((1L << w) - 1))
+          .cast("string")))
+    val banded = df.select(col(id).as("doc_id"), col(sig).as("sig"),
+        explode(array(bandExprs: _*)).as("band"))
+      .persist()
+    val capped = banded.join(
+      banded.groupBy("band").agg(count(lit(1)).as("bn"))
+        .where(col("bn") <= maxBand).select("band"),
+      Seq("band"))
+    val a = capped.select(col("band"), col("doc_id").as("id1"),
+      col("sig").as("sig1"))
+    val b = capped.select(col("band"), col("doc_id").as("id2"),
+      col("sig").as("sig2"))
+    a.join(b, Seq("band")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"),
+        hamming(col("sig1"), col("sig2")).cast("int").as("hamming"))
+      .distinct()
+  }
 }

@@ -64,16 +64,28 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: candidates share the hyperplane bucket; exact
-    * cosine re-ranking inside each bucket. Trades recall for a
-    * bucket-local search; multi-probe = union over `probes` single-bit
-    * flips of the query key. */
+  /** LSH-bucketed ANN: candidates share a hyperplane bucket; exact
+    * cosine re-ranking inside the probed buckets. `multiProbe = true`
+    * additionally probes every single-bit flip of the query's key —
+    * planes+1 buckets ≈ (planes+1)/2^planes of the corpus instead of
+    * 1/2^planes, the standard recall/cost dial.
+    *
+    * Scale shape: the corpus is bucketed once (a column expression, no
+    * shuffle); the probed query side is broadcast; the only shuffle is
+    * the per-query top-k. Search cost O(n·probes/2^planes) per query.
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, id: String,
-      vec: String, dim: Int, k: Int, planes: Int = 8): DataFrame = {
+      vec: String, dim: Int, k: Int, planes: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
     val keyed = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
       hyperplaneKey(col(vec), dim, planes).as("bucket"))
+    val qKey = hyperplaneKey(col(vec), dim, planes)
+    val probes =
+      if (!multiProbe) array(qKey)
+      else array(qKey +: (0 until planes).map(p =>
+        qKey.bitwiseXOR(lit(1L << p))): _*)
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      hyperplaneKey(col(vec), dim, planes).as("bucket"))
+      explode(probes).as("bucket"))
     val scored = keyed.join(broadcast(q), Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

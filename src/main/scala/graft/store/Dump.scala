@@ -1,0 +1,112 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import graft.model.{Cf, Dst, RrdSchema}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** dump / restore / info / list — the introspection and portability
+  * surface (SURVEY.md §2.1 items 6-7, 10 and §2.3 item 34;
+  * /root/reference/src/rrd_dump.c:106-433, rrd_restore.c,
+  * rrd_info.c:143-330, rrd_list.c:146).
+  *
+  * The reference dumps one circular file to one XML document. Here a
+  * store's portable form is a directory of JSON-lines row dumps (one per
+  * RRA, schema in the header line) — `df.write.json`, so a 100 TB store
+  * dumps and restores as distributed jobs, not a driver-side document.
+  */
+object Dump {
+
+  /** Dump: schema sidecar + every RRA rollup as JSON lines. */
+  def dump(spark: SparkSession, storePath: String, outPath: String): Unit = {
+    val schema = RrdStore.readSchema(storePath)
+    Files.createDirectories(Paths.get(outPath))
+    Files.copy(Paths.get(storePath, "schema.rrd"),
+      Paths.get(outPath, "schema.rrd"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    schema.rras.indices.foreach { i =>
+      val p = Paths.get(storePath, s"rra$i")
+      if (Files.exists(p))
+        spark.read.parquet(p.toString)
+          .write.mode("overwrite").json(s"$outPath/rra$i")
+    }
+  }
+
+  /** Restore: rebuild a store directory from a dump. */
+  def restore(spark: SparkSession, dumpPath: String,
+      storePath: String): Unit = {
+    val schema = readDumpSchema(dumpPath)
+    RrdStore.create(storePath, schema)
+    schema.rras.indices.foreach { i =>
+      val p = Paths.get(dumpPath, s"rra$i")
+      if (Files.exists(p))
+        spark.read.json(p.toString)
+          .write.mode("overwrite").parquet(s"$storePath/rra$i")
+    }
+  }
+
+  private def readDumpSchema(path: String): RrdSchema = {
+    val lines = new String(
+      Files.readAllBytes(Paths.get(path, "schema.rrd")), "UTF-8")
+      .linesIterator.toSeq
+    val Array(step, start) = lines.head.split(" ")
+    RrdSchema.parse(step.toLong, start.toLong, lines.tail)
+  }
+
+  private def e10(v: Double): String =
+    "%.10e".formatLocal(java.util.Locale.ROOT, v)
+
+  /** info: the key/value tree of rrd_info (rrd_info.c:143-330), reduced
+    * to the keys that exist under append storage (no header_size /
+    * cur_row — the circular cursor has no equivalent; `last_update` is
+    * the newest slot of the finest RRA rather than the raw sample time,
+    * which the store does not persist).
+    */
+  def info(spark: SparkSession, storePath: String): Seq[(String, String)] = {
+    val schema = RrdStore.readSchema(storePath)
+    val finest = schema.rras.indices.minBy(i => schema.rras(i).pdpCnt)
+    val lastUp = spark.read.parquet(s"$storePath/rra$finest")
+      .agg(max("ts")).first().getLong(0)
+    Seq("step" -> schema.stepSec.toString,
+      "last_update" -> lastUp.toString) ++
+      schema.ds.flatMap { d =>
+        val n = d.name
+        Seq(s"ds[$n].type" -> d.dst.name) ++
+          (d.dst match {
+            case Dst.Compute => Seq(s"ds[$n].cdef" -> d.rpn.get)
+            case _ => Seq(
+              s"ds[$n].minimal_heartbeat" -> d.heartbeatSec.toString,
+              s"ds[$n].min" -> d.min.map(e10).getOrElse("NaN"),
+              s"ds[$n].max" -> d.max.map(e10).getOrElse("NaN"))
+          })
+      } ++
+      schema.rras.zipWithIndex.flatMap { case (r, i) =>
+        Seq(s"rra[$i].cf" -> r.cf.name,
+          s"rra[$i].rows" -> r.rowCnt.toString,
+          s"rra[$i].pdp_per_row" -> r.pdpCnt.toString) ++
+          (r.cf match {
+            case Cf.Average | Cf.Min | Cf.Max | Cf.Last =>
+              Seq(s"rra[$i].xff" -> e10(r.xff))
+            case _ => r.hw.toSeq.flatMap(h =>
+              Seq(s"rra[$i].alpha" -> e10(h.alpha),
+                s"rra[$i].beta" -> e10(h.beta)))
+          })
+      }
+  }
+
+  /** list: enumerate stores (directories carrying a schema sidecar)
+    * under a root, sorted — rrd_list.c:146's directory walk. */
+  def list(root: String): Seq[String] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      Files.list(r).forEach { p =>
+        if (Files.exists(p.resolve("schema.rrd")))
+          out += p.getFileName.toString
+      }
+      out.sorted.toSeq
+    }
+  }
+}

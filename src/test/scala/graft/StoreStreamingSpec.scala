@@ -65,6 +65,48 @@ class StoreStreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$path/rra0").count() == 10)
   }
 
+  test("dump -> restore -> dump is a fixpoint; info and list surfaces") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_roots").toString
+    val path = s"$root/store_a"
+    RrdStore.create(path, RrdSchema(10L, 0L,
+      Seq(DsDef("v", Dst.Gauge, 3600L, Some(0.0), None)),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 1000L),
+        RraDef(Cf.Max, 0.25, 6L, 100L))))
+    val samples = (0 to 30).map(i => ("s1", i * 10000000L, i.toLong, 2.5))
+      .toDF("k", "ts_us", "id", "v")
+    RrdStore.update(spark, path, samples, Seq("k"), "ts_us", "id",
+      Map("v" -> "v"), rateScale = Some(2))
+
+    val dumps = java.nio.file.Files.createTempDirectory("graft_dumps").toString
+    val d1 = s"$dumps/dump1"
+    val restored = s"$root/store_b"
+    val d2 = s"$dumps/dump2"
+    graft.store.Dump.dump(spark, path, d1)
+    graft.store.Dump.restore(spark, d1, restored)
+    graft.store.Dump.dump(spark, restored, d2)
+    // fixpoint: same schema, same rows per RRA
+    assert(RrdStore.readSchema(path) == RrdStore.readSchema(restored))
+    Seq(0, 1).foreach { i =>
+      val a = spark.read.json(s"$d1/rra$i").orderBy("ts").collect().toSeq
+      val b = spark.read.json(s"$d2/rra$i").orderBy("ts").collect().toSeq
+      assert(a == b, s"rra$i dump mismatch")
+    }
+    // fetch from the restored store answers identically
+    val fa = RrdStore.fetch(spark, path, Cf.Average, "v", Seq("k"),
+      0L, 300L, 10L).orderBy("ts").collect().toSeq
+    val fb = RrdStore.fetch(spark, restored, Cf.Average, "v", Seq("k"),
+      0L, 300L, 10L).orderBy("ts").collect().toSeq
+    assert(fa == fb)
+    // info keys
+    val inf = graft.store.Dump.info(spark, path).toMap
+    assert(inf("step") == "10" && inf("ds[v].type") == "GAUGE")
+    assert(inf("rra[1].cf") == "MAX" && inf("rra[1].pdp_per_row") == "6")
+    assert(inf("ds[v].min") == "0.0000000000e+00")
+    // list sees both stores, not the dumps
+    assert(graft.store.Dump.list(root) == Seq("store_a", "store_b"))
+  }
+
   test("streaming monotonic gate rejects t <= last_up across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
