@@ -43,6 +43,23 @@ object SparkEntry {
   private val T0 = 1704067200L // 2024-01-01T00:00:00Z
   private val T1 = 1706659200L // 2024-01-31T00:00:00Z
 
+  /** AT-time cases for q41: spec → expected epoch, with now = T1
+    * (2024-01-31T00:00Z), start = T0, end = T1. Expected values computed
+    * independently of the parser (plain UTC date arithmetic). */
+  private val AtTimeCases: Seq[(String, Long)] = Seq(
+    "now" -> T1,
+    "now-1day" -> (T1 - 86400),
+    "noon yesterday" -> (T1 - 86400 + 12 * 3600),
+    "midnight tomorrow" -> (T1 + 86400),
+    "teatime" -> (T1 + 16 * 3600), // 16:00 of the now-day
+    "start+6h" -> (T0 + 6 * 3600),
+    "end-2h" -> (T1 - 7200),
+    "920804400" -> 920804400L,
+    "00:00 20240115" -> 1705276800L, // 2024-01-15T00:00Z
+    "12:00 15.01.2024" -> 1705320000L, // dd.mm.yyyy
+    "now-3w" -> (T1 - 3 * 7 * 86400),
+    "now-1mon" -> 1703980800L) // calendar month back: 2023-12-31T00:00Z
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q02_cf_consolidate")(spark, "/root/testdata/sf0.001")
@@ -452,6 +469,37 @@ object SparkEntry {
       val path = ensureStore(s, dir)
       import s.implicits._
       store.Dump.info(s, path).toDF("k", "v").orderBy("k")
+    }),
+
+    // §2.3 the gdes planner end-to-end: two DEFs at different steps
+    // (1h/6h), a mixed-step CDEF on the gcd grid (coarse series repeats,
+    // rrd_rpncalc.c:674-676), a VDEF substituted into a later CDEF as a
+    // constant (rrd_graph.c:1201-1210), SHIFT, and the XPORT frame.
+    "q40_gdes_plan" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val roll1h = ev.groupBy(bucketEnd(3600).as("bts"))
+        .agg(davg(col("value")).as("v"))
+      val roll6h = ev.groupBy(bucketEnd(21600).as("bts"))
+        .agg(davg(col("value")).as("v"))
+      new query.GraphPlan(s, T0, T1)
+        .define("a", roll1h, "bts", "v", 3600L)
+        .define("b", roll6h, "bts", "v", 21600L)
+        .cdef("mix", "a,b,ADDNAN")
+        .vdef("m", "a", "AVERAGE")
+        .cdef("dev", "a,m,-")
+        .shift("aprev", "a", 86400L)
+        .xport(Seq("a", "b", "mix", "dev", "aprev"))
+    }),
+
+    // §2.3 AT-style time parsing surface (rrd_parsetime.c grammar) with
+    // a pinned `now` = T1; values verified against independently
+    // computed epochs in the oracle.
+    "q41_attime" -> ((s, dir) => {
+      import s.implicits._
+      val ref = time.AtTime.RefTimes(T1, Some(T0), Some(T1))
+      AtTimeCases.map { case (spec, _) =>
+        (spec, time.AtTime.parse(spec, ref))
+      }.toDF("spec", "epoch").orderBy("spec")
     }),
 
     // ---- training-data pipeline extensions (BASELINE.json north-star)
@@ -896,6 +944,31 @@ object SparkEntry {
         | CASE WHEN view IS NULL THEN NULL
         |      ELSE COALESCE(click, 0.0) + view END AS p_view
         |FROM jo ORDER BY px""".stripMargin,
+
+    "q40_gdes_plan" ->
+      s"""${sqlHourly("click")},
+        |b6 AS (
+        | SELECT epoch_us(ts)//1000000//21600*21600 + 21600 AS bts,
+        |        CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS v
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |m AS (
+        | SELECT ${sqlDsum("v")} / COUNT(v) AS m FROM g)
+        |SELECT g.ts AS ts, g.v AS a, b6.v AS b,
+        | CASE WHEN g.v IS NULL AND b6.v IS NULL THEN NULL
+        |      ELSE COALESCE(g.v, 0.0) + COALESCE(b6.v, 0.0) END AS mix,
+        | g.v - (SELECT m FROM m) AS dev,
+        | p.v AS aprev
+        |FROM g
+        |LEFT JOIN b6 ON b6.bts = ((g.ts - 1)//21600 + 1) * 21600
+        |LEFT JOIN g p ON p.ts = g.ts - 86400
+        |ORDER BY 1""".stripMargin,
+
+    "q41_attime" ->
+      ("SELECT spec, epoch FROM (VALUES " +
+        AtTimeCases.map { case (spec, epoch) =>
+          s"('$spec', CAST($epoch AS BIGINT))"
+        }.mkString(", ") +
+        ") t(spec, epoch) ORDER BY spec"),
 
     "q38_info" -> (sqlPdp +
       """,lu AS (SELECT CAST(MAX(k) * 300 AS VARCHAR) AS v FROM ag)

@@ -67,8 +67,11 @@ object Fetch {
       stepSec: Long): DataFrame = {
     val (s, e) = align(startSec, endSec, stepSec)
     val g = grid(spark, s, e, stepSec)
-    g.join(rollup.select((tsCol +: valueCols).map(col): _*),
-        g("ts") === col(tsCol), "left")
+    // rename the rollup's slot column: a source already named "ts" would
+    // be ambiguous against the grid
+    val r = rollup.select((tsCol +: valueCols).map(col): _*)
+      .withColumnRenamed(tsCol, "__slot")
+    g.join(r, g("ts") === col("__slot"), "left")
       .select(col("ts") +: valueCols.map(col): _*)
   }
 

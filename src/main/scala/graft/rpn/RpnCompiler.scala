@@ -32,6 +32,9 @@ object RpnCompiler {
     * @param nowSec  pinned wall clock for NOW (determinism)
     * @param firstWeekday NEWWEEK boundary day, 0=Sunday (the reference
     *                asks the locale, /root/reference/src/rrd_rpncalc.c:548-596)
+    * @param timeZone IANA zone for LTIME/NEW* local-time semantics (the
+    *                reference uses the process TZ; its test harness pins
+    *                Europe/Zurich, tests/functions:2)
     */
   final case class Ctx(
       series: Map[String, Column],
@@ -39,7 +42,8 @@ object RpnCompiler {
       stepSec: Long,
       window: WindowSpec,
       nowSec: Long = 0L,
-      firstWeekday: Int = 0)
+      firstWeekday: Int = 0,
+      timeZone: String = "UTC")
 
   private final case class SE(col: Column, const: Option[Double])
   private def se(c: Column): SE = SE(c, None)
@@ -74,10 +78,16 @@ object RpnCompiler {
         .when(x.isNull, -1).when(y.isNull, 1)
         .when(x < y, -1).when(x > y, 1).otherwise(0)
     /** Time-bucket boundary detection for NEWDAY/… (the slot is a "new X"
-      * when the bucket of ts differs from the bucket of ts-step). */
+      * when the bucket of ts differs from the bucket of ts-step). The
+      * reference evaluates these on the LOCAL clock (localtime_r,
+      * rrd_rpncalc.c:713-744), so buckets run on the tz-shifted epoch. */
     def boundary(bucket: Column => Column): Unit = {
+      def local(t: Column): Column =
+        if (ctx.timeZone == "UTC") t
+        else from_utc_timestamp(tsOf(t), ctx.timeZone).cast("long")
       val t = ctx.tsSec
-      push((bucket(t) =!= bucket(t - ctx.stepSec)).cast("double"))
+      push((bucket(local(t)) =!= bucket(local(t - ctx.stepSec)))
+        .cast("double"))
     }
     def tsOf(c: Column): Column = timestamp_seconds(c)
 
@@ -94,7 +104,9 @@ object RpnCompiler {
         case "NEGINF" => push(lit(Double.NegativeInfinity))
         case "NOW" => push(lit(ctx.nowSec.toDouble))
         case "TIME" => push(ctx.tsSec.cast("double"))
-        case "LTIME" => push(ctx.tsSec.cast("double")) // tz pinned to UTC
+        case "LTIME" => // ts + utc-offset(tz, ts): rrd_rpncalc.c:709,1450-1478
+          push(from_utc_timestamp(tsOf(ctx.tsSec), ctx.timeZone)
+            .cast("long").cast("double"))
         case "STEPWIDTH" => push(lit(ctx.stepSec.toDouble))
         case "COUNT" => push(row_number().over(ctx.window).cast("double"))
         case "NEWDAY" => boundary(t => floor(t / 86400L))
@@ -163,10 +175,16 @@ object RpnCompiler {
           val n = popConst("INDEX").toInt
           st = st(n - 1) :: st
         case "ROLL" =>
+          // doc semantics "rotate the top n by m", m > 0 toward the top
+          // (rrdgraph_rpn.pod). The C loop (rrd_rpncalc.c:1364-1394)
+          // memcpy's from the popped-argument slots and scrambles for
+          // n >= 2 — we implement the documented rotation, matching
+          // RpnInterpreter.
           val m = popConst("ROLL").toInt; val n = popConst("ROLL").toInt
           val (top, rest) = st.splitAt(n)
           val k = java.lang.Math.floorMod(m, n)
-          st = top.drop(n - k) ::: top.take(n - k) ::: rest
+          val b = top.reverse // bottom-first
+          st = (b.takeRight(k) ++ b.dropRight(k)).reverse ::: rest
         // ---- set ops over top-n values (runtime arrays, compile-time n)
         case "SORT" =>
           val n = popConst("SORT").toInt

@@ -34,7 +34,12 @@ object RpnInterpreter {
     */
   def eval(expr: String, series: Map[String, Array[Double]],
       ts: Array[Long], stepSec: Long, nowSec: Long = 0L,
-      firstWeekday: Int = 0): Array[Double] = {
+      firstWeekday: Int = 0, timeZone: String = "UTC"): Array[Double] = {
+    val zone = java.time.ZoneId.of(timeZone)
+    /** local clock = ts + utc offset (rrd_rpncalc.c:1450-1478). */
+    def localOf(t: Long): Long =
+      t + zone.getRules.getOffset(java.time.Instant.ofEpochSecond(t))
+        .getTotalSeconds
     val tokens = RToken.tokenize(expr).toIndexedSeq
     val n = ts.length
     val out = Array.fill(n)(Double.NaN)
@@ -74,8 +79,10 @@ object RpnInterpreter {
     var i = 0
     while (i < n) {
       st.clear()
+      // NEW* run on the local clock (localtime_r, rrd_rpncalc.c:713-744)
       def newBucket(bucket: Long => Long): Double =
-        if (bucket(ts(i)) != bucket(ts(i) - stepSec)) 1.0 else 0.0
+        if (bucket(localOf(ts(i))) != bucket(localOf(ts(i) - stepSec))) 1.0
+        else 0.0
 
       var pi = 0
       while (pi < tokens.length) {
@@ -90,7 +97,7 @@ object RpnInterpreter {
             case "NEGINF" => push(Double.NegativeInfinity)
             case "NOW" => push(nowSec.toDouble)
             case "TIME" => push(ts(i).toDouble)
-            case "LTIME" => push(ts(i).toDouble) // tz pinned to UTC
+            case "LTIME" => push(localOf(ts(i)).toDouble)
             case "STEPWIDTH" => push(stepSec.toDouble)
             case "COUNT" => push((i + 1).toDouble)
             case "PREV" => push(if (i == 0) Double.NaN else out(i - 1))

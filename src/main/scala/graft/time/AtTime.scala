@@ -111,6 +111,9 @@ object AtTime {
         }
         def dateOf(s: String): LocalDate = s.trim match {
           case "" => today
+          case "today" => today
+          case "yesterday" => today.minusDays(1)
+          case "tomorrow" => today.plusDays(1)
           case md(m, d, y) => LocalDate.of(
             Option(y).map(year).getOrElse(today.getYear), m.toInt, d.toInt)
           case dm(d, m, y) => LocalDate.of(year(y), m.toInt, d.toInt)
@@ -124,7 +127,17 @@ object AtTime {
             today.minusDays(Math.floorMod(cur - target, 7).toLong)
           case other => throw new IllegalArgumentException(s"bad date '$other'")
         }
+        // TIME-OF-DAY DAY composition ("noon yesterday",
+        // rrd_parsetime.c BNF: TIME [DAY])
+        val namedTod = raw"^(midnight|noon|teatime)\s+(.+)$$".r
         b match {
+          case namedTod(w, rest) =>
+            val t = w match {
+              case "midnight" => LocalTime.MIDNIGHT
+              case "noon" => LocalTime.NOON
+              case _ => LocalTime.of(16, 0)
+            }
+            at(dateOf(rest), t)
           case t if t.forall(_.isDigit) && t.length >= 8 && t.length != 8 =>
             LocalDateTime.ofEpochSecond(t.toLong, 0, ZoneOffset.UTC)
           case ymd(y, m, d) => at(LocalDate.of(y.toInt, m.toInt, d.toInt),

@@ -1,0 +1,102 @@
+package graft
+
+import graft.ingest.UpdateParser
+import graft.model.{Cf, DsDef, Dst, RraDef, RrdSchema}
+import graft.query.GraphPlan
+import graft.sources.DefSource
+import org.apache.spark.sql.functions._
+
+/** Coverage for the gdes planner, the update-string parser, and the
+  * sql/cb DEF source dispatch. */
+class PlannerSpec extends SparkSuite {
+
+  private val schema = RrdSchema(300L, 0L,
+    Seq(DsDef("a", Dst.Gauge, 600L), DsDef("b", Dst.Counter, 600L),
+      DsDef("c", Dst.Compute, rpn = Some("a,b,+"))),
+    Seq(RraDef(Cf.Average, 0.5, 1L, 100L)))
+
+  test("update parser: times, U values, template, COMPUTE guard") {
+    val u = UpdateParser.parse("920804700:12:34:U", schema)
+    assert(u.tsUs == 920804700000000L)
+    assert(u.values == Map("a" -> Some(12.0), "b" -> Some(34.0), "c" -> None))
+    // fractional seconds
+    assert(UpdateParser.parse("100.25:1:2:U", schema).tsUs == 100250000L)
+    // N = now
+    assert(UpdateParser.parse("N:1:2:U", schema, nowSec = 42L).tsUs
+      == 42000000L)
+    // template reorders and defaults the rest to unknown
+    val t = UpdateParser.parse("10:5", schema, template = Some(Seq("b")))
+    assert(t.values == Map("a" -> None, "b" -> Some(5.0), "c" -> None))
+    // COMPUTE DS must be 'U'
+    intercept[IllegalArgumentException] {
+      UpdateParser.parse("10:1:2:3", schema)
+    }
+    // AT-style time
+    assert(UpdateParser.parse("now-10s:1:2:U", schema, nowSec = 100L).tsUs
+      == 90000000L)
+  }
+
+  test("update parser: bulk column form") {
+    import spark.implicits._
+    val df = Seq("100:1:2:U", "200.5:U:3:U", "300:4::U")
+      .toDF("u")
+    val out = UpdateParser.parseUpdates(df, "u", schema)
+      .orderBy("ts_us")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].collect()
+    assert(out(0) == ((100000000L, Some(1.0), Some(2.0), None)))
+    assert(out(1) == ((200500000L, None, Some(3.0), None)))
+    assert(out(2) == ((300000000L, Some(4.0), None, None)))
+  }
+
+  test("gdes planner: gcd resample repeats coarse values; VDEF substitutes") {
+    import spark.implicits._
+    // fine series at 10s, coarse at 30s over (0, 60]
+    val fine = (1 to 6).map(i => (i * 10L, i.toDouble)).toDF("ts", "v")
+    val coarse = Seq((30L, 100.0), (60L, 200.0)).toDF("ts", "v")
+    val p = new GraphPlan(spark, 0L, 60L)
+      .define("f", fine, "ts", "v", 10L)
+      .define("c", coarse, "ts", "v", 30L)
+      .cdef("sum", "f,c,+")
+      .vdef("m", "f", "AVERAGE")
+      .cdef("dev", "f,m,-")
+    assert(p.scalarOf("m").value.contains(3.5))
+    val rows = p.xport(Seq("f", "c", "sum", "dev"))
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    // coarse value 100.0 repeats across slots 10..30
+    assert(rows(0) == ((10L, Some(1.0), Some(100.0), Some(101.0), Some(-2.5))))
+    assert(rows(2) == ((30L, Some(3.0), Some(100.0), Some(103.0), Some(-0.5))))
+    assert(rows(5) == ((60L, Some(6.0), Some(200.0), Some(206.0), Some(2.5))))
+  }
+
+  test("gdes planner: VDEF extremes carry timestamps; DEF fetches dedup") {
+    import spark.implicits._
+    val f = Seq((10L, 5.0), (20L, 9.0), (30L, 9.0), (40L, 1.0)).toDF("ts", "v")
+    val p = new GraphPlan(spark, 0L, 40L)
+      .define("a", f, "ts", "v", 10L, key = "same")
+      .define("b", f, "ts", "v", 10L, key = "same")
+      .vdef("mx", "a", "MAXIMUM")
+      .vdef("fst", "a", "FIRST")
+      .vdef("lst", "a", "LAST")
+    assert(p.scalarOf("mx") == p.Scalar(Some(9.0), Some(20L))) // first hit
+    assert(p.scalarOf("fst") == p.Scalar(Some(5.0), Some(0L))) // interval start
+    assert(p.scalarOf("lst") == p.Scalar(Some(1.0), Some(40L)))
+  }
+
+  test("cb// callback source + sql// grammar parse") {
+    import spark.implicits._
+    DefSource.registerCallback("mysrc",
+      s => { import s.implicits._; Seq((1L, 2.0)).toDF("ts_sec", "value") })
+    val df = DefSource.resolve(spark, "cb//mysrc")
+    assert(df.as[(Long, Double)].collect().toSeq == Seq((1L, 2.0)))
+
+    val spec = DefSource.parseSql(
+      "sql//mysql/host=127.0.0.1/dbname=rrd/username=u//vals/uts/value/key=7")
+    assert(spec.driver == "mysql")
+    assert(spec.jdbcUrl == "jdbc:mysql://127.0.0.1/rrd")
+    assert(spec.table == "vals" && spec.tsCol == "uts" &&
+      spec.valueCol == "value")
+    assert(spec.wheres == Seq("key=7"))
+    assert(spec.properties.getProperty("username") == "u")
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.query.Cdef
-import graft.rpn.{RToken, RpnInterpreter}
+import graft.rpn.{RToken, RpnCompiler, RpnInterpreter}
 import org.apache.spark.sql.functions._
 
 /** RPN semantics: interpreter unit checks against hand-computed reference
@@ -81,6 +81,25 @@ class RpnSpec extends SparkSuite {
     assert(r(3) == 2.0 && r(7) == 6.0)
   }
 
+  test("LTIME adds the local UTC offset (TZ=Europe/Zurich like the reference harness)") {
+    import spark.implicits._
+    // 2024-01-15 (CET, +1h) and 2024-07-15 (CEST, +2h)
+    val winter = 1705312800L
+    val summer = 1721023200L
+    val tsArr = Array(winter, summer)
+    val r = RpnInterpreter.eval("LTIME,TIME,-", Map.empty, tsArr, 300L,
+      timeZone = "Europe/Zurich")
+    assert(r(0) == 3600.0 && r(1) == 7200.0)
+    // compiled path agrees
+    val df = Seq(winter, summer).toDF("ts")
+    val ctx = RpnCompiler.Ctx(Map.empty, org.apache.spark.sql.functions.col("ts"),
+      300L, org.apache.spark.sql.expressions.Window.orderBy("ts"),
+      timeZone = "Europe/Zurich")
+    val out = df.withColumn("d", RpnCompiler.compile("LTIME,TIME,-", ctx))
+      .orderBy("ts").select("d").as[Double].collect()
+    assert(out.toSeq == Seq(3600.0, 7200.0))
+  }
+
   test("compiler matches interpreter on the pointwise + windowed subset") {
     import spark.implicits._
     val rows = ts.indices.map(i => (ts(i),
@@ -99,7 +118,12 @@ class RpnSpec extends SparkSuite {
       "a,b,DEPTH,+,POP", "1,2,3,2,INDEX,+,+,+",
       "TIME,STEPWIDTH,+", "COUNT,a,ADDNAN", "PREV(a),a,ADDNAN",
       "NEWDAY,NEWMONTH,+", "a,900,TREND", "a,900,TRENDNAN",
-      "UNKN,a,ADDNAN", "NEGINF,a,MAXNAN")
+      "UNKN,a,ADDNAN", "NEGINF,a,MAXNAN",
+      // stack-manipulation + SORT push-back order (compiled SORT must
+      // leave the largest on top exactly like the interpreter loop)
+      "a,b,2,SORT,EXC,POP", "a,b,2,SORT,-", "a,b,2,REV,-",
+      "a,b,2,COPY,+,+,+", "a,b,7,3,1,ROLL,-,+",
+      "a,b,5,3,2,ROLL,-,-")
     val named = exprs.zipWithIndex
       .map { case (e, i) => (f"e$i%02d", e) }
     val out = Cdef.compiled(df, Nil, "ts", Seq("a", "b"),
