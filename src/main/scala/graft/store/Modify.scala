@@ -1,0 +1,124 @@
+package graft.store
+
+import graft.model.{Cf, DsDef, Dst, RraDef, RrdSchema}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Schema evolution: tune / resize / modify (SURVEY.md §1.3;
+  * /root/reference/src/rrd_tune.c:79-360, rrd_resize.c:40-45,
+  * rrd_modify.c:328,1171,1311-1382 — the surface the reference's
+  * tests/modify1..5 and tune1/2 exercise via dump comparison).
+  *
+  * Under append storage, tune and resize are pure sidecar rewrites
+  * (heartbeat/min/max/DST feed the NEXT update's rate conversion;
+  * row_cnt is the read-time retention horizon — [[RrdStore.compact]]
+  * makes a SHRINK physical). Column add/drop/rename rewrite the rollup
+  * tables once, distributed.
+  */
+object Modify {
+
+  private def rewriteSchema(path: String)(f: RrdSchema => RrdSchema): Unit =
+    RrdStore.create(path, f(RrdStore.readSchema(path)))
+
+  private def mapDs(path: String, name: String)(f: DsDef => DsDef): Unit =
+    rewriteSchema(path)(s => s.copy(ds = s.ds.map(d =>
+      if (d.name == name) f(d) else d)))
+
+  // ---- tune (rrd_tune.c): per-DS knobs -------------------------------
+
+  def tuneHeartbeat(path: String, ds: String, heartbeatSec: Long): Unit =
+    mapDs(path, ds)(_.copy(heartbeatSec = heartbeatSec))
+
+  def tuneMin(path: String, ds: String, min: Option[Double]): Unit =
+    mapDs(path, ds)(_.copy(min = min))
+
+  def tuneMax(path: String, ds: String, max: Option[Double]): Unit =
+    mapDs(path, ds)(_.copy(max = max))
+
+  def tuneDst(path: String, ds: String, dst: Dst): Unit = {
+    require(dst != Dst.Compute, "tune cannot convert to COMPUTE")
+    mapDs(path, ds)(_.copy(dst = dst, rpn = None))
+  }
+
+  /** --data-source-rename: sidecar + one distributed rewrite per RRA. */
+  def renameDs(spark: SparkSession, path: String, from: String,
+      to: String): Unit = {
+    val schema = RrdStore.readSchema(path)
+    require(schema.ds.exists(_.name == from), s"no DS '$from'")
+    require(!schema.ds.exists(_.name == to), s"DS '$to' already exists")
+    mapDs(path, from)(_.copy(name = to))
+    schema.rras.indices.foreach { i =>
+      val p = s"$path/rra$i"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        rewrite(spark, p)(_.withColumnRenamed(from, to))
+    }
+  }
+
+  // ---- resize (rrd_resize.c): GROW | SHRINK one RRA ------------------
+
+  def resize(spark: SparkSession, path: String, rraIdx: Int, deltaRows: Long,
+      series: Seq[String]): Unit = {
+    rewriteSchema(path) { s =>
+      val r = s.rras(rraIdx)
+      val n = r.rowCnt + deltaRows
+      require(n >= 1, s"resize would leave $n rows")
+      s.copy(rras = s.rras.updated(rraIdx, r.copy(rowCnt = n)))
+    }
+    // SHRINK becomes physical immediately, like the reference's rewrite
+    if (deltaRows < 0) RrdStore.compact(spark, path, series)
+  }
+
+  // ---- modify (rrd_modify.c): DS/RRA add & drop ----------------------
+
+  /** DEL:<ds> (rrd_modify.c:1311): drop the column everywhere. */
+  def delDs(spark: SparkSession, path: String, ds: String): Unit = {
+    val schema = RrdStore.readSchema(path)
+    require(schema.ds.exists(_.name == ds), s"no DS '$ds'")
+    require(schema.ds.size > 1, "an RRD needs at least one DS")
+    rewriteSchema(path)(s => s.copy(ds = s.ds.filterNot(_.name == ds)))
+    schema.rras.indices.foreach { i =>
+      val p = s"$path/rra$i"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        rewrite(spark, p)(_.drop(ds))
+    }
+  }
+
+  /** DS:<spec> (rrd_modify.c:328): new column, unknown history. */
+  def addDs(spark: SparkSession, path: String, spec: DsDef): Unit = {
+    val schema = RrdStore.readSchema(path)
+    require(!schema.ds.exists(_.name == spec.name),
+      s"DS '${spec.name}' already exists")
+    rewriteSchema(path)(s => s.copy(ds = s.ds :+ spec))
+    schema.rras.indices.foreach { i =>
+      val p = s"$path/rra$i"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        rewrite(spark, p)(_.withColumn(spec.name,
+          lit(null).cast("double")))
+    }
+  }
+
+  /** RRA:<spec> (rrd_modify.c:1345): new rollup, starts empty and fills
+    * from subsequent updates (the reference backfills only in
+    * create --source prefill). */
+  def addRra(path: String, rra: RraDef): Unit =
+    rewriteSchema(path)(s => s.copy(rras = s.rras :+ rra))
+
+  /** RRA#<n>:[+-]<rows> (rrd_modify.c:1382). */
+  def resizeRra(spark: SparkSession, path: String, rraIdx: Int,
+      deltaRows: Long, series: Seq[String]): Unit =
+    resize(spark, path, rraIdx, deltaRows, series)
+
+  private def rewrite(spark: SparkSession, p: String)(
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = s"$p.rewrite"
+    f(spark.read.parquet(p)).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(p)
+    deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).forEach(deleteRecursively(_))
+    java.nio.file.Files.deleteIfExists(p)
+  }
+}

@@ -107,8 +107,17 @@ object RrdStore {
         .select(series.map(col) :+ col("pdp_ts") :+
           col("pdp").as(s"pdp_${d.name}"): _*)
     }
-    val pdp = pdps.reduce(_.join(_, series :+ "pdp_ts", "outer"))
-    // 3. per-RRA consolidation + append
+    // cache the normalized PDP frame: every RRA consolidates from it,
+    // and without this each RRA append would recompute rates+normalize
+    val pdp = pdps.reduce(_.join(_, series :+ "pdp_ts", "outer")).persist()
+    // 3. per-RRA consolidation + append. A HWPREDICT/MHWPREDICT RRA and
+    // its contingent SEASONAL/DEVSEASONAL/DEVPREDICT/FAILURES rows (the
+    // standard creation layout, rrd_create.c:1168-1245) materialize from
+    // ONE HoltWinters pass per DS — the chain is a single recurrence.
+    val hwFamily: Map[Cf, String] = Map(
+      Cf.Seasonal -> "seasonal", Cf.DevSeasonal -> "devseasonal",
+      Cf.DevPredict -> "devpredict", Cf.Failures -> "failures")
+    var familyWritten = Set.empty[Int]
     schema.rras.zipWithIndex.foreach { case (rra, i) =>
       rra.cf match {
         case Cf.Average | Cf.Min | Cf.Max | Cf.Last =>
@@ -120,12 +129,57 @@ object RrdStore {
           }
           cols.reduce(_.join(_, series :+ "ts", "outer"))
             .write.mode("overwrite").parquet(s"$path/rra$i")
-        case _ => // HW family rollups: one HoltWinters pass per DS
-          () // materialized on demand by graft.hw.HoltWinters; the HW
-             // family needs the full chain in one pass (q33/q34) and is
-             // out of scope for the plain rollup writer
+        case Cf.HwPredict | Cf.MhwPredict =>
+          val h = rra.hw.get
+          val spec = graft.hw.HoltWinters.HwSpec(h.alpha, h.beta,
+            h.period.toInt, h.gamma, h.gamma,
+            multiplicative = rra.cf == Cf.MhwPredict,
+            deltaPos = h.deltaPos, deltaNeg = h.deltaNeg,
+            failThreshold = h.failThreshold, windowLen = h.windowLen,
+            smoothingWindow = h.smoothingWindow)
+          // contingent members = the immediately following family CFs
+          val members = ("hwpredict" -> i) +: schema.rras.zipWithIndex
+            .drop(i + 1)
+            .takeWhile(r => hwFamily.contains(r._1.cf))
+            .map(r => hwFamily(r._1.cf) -> r._2)
+          val perMember = schema.ds.map { d =>
+            val out = graft.hw.HoltWinters(
+              gridFill(pdp, series, s"pdp_${d.name}", schema.stepSec),
+              series, "pdp_ts", s"pdp_${d.name}", spec).persist()
+            d.name -> out
+          }
+          members.foreach { case (member, idx) =>
+            val cols = perMember.map { case (ds, out) =>
+              out.select(series.map(col) :+ col("pdp_ts").as("ts") :+
+                col(member).as(ds): _*)
+            }
+            cols.reduce(_.join(_, series :+ "ts", "outer"))
+              .write.mode("overwrite").parquet(s"$path/rra$idx")
+          }
+          perMember.foreach(_._2.unpersist())
+          familyWritten ++= members.map(_._2)
+        case _ if familyWritten.contains(i) => () // written with its family
+        case other =>
+          throw new IllegalArgumentException(
+            s"RRA $i ($other) has no preceding HWPREDICT to depend on")
       }
     }
+    pdp.unpersist()
+  }
+
+  /** One row per slot per series between that series' first and last
+    * PDP — the continuous grid the sequential HW recurrence requires. */
+  private def gridFill(pdp: DataFrame, series: Seq[String], value: String,
+      stepSec: Long): DataFrame = {
+    val bounds = pdp.groupBy(series.map(col): _*)
+      .agg(min(col("pdp_ts")).as("__t0"), max(col("pdp_ts")).as("__t1"))
+    val grid = bounds.select(series.map(col) :+
+        explode(sequence(expr(s"__t0 div $stepSec"),
+          expr(s"__t1 div $stepSec"))).as("__k"): _*)
+      .select(series.map(col) :+ (col("__k") * stepSec).as("pdp_ts"): _*)
+    grid.join(pdp.select(series.map(col) :+ col("pdp_ts") :+
+        col(value): _*),
+      series :+ "pdp_ts", "left")
   }
 
   /** Retention horizon filter: keep slots within `rowCnt` rows of each

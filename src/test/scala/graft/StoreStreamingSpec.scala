@@ -107,6 +107,39 @@ class StoreStreamingSpec extends SparkSuite {
     assert(graft.store.Dump.list(root) == Seq("store_a", "store_b"))
   }
 
+  test("HW family RRAs materialize from one recurrence pass") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_hw").toString
+    val hw = HwParams(alpha = 0.1, beta = 0.035, gamma = 0.1, period = 4L)
+    RrdStore.create(path, RrdSchema(10L, 0L,
+      Seq(DsDef("v", Dst.Gauge, 3600L)),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 1000L),
+        RraDef(Cf.HwPredict, rowCnt = 100L, hw = Some(hw)),
+        RraDef(Cf.Seasonal, rowCnt = 4L, hw = Some(hw)),
+        RraDef(Cf.DevSeasonal, rowCnt = 4L, hw = Some(hw)),
+        RraDef(Cf.DevPredict, rowCnt = 100L),
+        RraDef(Cf.Failures, rowCnt = 100L, hw = Some(hw)))))
+    val samples = (0 to 20).map(i => ("s1", i * 10000000L, i.toLong, 10.0))
+      .toDF("k", "ts_us", "id", "v")
+    RrdStore.update(spark, path, samples, Seq("k"), "ts_us", "id",
+      Map("v" -> "v"), rateScale = Some(2))
+    // the materialized HWPREDICT table equals a direct recurrence run
+    val stored = RrdStore.fetch(spark, path, Cf.HwPredict, "v", Seq("k"),
+        0L, 200L, 10L).orderBy("ts")
+      .select("v").as[Option[Double]].collect()
+    val direct = graft.hw.HoltWinters.run(
+      Array.fill(20)(10.0), // pdp slots 10..200 of a constant gauge
+      graft.hw.HoltWinters.HwSpec(0.1, 0.035, 4, 0.1, 0.1))
+    stored.zip(direct.hwpredict).foreach { case (s, d) =>
+      assert(s == (if (d.isNaN) None else Some(d)), s"$s vs $d")
+    }
+    // FAILURES table exists and is all zeros for a constant series
+    val fails = RrdStore.fetch(spark, path, Cf.Failures, "v", Seq("k"),
+      0L, 200L, 10L)
+    assert(fails.where(
+      org.apache.spark.sql.functions.col("v") =!= 0.0).count() == 0)
+  }
+
   test("streaming monotonic gate rejects t <= last_up across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
