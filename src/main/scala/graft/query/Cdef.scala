@@ -27,14 +27,14 @@ object Cdef {
     */
   def compiled(df: DataFrame, series: Seq[String], ts: String,
       vnames: Seq[String], exprs: Map[String, String],
-      stepSec: Long): DataFrame = {
+      stepSec: Long, timeZone: String = "UTC"): DataFrame = {
     val w = if (series.isEmpty) Window.orderBy(col(ts))
       else Window.partitionBy(series.map(col): _*).orderBy(col(ts))
     // earlier CDEFs are referenceable by later ones (single forward
     // pass over the gdes array, /root/reference/src/rrd_graph.c:1135-1139)
     var ctx = RpnCompiler.Ctx(
       series = vnames.map(n => n -> col(n)).toMap,
-      tsSec = col(ts), stepSec = stepSec, window = w)
+      tsSec = col(ts), stepSec = stepSec, window = w, timeZone = timeZone)
     exprs.foldLeft(df) { case (d, (name, e)) =>
       val out = d.withColumn(name, RpnCompiler.compile(e, ctx))
       ctx = ctx.copy(series = ctx.series + (name -> col(name)))
@@ -46,7 +46,7 @@ object Cdef {
     * grid-aligned (one row per slot). */
   def interpreted(df: DataFrame, series: Seq[String], ts: String,
       vnames: Seq[String], exprs: Map[String, String],
-      stepSec: Long): DataFrame = {
+      stepSec: Long, timeZone: String = "UTC"): DataFrame = {
     val exprList = exprs.toSeq // fix iteration order
     val inSchema = df.schema
     val outSchema = StructType(
@@ -72,7 +72,8 @@ object Cdef {
             if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
         }
         val outs = exprList.map { case (_, e) =>
-          RpnInterpreter.eval(e, seriesArr, tsArr, stepSec)
+          RpnInterpreter.eval(e, seriesArr, tsArr, stepSec,
+            timeZone = timeZone)
         }
         sorted.indices.iterator.map { i =>
           val keyVals = sIdx.map(sorted(i).get)
