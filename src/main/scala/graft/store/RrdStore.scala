@@ -217,6 +217,74 @@ object RrdStore {
     Files.deleteIfExists(p)
   }
 
+  /** updatev (rrd_update.c:300-364): like [[update]] but returns the
+    * written rollup rows as one long frame
+    * `(rra, series…, ts, <ds columns>)` — the info-tree
+    * `[<ts>]RRA[<cf>][<steps>]DS[<name>] = <value>` flattened. */
+  def updatev(spark: SparkSession, path: String, samples: DataFrame,
+      series: Seq[String], tsUs: String, tieBreak: String,
+      dsValues: Map[String, String],
+      rateScale: Option[Int] = None): DataFrame = {
+    update(spark, path, samples, series, tsUs, tieBreak, dsValues, rateScale)
+    val schema = readSchema(path)
+    val union = schema.rras.indices
+      .filter(i => Files.exists(Paths.get(s"$path/rra$i")))
+      .map(i => spark.read.parquet(s"$path/rra$i")
+        .withColumn("rra", lit(i)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val dsCols = schema.ds.map(_.name).filter(union.columns.contains)
+    union.select(col("rra") +: series.map(col) :+ col("ts") :++
+      dsCols.map(col): _*)
+  }
+
+  /** create --source prefill (rrd_create.c:310-326 DS mapping,
+    * 1888-1924 coverage consolidation): create `path` with `schema` and
+    * fill each plain-CF RRA from `sourcePath`'s best-covering RRA —
+    * finer source data re-consolidates with the target CF; coarser
+    * source coverage stays unknown (the reference likewise only fills
+    * what the source resolves).
+    *
+    * @param dsMap new DS name → source DS name (`DS:a=b` mapping);
+    *              unmapped DSes start unknown
+    */
+  def createFrom(spark: SparkSession, path: String, schema: RrdSchema,
+      sourcePath: String, series: Seq[String],
+      dsMap: Map[String, String]): Unit = {
+    create(path, schema)
+    val src = readSchema(sourcePath)
+    val finest = src.rras.indices.minBy(i => src.rras(i).pdpCnt)
+    val bounds = spark.read.parquet(s"$sourcePath/rra$finest")
+      .agg(min("ts"), max("ts")).first()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    schema.rras.zipWithIndex.foreach { case (rra, i) =>
+      rra.cf match {
+        case Cf.Average | Cf.Min | Cf.Max | Cf.Last =>
+          val step = schema.stepSec * rra.pdpCnt
+          val cols = schema.ds.flatMap { d =>
+            dsMap.get(d.name).map { srcDs =>
+              val f = fetch(spark, sourcePath, rra.cf, srcDs, series,
+                lo - step, hi, step)
+              val srcStep = {
+                val ts = f.select("ts").orderBy("ts").limit(2)
+                  .collect().map(_.getLong(0))
+                if (ts.length == 2) ts(1) - ts(0) else step
+              }
+              val at = if (srcStep == step) f
+                else if (srcStep < step && step % srcStep == 0)
+                  Fetch.reduce(f, series, "ts", srcDs, step, rra.cf)
+                else f.where(lit(false)) // coarser: stays unknown
+              at.select(series.map(col) :+ col("ts") :+
+                col(srcDs).as(d.name): _*)
+            }
+          }
+          if (cols.nonEmpty)
+            cols.reduce(_.join(_, series :+ "ts", "outer"))
+              .write.mode("overwrite").parquet(s"$path/rra$i")
+        case _ => () // HW families start cold, like the reference
+      }
+    }
+  }
+
   /** Fetch: select the best RRA (rrd_fetch.c:344-441 semantics via
     * [[Fetch.selectRra]]), apply the retention horizon, and return the
     * aligned per-series grid over (start, end] at the RRA's native step —

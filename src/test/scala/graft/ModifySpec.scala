@@ -78,6 +78,42 @@ class ModifySpec extends SparkSuite {
     assert(RrdStore.readSchema(restored) == s)
   }
 
+  test("updatev returns the written rollup rows per RRA") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_uv").toString
+    RrdStore.create(path, RrdSchema(10L, 0L,
+      Seq(DsDef("v", Dst.Gauge, 600L)),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 100L),
+        RraDef(Cf.Max, 0.5, 6L, 50L))))
+    val samples = (0 to 12).map(i => ("s1", i * 10000000L, i.toLong, 3.0))
+      .toDF("k", "ts_us", "id", "v")
+    val tree = RrdStore.updatev(spark, path, samples, Seq("k"), "ts_us",
+      "id", Map("v" -> "v"), rateScale = Some(2))
+    assert(tree.columns.toSeq == Seq("rra", "k", "ts", "v"))
+    assert(tree.where(col("rra") === 0).count() == 12)
+    assert(tree.where(col("rra") === 1).count() == 2) // 6-step buckets
+  }
+
+  test("create --source prefill with DS mapping (create-with-source shape)") {
+    import spark.implicits._
+    val srcPath = freshStore() // DS u,w at step 10, AVG 1-step + MAX 6-step
+    val dst = java.nio.file.Files.createTempDirectory("graft_cs").toString
+    RrdStore.createFrom(spark, dst, RrdSchema(10L, 0L,
+        Seq(DsDef("a", Dst.Gauge, 600L)),
+        Seq(RraDef(Cf.Average, 0.5, 1L, 100L),  // same step: copy
+          RraDef(Cf.Average, 0.5, 3L, 50L))),   // coarser: re-consolidate
+      srcPath, Seq("k"), Map("a" -> "u"))
+    // 1-step RRA copied from the source's 1-step AVERAGE
+    val r0 = RrdStore.fetch(spark, dst, Cf.Average, "a", Seq("k"),
+        0L, 300L, 10L).where(col("a").isNotNull)
+    assert(r0.count() > 0)
+    assert(r0.select("a").distinct().as[Double].collect().toSeq == Seq(1.0))
+    // 3-step RRA re-consolidated from finer source data
+    val r1 = spark.read.parquet(s"$dst/rra1")
+    assert(r1.where(col("a").isNotNull).count() > 0)
+    assert(r1.select("ts").as[Long].collect().forall(_ % 30 == 0))
+  }
+
   test("rrdcached line protocol: UPDATE expands to gated samples") {
     val schema = RrdSchema(300L, 0L,
       Seq(DsDef("a", Dst.Gauge, 600L), DsDef("b", Dst.Gauge, 600L)), Nil)
