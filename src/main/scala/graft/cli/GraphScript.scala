@@ -1,0 +1,191 @@
+package graft.cli
+
+import graft.model.Cf
+import graft.query.{Fetch, GraphPlan, Graphv, Xport}
+import graft.sources.DefSource
+import graft.store.RrdStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The graph/xport script language front end (SURVEY.md §3.3;
+  * /root/reference/src/rrd_graph_helper.c:1252-2065 parsers,
+  * rrd_tool.c:696-851 dispatch): the engine is drivable by the
+  * reference's own command strings —
+  *
+  * {{{
+  * DEF:vname=<store-path|sql//…|cb//…>:<ds>:<CF>[:step=<s>]
+  * CDEF:vname=<rpn>
+  * VDEF:vname=<src>,<OP>[,<param>]        (PERCENT: src,p,PERCENT)
+  * SHIFT:vname:<offset-seconds>
+  * PRINT:vname:<format>      GPRINT:vname:<format>
+  * LINE[w]:<vname|num>[#rgb][:legend][:STACK]
+  * AREA:<vname|num>[#rgb][:legend][:STACK]
+  * TICK:vname[#rgb][:fraction[:legend]]
+  * XPORT:vname[:legend]
+  * }}}
+  *
+  * [[run]] executes the data side: fetches through [[GraphPlan]]
+  * (dedup'd DEFs, VDEF constants, gcd resampling), evaluates PRINT lines
+  * with the shared %S magnitude chain, and resolves LINE/AREA/TICK
+  * through data_proc for the value range — everything graphv emits
+  * except pixels.
+  */
+object GraphScript {
+
+  sealed trait Stmt
+  final case class DefStmt(vname: String, path: String, ds: String, cf: Cf,
+      step: Option[Long]) extends Stmt
+  final case class CdefStmt(vname: String, rpn: String) extends Stmt
+  final case class VdefStmt(vname: String, src: String, op: String,
+      param: Double) extends Stmt
+  final case class ShiftStmt(vname: String, src: String,
+      offsetSec: Long) extends Stmt
+  final case class PrintStmt(vname: String, fmt: String) extends Stmt
+  final case class ElementStmt(element: Graphv.Element,
+      legend: String) extends Stmt
+  final case class XportStmt(vname: String, legend: String) extends Stmt
+
+  def parse(args: Seq[String]): Seq[Stmt] = args.map(parseOne)
+
+  def parseOne(arg: String): Stmt = {
+    val (kind, rest) = arg.span(_ != ':')
+    val body = rest.drop(1)
+    kind match {
+      case "DEF" =>
+        // vname=path:ds:CF[:step=N] — path may itself contain ':' (sql//)
+        val eq = body.indexOf('=')
+        require(eq > 0, s"bad DEF '$arg'")
+        val vname = body.take(eq)
+        val parts = body.drop(eq + 1).split(":").toIndexedSeq
+        require(parts.length >= 3, s"DEF needs path:ds:CF: '$arg'")
+        // the CF token anchors the layout; anything before <ds> is the
+        // path (re-joined in case it contained ':')
+        val cfIdx = parts.indexWhere(p => Cf.all.exists(_.name == p))
+        require(cfIdx >= 2, s"DEF needs path:ds:CF: '$arg'")
+        val cf = Cf.parse(parts(cfIdx))
+        val ds = parts(cfIdx - 1)
+        val path = parts.take(cfIdx - 1).mkString(":")
+        val step = parts.drop(cfIdx + 1).collectFirst {
+          case s if s.startsWith("step=") => s.drop(5).toLong
+        }
+        DefStmt(vname, path, ds, cf, step)
+      case "CDEF" =>
+        val eq = body.indexOf('=')
+        require(eq > 0, s"bad CDEF '$arg'")
+        CdefStmt(body.take(eq), body.drop(eq + 1))
+      case "VDEF" =>
+        val eq = body.indexOf('=')
+        require(eq > 0, s"bad VDEF '$arg'")
+        val toks = body.drop(eq + 1).split(",").toIndexedSeq
+        toks.length match {
+          case 2 => VdefStmt(body.take(eq), toks(0), toks(1), Double.NaN)
+          case 3 => // src,p,PERCENT form (rrd_graph.c:5760-5860)
+            VdefStmt(body.take(eq), toks(0), toks(2), toks(1).toDouble)
+          case _ => throw new IllegalArgumentException(s"bad VDEF '$arg'")
+        }
+      case "SHIFT" =>
+        val parts = body.split(":")
+        ShiftStmt(parts(0) + "_shifted", parts(0), parts(1).toLong)
+      case "PRINT" | "GPRINT" =>
+        val i = body.indexOf(':')
+        PrintStmt(body.take(i), stripQuotes(body.drop(i + 1)))
+      case "XPORT" =>
+        val parts = body.split(":", 2)
+        XportStmt(parts(0),
+          if (parts.length > 1) stripQuotes(parts(1)) else parts(0))
+      case k if k.startsWith("LINE") || k == "AREA" || k == "STACK" =>
+        val parts = body.split(":")
+        val valueTok = parts(0).takeWhile(_ != '#')
+        val stack = k == "STACK" || parts.exists(_ == "STACK")
+        val legend = parts.drop(1).headOption
+          .filterNot(_ == "STACK").map(stripQuotes).getOrElse("")
+        val e = valueTok.toDoubleOption match {
+          case Some(v) => Graphv.Element.const(v, stack)
+          case None => Graphv.Element.line(valueTok, stack)
+        }
+        ElementStmt(e, legend)
+      case "TICK" =>
+        val vname = body.split(":")(0).takeWhile(_ != '#')
+        ElementStmt(Graphv.Element.tick(vname), "")
+      case "HRULE" | "VRULE" | "COMMENT" | "TEXTALIGN" =>
+        // render-only: carried as metadata with no data contribution
+        ElementStmt(Graphv.Element.const(Double.NaN, stack = false)
+          .copy(skipScale = true), stripQuotes(body))
+      case other => throw new IllegalArgumentException(
+        s"unknown graph statement '$other'")
+    }
+  }
+
+  private def stripQuotes(s: String): String =
+    s.stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'")
+
+  /** graphv data outputs. */
+  final case class Result(
+      prints: Seq[String],
+      xport: Option[DataFrame],
+      xportLegend: Seq[String],
+      valueMin: Option[Double],
+      valueMax: Option[Double])
+
+  def run(spark: SparkSession, stmts: Seq[Stmt], startSec: Long,
+      endSec: Long, series: Seq[String] = Nil, seriesKey: Seq[Any] = Nil,
+      xsize: Int = 400, timeZone: String = "UTC"): Result = {
+    val plan = new GraphPlan(spark, startSec, endSec, timeZone)
+    var prints = Vector.empty[String]
+    var magfact = -1.0
+    var elements = Vector.empty[(String, Graphv.Element)]
+    var xports = Vector.empty[(String, String)]
+    stmts.foreach {
+      case DefStmt(vname, path, ds, cf, stepOpt) =>
+        val frame =
+          if (path.startsWith("sql//") || path.startsWith("cb//")) {
+            val step = stepOpt.getOrElse(300L)
+            val src = DefSource.resolve(spark, path)
+              .groupBy(((expr(s"(ts_sec - 1) div $step") + 1) * step)
+                .as("bts"))
+              .agg(avg("value").as(ds))
+            Fetch.fetch(spark, src, "bts", Seq(ds), startSec, endSec, step)
+          } else {
+            val f = RrdStore.fetch(spark, path, cf, ds, series, startSec,
+              endSec, stepOpt.getOrElse(RrdStore.readSchema(path).stepSec))
+            val keyed = series.zip(seriesKey).foldLeft(f) {
+              case (d, (c, v)) => d.where(col(c) === v)
+            }
+            keyed.select(col("ts"), col(ds))
+          }
+        // recover the fetched step from the grid (fetch may have chosen
+        // a different RRA than requested)
+        val ts2 = frame.select("ts").orderBy("ts").limit(2)
+          .collect().map(_.getLong(0))
+        val actualStep = if (ts2.length == 2) ts2(1) - ts2(0)
+          else stepOpt.getOrElse(300L)
+        plan.defineAligned(vname, frame, ds, actualStep)
+      case CdefStmt(vname, rpn) => plan.cdef(vname, rpn)
+      case VdefStmt(vname, src, op, param) => plan.vdef(vname, src, op, param)
+      case ShiftStmt(vname, src, off) => plan.shift(vname, src, off)
+      case PrintStmt(vname, fmt) =>
+        val (line, mf) = plan.print(vname, fmt, magfact)
+        magfact = mf
+        prints :+= line
+      case ElementStmt(e, legend) if e.vname.isDefined =>
+        elements :+= (e.vname.get -> e)
+      case ElementStmt(_, _) => () // const/rule: no series to resolve
+      case XportStmt(vname, legend) => xports :+= (vname -> legend)
+    }
+    val (vmin, vmax) =
+      if (elements.isEmpty) (None, None)
+      else {
+        val step = elements.map(e => plan.seriesOf(e._1).step).min
+        val frame = elements.map(_._1).distinct
+          .map(n => plan.seriesOf(n).df)
+          .reduce(_.join(_, Seq("ts"), "outer"))
+        val (_, mn, mx) = Graphv.dataProc(spark, frame, "ts",
+          elements.zipWithIndex.map { case ((n, e), i) => s"p$i" -> e },
+          startSec, endSec, step, xsize)
+        (mn, mx)
+      }
+    Result(prints,
+      if (xports.isEmpty) None else Some(plan.xport(xports.map(_._1))),
+      xports.map(_._2), vmin, vmax)
+  }
+}

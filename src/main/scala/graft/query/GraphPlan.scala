@@ -60,6 +60,14 @@ final class GraphPlan(spark: SparkSession, startSec: Long, endSec: Long,
     this
   }
 
+  /** DEF over an already grid-aligned (ts, value) frame at `step`. */
+  def defineAligned(vname: String, frame: DataFrame, valueCol: String,
+      step: Long): GraphPlan = {
+    series(vname) = Series(
+      frame.select(col("ts"), col(valueCol).as(vname)), step)
+    this
+  }
+
   /** CDEF: RPN over earlier vnames; VDEF names substitute as constants.
     * Result step = gcd of the referenced series' steps. */
   def cdef(vname: String, rpn: String): GraphPlan = {
