@@ -1,0 +1,155 @@
+package graft.cli
+
+import graft.model.{Cf, RrdSchema}
+import graft.store.{Dump, Modify, RrdStore}
+import graft.time.AtTime
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The command surface (SURVEY.md §7 item 6;
+  * /root/reference/src/rrd_tool.c:696-851 dispatch): every reference
+  * command a user runs today, re-expressed over the store — results come
+  * back as DataFrames / values instead of stdout text.
+  *
+  * {{{
+  * create <path> --start <at> --step <s> DS:… RRA:…
+  * update <path> [--template a:b] <time:v1:v2> …
+  * fetch <path> <CF> --start <at> --end <at> [--resolution <s>]
+  * xport / graphv --start --end <DEF:…|CDEF:…|…>   (GraphScript)
+  * first/last/lastupdate/info/dump/restore/tune/resize/list
+  * }}}
+  */
+final class Commands(spark: SparkSession, nowSec: Long = 0L,
+    series: Seq[String] = Seq("k"), defaultKey: Seq[Any] = Seq("rrd")) {
+
+  /** AT grammar, with plain integers accepted as epoch seconds (the
+    * reference disambiguates short digit strings as HHMM/dates; for an
+    * API the literal epoch is the less surprising reading). */
+  private def at(spec: String): Long =
+    if (spec.matches("-?\\d+")) spec.toLong
+    else AtTime.parse(spec, AtTime.RefTimes(nowSec))
+
+  /** create: "--start <at> --step <sec>" + DS:/RRA: specs
+    * (rrd_create.c). */
+  def create(path: String, args: Seq[String]): Unit = {
+    val (opts, specs) = parseOpts(args)
+    RrdStore.create(path, RrdSchema.parse(
+      opts.getOrElse("step", "300").toLong,
+      opts.get("start").map(at).getOrElse(nowSec),
+      specs))
+  }
+
+  /** update: parse "time:v1:v2" args against the schema and ingest
+    * (single implicit series = this facade's defaultKey). */
+  def update(path: String, args: Seq[String],
+      template: Option[Seq[String]] = None): Unit = {
+    import spark.implicits._
+    val schema = RrdStore.readSchema(path)
+    val rows = args.map { a =>
+      val u = graft.ingest.UpdateParser.parse(a, schema, template, nowSec)
+      (defaultKey.head.toString, u.tsUs,
+        schema.ds.map(d => u.values(d.name)))
+    }
+    val base = rows.map { case (k, ts, vs) => (k, ts) }.toDF("k", "ts_us")
+    val withVs = schema.ds.zipWithIndex.foldLeft(
+      rows.map { case (k, ts, vs) =>
+        (k, ts, vs.map(_.map(Double.box).orNull))
+      }.toDF("k", "ts_us", "__vs")) { case (d, (ds, i)) =>
+      d.withColumn(ds.name, element_at(col("__vs"), i + 1).cast("double"))
+    }.drop("__vs")
+    RrdStore.update(spark, path, withVs, Seq("k"), "ts_us", "ts_us",
+      schema.ds.map(d => d.name -> d.name).toMap)
+  }
+
+  /** fetch <CF> --start --end [--resolution] → aligned grid frame. */
+  def fetch(path: String, cf: String, args: Seq[String]): DataFrame = {
+    val (opts, _) = parseOpts(args)
+    val end = opts.get("end").map(at).getOrElse(nowSec)
+    val start = opts.get("start").map(at).getOrElse(end - 86400)
+    val schema = RrdStore.readSchema(path)
+    val res = opts.get("resolution").map(_.toLong)
+      .getOrElse(schema.stepSec)
+    val ds = opts.getOrElse("ds", schema.ds.head.name)
+    RrdStore.fetch(spark, path, Cf.parse(cf), ds, series, start, end, res)
+  }
+
+  /** xport/graphv data outputs via [[GraphScript]]. */
+  def graphv(args: Seq[String]): GraphScript.Result = {
+    val (opts, stmts) = parseOpts(args)
+    val end = opts.get("end").map(at).getOrElse(nowSec)
+    val start = opts.get("start").map(at).getOrElse(end - 86400)
+    GraphScript.run(spark, GraphScript.parse(stmts), start, end,
+      series, defaultKey)
+  }
+
+  def first(path: String, rraIdx: Int = 0): Long = {
+    val df = spark.read.parquet(s"$path/rra$rraIdx")
+    df.agg(min("ts")).first().getLong(0)
+  }
+
+  def last(path: String): Long = {
+    val schema = RrdStore.readSchema(path)
+    val finest = schema.rras.indices.minBy(schema.rras(_).pdpCnt)
+    spark.read.parquet(s"$path/rra$finest").agg(max("ts")).first().getLong(0)
+  }
+
+  /** lastupdate: newest slot's values per DS. */
+  def lastupdate(path: String): DataFrame = {
+    val schema = RrdStore.readSchema(path)
+    val finest = schema.rras.indices.minBy(schema.rras(_).pdpCnt)
+    val t = spark.read.parquet(s"$path/rra$finest")
+    t.orderBy(col("ts").desc).limit(1)
+  }
+
+  def info(path: String): Seq[(String, String)] = Dump.info(spark, path)
+  def dump(path: String, out: String): Unit = Dump.dump(spark, path, out)
+  def restore(in: String, path: String): Unit =
+    Dump.restore(spark, in, path)
+  def list(root: String): Seq[String] = Dump.list(root)
+
+  /** tune: "--heartbeat ds:s | --minimum ds:v | --maximum ds:v |
+    * --data-source-rename old:new" (rrd_tune.c option surface). */
+  def tune(path: String, args: Seq[String]): Unit = {
+    val (opts, _) = parseOpts(args)
+    def split(v: String): (String, String) = {
+      val i = v.lastIndexOf(':'); (v.take(i), v.drop(i + 1))
+    }
+    opts.get("heartbeat").foreach { v =>
+      val (ds, hb) = split(v); Modify.tuneHeartbeat(path, ds, hb.toLong)
+    }
+    opts.get("minimum").foreach { v =>
+      val (ds, m) = split(v)
+      Modify.tuneMin(path, ds, if (m == "U") None else Some(m.toDouble))
+    }
+    opts.get("maximum").foreach { v =>
+      val (ds, m) = split(v)
+      Modify.tuneMax(path, ds, if (m == "U") None else Some(m.toDouble))
+    }
+    opts.get("data-source-rename").foreach { v =>
+      val (from, to) = split(v); Modify.renameDs(spark, path, from, to)
+    }
+  }
+
+  /** resize <rra#> GROW|SHRINK <rows> (rrd_resize.c:40-45). */
+  def resize(path: String, rraIdx: Int, mode: String, rows: Long): Unit =
+    mode.toUpperCase match {
+      case "GROW" => Modify.resize(spark, path, rraIdx, rows, series)
+      case "SHRINK" => Modify.resize(spark, path, rraIdx, -rows, series)
+      case other => throw new IllegalArgumentException(
+        s"I can only GROW or SHRINK (got $other)")
+    }
+
+  /** "--opt value" pairs split from positional args. */
+  private def parseOpts(args: Seq[String]): (Map[String, String], Seq[String]) = {
+    var opts = Map.empty[String, String]
+    val rest = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--") && i + 1 < args.length) {
+        opts += (a.drop(2) -> args(i + 1)); i += 2
+      } else { rest += a; i += 1 }
+    }
+    (opts, rest.result())
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.cli.Commands
+import org.apache.spark.sql.functions._
+
+/** The rrd_tool.c command dispatch driven exactly as a reference user
+  * would: create → update → fetch → tune → graphv → dump/list. */
+class CommandsSpec extends SparkSuite {
+
+  test("create/update/fetch/first/last/lastupdate round trip") {
+    val c = new Commands(spark, nowSec = 1000L)
+    val path = java.nio.file.Files.createTempDirectory("graft_cmd").toString
+    c.create(path, Seq("--start", "0", "--step", "10",
+      "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100", "RRA:MAX:0.5:6:50"))
+    c.update(path, (1 to 20).map(i => s"${i * 10}:7.5"))
+    val f = c.fetch(path, "AVERAGE",
+      Seq("--start", "0", "--end", "200", "--resolution", "10"))
+    import spark.implicits._
+    val vs = f.orderBy("ts").select("v").as[Option[Double]].collect()
+    assert(vs.count(_.contains(7.5)) == 19) // first slot lost to rate lag
+    assert(c.first(path) == 20L)
+    assert(c.last(path) == 200L)
+    assert(c.lastupdate(path).select("ts").as[Long].head() == 200L)
+
+    c.tune(path, Seq("--heartbeat", "v:1200",
+      "--data-source-rename", "v:speed"))
+    assert(c.info(path).toMap.apply("ds[speed].minimal_heartbeat") == "1200")
+
+    val g = c.graphv(Seq("--start", "-10", "--end", "200",
+      s"DEF:a=$path:speed:AVERAGE",
+      "CDEF:b=a,10,*",
+      "VDEF:m=b,MAXIMUM",
+      "PRINT:m:%lf"))
+    assert(g.prints == Seq("75.000000"))
+
+    val out = java.nio.file.Files.createTempDirectory("graft_cmdd").toString
+    c.dump(path, s"$out/d")
+    assert(c.list(out) == Seq("d")) // a dump is itself restorable
+    c.restore(s"$out/d", s"$out/restored")
+    assert(c.list(out) == Seq("d", "restored"))
+  }
+}
