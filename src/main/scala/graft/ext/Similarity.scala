@@ -54,6 +54,39 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding leg
+    * of the north-star): hyperplane buckets propose candidates — the
+    * left side probes its bucket plus every single-bit flip, so pairs
+    * split by one plane are still found — exact cosine >= tau verifies.
+    * Same candidates-only shape as the text LSH dedups: the join keys
+    * are buckets, never all pairs; oversized buckets are capped.
+    * (The testdata embeddings top out near cosine 0.5, so this operator
+    * is spec-covered on constructed near-dups rather than oracle-backed.)
+    */
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: String, dim: Int,
+      tau: Double, planes: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    val keyed = df.select(col(id).as("doc_id"), col(vec).as("v"),
+        norm(col(vec), dim).as("n"),
+        hyperplaneKey(col(vec), dim, planes).as("bucket"))
+      .persist()
+    val capped = keyed.join(
+      keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .where(col("bn") <= maxBucket).select("bucket"),
+      Seq("bucket"))
+    val probes = array(col("bucket") +: (0 until planes).map(p =>
+      col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val a = capped.select(explode(probes).as("bucket"),
+      col("doc_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
+    val b = capped.select(col("bucket"), col("doc_id").as("id2"),
+      col("v").as("v2"), col("n").as("n2"))
+    a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2"), dim) / (col("n1") * col("n2")))
+          .as("cosine"))
+      .where(col("cosine") >= tau)
+      .distinct()
+  }
+
   /** Random-hyperplane LSH bucket key: `planes` sign bits, plane p's
     * component d = ±1 from md5(p:d) (deterministic, no RNG state).
     * Vectors sharing a bucket are near in angle with high probability;

@@ -37,9 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object RrdStore {
 
-  /** Write the schema sidecar (create; overwrite = destroy + recreate). */
-  def create(path: String, schema: RrdSchema): Unit = {
+  /** Write the schema sidecar (create; overwrite = destroy + recreate;
+    * `noOverwrite` refuses an existing store — the --no-overwrite flag,
+    * tests/create-no-overwrite). */
+  def create(path: String, schema: RrdSchema,
+      noOverwrite: Boolean = false): Unit = {
     val dir = Paths.get(path)
+    if (noOverwrite && Files.exists(dir.resolve("schema.rrd")))
+      throw new IllegalStateException(
+        s"creating '$path': File exists (--no-overwrite)")
     Files.createDirectories(dir)
     val lines = Seq(s"${schema.stepSec} ${schema.startSec}") ++
       schema.ds.map(d => d.dst match {
