@@ -107,10 +107,22 @@ object RraDef {
         case (c @ (Cf.Average | Cf.Min | Cf.Max | Cf.Last),
             xff :: steps :: rows :: Nil) =>
           RraDef(c, xff.toDouble, steps.toLong, rows.toLong)
-        case (c @ (Cf.HwPredict | Cf.MhwPredict), rows :: a :: b :: per :: _) =>
-          RraDef(c, rowCnt = rows.toLong,
-            hw = Some(HwParams(alpha = a.toDouble, beta = b.toDouble,
-              period = per.toLong)))
+        case (c @ (Cf.HwPredict | Cf.MhwPredict), rows :: a :: b :: per :: extra) =>
+          // optional trailing fields persist tuned values the reference
+          // keeps in rra par words: gamma, delta+/-, threshold, window,
+          // smoothing-window (rrd_tune.c:344-360)
+          val base = HwParams(alpha = a.toDouble, beta = b.toDouble,
+            period = per.toLong)
+          val tuned = extra.map(_.toDouble) match {
+            case g :: dp :: dn :: thr :: win :: sw :: Nil =>
+              base.copy(gamma = g, deltaPos = dp, deltaNeg = dn,
+                failThreshold = thr.toInt, windowLen = win.toInt,
+                smoothingWindow = sw)
+            case Nil => base
+            case other => throw new IllegalArgumentException(
+              s"bad HWPREDICT extras $other")
+          }
+          RraDef(c, rowCnt = rows.toLong, hw = Some(tuned))
         case (c @ (Cf.Seasonal | Cf.DevSeasonal), per :: g :: _) =>
           RraDef(c, rowCnt = per.toLong,
             hw = Some(HwParams(gamma = g.toDouble, period = per.toLong)))

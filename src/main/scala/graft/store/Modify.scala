@@ -54,6 +54,30 @@ object Modify {
     }
   }
 
+  /** tune --alpha/--beta/--gamma/--deltapos/--deltaneg/
+    * --failure-threshold/--window-length (rrd_tune.c:344-360): adjust a
+    * Holt-Winters RRA's parameters in place. */
+  def tuneHw(path: String, rraIdx: Int)(
+      f: graft.model.HwParams => graft.model.HwParams): Unit =
+    rewriteSchema(path) { s =>
+      val r = s.rras(rraIdx)
+      require(r.hw.isDefined, s"RRA $rraIdx carries no HW parameters")
+      s.copy(rras = s.rras.updated(rraIdx, r.copy(hw = r.hw.map(f))))
+    }
+
+  /** tune --aberrant-reset <ds> (rrd_tune.c:100-118, rrd_hw.c:331-401):
+    * erase the model state — under append storage the HW family tables
+    * are dropped and rematerialize from scratch on the next update. */
+  def aberrantReset(spark: SparkSession, path: String): Unit = {
+    val schema = RrdStore.readSchema(path)
+    val hwCfs: Set[Cf] = Set(Cf.HwPredict, Cf.MhwPredict, Cf.Seasonal,
+      Cf.DevSeasonal, Cf.DevPredict, Cf.Failures)
+    schema.rras.zipWithIndex.foreach { case (r, i) =>
+      if (hwCfs(r.cf))
+        deleteRecursively(java.nio.file.Paths.get(s"$path/rra$i"))
+    }
+  }
+
   // ---- resize (rrd_resize.c): GROW | SHRINK one RRA ------------------
 
   def resize(spark: SparkSession, path: String, rraIdx: Int, deltaRows: Long,

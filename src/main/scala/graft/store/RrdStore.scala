@@ -60,7 +60,9 @@ object RrdStore {
             s"RRA:${r.cf.name}:${r.xff}:${r.pdpCnt}:${r.rowCnt}"
           case Cf.HwPredict | Cf.MhwPredict =>
             val h = r.hw.get
-            s"RRA:${r.cf.name}:${r.rowCnt}:${h.alpha}:${h.beta}:${h.period}"
+            s"RRA:${r.cf.name}:${r.rowCnt}:${h.alpha}:${h.beta}:${h.period}:" +
+              s"${h.gamma}:${h.deltaPos}:${h.deltaNeg}:${h.failThreshold}:" +
+              s"${h.windowLen}:${h.smoothingWindow}"
           case Cf.Seasonal | Cf.DevSeasonal =>
             val h = r.hw.get
             s"RRA:${r.cf.name}:${h.period}:${h.gamma}:1"

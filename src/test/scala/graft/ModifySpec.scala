@@ -78,6 +78,31 @@ class ModifySpec extends SparkSuite {
     assert(RrdStore.readSchema(restored) == s)
   }
 
+  test("tune HW params + aberrant-reset drop and rebuild the model") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_hwt").toString
+    val hw = HwParams(alpha = 0.1, beta = 0.035, gamma = 0.1, period = 4L)
+    RrdStore.create(path, RrdSchema(10L, 0L,
+      Seq(DsDef("v", Dst.Gauge, 600L)),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 100L),
+        RraDef(Cf.HwPredict, rowCnt = 50L, hw = Some(hw)),
+        RraDef(Cf.Seasonal, rowCnt = 4L, hw = Some(hw)))))
+    val samples = (0 to 12).map(i => ("s1", i * 10000000L, i.toLong, 5.0))
+      .toDF("k", "ts_us", "id", "v")
+    RrdStore.update(spark, path, samples, Seq("k"), "ts_us", "id",
+      Map("v" -> "v"), rateScale = Some(2))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/rra1")))
+    Modify.tuneHw(path, 1)(_.copy(alpha = 0.25))
+    assert(RrdStore.readSchema(path).rras(1).hw.get.alpha == 0.25)
+    Modify.aberrantReset(spark, path)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/rra1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/rra0")))
+    // next update rematerializes the model with the tuned alpha
+    RrdStore.update(spark, path, samples, Seq("k"), "ts_us", "id",
+      Map("v" -> "v"), rateScale = Some(2))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/rra1")))
+  }
+
   test("updatev returns the written rollup rows per RRA") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_uv").toString
