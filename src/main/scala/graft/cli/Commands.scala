@@ -50,7 +50,6 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
       (defaultKey.head.toString, u.tsUs,
         schema.ds.map(d => u.values(d.name)))
     }
-    val base = rows.map { case (k, ts, vs) => (k, ts) }.toDF("k", "ts_us")
     val withVs = schema.ds.zipWithIndex.foldLeft(
       rows.map { case (k, ts, vs) =>
         (k, ts, vs.map(_.map(Double.box).orNull))

@@ -121,7 +121,7 @@ final class GraphPlan(spark: SparkSession, startSec: Long, endSec: Long,
         case d: java.lang.Double => d.doubleValue
         case other => other.toString.toDouble
       }
-    def extreme(isMax: Boolean, timeOf: Boolean): Scalar = {
+    def extreme(isMax: Boolean): Scalar = {
       val ext = one(if (isMax) max(v) else min(v))
       ext match {
         case None => Scalar(None, None)
@@ -131,8 +131,8 @@ final class GraphPlan(spark: SparkSession, startSec: Long, endSec: Long,
       }
     }
     val res = op match {
-      case "MAXIMUM" => extreme(isMax = true, timeOf = true)
-      case "MINIMUM" => extreme(isMax = false, timeOf = true)
+      case "MAXIMUM" => extreme(isMax = true)
+      case "MINIMUM" => extreme(isMax = false)
       case "AVERAGE" => Scalar(one(Vdef.average(v)), None)
       case "STDEV" => Scalar(one(Vdef.stdev(v)), None)
       case "TOTAL" => Scalar(one(Vdef.total(v, s.step)), None)
