@@ -727,7 +727,7 @@ object SparkEntry {
         |        CAST(ts_us - pt AS DOUBLE) / 1000000.0 AS iv
         | FROM r)
         |SELECT user_id, event_id,
-        | CASE WHEN iv > 7200.0 THEN NULL ELSE value END AS gauge_r,
+        | CASE WHEN iv IS NULL OR iv > 7200.0 THEN NULL ELSE value END AS gauge_r,
         | CASE WHEN iv > 7200.0 THEN NULL ELSE value / iv END AS abs_r,
         | CASE WHEN (CASE WHEN iv > 7200.0 THEN NULL ELSE (value - pv) / iv END) < -0.01
         |        OR (CASE WHEN iv > 7200.0 THEN NULL ELSE (value - pv) / iv END) > 0.01
@@ -916,7 +916,7 @@ object SparkEntry {
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |s AS (
         | SELECT user_id, event_id, ts_us,
-        |  CASE WHEN iv > 7200.0 THEN NULL ELSE value END AS gauge_r,
+        |  CASE WHEN iv IS NULL OR iv > 7200.0 THEN NULL ELSE value END AS gauge_r,
         |  CASE WHEN iv > 7200.0 THEN NULL ELSE value / iv END AS abs_r
         | FROM r)
         |SELECT user_id, event_id, gauge_r, abs_r,

