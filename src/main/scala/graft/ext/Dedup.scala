@@ -65,6 +65,19 @@ object Dedup {
         concat_ws(",", transform(slice(sig, b * r + 1, lit(r)),
           _.cast("string"))))))
 
+  /** Rows of `banded` whose band bucket has ≤ `maxBand` members — the
+    * count comes from a window over the band partition, so the cap rides
+    * the SAME band-key shuffle the candidate self-join needs (no second
+    * aggregation pass over the signatures, and no cache: the self-join's
+    * two sides are the identical subplan, so Spark's exchange reuse
+    * materializes this shuffle once). */
+  private def capBands(banded: DataFrame, band: String,
+      maxBand: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(band))
+    banded.withColumn("__bn", count(lit(1)).over(w))
+      .where(col("__bn") <= maxBand).drop("__bn")
+  }
+
   /** Candidate near-dup pairs via LSH: docs sharing ≥1 band key.
     * Output: (id1, id2, sig_agreement) with id1 < id2, distinct pairs.
     *
@@ -73,8 +86,9 @@ object Dedup {
     *   - `maxBand` drops band buckets with more members than the cap
     *     before the self-join (a bucket of m docs costs m² pairs; docs
     *     that duplicate-heavy are caught by [[exactGroups]] anyway);
-    *   - the banded projection is cached so the signature computation
-    *     (the expensive part) runs once, not once per join side.
+    *   - both join sides are the same banded subplan, so the signature
+    *     computation (the expensive part) runs once via exchange reuse —
+    *     no operator-internal `.persist()` left to leak (round-2 defect).
     */
   def lshCandidates(df: DataFrame, id: String, text: String,
       k: Int = 3, h: Int = 16, r: Int = 4,
@@ -83,11 +97,7 @@ object Dedup {
         minhashSignature(shingles(col(text), k), h).as("sig"))
     val banded = base.select(col("doc_id"), col("sig"),
         explode(bandKeys(col("sig"), h, r)).as("band"))
-      .persist()
-    val capped = banded.join(
-      banded.groupBy("band").agg(count(lit(1)).as("bn"))
-        .where(col("bn") <= maxBand).select("band"),
-      Seq("band"))
+    val capped = capBands(banded, "band", maxBand)
     val a = capped.select(col("band"), col("doc_id").as("id1"),
       col("sig").as("sig1"))
     val b = capped.select(col("band"), col("doc_id").as("id2"),
@@ -108,17 +118,27 @@ object Dedup {
   /** SimHash signature over distinct tokens, `bits` ≤ 32: bit i set iff
     * Σ_tokens (md5-hex digit i ≥ '8' ? +1 : -1) > 0. md5-derived and
     * engine-portable; hamming distance on the resulting int detects
-    * near-dups. */
+    * near-dups.
+    *
+    * Evaluation shape (the q28 hot path): `transform` materializes ONE
+    * md5 hex per distinct token, then a single `aggregate` fold carries
+    * a `bits`-wide vote array — the same hash-once layout as
+    * [[minhashSignature]]. Putting `md5(w)` under per-bit expressions
+    * (the round-2 version) re-hashed every token `bits` times because
+    * Catalyst does not CSE across higher-order-function lambdas. */
   def simhash(text: Column, bits: Int): Column = {
-    val wd = array_distinct(TextAnalysis.words(text))
-    val terms = (1 to bits).map { i =>
-      val vote = aggregate(
-        transform(wd, w =>
-          when(substring(md5(w), i, 1) >= "8", lit(1)).otherwise(lit(-1))),
-        lit(0), (acc, x) => acc + x)
-      when(vote > 0, lit(1L << (i - 1))).otherwise(lit(0L))
-    }
-    terms.reduce(_ + _)
+    val hexes = transform(array_distinct(TextAnalysis.words(text)),
+      w => md5(w))
+    val votes = aggregate(hexes,
+      array_repeat(lit(0), bits),
+      (acc, hex) => zip_with(acc, sequence(lit(1), lit(bits)),
+        (a, i) => a + when(hex.substr(i, lit(1)) >= "8", lit(1))
+          .otherwise(lit(-1))))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(bits - 1)), (v, i) =>
+        when(v > 0, pow(lit(2.0), i.cast("double")).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two simhash signatures. */
@@ -140,11 +160,7 @@ object Dedup {
           .cast("string")))
     val banded = df.select(col(id).as("doc_id"), col(sig).as("sig"),
         explode(array(bandExprs: _*)).as("band"))
-      .persist()
-    val capped = banded.join(
-      banded.groupBy("band").agg(count(lit(1)).as("bn"))
-        .where(col("bn") <= maxBand).select("band"),
-      Seq("band"))
+    val capped = capBands(banded, "band", maxBand)
     val a = capped.select(col("band"), col("doc_id").as("id1"),
       col("sig").as("sig1"))
     val b = capped.select(col("band"), col("doc_id").as("id2"),

@@ -65,14 +65,15 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, id: String, vec: String, dim: Int,
       tau: Double, planes: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    // Cap check rides a window count over the bucket partition — one
+    // shuffle, no operator-internal persist (round-2 leak). The probe
+    // side re-derives keys/norms (cheap column math, no shuffle).
     val keyed = df.select(col(id).as("doc_id"), col(vec).as("v"),
         norm(col(vec), dim).as("n"),
         hyperplaneKey(col(vec), dim, planes).as("bucket"))
-      .persist()
-    val capped = keyed.join(
-      keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
-        .where(col("bn") <= maxBucket).select("bucket"),
-      Seq("bucket"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val capped = keyed.withColumn("__bn", count(lit(1)).over(wb))
+      .where(col("__bn") <= maxBucket).drop("__bn")
     val probes = array(col("bucket") +: (0 until planes).map(p =>
       col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val a = capped.select(explode(probes).as("bucket"),
@@ -90,19 +91,31 @@ object Similarity {
   /** Random-hyperplane LSH bucket key: `planes` sign bits, plane p's
     * component d = ±1 from md5(p:d) (deterministic, no RNG state).
     * Vectors sharing a bucket are near in angle with high probability;
-    * search cost drops from O(n) to O(n / 2^planes) per query. */
+    * search cost drops from O(n) to O(n / 2^planes) per query.
+    *
+    * The ±1 matrix is data-independent, so it is computed ONCE on the
+    * driver (same md5 derivation — oracles replaying md5(p:d) signs in
+    * SQL still match) and emitted as literal sign arrays; the round-2
+    * version evaluated planes×dim md5 calls per ROW for a constant. */
   def hyperplaneKey(v: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
+      val signs: Array[Double] = Array.tabulate(dim) { d =>
+        if (hyperplaneSign(p, d + 1)) 1.0 else -1.0
+      }
       val proj = aggregate(
-        transform(sequence(lit(1), lit(dim)), i =>
-          when(substring(md5(concat(lit(p.toString), lit(":"),
-              i.cast("string"))), 1, 1) >= "8",
-            element_at(v, i).cast("double"))
-            .otherwise(-element_at(v, i).cast("double"))),
+        zip_with(v, lit(signs), (x, s) => x.cast("double") * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Sign of hyperplane p's component d (1-based), from the first hex
+    * digit of md5("p:d") — the exact derivation the SQL oracles replay. */
+  private def hyperplaneSign(p: Int, d: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+    ((hex(0) >> 4) & 0xf) >= 8
   }
 
   /** LSH-bucketed ANN: candidates share a hyperplane bucket; exact

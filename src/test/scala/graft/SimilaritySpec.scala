@@ -32,4 +32,20 @@ class SimilaritySpec extends SparkSuite {
     // and nothing across clusters sneaks past tau
     assert(pairs.forall { case (a, b) => b == a + 1 && a % 2 == 0 })
   }
+
+  test("candidate operators leave no lingering cached RDDs") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i =>
+      (i.toLong, s"the quick brown fox ${i % 7} jumps over dog $i")).toDF("doc_id", "text")
+    ext.Dedup.lshCandidates(docs, "doc_id", "text").count()
+    val sigs = docs.select(col("doc_id"), ext.Dedup.simhash(col("text"), 16).as("sig"))
+    ext.Dedup.simhashCandidates(sigs, "doc_id", "sig", 16, 4).count()
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(8)((i % 5).toFloat + 0.1f))).toDF("vec_id", "embedding")
+    Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 8, 0.99, planes = 4).count()
+    // Round-2 defect: operator-internal persist() accreted cached blocks
+    // per call. The operators are now single-pass (exchange reuse); the
+    // session must hold zero persistent RDDs after they return.
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
