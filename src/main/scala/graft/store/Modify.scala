@@ -133,12 +133,10 @@ object Modify {
     resize(spark, path, rraIdx, deltaRows, series)
 
   private def rewrite(spark: SparkSession, p: String)(
-      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
-    val tmp = s"$p.rewrite"
-    f(spark.read.parquet(p)).write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(p)
-    deleteRecursively(java.nio.file.Paths.get(tmp))
-  }
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+    // single write + atomic directory swap (the round-2 version wrote the
+    // data twice and could crash between overwrites with no full copy)
+    RrdStore.writeSwap(f(spark.read.parquet(p)), p)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p))

@@ -97,27 +97,10 @@ object RrdStore {
       dsValues: Map[String, String],
       rateScale: Option[Int] = None): Unit = {
     val schema = readSchema(path)
-    // 1. per-DS rate conversion (plain DSTs first, then COMPUTE over them)
-    val (computeDs, plainDs) = schema.ds.partition(_.dst == Dst.Compute)
-    val rated0 = plainDs.foldLeft(samples) { (df, d) =>
-      Rates.withRate(df, series, tsUs, tieBreak, dsValues(d.name), d)
-        .withColumnRenamed("rate", s"rate_${d.name}")
-    }
-    val rated = computeDs.foldLeft(rated0) { (df, d) =>
-      Rates.withComputeRate(df,
-        plainDs.map(p => p.name -> s"rate_${p.name}").toMap, d,
-        out = s"rate_${d.name}")
-    }
-    // 2. PDP normalization per DS, joined on (series, slot)
-    val pdps = schema.ds.map { d =>
-      Normalize.pdp(rated, series, tsUs, s"rate_${d.name}", schema.stepSec,
-          rateScale)
-        .select(series.map(col) :+ col("pdp_ts") :+
-          col("pdp").as(s"pdp_${d.name}"): _*)
-    }
     // cache the normalized PDP frame: every RRA consolidates from it,
     // and without this each RRA append would recompute rates+normalize
-    val pdp = pdps.reduce(_.join(_, series :+ "pdp_ts", "outer")).persist()
+    val pdp = pdpFrame(schema, samples, series, tsUs, tieBreak, dsValues,
+      rateScale).persist()
     // 3. per-RRA consolidation + append. A HWPREDICT/MHWPREDICT RRA and
     // its contingent SEASONAL/DEVSEASONAL/DEVPREDICT/FAILURES rows (the
     // standard creation layout, rrd_create.c:1168-1245) materialize from
@@ -129,13 +112,7 @@ object RrdStore {
     schema.rras.zipWithIndex.foreach { case (rra, i) =>
       rra.cf match {
         case Cf.Average | Cf.Min | Cf.Max | Cf.Last =>
-          val cols = schema.ds.map { d =>
-            Consolidate.cdp(pdp, series, "pdp_ts", s"pdp_${d.name}",
-                schema.stepSec, rra.pdpCnt, rra.cf, rra.xff)
-              .select(series.map(col) :+ col("cdp_ts").as("ts") :+
-                col("cdp").as(d.name): _*)
-          }
-          cols.reduce(_.join(_, series :+ "ts", "outer"))
+          plainRraFrame(schema, rra, pdp, series)
             .write.mode("overwrite").parquet(s"$path/rra$i")
         case Cf.HwPredict | Cf.MhwPredict =>
           val h = rra.hw.get
@@ -175,6 +152,172 @@ object RrdStore {
     pdp.unpersist()
   }
 
+  /** Rate conversion + PDP normalization over a sample frame: series
+    * cols + `pdp_ts` + one `pdp_<ds>` column per DS (stages 1–2 of the
+    * reference's update dataflow, shared by [[update]] and
+    * [[appendBatch]]). */
+  private def pdpFrame(schema: RrdSchema, samples: DataFrame,
+      series: Seq[String], tsUs: String, tieBreak: String,
+      dsValues: Map[String, String],
+      rateScale: Option[Int]): DataFrame = {
+    // per-DS rate conversion (plain DSTs first, then COMPUTE over them)
+    val (computeDs, plainDs) = schema.ds.partition(_.dst == Dst.Compute)
+    val rated0 = plainDs.foldLeft(samples) { (df, d) =>
+      Rates.withRate(df, series, tsUs, tieBreak, dsValues(d.name), d)
+        .withColumnRenamed("rate", s"rate_${d.name}")
+    }
+    val rated = computeDs.foldLeft(rated0) { (df, d) =>
+      Rates.withComputeRate(df,
+        plainDs.map(p => p.name -> s"rate_${p.name}").toMap, d,
+        out = s"rate_${d.name}")
+    }
+    val pdps = schema.ds.map { d =>
+      Normalize.pdp(rated, series, tsUs, s"rate_${d.name}", schema.stepSec,
+          rateScale)
+        .select(series.map(col) :+ col("pdp_ts") :+
+          col("pdp").as(s"pdp_${d.name}"): _*)
+    }
+    pdps.reduce(_.join(_, series :+ "pdp_ts", "outer"))
+  }
+
+  /** Consolidate one plain-CF RRA from the PDP frame: series cols +
+    * `ts` (end-labeled sec) + one value column per DS. */
+  private def plainRraFrame(schema: RrdSchema, rra: RraDef, pdp: DataFrame,
+      series: Seq[String]): DataFrame = {
+    val cols = schema.ds.map { d =>
+      Consolidate.cdp(pdp, series, "pdp_ts", s"pdp_${d.name}",
+          schema.stepSec, rra.pdpCnt, rra.cf, rra.xff)
+        .select(series.map(col) :+ col("cdp_ts").as("ts") :+
+          col("cdp").as(d.name): _*)
+    }
+    cols.reduce(_.join(_, series :+ "ts", "outer"))
+  }
+
+  /** Replace directory `target` with `tmp` in one rename pair (write the
+    * final data ONCE, then swap — the round-2 write-read-rewrite dance
+    * doubled the IO and had a crash window with no surviving copy). */
+  private[store] def swapInto(tmp: String, target: String): Unit = {
+    val (t, g) = (Paths.get(tmp), Paths.get(target))
+    val old = Paths.get(target + ".old")
+    deleteRecursively(old)
+    if (Files.exists(g)) Files.move(g, old)
+    Files.move(t, g)
+    deleteRecursively(old)
+  }
+
+  /** Write `df` next to `target`, then atomically swap it in. Safe when
+    * `df` READS from `target` (the write hits the sibling tmp dir). */
+  private[store] def writeSwap(df: DataFrame, target: String): Unit = {
+    val tmp = target + ".next"
+    df.write.mode("overwrite").parquet(tmp)
+    swapInto(tmp, target)
+  }
+
+  /** Incremental micro-batch ingest — the streaming write path (the
+    * reference's strictly-ordered `rrd_update` append; rrdcached's role
+    * of write-behind batching is played by the caller's micro-batches).
+    *
+    * Unlike [[update]] (idempotent full-batch rematerialization), this
+    * MERGES: new CDP rows replace same-(series, ts) rows and everything
+    * else is kept. Cross-batch continuity comes from a raw-sample tail
+    * sidecar (`<path>/tail`) holding, per series, every sample since the
+    * last bucket horizon plus one older sample — exactly the reference's
+    * `pdp_prep`/`cdp_prep` scratch, re-expressed as data. The horizon is
+    * aligned to the LCM of all RRA steps, so every bucket the
+    * recomputation emits past it is complete; rows at or before a
+    * series' horizon are discarded rather than merged (their buckets
+    * were finalized in earlier batches).
+    *
+    * Requires monotonic input per series (run [[graft.streaming
+    * .StreamingIngest.monotonicGate]] upstream); same-(series, ts)
+    * replays are deduped so foreachBatch retries stay idempotent.
+    *
+    * Scale shape: per batch, one window pass per series over
+    * (tail ∪ batch) — tail size is O(series × lcm-window) — then the
+    * same bounded-explode + hash-agg pipeline as [[update]], and one
+    * anti-join + union per RRA keyed (series, ts). On Delta the merge
+    * is `MERGE INTO`; on parquet it rewrites the RRA, so size RRA
+    * retention (compact) accordingly.
+    *
+    * Holt-Winters RRAs are rejected: their recurrence needs the
+    * stateful resume path, not bucket recomputation.
+    */
+  def appendBatch(spark: SparkSession, path: String, samples: DataFrame,
+      series: Seq[String], tsUs: String, tieBreak: String,
+      dsValues: Map[String, String],
+      rateScale: Option[Int] = None): Unit = {
+    val schema = readSchema(path)
+    val plainCfs: Set[Cf] = Set(Cf.Average, Cf.Min, Cf.Max, Cf.Last)
+    require(schema.rras.forall(r => plainCfs(r.cf)),
+      "appendBatch supports plain-CF RRAs; Holt-Winters families need " +
+        "the batch update() path (stateful streaming HW not yet wired)")
+    val lcmCnt = schema.rras.map(_.pdpCnt).reduce(lcm)
+    val horizonStep = schema.stepSec * lcmCnt
+
+    val keep = (series ++ Seq(tsUs, tieBreak).distinct ++
+      schema.ds.filter(_.dst != Dst.Compute).map(d => dsValues(d.name))
+        .distinct).distinct
+    val fresh = samples.select(keep.map(col): _*)
+      .withColumn("__horizon", lit(Long.MinValue))
+    val tailPath = s"$path/tail"
+    val all0 =
+      if (Files.exists(Paths.get(tailPath)))
+        spark.read.parquet(tailPath).unionByName(fresh)
+      else fresh
+    // same-(series, ts) duplicates are replays of an already-ingested
+    // sample (the gate forbids fresh ones) — keep one
+    val all = all0.dropDuplicates(series :+ tsUs).persist()
+
+    val pdp = pdpFrame(schema, all.drop("__horizon"), series, tsUs,
+      tieBreak, dsValues, rateScale).persist()
+    // per-series finalized-bucket horizon from the previous batch (sec);
+    // Long.MinValue (no tail yet) keeps everything
+    val bFrame = all.groupBy(series.map(col): _*)
+      .agg(max(col("__horizon")).as("__B"))
+    schema.rras.zipWithIndex.foreach { case (rra, i) =>
+      val recomputed = plainRraFrame(schema, rra, pdp, series)
+        .join(bFrame, series)
+        .where(col("ts") > col("__B")).drop("__B")
+      val target = s"$path/rra$i"
+      if (Files.exists(Paths.get(target))) {
+        val existing = spark.read.parquet(target)
+        val merged = existing
+          .join(recomputed.select((series :+ "ts").map(col): _*),
+            series :+ "ts", "left_anti")
+          .unionByName(recomputed)
+        writeSwap(merged, target)
+      } else recomputed.write.mode("overwrite").parquet(target)
+    }
+
+    // trim the tail to the new horizon: floor(newest/L)·L per series,
+    // keeping every sample past it plus the newest one at-or-before it
+    // (the lag source for the first in-window interval)
+    val hUs = horizonStep * 1000000L
+    val wSer = Window.partitionBy(series.map(col): _*)
+    val withB = all.drop("__horizon")
+      .withColumn("__mx", max(col(tsUs)).over(wSer))
+      .withColumn("__B", expr(s"__mx div $hUs") * horizonStep)
+      .drop("__mx")
+    val wOld = Window.partitionBy(series.map(col): _*)
+      .orderBy(col(tsUs).desc)
+    val young = withB.where(col(tsUs) > col("__B") * 1000000L)
+    val oldNewest = withB.where(col(tsUs) <= col("__B") * 1000000L)
+      .withColumn("__rn", row_number().over(wOld))
+      .where(col("__rn") === 1).drop("__rn")
+    writeSwap(
+      young.unionByName(oldNewest)
+        .withColumn("__horizon", col("__B")).drop("__B"),
+      tailPath)
+    pdp.unpersist()
+    all.unpersist()
+  }
+
+  private def lcm(a: Long, b: Long): Long = {
+    @annotation.tailrec def gcd(x: Long, y: Long): Long =
+      if (y == 0) x else gcd(y, x % y)
+    a / gcd(a, b) * b
+  }
+
   /** One row per slot per series between that series' first and last
     * PDP — the continuous grid the sequential HW recurrence requires. */
   private def gridFill(pdp: DataFrame, series: Seq[String], value: String,
@@ -208,14 +351,9 @@ object RrdStore {
     val schema = readSchema(path)
     schema.rras.zipWithIndex.foreach { case (rra, i) =>
       val p = s"$path/rra$i"
-      if (Files.exists(Paths.get(p))) {
-        val kept = retained(spark.read.parquet(p), series, rra,
-          schema.stepSec)
-        val tmp = s"$p.compact"
-        kept.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(p)
-        deleteRecursively(Paths.get(tmp))
-      }
+      if (Files.exists(Paths.get(p)))
+        writeSwap(retained(spark.read.parquet(p), series, rra,
+          schema.stepSec), p)
     }
   }
 
@@ -301,6 +439,15 @@ object RrdStore {
     */
   def fetch(spark: SparkSession, path: String, cf: Cf, ds: String,
       series: Seq[String], startSec: Long, endSec: Long,
+      requestedStepSec: Long): DataFrame =
+    fetchAll(spark, path, cf, Seq(ds), series, startSec, endSec,
+      requestedStepSec)
+
+  /** [[fetch]] over several DS columns in one grid join (the daemon's
+    * FETCH returns every DS of the file — rrd_fetch.c fills an
+    * `rrd_value_t` row per slot). */
+  def fetchAll(spark: SparkSession, path: String, cf: Cf, dss: Seq[String],
+      series: Seq[String], startSec: Long, endSec: Long,
       requestedStepSec: Long): DataFrame = {
     val schema = readSchema(path)
     // nowSec = the store's logical last_up: newest slot across the
@@ -318,8 +465,8 @@ object RrdStore {
     // per-series grid: distinct series keys × slots (broadcastable grid)
     val keys = roll.select(series.map(col): _*).distinct()
     val grid = Fetch.grid(spark, s0, e0, step).crossJoin(keys)
-    grid.join(roll.select(series.map(col) :+ col("ts") :+ col(ds): _*),
+    grid.join(roll.select(series.map(col) :+ col("ts") :++ dss.map(col): _*),
         series :+ "ts", "left")
-      .select(series.map(col) :+ col("ts") :+ col(ds): _*)
+      .select(series.map(col) :+ col("ts") :++ dss.map(col): _*)
   }
 }

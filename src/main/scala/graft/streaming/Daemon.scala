@@ -1,0 +1,198 @@
+package graft.streaming
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.model.Cf
+import graft.store.{Dump, RrdStore}
+import org.apache.spark.sql.SparkSession
+
+/** The rrdcached serving surface (SURVEY.md §2.1 item 5;
+  * /root/reference/src/rrd_daemon.c:2968-3141 command table,
+  * doc/rrdcached.pod response protocol): a line-protocol front end over
+  * one Spark session.
+  *
+  * Role split, mirroring the reference's daemon:
+  *   - **UPDATE / BATCH** are journaled — each command becomes a file in
+  *     `<root>/spool/`, the directory a Structured Streaming text source
+  *     watches ([[StreamingIngest.runUpdates]]). The reference's journal
+  *     + write-behind flush threads (rrd_daemon.c:304-329,1063-1188)
+  *     are the streaming checkpoint + micro-batch cadence.
+  *   - **FETCH / INFO / FIRST / LAST** are served inline from the store
+  *     tables (rrd_daemon.c:2968-3141 handlers onto rrd_fetch_r etc.).
+  *   - **FLUSH / PENDING** are no-ops by construction: a micro-batch
+  *     either committed or will replay from the checkpoint.
+  *
+  * Responses follow the daemon's convention: a status line `N <text>`
+  * where N ≥ 0 counts the payload lines that follow (negative = error,
+  * doc/rrdcached.pod "Protocol").
+  *
+  * Scale note: this socket loop is the single-node convenience front
+  * end (like rrdcached itself). The cluster-scale ingest path is the
+  * same [[StreamingIngest.runUpdates]] query reading Kafka instead of
+  * the spool directory; serving stays on the session.
+  */
+final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L) {
+
+  private val spoolDir = Paths.get(root, "spool")
+  private val updatesReceived = new AtomicLong
+  private val journalBytes = new AtomicLong
+  @volatile private var server: Option[ServerSocket] = None
+
+  def spoolPath: String = spoolDir.toString
+
+  private def storePath(p: String): String = {
+    require(!p.contains(".."), s"path '$p' escapes the root")
+    s"$root/$p"
+  }
+
+  final case class Response(status: Int, text: String,
+      payload: Seq[String] = Nil) {
+    def render: String =
+      (s"$status $text" +: payload).mkString("", "\n", "\n")
+  }
+
+  /** Journal an UPDATE command: one atomically-created spool file per
+    * command (the text file source picks up whole new files only). */
+  private def spool(line: String): Response = {
+    Files.createDirectories(spoolDir)
+    val tmp = spoolDir.resolve(s".${java.util.UUID.randomUUID}.tmp")
+    Files.write(tmp, (line + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, spoolDir.resolve(s"${System.nanoTime}-" +
+      s"${updatesReceived.incrementAndGet}.cmds"),
+      StandardCopyOption.ATOMIC_MOVE)
+    journalBytes.addAndGet(line.length + 1L)
+    Response(0, "errors, enqueued by the streaming journal")
+  }
+
+  /** Execute one protocol line (everything except BATCH framing, which
+    * [[serve]] handles inline). */
+  def execute(line: String): Response = try {
+    val cmd = LineProtocol.parse(line)
+    cmd.verb match {
+      case "UPDATE" => spool(line)
+      case "FLUSH" => Response(0, s"Nothing to flush: ${cmd.path}.")
+      case "PENDING" => Response(0, s"updates pending")
+      case "FORGET" => Response(0, s"Gone!")
+      case "FIRST" =>
+        val path = storePath(cmd.path)
+        val idx = cmd.args.headOption.map(_.toInt).getOrElse(0)
+        val ts = spark.read.parquet(s"$path/rra$idx")
+          .agg(org.apache.spark.sql.functions.min("ts")).first().getLong(0)
+        Response(1, "First UPDATE time", Seq(ts.toString))
+      case "LAST" =>
+        val path = storePath(cmd.path)
+        // true last_up (rrd_last): newest RAW sample, kept in the ingest
+        // tail sidecar; fall back to the finest rollup's newest slot for
+        // stores materialized without one
+        val ts =
+          if (Files.exists(Paths.get(s"$path/tail")))
+            spark.read.parquet(s"$path/tail")
+              .agg(org.apache.spark.sql.functions.max("ts_us")).first()
+              .getLong(0) / 1000000L
+          else {
+            val schema = RrdStore.readSchema(path)
+            val finest = schema.rras.indices.minBy(schema.rras(_).pdpCnt)
+            spark.read.parquet(s"$path/rra$finest")
+              .agg(org.apache.spark.sql.functions.max("ts")).first()
+              .getLong(0)
+          }
+        Response(1, "Last UPDATE time", Seq(ts.toString))
+      case "INFO" =>
+        val kv = Dump.info(spark, storePath(cmd.path))
+        Response(kv.size, s"Info for ${cmd.path}",
+          kv.map { case (k, v) => s"$k = $v" })
+      case "FETCH" =>
+        val path = storePath(cmd.path)
+        val cf = Cf.parse(cmd.args.headOption.getOrElse("AVERAGE"))
+        val end = cmd.args.lift(2).map(_.toLong).getOrElse(nowSec)
+        val start = cmd.args.lift(1).map(_.toLong).getOrElse(end - 86400)
+        val schema = RrdStore.readSchema(path)
+        val dss = if (cmd.args.length > 3) cmd.args.drop(3)
+          else schema.ds.map(_.name)
+        val f = RrdStore.fetchAll(spark, path, cf, dss, Seq("k"),
+            start, end, schema.stepSec)
+          .orderBy("ts").collect()
+        val step = if (f.length >= 2)
+          f(1).getLong(1) - f(0).getLong(1) else schema.stepSec
+        val header = Seq(s"FlushVersion: 1",
+          s"Start: ${f.headOption.map(_.getLong(1) - step).getOrElse(start)}",
+          s"End: ${f.lastOption.map(_.getLong(1)).getOrElse(end)}",
+          s"Step: $step", s"DSCount: ${dss.length}",
+          s"DSName: ${dss.mkString(" ")}")
+        val rows = f.map { r =>
+          val vs = dss.indices.map(i =>
+            if (r.isNullAt(2 + i)) "nan" else r.getDouble(2 + i).toString)
+          s"${r.getLong(1)}: ${vs.mkString(" ")}"
+        }
+        Response(header.length + rows.length,
+          s"Success (${rows.length} rows)", header ++ rows.toSeq)
+      case "STATS" =>
+        val stats = Seq(
+          s"UpdatesReceived: ${updatesReceived.get}",
+          s"JournalBytes: ${journalBytes.get}")
+        Response(stats.length, "Statistics follow", stats)
+      case "QUIT" => Response(-1, "closing connection")
+      case other => Response(-1, s"Unknown command: $other")
+    }
+  } catch {
+    case e: Exception => Response(-1, s"error: ${e.getMessage}")
+  }
+
+  /** Start the accept loop; returns the bound port (pass 0 for an
+    * ephemeral one). One thread per connection — the daemon is a
+    * convenience front end, not the cluster ingest path. */
+  def start(port: Int = 0): Int = {
+    val ss = new ServerSocket(port)
+    server = Some(ss)
+    val t = new Thread(() => {
+      try while (!ss.isClosed) {
+        val sock = ss.accept()
+        new Thread(() => handle(sock), "graft-daemon-conn").start()
+      } catch { case _: java.net.SocketException => () /* closed */ }
+    }, "graft-daemon-accept")
+    t.setDaemon(true)
+    t.start()
+    ss.getLocalPort
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new BufferedReader(
+      new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+    val out = new PrintWriter(sock.getOutputStream, true)
+    try {
+      var batch: Option[Vector[String]] = None
+      var line = in.readLine()
+      while (line != null) {
+        val trimmed = line.trim
+        (batch, trimmed) match {
+          case (None, "BATCH") =>
+            batch = Some(Vector.empty)
+            out.print(Response(0, "Go ahead.  End with dot '.'.").render)
+            out.flush()
+          case (Some(cmds), ".") =>
+            val errs = cmds.zipWithIndex.flatMap { case (c, i) =>
+              val r = execute(c)
+              if (r.status < 0) Seq(s"${i + 1} ${r.text}") else Nil
+            }
+            out.print(Response(errs.size, "errors", errs).render)
+            out.flush()
+            batch = None
+          case (Some(cmds), c) => batch = Some(cmds :+ c)
+          case (None, "QUIT") | (None, "") =>
+            sock.close(); return
+          case (None, c) =>
+            out.print(execute(c).render)
+            out.flush()
+        }
+        line = if (sock.isClosed) null else in.readLine()
+      }
+    } catch { case _: java.io.IOException => () }
+    finally if (!sock.isClosed) sock.close()
+  }
+
+  def stop(): Unit = { server.foreach(_.close()); server = None }
+}

@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ingest.UpdateParser
+import graft.store.RrdStore
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming front end of the ingest path (SURVEY.md §2.2,
   * §3.1): the reference's strictly-ordered single-writer update gate —
@@ -17,35 +20,104 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * → RrdStore append); rejected rows are dropped exactly like the
   * reference's "illegal attempt to update using time X when last update
   * time is Y" error path.
+  *
+  * [[runUpdates]] is the end-to-end wiring: protocol lines → parse →
+  * gate → per-micro-batch [[RrdStore.appendBatch]]. rrdcached's
+  * write-behind journal becomes the streaming checkpoint; its flush
+  * cadence becomes the trigger interval. At cluster scale the same
+  * query runs against a Kafka-like source instead of files/sockets —
+  * nothing below the `lines` dataset changes.
   */
 object StreamingIngest {
 
   /** One incoming sample; `series` is the file identity. */
   final case class Sample(series: String, tsUs: Long, value: Double)
 
+  /** One parsed UPDATE row: all DS readings of one file at one instant
+    * (`Double.NaN` = unknown — encoders for `Seq[Option[Double]]` are
+    * clumsy; the batch sink converts NaN back to null). */
+  final case class WideSample(series: String, tsUs: Long,
+      values: Seq[Double])
+
   /** Per-series ingest state: the last accepted timestamp. */
   final case class LastUp(tsUs: Long)
 
-  /** The monotonicity gate. Within a micro-batch, samples are processed
-    * in timestamp order (the reference processes update args in command
-    * order; a batch with internal disorder keeps the earliest-first
-    * subsequence, matching a client that sends sorted updates).
+  /** The monotonicity gate, generic over the row type. Within a
+    * micro-batch, rows are processed in timestamp order (the reference
+    * processes update args in command order; a batch with internal
+    * disorder keeps the earliest-first subsequence, matching a client
+    * that sends sorted updates).
     */
-  def monotonicGate(ds: Dataset[Sample]): Dataset[Sample] = {
-    implicit val sampleEnc = Encoders.product[Sample]
-    implicit val stateEnc = Encoders.product[LastUp]
-    ds.groupByKey(_.series)(Encoders.STRING)
+  def gate[T](ds: Dataset[T])(key: T => String, ts: T => Long)(
+      implicit enc: Encoder[T]): Dataset[T] = {
+    implicit val stateEnc: Encoder[LastUp] = Encoders.product[LastUp]
+    ds.groupByKey(key)(Encoders.STRING)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[Sample], state: GroupState[LastUp]) =>
+        (_: String, rows: Iterator[T], state: GroupState[LastUp]) =>
           var last = state.getOption.map(_.tsUs).getOrElse(Long.MinValue)
-          val accepted = rows.toSeq.sortBy(_.tsUs).filter { s =>
-            val ok = s.tsUs > last
-            if (ok) last = s.tsUs
+          val accepted = rows.toSeq.sortBy(ts).filter { s =>
+            val ok = ts(s) > last
+            if (ok) last = ts(s)
             ok
           }
           if (accepted.nonEmpty) state.update(LastUp(last))
           accepted.iterator
       }
+  }
+
+  def monotonicGate(ds: Dataset[Sample]): Dataset[Sample] = {
+    implicit val enc: Encoder[Sample] = Encoders.product[Sample]
+    gate(ds)(_.series, _.tsUs)
+  }
+
+  /** Wire a stream of rrdcached protocol lines into a store: UPDATE
+    * lines parse against the store's schema, pass the per-file
+    * monotonic gate, and each micro-batch merges into the RRA tables
+    * via [[RrdStore.appendBatch]]. Malformed lines and non-UPDATE
+    * verbs are dropped (the daemon's error reply has no stream
+    * backchannel); the per-series key is the store path, exactly the
+    * reference's per-file `last_up` gate.
+    *
+    * One query serves one store (the schema binds at start, like the
+    * daemon's per-file tree node); `pathFilter` selects this store's
+    * lines when the stream multiplexes several.
+    */
+  def runUpdates(spark: SparkSession, lines: Dataset[String],
+      storePath: String, checkpoint: String,
+      pathFilter: Option[String] = None,
+      nowSec: Long = 0L): StreamingQuery = {
+    val schema = RrdStore.readSchema(storePath)
+    val dsNames = schema.ds.map(_.name)
+    implicit val wsEnc: Encoder[WideSample] = Encoders.product[WideSample]
+    val samples = lines.flatMap { line =>
+      scala.util.Try {
+        val cmd = LineProtocol.parse(line)
+        if (cmd.verb == "UPDATE" && pathFilter.forall(_ == cmd.path))
+          cmd.args.map { arg =>
+            val u = UpdateParser.parse(arg, schema, nowSec = nowSec)
+            WideSample(cmd.path, u.tsUs,
+              dsNames.map(d => u.values(d).getOrElse(Double.NaN)))
+          }
+        else Seq.empty[WideSample]
+      }.getOrElse(Seq.empty[WideSample])
+    }
+    gate(samples)(_.series, _.tsUs)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[WideSample], _: Long) =>
+        if (!batch.isEmpty) {
+          val wide = dsNames.zipWithIndex.foldLeft(
+            batch.toDF("k", "ts_us", "__vs")) { case (df, (ds, i)) =>
+            df.withColumn(ds,
+              when(isnan(element_at(col("__vs"), i + 1)), lit(null))
+                .otherwise(element_at(col("__vs"), i + 1)))
+          }.drop("__vs")
+          RrdStore.appendBatch(spark, storePath, wide, Seq("k"),
+            "ts_us", "ts_us", dsNames.map(d => d -> d).toMap)
+        }
+      }
+      .start()
   }
 }

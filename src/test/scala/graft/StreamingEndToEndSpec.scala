@@ -1,0 +1,153 @@
+package graft
+
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.model._
+import graft.store.RrdStore
+import graft.streaming.{Daemon, StreamingIngest}
+
+/** Streaming ingest wired end-to-end (round-2 verdict "Next round" #1):
+  * protocol lines → LineProtocol parse → monotonic gate → per-batch
+  * RrdStore.appendBatch merge, across ≥2 micro-batches, then fetch
+  * compared against a batch ingest of the same samples. Plus the daemon
+  * serving FETCH/INFO/LAST/STATS over a real socket with UPDATE lines
+  * journaled into the streaming spool. */
+class StreamingEndToEndSpec extends SparkSuite {
+
+  private val ts1 = Seq(300L, 580L, 890L, 1180L, 1500L, 1790L, 2100L,
+    2380L, 2700L, 3010L)
+  private val ts2 = Seq(3300L, 3580L, 3890L, 4200L, 4510L, 4790L, 5100L)
+  private def g(t: Long): Double = (t % 700).toDouble / 10
+  private def c(t: Long): Double = (t * 3).toDouble
+
+  private def createStore(path: String): Unit =
+    RrdStore.create(path, RrdSchema(300L, 0L,
+      Seq(DsDef("g", Dst.Gauge, 900L), DsDef("c", Dst.Counter, 900L)),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 1000L),
+        RraDef(Cf.Max, 0.5, 4L, 1000L))))
+
+  private def fetchBoth(path: String) = Seq(
+    RrdStore.fetchAll(spark, path, Cf.Average, Seq("g", "c"),
+      Seq("k"), 0L, 5100L, 300L).orderBy("ts").collect().toSeq,
+    RrdStore.fetchAll(spark, path, Cf.Max, Seq("g", "c"),
+      Seq("k"), 0L, 5100L, 1200L).orderBy("ts").collect().toSeq)
+
+  test("file-stream UPDATE lines across micro-batches match batch ingest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_stream").toString
+    val storeA = s"$root/web.rrd"
+    createStore(storeA)
+    val spool = s"$root/spool"
+    Files.createDirectories(Paths.get(spool))
+
+    def lines(ts: Seq[Long]): String = ts.map(t =>
+      s"UPDATE web.rrd $t:${g(t)}:${c(t)}").mkString("", "\n", "\n")
+    // batch 1 on disk before the query starts
+    Files.write(Paths.get(spool, "b1.cmds"),
+      lines(ts1).getBytes(StandardCharsets.UTF_8))
+    val q = StreamingIngest.runUpdates(spark,
+      spark.readStream.text(spool).as[String], storeA,
+      s"$root/checkpoint", pathFilter = Some("web.rrd"))
+    try {
+      q.processAllAvailable()
+      // second micro-batch: continuity (COUNTER lag, partial MAX bucket)
+      // must come from the store tail, not batch-local state
+      Files.write(Paths.get(spool, "b2.cmds"),
+        lines(ts2).getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch oracle: same samples in ONE RrdStore.update
+    val storeB = s"$root/batch.rrd"
+    createStore(storeB)
+    val samples = (ts1 ++ ts2).map(t =>
+      ("web.rrd", t * 1000000L, g(t), c(t))).toDF("k", "ts_us", "g", "c")
+    RrdStore.update(spark, storeB, samples, Seq("k"), "ts_us", "ts_us",
+      Map("g" -> "g", "c" -> "c"))
+
+    val Seq(avgA, maxA) = fetchBoth(storeA)
+    val Seq(avgB, maxB) = fetchBoth(storeB)
+    assert(avgA.nonEmpty && maxA.nonEmpty)
+    assert(avgA == avgB, "AVERAGE RRA: streaming != batch")
+    assert(maxA == maxB, "MAX RRA: streaming != batch")
+  }
+
+  test("appendBatch replay of the same samples is idempotent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_replay").toString
+    val store = s"$root/r.rrd"
+    createStore(store)
+    val dsv = Map("g" -> "g", "c" -> "c")
+    def frame(ts: Seq[Long]) = ts.map(t =>
+      ("r.rrd", t * 1000000L, g(t), c(t))).toDF("k", "ts_us", "g", "c")
+    RrdStore.appendBatch(spark, store, frame(ts1), Seq("k"), "ts_us",
+      "ts_us", dsv)
+    val once = fetchBoth(store)
+    // a foreachBatch retry re-delivers the same micro-batch
+    RrdStore.appendBatch(spark, store, frame(ts1), Seq("k"), "ts_us",
+      "ts_us", dsv)
+    assert(fetchBoth(store) == once)
+  }
+
+  test("daemon serves FETCH/INFO/LAST/STATS and journals UPDATE to the spool") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_daemon").toString
+    val store = s"$root/web.rrd"
+    createStore(store)
+    val samples = ts1.map(t =>
+      ("web.rrd", t * 1000000L, g(t), c(t))).toDF("k", "ts_us", "g", "c")
+    RrdStore.appendBatch(spark, store, samples, Seq("k"), "ts_us", "ts_us",
+      Map("g" -> "g", "c" -> "c"))
+
+    val daemon = new Daemon(spark, root, nowSec = 3010L)
+    val port = daemon.start()
+    try {
+      val sock = new Socket("127.0.0.1", port)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        sock.getInputStream, StandardCharsets.UTF_8))
+      def roundTrip(cmd: String): Seq[String] = {
+        out.println(cmd)
+        val status = in.readLine()
+        val n = status.split(" ").head.toInt
+        assert(n >= 0, s"$cmd -> $status")
+        (0 until n).map(_ => in.readLine())
+      }
+      val last = roundTrip("LAST web.rrd")
+      assert(last == Seq("3010")) // true last_up from the ingest tail
+      val info = roundTrip("INFO web.rrd").toSet
+      assert(info.contains("step = 300"))
+      assert(info.contains("ds[c].type = COUNTER"))
+      val fetch = roundTrip("FETCH web.rrd AVERAGE 0 900")
+      assert(fetch.take(6) == Seq("FlushVersion: 1", "Start: 0",
+        "End: 900", "Step: 300", "DSCount: 2", "DSName: g c"))
+      // slot 600 covers (300, 600]: gauge rate is g() over the 300–580–890
+      // samples; assert the slot is known and the unknown first slot is nan
+      assert(fetch(6).startsWith("300: nan"))
+      assert(!fetch(7).contains("nan"))
+      // UPDATE over the wire lands in the spool for the streaming query
+      val upd = "UPDATE web.rrd 3300:12.5:9900"
+      out.println(upd)
+      assert(in.readLine().startsWith("0 "))
+      val stats = roundTrip("STATS")
+      assert(stats.exists(_.startsWith("UpdatesReceived: 1")))
+      val spooled = Files.list(Paths.get(daemon.spoolPath)).toArray.toSeq
+        .map(_.toString).filter(_.endsWith(".cmds"))
+      assert(spooled.size == 1)
+      assert(new String(Files.readAllBytes(Paths.get(spooled.head)),
+        StandardCharsets.UTF_8).trim == upd)
+      // BATCH framing: two updates, one error summary
+      out.println("BATCH")
+      assert(in.readLine().startsWith("0 Go ahead"))
+      out.println("UPDATE web.rrd 3400:1:2")
+      out.println("BOGUS web.rrd")
+      out.println(".")
+      val bstat = in.readLine()
+      assert(bstat.startsWith("1 "), bstat) // one error line follows
+      assert(in.readLine().startsWith("2 ")) // line 2 failed
+      sock.close()
+    } finally daemon.stop()
+  }
+}
