@@ -217,8 +217,11 @@ object SparkEntry {
 
     // §2.4 CDEF via the RPN→Column compiler: UN/IF, ADDNAN, GT/IF,
     // LIMIT, TIME/%, MIN/MAXNAN over a gap-filled series.
+    // Multi-series: one CDEF program over 5 event-type series — every
+    // window/group carries the series key (round-2 verdict #5: no
+    // unpartitioned WindowExec in the planner paths).
     "q07_cdef_rpn" -> ((s, dir) => {
-      query.Cdef.compiled(hourlySeries(s, dir, "click"), Nil, "ts",
+      query.Cdef.compiled(typedGrid(s, dir), Seq("event_type"), "ts",
           Seq("v"), ListMap(
             "fill0" -> "v,UN,0,v,IF",
             "scaled" -> "v,2,*,10,ADDNAN",
@@ -226,29 +229,30 @@ object SparkEntry {
             "clamp" -> "v,10,90,LIMIT",
             "tmod" -> "TIME,86400,%",
             "minmax" -> "v,60,MIN,40,MAXNAN"), 3600L)
-        .select("ts", "fill0", "scaled", "over50", "clamp", "tmod", "minmax")
-        .orderBy("ts")
+        .select("event_type", "ts", "fill0", "scaled", "over50", "clamp",
+          "tmod", "minmax")
+        .orderBy("event_type", "ts")
     }),
 
     // §2.4 TREND/TRENDNAN sliding windows (NaN-propagating vs -skipping,
     // /root/reference/src/rrd_rpncalc.c:1169-1203).
     "q08_trend" -> ((s, dir) => {
-      query.Cdef.compiled(hourlySeries(s, dir, "click"), Nil, "ts",
+      query.Cdef.compiled(typedGrid(s, dir), Seq("event_type"), "ts",
           Seq("v"), ListMap(
             "trend6" -> "v,21600,TREND",
             "trendnan6" -> "v,21600,TRENDNAN"), 3600L)
-        .select("ts", "v", "trend6", "trendnan6")
-        .orderBy("ts")
+        .select("event_type", "ts", "v", "trend6", "trendnan6")
+        .orderBy("event_type", "ts")
     }),
 
     // §2.4 self-referential PREV via the sequential interpreter:
     // forward-fill and running max (rrd_rpncalc.c:685-691).
     "q09_prev_fill" -> ((s, dir) => {
-      query.Cdef.interpreted(hourlySeries(s, dir, "click"), Nil, "ts",
+      query.Cdef.interpreted(typedGrid(s, dir), Seq("event_type"), "ts",
           Seq("v"), ListMap(
             "ffill" -> "v,UN,PREV,v,IF",
             "runmax" -> "PREV,v,MAXNAN"), 3600L)
-        .orderBy("ts")
+        .orderBy("event_type", "ts")
     }),
 
     // §2.5 VDEF PERCENT (NaN-in-population, NaN-first sort) and
@@ -476,12 +480,16 @@ object SparkEntry {
     // rrd_rpncalc.c:674-676), a VDEF substituted into a later CDEF as a
     // constant (rrd_graph.c:1201-1210), SHIFT, and the XPORT frame.
     "q40_gdes_plan" -> ((s, dir) => {
+      // keyed plan (series key = event_type, cardinality 1 after the
+      // filter): every window partitions by the key and the VDEF is a
+      // per-key aggregate joined back in — the multi-series planner
+      // path under oracle verification
       val ev = Tables.events(s, dir).where(col("event_type") === "click")
-      val roll1h = ev.groupBy(bucketEnd(3600).as("bts"))
+      val roll1h = ev.groupBy(col("event_type"), bucketEnd(3600).as("bts"))
         .agg(davg(col("value")).as("v"))
-      val roll6h = ev.groupBy(bucketEnd(21600).as("bts"))
+      val roll6h = ev.groupBy(col("event_type"), bucketEnd(21600).as("bts"))
         .agg(davg(col("value")).as("v"))
-      new query.GraphPlan(s, T0, T1)
+      new query.GraphPlan(s, T0, T1, keyCols = Seq("event_type"))
         .define("a", roll1h, "bts", "v", 3600L)
         .define("b", roll6h, "bts", "v", 21600L)
         .cdef("mix", "a,b,ADDNAN")
@@ -489,6 +497,7 @@ object SparkEntry {
         .cdef("dev", "a,m,-")
         .shift("aprev", "a", 86400L)
         .xport(Seq("a", "b", "mix", "dev", "aprev"))
+        .drop("event_type")
     }),
 
     // §2.3 AT-style time parsing surface (rrd_parsetime.c grammar) with
@@ -758,8 +767,8 @@ object SparkEntry {
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q07_cdef_rpn" ->
-      s"""${sqlHourly("click")}
-        |SELECT ts,
+      s"""$sqlTypedGrid
+        |SELECT event_type, ts,
         | COALESCE(v, 0.0) AS fill0,
         | CASE WHEN v IS NULL THEN 10.0 ELSE v * 2 + 10 END AS scaled,
         | CASE WHEN v > 50 THEN v - 50 ELSE 0.0 END AS over50,
@@ -767,30 +776,30 @@ object SparkEntry {
         | CAST(ts % 86400 AS DOUBLE) AS tmod,
         | CASE WHEN (CASE WHEN v IS NULL THEN NULL ELSE LEAST(v, 60.0) END) IS NULL THEN 40.0
         |      ELSE GREATEST(CASE WHEN v IS NULL THEN NULL ELSE LEAST(v, 60.0) END, 40.0) END AS minmax
-        |FROM g ORDER BY ts""".stripMargin,
+        |FROM j ORDER BY event_type, ts""".stripMargin,
 
     "q08_trend" ->
-      s"""${sqlHourly("click")},
+      s"""$sqlTypedGrid,
         |w AS (
-        | SELECT ts, v,
-        |  row_number() OVER (ORDER BY ts) AS rn,
+        | SELECT event_type, ts, v,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
         |  CAST(CAST(SUM(CAST(v AS DECIMAL(28,10))) OVER win AS VARCHAR) AS DOUBLE) AS s,
         |  COUNT(v) OVER win AS c
-        | FROM g
-        | WINDOW win AS (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
-        |SELECT ts, v,
+        | FROM j
+        | WINDOW win AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, ts, v,
         | CASE WHEN rn >= 6 AND c = 6 THEN s / 6 END AS trend6,
         | CASE WHEN rn >= 6 AND c > 0 THEN s / c END AS trendnan6
-        |FROM w ORDER BY ts""".stripMargin,
+        |FROM w ORDER BY event_type, ts""".stripMargin,
 
     "q09_prev_fill" ->
-      s"""${sqlHourly("click")}
-        |SELECT ts,
+      s"""$sqlTypedGrid
+        |SELECT event_type, ts,
         | last_value(v IGNORE NULLS) OVER win AS ffill,
         | max(v) OVER win AS runmax
-        |FROM g
-        |WINDOW win AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY ts""".stripMargin,
+        |FROM j
+        |WINDOW win AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, ts""".stripMargin,
 
     "q10_vdef_percent" -> {
       def pct(p: Int) =

@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
 final class Commands(spark: SparkSession, nowSec: Long = 0L,
     series: Seq[String] = Seq("k"), defaultKey: Seq[Any] = Seq("rrd")) {
 
-  /** AT grammar, with plain integers accepted as epoch seconds (the
-    * reference disambiguates short digit strings as HHMM/dates; for an
-    * API the literal epoch is the less surprising reading). */
+  /** AT grammar, with plain non-negative integers accepted as epoch
+    * seconds (the reference disambiguates short digit strings as
+    * HHMM/dates; for an API the literal epoch is the less surprising
+    * reading). A bare NEGATIVE integer is now-relative seconds, like
+    * rrd_parsetime's `--start -86400` idiom — reading it as a negative
+    * epoch would silently produce a pre-1970 window. */
   private def at(spec: String): Long =
-    if (spec.matches("-?\\d+")) spec.toLong
+    if (spec.matches("\\d+")) spec.toLong
+    else if (spec.matches("-\\d+")) nowSec + spec.toLong
     else AtTime.parse(spec, AtTime.RefTimes(nowSec))
 
   /** create: "--start <at> --step <sec>" + DS:/RRA: specs

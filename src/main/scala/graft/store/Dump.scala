@@ -27,9 +27,16 @@ object Dump {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     schema.rras.indices.foreach { i =>
       val p = Paths.get(storePath, s"rra$i")
-      if (Files.exists(p))
-        spark.read.parquet(p.toString)
-          .write.mode("overwrite").json(s"$outPath/rra$i")
+      if (Files.exists(p)) {
+        val df = spark.read.parquet(p.toString)
+        df.write.mode("overwrite").json(s"$outPath/rra$i")
+        // JSON omits null fields and an empty RRA has no rows to infer
+        // from — record the exact table schema so restore never guesses
+        // (an all-unknown DS column must survive the round trip as null,
+        // like the reference's NaN <row> values, rrd_dump.c:404-433)
+        Files.write(Paths.get(outPath, s"rra$i.schema"),
+          df.schema.toDDL.getBytes("UTF-8"))
+      }
     }
   }
 
@@ -40,9 +47,16 @@ object Dump {
     RrdStore.create(storePath, schema)
     schema.rras.indices.foreach { i =>
       val p = Paths.get(dumpPath, s"rra$i")
-      if (Files.exists(p))
-        spark.read.json(p.toString)
+      if (Files.exists(p)) {
+        val ddl = Paths.get(dumpPath, s"rra$i.schema")
+        val reader =
+          if (Files.exists(ddl)) spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              new String(Files.readAllBytes(ddl), "UTF-8")))
+          else spark.read // pre-schema dumps: inference (best effort)
+        reader.json(p.toString)
           .write.mode("overwrite").parquet(s"$storePath/rra$i")
+      }
     }
   }
 

@@ -26,7 +26,13 @@ class CommandsSpec extends SparkSuite {
       "--data-source-rename", "v:speed"))
     assert(c.info(path).toMap.apply("ds[speed].minimal_heartbeat") == "1200")
 
-    val g = c.graphv(Seq("--start", "-10", "--end", "200",
+    // a bare negative integer is now-relative (rrd_parsetime's
+    // `--start -86400` idiom): now=1000, so -900 opens the window at 100
+    val rel = c.fetch(path, "AVERAGE",
+      Seq("--start", "-900", "--end", "200", "--resolution", "10"))
+    assert(rel.orderBy("ts").select("ts").as[Long].collect().head == 110L)
+
+    val g = c.graphv(Seq("--start", "0", "--end", "200",
       s"DEF:a=$path:speed:AVERAGE",
       "CDEF:b=a,10,*",
       "VDEF:m=b,MAXIMUM",

@@ -83,6 +83,41 @@ class PlannerSpec extends SparkSuite {
     assert(p.scalarOf("lst") == p.Scalar(Some(1.0), Some(40L)))
   }
 
+  test("keyed planner: per-series CDEF/VDEF/SHIFT/XPORT, partitioned windows") {
+    import spark.implicits._
+    // two series, 10s steps over (0, 40]: x ramps 1..4, y ramps 10..40
+    val rows = (1 to 4).flatMap(i => Seq(
+      ("x", i * 10L, i.toDouble), ("y", i * 10L, i * 10.0)))
+    val roll = rows.toDF("key", "ts", "v")
+    val p = new GraphPlan(spark, 0L, 40L, keyCols = Seq("key"))
+      .define("a", roll, "ts", "v", 10L)
+      .vdef("m", "a", "AVERAGE") // per-key aggregate, no driver scalar
+      .cdef("dev", "a,m,-")
+      .cdef("tr", "a,20,TREND") // sequential op -> partitioned window
+      .shift("ap", "a", 10L)
+    val out = p.xport(Seq("a", "dev", "tr", "ap"))
+    // every window in the plan partitions by the series key (no
+    // single-partition WindowExec, round-2 verdict #5)
+    val winSpecs = "windowspecdefinition\\([^)]*\\)".r
+      .findAllIn(out.queryExecution.optimizedPlan.toString).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("key")), winSpecs)
+    val got = out.as[(String, Long, Option[Double], Option[Double],
+      Option[Double], Option[Double])].collect().toSeq
+    // per-key VDEF: mean(x)=2.5, mean(y)=25 -> dev at slot 10 = 1-2.5 / 10-25
+    assert(got.find(r => r._1 == "x" && r._2 == 10L).get._4.contains(-1.5))
+    assert(got.find(r => r._1 == "y" && r._2 == 10L).get._4.contains(-15.0))
+    // TREND(20s) at slot 20: mean of slots 10,20 per key
+    assert(got.find(r => r._1 == "x" && r._2 == 20L).get._5.contains(1.5))
+    assert(got.find(r => r._1 == "y" && r._2 == 20L).get._5.contains(15.0))
+    // SHIFT presents t-10's value at t, per key
+    assert(got.find(r => r._1 == "x" && r._2 == 20L).get._6.contains(1.0))
+    assert(got.find(r => r._1 == "y" && r._2 == 40L).get._6.contains(30.0))
+    // keyed scalar frame is addressable; driver-side PRINT refuses loudly
+    assert(p.keyedScalarOf("m").orderBy("key").as[(String, Double)]
+      .collect().toSeq == Seq(("x", 2.5), ("y", 25.0)))
+    intercept[IllegalArgumentException] { p.print("m", "%lf") }
+  }
+
   test("cb// callback source + sql// grammar parse") {
     import spark.implicits._
     DefSource.registerCallback("mysrc",

@@ -77,6 +77,9 @@ class StoreStreamingSpec extends SparkSuite {
       .toDF("k", "ts_us", "id", "v")
     RrdStore.update(spark, path, samples, Seq("k"), "ts_us", "id",
       Map("v" -> "v"), rateScale = Some(2))
+    // a freshly added DS has all-unknown history — the exact case JSON
+    // field-omission used to drop from the dump (round-2 ADVICE #2)
+    graft.store.Modify.addDs(spark, path, DsDef("n", Dst.Gauge, 600L))
 
     val dumps = java.nio.file.Files.createTempDirectory("graft_dumps").toString
     val d1 = s"$dumps/dump1"
@@ -98,6 +101,11 @@ class StoreStreamingSpec extends SparkSuite {
     val fb = RrdStore.fetch(spark, restored, Cf.Average, "v", Seq("k"),
       0L, 300L, 10L).orderBy("ts").collect().toSeq
     assert(fa == fb)
+    // the all-null DS survives the round trip as nulls (data-level)
+    val fn = RrdStore.fetch(spark, restored, Cf.Average, "n", Seq("k"),
+      0L, 300L, 10L)
+    assert(fn.count() == 30 &&
+      fn.where(org.apache.spark.sql.functions.col("n").isNotNull).count() == 0)
     // info keys
     val inf = graft.store.Dump.info(spark, path).toMap
     assert(inf("step") == "10" && inf("ds[v].type") == "GAUGE")
