@@ -1,7 +1,7 @@
 package graft.cli
 
 import graft.model.{Cf, RrdSchema}
-import graft.store.{Dump, Modify, RrdStore}
+import graft.store.{Dump, Modify, RrdStore, RrdXml}
 import graft.time.AtTime
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -121,6 +121,13 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
   def dump(path: String, out: String): Unit = Dump.dump(spark, path, out)
   def restore(in: String, path: String): Unit =
     Dump.restore(spark, in, path)
+  /** Reference-format `<rrd>` XML interop (rrd_dump.c / rrd_restore.c):
+    * `.xml` migration in and out of existing rrdtool deployments. */
+  def dumpXml(path: String, outFile: String): Unit =
+    RrdXml.dumpXml(spark, path, outFile, series)
+  def restoreXml(inFile: String, path: String): Unit =
+    RrdXml.restoreXml(spark, inFile, path,
+      seriesKey = defaultKey.head.toString)
   def list(root: String): Seq[String] = Dump.list(root)
 
   /** tune: "--heartbeat ds:s | --minimum ds:v | --maximum ds:v |
