@@ -26,12 +26,17 @@ object DefSource {
   final case class SqlSpec(driver: String, options: Map[String, String],
       table: String, tsCol: String, valueCol: String, wheres: Seq[String]) {
     /** host/dbname/port options become the JDBC url; the rest (username,
-      * password, …) pass through as connection properties. */
+      * password, …) pass through as connection properties. Embedded
+      * drivers (libdbi's sqlite3 shape — dbname is a path, no host)
+      * build `jdbc:<driver>:<dbname>` instead of the network form. */
     def jdbcUrl: String = {
-      val host = options.getOrElse("host", "localhost")
-      val port = options.get("port").map(":" + _).getOrElse("")
       val db = options.getOrElse("dbname", "")
-      s"jdbc:$driver://$host$port/$db"
+      if (Embedded(driver)) s"jdbc:$driver:$db"
+      else {
+        val host = options.getOrElse("host", "localhost")
+        val port = options.get("port").map(":" + _).getOrElse("")
+        s"jdbc:$driver://$host$port/$db"
+      }
     }
     def properties: java.util.Properties = {
       val p = new java.util.Properties()
@@ -40,6 +45,10 @@ object DefSource {
       p
     }
   }
+
+  /** Drivers whose JDBC url is `jdbc:<driver>:<db>` (file/in-process
+    * databases, like libdbi's sqlite3). */
+  private val Embedded = Set("derby", "sqlite", "h2", "hsqldb")
 
   /** Parse the sql// path grammar (doc/rrdgraph_libdbi.pod:7). */
   def parseSql(path: String): SqlSpec = {

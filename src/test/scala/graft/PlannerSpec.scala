@@ -118,6 +118,29 @@ class PlannerSpec extends SparkSuite {
     intercept[IllegalArgumentException] { p.print("m", "%lf") }
   }
 
+  test("sql// executes against a real embedded database with pushdown") {
+    // Derby in-process (on the Spark classpath) stands in for libdbi's
+    // sqlite3 shape: dbname IS the database, no host
+    // (doc/rrdgraph_libdbi.pod:7 grammar; rrd_fetch_libdbi.c:30-200)
+    val conn = java.sql.DriverManager
+      .getConnection("jdbc:derby:memory:graftdb;create=true")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE vals (uts BIGINT, value DOUBLE, tag INT)")
+    (1 to 8).foreach(i => st.execute(
+      s"INSERT INTO vals VALUES (${i * 100}, ${i * 1.5}, ${if (i % 2 == 0) 7 else 3})"))
+    st.close(); conn.close()
+
+    val df = DefSource.resolve(spark,
+      "sql//derby/dbname=memory:graftdb//VALS/UTS/VALUE/TAG=7")
+    import spark.implicits._
+    val rows = df.orderBy("ts_sec").as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((200L, 3.0), (400L, 6.0), (600L, 9.0), (800L, 12.0)))
+    // the where-clause reaches the database as a pushed filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(TAG,7)"),
+      plan.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+  }
+
   test("cb// callback source + sql// grammar parse") {
     import spark.implicits._
     DefSource.registerCallback("mysrc",
