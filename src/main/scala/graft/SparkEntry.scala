@@ -432,6 +432,18 @@ object SparkEntry {
         .orderBy("event_type", "ts")
     }),
 
+    // §2.6 ACTIVE seasonal smoothing (rrd_hw.c:128-330): period 48 makes
+    // the smoothing offset floor(0.05/2·48) = 1 > 0, so the centered
+    // cyclic moving average + intercept re-centering fires every cycle —
+    // the path q33/q34's period 24 leaves dormant (round-2 verdict #6).
+    "q42_hw_smooth" -> ((s, dir) => {
+      val spec = hw.HoltWinters.HwSpec(0.1, 0.035, 48, 0.1, 0.1)
+      require(math.floor(spec.smoothingWindow / 2 * spec.period) > 0,
+        "smoother must be active for this query")
+      hw.HoltWinters(typedGrid(s, dir), Seq("event_type"), "ts", "v", spec)
+        .orderBy("event_type", "ts")
+    }),
+
     // §2.1/2.2 materialized write path + §2.3 RRA best-match selection:
     // the store persists three RRAs (AVG 300s×4000, AVG 3600s×800,
     // MAX 3600s×400); a step-300 AVERAGE fetch must pick the 3600s RRA —
@@ -1004,6 +1016,7 @@ object SparkEntry {
 
     "q33_hwpredict" -> sqlHoltWinters(mult = false),
     "q34_mhwpredict" -> sqlHoltWinters(mult = true),
+    "q42_hw_smooth" -> sqlHwSmooth(48),
 
     // Store fetch oracles: the SQL hard-codes the RRA the selection rule
     // MUST pick — a different selection changes step/coverage and fails
@@ -1370,6 +1383,130 @@ object SparkEntry {
        |       (st.ic IS NULL AND dd.v IS NOT NULL) AS boot
        |      FROM st JOIN dd ON dd.event_type = st.event_type AND dd.i = st.i + 1
        |     )))))
+       |)
+       |SELECT event_type, ts, x AS v, hwpredict, seasonal, devseasonal, devpredict,
+       | failures, violation
+       |FROM st WHERE i >= 0 ORDER BY event_type, ts""".stripMargin
+  }
+
+  /** Additive Holt-Winters oracle with ACTIVE seasonal smoothing
+    * (rrd_hw.c:128-330; round-2 verdict #6 — q33/q34's period 24 makes
+    * the smoother a no-op since floor(0.05/2·24) = 0). Differences from
+    * [[sqlHoltWinters]]: the recursion carries the CURRENT cyclic
+    * seasonal/deviation arrays (smoothing rewrites slots, so the
+    * append-only history trick cannot express it), and at every cycle
+    * boundary (t % period == 0, t > 0 — the deterministic schedule with
+    * smoothIdx 0, where burn-in and steady-state collapse to the same
+    * condition) the arrays are replaced by their centered cyclic moving
+    * average, SEASONAL re-centered by the baseline mean which is added
+    * to the intercept. All smoothing arithmetic is sequential left-fold
+    * double math, bit-matching the engine's accumulation order. */
+  private def sqlHwSmooth(p: Int): String = {
+    val (a, b, g, gd, dp, dn, thr, w) =
+      ("0.1", "0.035", "0.1", "0.1", "2.0", "2.0", 7, 9)
+    val off = math.floor(0.05 / 2 * p).toInt
+    require(off > 0, s"period $p keeps the smoother inactive")
+    val width = 2 * off + 1
+    val pred = "CASE WHEN prednan THEN NULL ELSE ic + sl*nc + shs END"
+    val icf = s"$a*(x - shs) + (1.0-$a)*(ic + sl*nc)"
+    val initse = "x - newlic"
+    val seasf = s"$g*(x - newic) + (1.0-$g)*seasold"
+    val predd = "newlic + newlsl*newlnc + newshls"
+    val violExpr =
+      s"""CASE WHEN newlsdv IS NULL THEN 0
+         |        WHEN x IS NULL THEN 1
+         |        WHEN (x > predd + $dp*newlsdv) OR (x < predd - $dn*newlsdv) THEN 1
+         |        ELSE 0 END""".stripMargin
+    def ma(arr: String): String =
+      s"list_transform(generate_series(0, ${p - 1}), k -> " +
+        s"list_reduce(list_transform(generate_series(-$off, $off), j -> " +
+        s"$arr[(((k+j) % $p) + $p) % $p + 1]), (u,v) -> u + v) / $width.0)"
+    def ok(arr: String): String =
+      s"len(list_filter($arr, y -> y IS NULL)) = 0"
+    s"""WITH RECURSIVE ${sqlTypedGrid.stripPrefix("WITH ")},
+       |dd AS (SELECT event_type, (ts - $T0)//3600 - 1 AS i, ts, v FROM j),
+       |st AS (
+       | SELECT event_type, CAST(-1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS ts,
+       |  CAST(NULL AS DOUBLE) AS x,
+       |  CAST(NULL AS DOUBLE) AS ic, CAST(NULL AS DOUBLE) AS lic,
+       |  CAST(NULL AS DOUBLE) AS sl, CAST(NULL AS DOUBLE) AS lsl,
+       |  CAST(1 AS BIGINT) AS nc, CAST(1 AS BIGINT) AS lnc,
+       |  CAST(NULL AS DOUBLE) AS shs, CAST(NULL AS DOUBLE) AS shls,
+       |  CAST(NULL AS DOUBLE) AS sdv, CAST(NULL AS DOUBLE) AS lsdv,
+       |  list_transform(generate_series(1, $p), z -> CAST(NULL AS DOUBLE)) AS sarr,
+       |  list_transform(generate_series(1, $p), z -> CAST(NULL AS DOUBLE)) AS darr,
+       |  CAST([] AS INTEGER[]) AS vwin,
+       |  CAST(NULL AS DOUBLE) AS hwpredict, CAST(NULL AS DOUBLE) AS seasonal,
+       |  CAST(NULL AS DOUBLE) AS devseasonal, CAST(NULL AS DOUBLE) AS devpredict,
+       |  CAST(NULL AS DOUBLE) AS failures, CAST(0 AS INTEGER) AS violation
+       | FROM (SELECT DISTINCT event_type FROM dd)
+       | UNION ALL
+       | SELECT event_type, i, ts, x,
+       |  CASE WHEN smoothfire AND sok THEN newic + sbase ELSE newic END,
+       |  newlic, newsl, newlsl, newnc, newlnc,
+       |  newshs, newshls, newsdv, newlsdv,
+       |  CASE WHEN smoothfire AND sok
+       |       THEN list_transform(sma, y -> y - sbase) ELSE sarr_w END,
+       |  CASE WHEN smoothfire AND dok THEN dma ELSE darr_w END,
+       |  newvwin, pred, snew, dnew, newlsdv, fail, viol
+       | FROM (
+       |  SELECT *,
+       |   CASE WHEN smoothfire AND sok
+       |        THEN list_reduce(sma, (u,v) -> u + v) / $p.0 END AS sbase
+       |  FROM (
+       |   SELECT *,
+       |    (i > 0 AND i % $p = 0) AS smoothfire,
+       |    ${ok("sarr_w")} AS sok, ${ok("darr_w")} AS dok,
+       |    ${ma("sarr_w")} AS sma, ${ma("darr_w")} AS dma
+       |   FROM (
+       |    SELECT *,
+       |     list_concat(list_concat(sarr[1:(CAST(i % $p AS BIGINT))], [snew]),
+       |       sarr[CAST(i % $p AS BIGINT)+2:$p]) AS sarr_w,
+       |     list_concat(list_concat(darr[1:(CAST(i % $p AS BIGINT))], [dnew]),
+       |       darr[CAST(i % $p AS BIGINT)+2:$p]) AS darr_w
+       |    FROM (
+       |     SELECT *,
+       |      CASE WHEN newlic IS NULL OR newlsl IS NULL OR newshls IS NULL THEN NULL
+       |           WHEN x IS NULL THEN newlsdv
+       |           WHEN newlsdv IS NULL THEN abs(predd - x)
+       |           ELSE $gd*abs(predd - x) + (1.0-$gd)*newlsdv END AS dnew,
+       |      $violExpr AS viol,
+       |      CASE WHEN ($violExpr) + COALESCE(list_sum(vwin[1:${w - 1}]), 0) >= $thr
+       |         THEN 1.0 ELSE 0.0 END AS fail,
+       |      list_concat([$violExpr], vwin[1:${w - 1}]) AS newvwin
+       |     FROM (
+       |      SELECT *,
+       |       CASE WHEN x IS NULL THEN seasold
+       |            WHEN newlic IS NULL OR newlsl IS NULL THEN NULL
+       |            WHEN seasold IS NULL THEN $initse
+       |            ELSE $seasf END AS snew,
+       |       sdv AS newlsdv, dlook AS newsdv,
+       |       $predd AS predd
+       |      FROM (
+       |       SELECT *,
+       |        CASE WHEN boot THEN 0.0 WHEN prednan THEN sl WHEN x IS NULL THEN sl
+       |             ELSE $b*(newic - ic) + (1.0-$b)*sl END AS newsl,
+       |        CASE WHEN boot THEN 0.0 ELSE sl END AS newlsl,
+       |        shs AS seasold, slook AS newshs, shs AS newshls
+       |       FROM (
+       |        SELECT *,
+       |         $pred AS pred,
+       |         CASE WHEN boot THEN x WHEN prednan THEN ic WHEN x IS NULL THEN ic
+       |              ELSE $icf END AS newic,
+       |         CASE WHEN boot THEN x ELSE ic END AS newlic,
+       |         CASE WHEN boot THEN 1 WHEN prednan THEN nc WHEN x IS NULL THEN nc + 1
+       |              ELSE 1 END AS newnc,
+       |         CASE WHEN boot THEN 1 ELSE nc END AS newlnc
+       |        FROM (
+       |         SELECT st.event_type AS event_type, dd.i AS i, dd.ts AS ts, dd.v AS x,
+       |          st.ic, st.sl, st.nc, st.shs, st.shls, st.sdv, st.lsdv,
+       |          st.sarr, st.darr, st.vwin,
+       |          st.sarr[CAST((dd.i + 1) % $p AS BIGINT) + 1] AS slook,
+       |          st.darr[CAST((dd.i + 1) % $p AS BIGINT) + 1] AS dlook,
+       |          (st.ic IS NULL OR st.sl IS NULL OR st.shs IS NULL) AS prednan,
+       |          (st.ic IS NULL AND dd.v IS NOT NULL) AS boot
+       |         FROM st JOIN dd ON dd.event_type = st.event_type AND dd.i = st.i + 1
+       |        ))))))))
        |)
        |SELECT event_type, ts, x AS v, hwpredict, seasonal, devseasonal, devpredict,
        | failures, violation
