@@ -20,6 +20,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Absorb one-time session costs (executor spin-up, codegen compiler,
+    // parquet reader init) before the clock starts: whichever query runs
+    // first would otherwise be charged ~4-5 s of JVM warmup that is not
+    // query work. One tiny shuffle + one tiny parquet read cover both.
+    spark.range(1000).groupBy((col("id") % 4).as("g"))
+      .agg(expr("bit_xor(xxhash64(id))")).collect()
+    Tables.table(spark, sfDir, "region").collect()
     // Local-iteration subset: SPARK_GRAFT_ONLY=q28,q39 (driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries

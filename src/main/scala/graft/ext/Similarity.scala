@@ -30,23 +30,39 @@ object Similarity {
     dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
   /** Brute-force cosine top-k: every query row against every corpus row.
-    * At scale: broadcast the (small) query side; the corpus streams
-    * through one codegen stage — no shuffle of the corpus; the only
-    * shuffle is the final per-query top-k (tiny).
+    * At scale: the (small, by contract) query side is collected and
+    * broadcast as primitive arrays; the corpus streams through ONE typed
+    * `mapPartitions` whose dot kernel is a tight primitive-double loop —
+    * the same left-fold order as [[dot]]'s `aggregate` HOF (so the SQL
+    * oracle still matches bit-for-bit) but compiled JVM arithmetic
+    * instead of per-element Catalyst interpretation (round-2 verdict
+    * measured the HOF ~40× slower than the equivalent native fold). The
+    * only shuffle is the final per-query top-k.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
       vec: String, dim: Int, k: Int): DataFrame = {
-    // norms hoisted per row: computing them inside the pair expression
-    // would redo each corpus norm once per query (and vice versa)
-    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      norm(col(vec), dim).as("qn"))
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-      norm(col(vec), dim).as("cn"))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv"), dim) / (col("qn") * col("cn")))
-          .as("cosine"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def dotK(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val q = queries.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) => (qid, qv, math.sqrt(dotK(qv, qv))) }
+    val bc = spark.sparkContext.broadcast(q)
+    val scored = corpus.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, cv) =>
+          val cn = math.sqrt(dotK(cv, cv))
+          qs.iterator.collect { case (qid, qv, qn) if qid != nid =>
+            (qid, nid, dotK(qv, cv) / (qn * cn))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cosine")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
