@@ -77,14 +77,21 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
         schema.ds.map(d => d.name -> d.name).toMap)
   }
 
-  /** fetch <CF> --start --end [--resolution] → aligned grid frame. */
+  /** fetch <CF> --start --end [--resolution] [--align-start] → aligned
+    * grid frame. `--align-start` shifts BOTH ends down by
+    * `start % resolution` (window length preserved) before the usual
+    * grid alignment — rrd_fetch.c:169-173. */
   def fetch(path: String, cf: String, args: Seq[String]): DataFrame = {
-    val (opts, _) = parseOpts(args)
-    val end = opts.get("end").map(at).getOrElse(nowSec)
-    val start = opts.get("start").map(at).getOrElse(end - 86400)
+    val alignStart = args.contains("--align-start") || args.contains("-a")
+    val (opts, _) = parseOpts(
+      args.filterNot(a => a == "--align-start" || a == "-a"))
+    val end0 = opts.get("end").map(at).getOrElse(nowSec)
+    val start0 = opts.get("start").map(at).getOrElse(end0 - 86400)
     val schema = RrdStore.readSchema(path)
     val res = opts.get("resolution").map(_.toLong)
       .getOrElse(schema.stepSec)
+    val delta = if (alignStart) java.lang.Math.floorMod(start0, res) else 0L
+    val (start, end) = (start0 - delta, end0 - delta)
     val ds = opts.getOrElse("ds", schema.ds.head.name)
     RrdStore.fetch(spark, path, Cf.parse(cf), ds, series, start, end, res)
   }

@@ -40,7 +40,12 @@ object GraphScript {
       param: Double) extends Stmt
   final case class ShiftStmt(vname: String, src: String,
       offsetSec: Long) extends Stmt
-  final case class PrintStmt(vname: String, fmt: String) extends Stmt
+  /** `mode`: "" (numeric/SI), "strftime" (format the VDEF's TIME),
+    * "valstrftime" (value AS a timestamp), "valstrfduration" (value as
+    * milliseconds) — PRINT:vname:format[:mode]
+    * (doc/rrdgraph_graph.pod:9, rrd_graph.c:1990-2045). */
+  final case class PrintStmt(vname: String, fmt: String,
+      mode: String = "") extends Stmt
   final case class ElementStmt(element: Graphv.Element,
       legend: String) extends Stmt
   final case class XportStmt(vname: String, legend: String) extends Stmt
@@ -88,7 +93,13 @@ object GraphScript {
         ShiftStmt(parts(0) + "_shifted", parts(0), parts(1).toLong)
       case "PRINT" | "GPRINT" =>
         val i = body.indexOf(':')
-        PrintStmt(body.take(i), stripQuotes(body.drop(i + 1)))
+        val rest = body.drop(i + 1)
+        val modes = Seq(":strftime", ":valstrftime", ":valstrfduration")
+        modes.find(rest.endsWith) match {
+          case Some(m) => PrintStmt(body.take(i),
+            stripQuotes(rest.dropRight(m.length)), m.drop(1))
+          case None => PrintStmt(body.take(i), stripQuotes(rest))
+        }
       case "XPORT" =>
         val parts = body.split(":", 2)
         XportStmt(parts(0),
@@ -161,9 +172,34 @@ object GraphScript {
       case CdefStmt(vname, rpn) => plan.cdef(vname, rpn)
       case VdefStmt(vname, src, op, param) => plan.vdef(vname, src, op, param)
       case ShiftStmt(vname, src, off) => plan.shift(vname, src, off)
-      case PrintStmt(vname, fmt) =>
-        val (line, mf) = plan.print(vname, fmt, magfact)
-        magfact = mf
+      case PrintStmt(vname, fmt, mode) =>
+        val line = mode match {
+          case "strftime" => // the VDEF's TIME component
+            val f = if (fmt.isEmpty) "%Y-%m-%d %H:%M:%S" else fmt
+            plan.scalarOf(vname).tsSec match {
+              case Some(t) => Graphv.Print.strftime(f, t, timeZone)
+              case None => Graphv.Print.timeClean(f) // VDEF "never"
+            }
+          case "valstrftime" => // the VALUE read as an epoch
+            val f = if (fmt.isEmpty) "%Y-%m-%d %H:%M:%S" else fmt
+            plan.scalarOf(vname).value match {
+              case Some(v) if java.lang.Double.isFinite(v) =>
+                Graphv.Print.strftime(f, v.toLong, timeZone)
+              case Some(v) => "%.0f".formatLocal(java.util.Locale.ROOT, v)
+              case None => "NaN"
+            }
+          case "valstrfduration" => // the VALUE as milliseconds
+            plan.scalarOf(vname).value match {
+              case Some(v) if java.lang.Double.isFinite(v) =>
+                Graphv.Print.strfduration(fmt, v)
+              case Some(v) => "%f".formatLocal(java.util.Locale.ROOT, v)
+              case None => "NaN"
+            }
+          case _ =>
+            val (l, mf) = plan.print(vname, fmt, magfact)
+            magfact = mf
+            l
+        }
         prints :+= line
       case ElementStmt(e, legend) if e.vname.isDefined =>
         elements :+= (e.vname.get -> e)

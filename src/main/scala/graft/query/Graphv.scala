@@ -169,6 +169,83 @@ object Graphv {
       else printval
     }
 
+    /** C strftime over an epoch second — the PRINT `:strftime` /
+      * `:valstrftime` branch (rrd_graph.c:1990-2045; default format
+      * `%Y-%m-%d %H:%M:%S`, rrd_graph.c:255). C-locale names, composite
+      * conversions expanded recursively, unknown conversions kept
+      * literally (glibc behavior). */
+    def strftime(fmt: String, epochSec: Long,
+        timeZone: String = "UTC"): String = {
+      val zdt = java.time.Instant.ofEpochSecond(epochSec)
+        .atZone(java.time.ZoneId.of(timeZone))
+      val months = Array("January", "February", "March", "April", "May",
+        "June", "July", "August", "September", "October", "November",
+        "December")
+      val days = Array("Monday", "Tuesday", "Wednesday", "Thursday",
+        "Friday", "Saturday", "Sunday")
+      val sb = new StringBuilder
+      var i = 0
+      while (i < fmt.length) {
+        val c = fmt.charAt(i)
+        if (c != '%' || i + 1 >= fmt.length) { sb += c; i += 1 }
+        else {
+          val h12 = { val h = zdt.getHour % 12; if (h == 0) 12 else h }
+          fmt.charAt(i + 1) match {
+            case 'Y' => sb ++= zdt.getYear.toString
+            case 'y' => sb ++= f"${zdt.getYear % 100}%02d"
+            case 'C' => sb ++= f"${zdt.getYear / 100}%02d"
+            case 'm' => sb ++= f"${zdt.getMonthValue}%02d"
+            case 'd' => sb ++= f"${zdt.getDayOfMonth}%02d"
+            case 'e' => sb ++= f"${zdt.getDayOfMonth}%2d"
+            case 'H' => sb ++= f"${zdt.getHour}%02d"
+            case 'k' => sb ++= f"${zdt.getHour}%2d"
+            case 'I' => sb ++= f"$h12%02d"
+            case 'l' => sb ++= f"$h12%2d"
+            case 'M' => sb ++= f"${zdt.getMinute}%02d"
+            case 'S' => sb ++= f"${zdt.getSecond}%02d"
+            case 'j' => sb ++= f"${zdt.getDayOfYear}%03d"
+            case 'a' => sb ++= days(zdt.getDayOfWeek.getValue - 1).take(3)
+            case 'A' => sb ++= days(zdt.getDayOfWeek.getValue - 1)
+            case 'b' | 'h' => sb ++= months(zdt.getMonthValue - 1).take(3)
+            case 'B' => sb ++= months(zdt.getMonthValue - 1)
+            case 'p' => sb ++= (if (zdt.getHour < 12) "AM" else "PM")
+            case 'u' => sb ++= zdt.getDayOfWeek.getValue.toString
+            case 'w' => sb ++= (zdt.getDayOfWeek.getValue % 7).toString
+            case 'V' => sb ++= f"${zdt.get(java.time.temporal
+              .IsoFields.WEEK_OF_WEEK_BASED_YEAR)}%02d"
+            case 'G' => sb ++= zdt.get(java.time.temporal
+              .IsoFields.WEEK_BASED_YEAR).toString
+            case 's' => sb ++= epochSec.toString
+            case 'z' => sb ++= zdt.getOffset.getId.replace(":", "")
+              .replace("Z", "+0000")
+            case 'Z' => sb ++= zdt.getZone
+              .getDisplayName(java.time.format.TextStyle.SHORT,
+                java.util.Locale.ROOT)
+            case 'n' => sb += '\n'
+            case 't' => sb += '\t'
+            case '%' => sb += '%'
+            case 'c' => sb ++= strftime("%a %b %e %H:%M:%S %Y", epochSec, timeZone)
+            case 'x' => sb ++= strftime("%m/%d/%y", epochSec, timeZone)
+            case 'X' => sb ++= strftime("%H:%M:%S", epochSec, timeZone)
+            case 'F' => sb ++= strftime("%Y-%m-%d", epochSec, timeZone)
+            case 'T' => sb ++= strftime("%H:%M:%S", epochSec, timeZone)
+            case 'D' => sb ++= strftime("%m/%d/%y", epochSec, timeZone)
+            case 'R' => sb ++= strftime("%H:%M", epochSec, timeZone)
+            case 'r' => sb ++= strftime("%I:%M:%S %p", epochSec, timeZone)
+            case other => sb += '%' += other
+          }
+          i += 2
+        }
+      }
+      sb.toString
+    }
+
+    /** time_clean (rrd_graph.c:1669-1682 shape): when a VDEF carries no
+      * timestamp (`never`), strip the conversions and keep the literal
+      * text. */
+    def timeClean(fmt: String): String =
+      fmt.replaceAll("%[a-zA-Z%]", "").trim
+
     /** strfduration (rrd_graph.c:1684-1808): %W/%d/%D/%h/%H/%m/%M/%s/%S/
       * %f fields with optional zero-pad/width/precision; duration is in
       * MILLISECONDS, negative renders a leading '-'. */

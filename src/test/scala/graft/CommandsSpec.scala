@@ -36,8 +36,20 @@ class CommandsSpec extends SparkSuite {
       s"DEF:a=$path:speed:AVERAGE",
       "CDEF:b=a,10,*",
       "VDEF:m=b,MAXIMUM",
-      "PRINT:m:%lf"))
-    assert(g.prints == Seq("75.000000"))
+      "PRINT:m:%lf",
+      "PRINT:m:%Y-%m-%d %H:%M:%S:strftime",   // MAXIMUM's timestamp
+      "PRINT:m:%S seconds:valstrfduration"))  // value 75 as milliseconds
+    assert(g.prints == Seq("75.000000",
+      "1970-01-01 00:00:20", // first slot where b hits its max
+      "0 seconds"))
+
+    // --align-start (rrd_fetch.c:169-173): both ends shift down by
+    // start % resolution, so the window KEEPS its length instead of
+    // widening — start 105/end 185 at res 60 becomes (60, 140]
+    val al = c.fetch(path, "AVERAGE", Seq("--start", "105", "--end", "185",
+      "--resolution", "60", "--align-start"))
+    val alTs = al.orderBy("ts").select("ts").as[Long].collect()
+    assert(alTs.head == 70L && alTs.last == 140L)
 
     val out = java.nio.file.Files.createTempDirectory("graft_cmdd").toString
     c.dump(path, s"$out/d")

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   * PRINT lines (rpn1.output:1-3). */
 class GraphScriptSpec extends SparkSuite {
 
+  test("strftime matches the C conversions (values from GNU date)") {
+    import graft.query.Graphv.Print.{strftime, timeClean}
+    assert(strftime("%a %b %e %H:%M:%S %Y", 1300003020L)
+      == "Sun Mar 13 07:57:00 2011")
+    assert(strftime("%Y-%m-%d %H:%M:%S", 1300003020L)
+      == "2011-03-13 07:57:00")
+    assert(strftime("%j %u %w %V %G %s %C %I %p", 1300003020L)
+      == "072 7 0 10 2011 1300003020 20 07 AM")
+    assert(strftime("%c", 1300003020L) == "Sun Mar 13 07:57:00 2011")
+    assert(strftime("%F %T %R 100%%", 1300003020L)
+      == "2011-03-13 07:57:00 07:57 100%")
+    assert(timeClean("from %Y to %m") == "from  to")
+  }
+
   test("tests/rpn1 via literal command strings against the store") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_gs").toString
