@@ -46,13 +46,10 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
   /** update: parse "time:v1:v2" args against the schema and ingest
     * (single implicit series = this facade's defaultKey).
     *
-    * Incremental, like the reference: plain-CF stores MERGE the new
-    * samples with existing RRA history via [[RrdStore.appendBatch]]
-    * (a second `update path 200:2` after `update path 100:1` keeps
-    * both). Stores with Holt-Winters RRAs still take the batch
-    * [[RrdStore.update]] path, which REMATERIALIZES every RRA from
-    * this call's samples only — callers must pass full history there
-    * until streaming HW state lands. */
+    * Incremental, like the reference: new samples MERGE with existing
+    * RRA history via [[RrdStore.appendBatch]] (a second
+    * `update path 200:2` after `update path 100:1` keeps both);
+    * Holt-Winters RRAs resume from the state sidecar. */
   def update(path: String, args: Seq[String],
       template: Option[Seq[String]] = None): Unit = {
     import spark.implicits._
@@ -68,13 +65,8 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
       }.toDF("k", "ts_us", "__vs")) { case (d, (ds, i)) =>
       d.withColumn(ds.name, element_at(col("__vs"), i + 1).cast("double"))
     }.drop("__vs")
-    val plain: Set[Cf] = Set(Cf.Average, Cf.Min, Cf.Max, Cf.Last)
-    if (schema.rras.forall(r => plain(r.cf)))
-      RrdStore.appendBatch(spark, path, withVs, Seq("k"), "ts_us", "ts_us",
-        schema.ds.map(d => d.name -> d.name).toMap)
-    else
-      RrdStore.update(spark, path, withVs, Seq("k"), "ts_us", "ts_us",
-        schema.ds.map(d => d.name -> d.name).toMap)
+    RrdStore.appendBatch(spark, path, withVs, Seq("k"), "ts_us", "ts_us",
+      schema.ds.map(d => d.name -> d.name).toMap)
   }
 
   /** fetch <CF> --start --end [--resolution] [--align-start] → aligned

@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   *     width 2·floor(window/2·period)+1, SEASONAL arrays re-centered by
   *     the baseline mean which is added to the HWPREDICT intercept.
   */
-object HoltWinters {
+object HoltWinters extends Serializable {
 
   /** Parameters of one HW family (rra_def par words,
     * /root/reference/src/rrd_format.h:223-259). `gammaSeasonal` and
@@ -72,9 +72,36 @@ object HoltWinters {
       devseasonal: Array[Double], devpredict: Array[Double],
       failures: Array[Double], violation: Array[Int])
 
+  /** The complete recurrence state between steps — the reference's
+    * `cdp_prep` scratch plus the circular SEASONAL/DEVSEASONAL arrays
+    * and the FAILURES violation window, with the global step counter
+    * `t` that drives array indexing and the smoothing schedule. A batch
+    * resumed from the state of the previous batch produces bit-identical
+    * output to one uninterrupted run (StreamingEndToEndSpec). */
+  final case class HwState(
+      intercept: Double, lastIntercept: Double,
+      slope: Double, lastSlope: Double,
+      nullCount: Long, lastNullCount: Long,
+      shSeasonal: Double, shLastSeasonal: Double,
+      sdev: Double, lastSdev: Double,
+      sArr: Seq[Double], dArr: Seq[Double], viol: Seq[Int],
+      burnin: Long, t: Long)
+
+  def initState(spec: HwSpec): HwState = HwState(
+    Double.NaN, Double.NaN, Double.NaN, Double.NaN, 1L, 1L,
+    Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+    Seq.fill(spec.period)(Double.NaN), Seq.fill(spec.period)(Double.NaN),
+    Seq.fill(spec.windowLen)(0), 1L, 0L)
+
   /** Run the recurrence over one series' grid-aligned PDPs (NaN =
     * unknown). Pure function — the unit-testable core. */
-  def run(pdp: Array[Double], spec: HwSpec): HwResult = {
+  def run(pdp: Array[Double], spec: HwSpec): HwResult =
+    runFrom(pdp, spec, initState(spec))._1
+
+  /** [[run]] resumable from (and returning) explicit state — the
+    * streaming micro-batch form. */
+  def runFrom(pdp: Array[Double], spec: HwSpec,
+      st0: HwState): (HwResult, HwState) = {
     import spec._
     val n = pdp.length
     val out = HwResult(new Array(n), new Array(n), new Array(n),
@@ -100,20 +127,24 @@ object HoltWinters {
 
     // cdp_prep scratch (init_hwpredict_cdp / init_seasonal_cdp,
     // rrd_hw.c:402-419) + the circular arrays (all-DNAN at create,
-    // rrd_create.c:1392)
-    var intercept, lastIntercept, slope, lastSlope = Double.NaN
-    var nullCount, lastNullCount = 1L
-    var shSeasonal, shLastSeasonal = Double.NaN
-    var sdev, lastSdev = Double.NaN
-    val sArr = Array.fill(period)(Double.NaN)
-    val dArr = Array.fill(period)(Double.NaN)
-    val viol = new Array[Int](windowLen)
-    var burnin = 1L // CDP_init_seasonal
+    // rrd_create.c:1392) — resumed from st0 for micro-batches
+    var intercept = st0.intercept; var lastIntercept = st0.lastIntercept
+    var slope = st0.slope; var lastSlope = st0.lastSlope
+    var nullCount = st0.nullCount; var lastNullCount = st0.lastNullCount
+    var shSeasonal = st0.shSeasonal; var shLastSeasonal = st0.shLastSeasonal
+    var sdev = st0.sdev; var lastSdev = st0.lastSdev
+    val sArr = st0.sArr.toArray
+    val dArr = st0.dArr.toArray
+    val viol = st0.viol.toArray
+    var burnin = st0.burnin // CDP_init_seasonal
+    require(sArr.length == period && dArr.length == period &&
+      viol.length == windowLen, "state does not match spec")
 
     val smoothOffset = math.floor(smoothingWindow / 2 * period).toLong
-    var t = 0
-    while (t < n) {
-      val x = pdp(t)
+    var i0 = 0
+    while (i0 < n) {
+      val t = (st0.t + i0).toInt
+      val x = pdp(i0)
       // do_schedule_smooth (rrd_update.c:1878-1907): decided before the
       // step's writes, applied after them (deterministic variant).
       val doSmooth =
@@ -149,7 +180,7 @@ object HoltWinters {
           nullCount = 1
         }
       }
-      out.hwpredict(t) = prediction
+      out.hwpredict(i0) = prediction
 
       // ---- SEASONAL (update_seasonal, rrd_hw_update.c:119-231;
       // standard layout: HWPREDICT already updated this step)
@@ -161,7 +192,7 @@ object HoltWinters {
         else if (lastIntercept.isNaN || lastSlope.isNaN) Double.NaN
         else if (seasonalOld.isNaN) initSeasonality(x, lastIntercept)
         else seasonalityF(x, intercept, seasonalOld)
-      out.seasonal(t) = sNew
+      out.seasonal(i0) = sNew
       sArr(t % period) = sNew
 
       // ---- DEVSEASONAL (update_devseasonal, rrd_hw_update.c:262-368)
@@ -174,11 +205,11 @@ object HoltWinters {
         else if (x.isNaN) lastSdev
         else if (lastSdev.isNaN) math.abs(predD - x)
         else gammaDev * math.abs(predD - x) + (1 - gammaDev) * lastSdev
-      out.devseasonal(t) = dNew
+      out.devseasonal(i0) = dNew
       dArr(t % period) = dNew
 
       // ---- DEVPREDICT (update_devpredict, rrd_hw_update.c:232-261)
-      out.devpredict(t) = lastSdev
+      out.devpredict(i0) = lastSdev
 
       // ---- FAILURES (update_failures, rrd_hw_update.c:369-475)
       val deviation = lastSdev
@@ -192,8 +223,8 @@ object HoltWinters {
       var i = windowLen - 1
       while (i >= 1) { viol(i) = viol(i - 1); cnt += viol(i); i -= 1 }
       viol(0) = violation
-      out.failures(t) = if (cnt >= failThreshold) 1.0 else 0.0
-      out.violation(t) = violation
+      out.failures(i0) = if (cnt >= failThreshold) 1.0 else 0.0
+      out.violation(i0) = violation
 
       if (doSmooth && smoothOffset > 0) {
         val baseline = smooth(sArr, smoothOffset.toInt)
@@ -206,9 +237,11 @@ object HoltWinters {
         }
         smooth(dArr, smoothOffset.toInt)
       }
-      t += 1
+      i0 += 1
     }
-    out
+    (out, HwState(intercept, lastIntercept, slope, lastSlope,
+      nullCount, lastNullCount, shSeasonal, shLastSeasonal, sdev, lastSdev,
+      sArr.toSeq, dArr.toSeq, viol.toSeq, burnin, st0.t + n))
   }
 
   /** apply_smoother (rrd_hw.c:128-330): centered cyclic moving average
@@ -232,6 +265,136 @@ object HoltWinters {
       k += 1
     }
     baseline / n
+  }
+
+  /** State sidecar columns appended after the series key columns. */
+  val StateFields: Seq[(String, DataType)] = Seq(
+    "last_ts" -> LongType,
+    "intercept" -> DoubleType, "last_intercept" -> DoubleType,
+    "slope" -> DoubleType, "last_slope" -> DoubleType,
+    "null_count" -> LongType, "last_null_count" -> LongType,
+    "sh_seasonal" -> DoubleType, "sh_last_seasonal" -> DoubleType,
+    "sdev" -> DoubleType, "last_sdev" -> DoubleType,
+    "sarr" -> ArrayType(DoubleType), "darr" -> ArrayType(DoubleType),
+    "viol" -> ArrayType(IntegerType),
+    "burnin" -> LongType, "t" -> LongType)
+
+  def stateSchema(seriesFields: Seq[StructField]): StructType =
+    StructType(seriesFields ++
+      StateFields.map { case (n, t) => StructField(n, t, nullable = false) })
+
+  private def rowToState(r: Row, off: Int): (Long, HwState) =
+    (r.getLong(off), HwState(
+      r.getDouble(off + 1), r.getDouble(off + 2),
+      r.getDouble(off + 3), r.getDouble(off + 4),
+      r.getLong(off + 5), r.getLong(off + 6),
+      r.getDouble(off + 7), r.getDouble(off + 8),
+      r.getDouble(off + 9), r.getDouble(off + 10),
+      r.getSeq[Double](off + 11), r.getSeq[Double](off + 12),
+      r.getSeq[Int](off + 13), r.getLong(off + 14), r.getLong(off + 15)))
+
+  private def stateToSeq(lastTs: Long, st: HwState): Seq[Any] = Seq(
+    lastTs, st.intercept, st.lastIntercept, st.slope, st.lastSlope,
+    st.nullCount, st.lastNullCount, st.shSeasonal, st.shLastSeasonal,
+    st.sdev, st.lastSdev, st.sArr, st.dArr, st.viol, st.burnin, st.t)
+
+  /** Resumable micro-batch form: run the recurrence over a grid-aligned
+    * PDP frame CONTINUING from per-series `prior` states, returning
+    * (new family rows, updated states). Rows at or before a series'
+    * `last_ts` are skipped (already materialized by earlier batches —
+    * makes replays idempotent); a series absent from the batch keeps its
+    * prior state. Slots must be contiguous at `stepSec` past `last_ts`.
+    * One shuffle on the series key per pass; the recurrence itself is
+    * the same [[runFrom]] loop batch ingest and full [[apply]] share,
+    * so streamed output is bit-identical to a one-shot run. */
+  def applyResumable(df: DataFrame, series: Seq[String], ts: String,
+      value: String, spec: HwSpec, prior: DataFrame,
+      stepSec: Long): (DataFrame, DataFrame) = {
+    val inSchema = df.schema
+    val tsIdx = inSchema.fieldIndex(ts)
+    val vIdx = inSchema.fieldIndex(value)
+    val sIdx = series.map(inSchema.fieldIndex)
+    val stSchema = stateSchema(series.map(inSchema(_)))
+    require(prior.schema.length == stSchema.length,
+      s"prior state schema mismatch: ${prior.schema} vs $stSchema")
+    val outSchema = StructType(
+      series.map(inSchema(_)) :+
+        StructField(ts, LongType, nullable = false) :+
+        StructField(value, DoubleType) :+
+        StructField("hwpredict", DoubleType) :+
+        StructField("seasonal", DoubleType) :+
+        StructField("devseasonal", DoubleType) :+
+        StructField("devpredict", DoubleType) :+
+        StructField("failures", DoubleType) :+
+        StructField("violation", IntegerType, nullable = false))
+
+    def keyOf(idx: Seq[Int])(r: Row): String =
+      idx.map { i =>
+        val s = String.valueOf(r.get(i)); s"${s.length}:$s"
+      }.mkString
+    def grouped(d: DataFrame, idx: Seq[Int]) =
+      d.groupByKey(keyOf(idx))(Encoders.STRING)
+
+    // the replay shared by both passes: (kept slots, result, final state)
+    def replay(rows: Iterator[Row], states: Iterator[Row]):
+        (Array[Row], HwResult, Long, HwState) = {
+      val (lastTs0, st0) = states.nextOption()
+        .map(rowToState(_, series.length))
+        .getOrElse((Long.MinValue, initState(spec)))
+      val sorted = rows.toArray.filter(_.getLong(tsIdx) > lastTs0)
+        .sortBy(_.getLong(tsIdx))
+      sorted.indices.drop(1).foreach { i =>
+        require(sorted(i).getLong(tsIdx) - sorted(i - 1).getLong(tsIdx)
+          == stepSec, "HW input slots must be contiguous")
+      }
+      if (sorted.nonEmpty && lastTs0 != Long.MinValue)
+        require(sorted.head.getLong(tsIdx) == lastTs0 + stepSec,
+          s"HW batch starts at ${sorted.head.getLong(tsIdx)}, " +
+            s"state ends at $lastTs0")
+      val pdp = sorted.map(r =>
+        if (r.isNullAt(vIdx)) Double.NaN else r.getDouble(vIdx))
+      val (res, st1) = runFrom(pdp, spec, st0)
+      val lastTs1 = if (sorted.isEmpty) lastTs0
+        else sorted.last.getLong(tsIdx)
+      (sorted, res, lastTs1, st1)
+    }
+
+    val rows = grouped(df, sIdx).cogroup(grouped(prior, series.indices)) {
+      (_: String, rs: Iterator[Row], ss: Iterator[Row]) =>
+        val buffered = rs.toArray
+        if (buffered.isEmpty) Iterator.empty
+        else {
+          val (sorted, res, _, _) = replay(buffered.iterator, ss)
+          def v(a: Array[Double], i: Int): Any =
+            if (a(i).isNaN) null else java.lang.Double.valueOf(a(i))
+          val pdp = sorted.map(r =>
+            if (r.isNullAt(vIdx)) Double.NaN else r.getDouble(vIdx))
+          sorted.indices.iterator.map { i =>
+            Row.fromSeq(sIdx.map(sorted(i).get) ++
+              Seq(sorted(i).getLong(tsIdx), v(pdp, i),
+                v(res.hwpredict, i), v(res.seasonal, i),
+                v(res.devseasonal, i), v(res.devpredict, i),
+                v(res.failures, i), res.violation(i)))
+          }
+        }
+    }(Encoders.row(outSchema)).toDF(outSchema.fieldNames.toIndexedSeq: _*)
+
+    val states = grouped(df, sIdx).cogroup(grouped(prior, series.indices)) {
+      (_: String, rs: Iterator[Row], ss: Iterator[Row]) =>
+        val buffered = rs.toArray
+        val stored = ss.toArray
+        if (buffered.isEmpty) stored.iterator // untouched series persist
+        else {
+          val (sorted, _, lastTs1, st1) = replay(buffered.iterator,
+            stored.iterator)
+          val keyVals =
+            if (sorted.nonEmpty) sIdx.map(sorted.head.get)
+            else series.indices.map(stored.head.get)
+          Iterator.single(Row.fromSeq(keyVals ++ stateToSeq(lastTs1, st1)))
+        }
+    }(Encoders.row(stSchema)).toDF(stSchema.fieldNames.toIndexedSeq: _*)
+
+    (rows, states)
   }
 
   /** DataFrame form: append the five family columns (+ `violation`) to a

@@ -142,6 +142,19 @@ object RrdStore {
               .write.mode("overwrite").parquet(s"$path/rra$idx")
           }
           perMember.foreach(_._2.unpersist())
+          // persist the recurrence state so a batch-built store can
+          // continue ingesting via appendBatch (streaming HW)
+          schema.ds.foreach { d =>
+            val g = gridFill(pdp, series, s"pdp_${d.name}", schema.stepSec)
+              .select(series.map(col) :+ col("pdp_ts").as("ts") :+
+                col(s"pdp_${d.name}").as("v"): _*)
+            val empty = spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              graft.hw.HoltWinters.stateSchema(series.map(g.schema(_))))
+            val (_, states) = graft.hw.HoltWinters.applyResumable(
+              g, series, "ts", "v", spec, empty, schema.stepSec)
+            writeSwap(states, s"$path/hwstate/rra$i/${d.name}")
+          }
           familyWritten ++= members.map(_._2)
         case _ if familyWritten.contains(i) => () // written with its family
         case other =>
@@ -232,25 +245,28 @@ object RrdStore {
     * .StreamingIngest.monotonicGate]] upstream); same-(series, ts)
     * replays are deduped so foreachBatch retries stay idempotent.
     *
+    * Holt-Winters RRAs stream too: the recurrence resumes from the
+    * per-(series, DS) state sidecar (`<path>/hwstate/rra<i>/<ds>`,
+    * the reference's `cdp_prep` scratch as data) and consumes only
+    * CLOSED slots — ones whose step is fully covered by samples — so a
+    * slot is never fed to the sequential model while a later sample
+    * could still revise its PDP (the reference likewise runs the
+    * aberrant chain only at PDP close-out, rrd_update.c:1694-1835).
+    * State is written AFTER the member rows commit: a crash between the
+    * two replays the batch against the old state and the merge dedups.
+    *
     * Scale shape: per batch, one window pass per series over
     * (tail ∪ batch) — tail size is O(series × lcm-window) — then the
     * same bounded-explode + hash-agg pipeline as [[update]], and one
     * anti-join + union per RRA keyed (series, ts). On Delta the merge
     * is `MERGE INTO`; on parquet it rewrites the RRA, so size RRA
     * retention (compact) accordingly.
-    *
-    * Holt-Winters RRAs are rejected: their recurrence needs the
-    * stateful resume path, not bucket recomputation.
     */
   def appendBatch(spark: SparkSession, path: String, samples: DataFrame,
       series: Seq[String], tsUs: String, tieBreak: String,
       dsValues: Map[String, String],
       rateScale: Option[Int] = None): Unit = {
     val schema = readSchema(path)
-    val plainCfs: Set[Cf] = Set(Cf.Average, Cf.Min, Cf.Max, Cf.Last)
-    require(schema.rras.forall(r => plainCfs(r.cf)),
-      "appendBatch supports plain-CF RRAs; Holt-Winters families need " +
-        "the batch update() path (stateful streaming HW not yet wired)")
     val lcmCnt = schema.rras.map(_.pdpCnt).reduce(lcm)
     val horizonStep = schema.stepSec * lcmCnt
 
@@ -274,19 +290,82 @@ object RrdStore {
     // Long.MinValue (no tail yet) keeps everything
     val bFrame = all.groupBy(series.map(col): _*)
       .agg(max(col("__horizon")).as("__B"))
-    schema.rras.zipWithIndex.foreach { case (rra, i) =>
-      val recomputed = plainRraFrame(schema, rra, pdp, series)
-        .join(bFrame, series)
-        .where(col("ts") > col("__B")).drop("__B")
-      val target = s"$path/rra$i"
+    // per-series closed-slot horizon: a slot is CLOSED once a sample at
+    // or past its end exists (HW must never consume a revisable PDP)
+    val closedF = all.groupBy(series.map(col): _*)
+      .agg((expr(s"(max($tsUs) div 1000000) div ${schema.stepSec}") *
+        schema.stepSec).as("__closed"))
+
+    def mergeInto(freshRows: DataFrame, idx: Int): Unit = {
+      val target = s"$path/rra$idx"
       if (Files.exists(Paths.get(target))) {
         val existing = spark.read.parquet(target)
         val merged = existing
-          .join(recomputed.select((series :+ "ts").map(col): _*),
+          .join(freshRows.select((series :+ "ts").map(col): _*),
             series :+ "ts", "left_anti")
-          .unionByName(recomputed)
+          .unionByName(freshRows)
         writeSwap(merged, target)
-      } else recomputed.write.mode("overwrite").parquet(target)
+      } else freshRows.write.mode("overwrite").parquet(target)
+    }
+
+    val hwFamily: Map[Cf, String] = Map(
+      Cf.Seasonal -> "seasonal", Cf.DevSeasonal -> "devseasonal",
+      Cf.DevPredict -> "devpredict", Cf.Failures -> "failures")
+    var familyWritten = Set.empty[Int]
+    schema.rras.zipWithIndex.foreach { case (rra, i) =>
+      rra.cf match {
+        case Cf.Average | Cf.Min | Cf.Max | Cf.Last =>
+          val recomputed = plainRraFrame(schema, rra, pdp, series)
+            .join(bFrame, series)
+            .where(col("ts") > col("__B")).drop("__B")
+          mergeInto(recomputed, i)
+        case Cf.HwPredict | Cf.MhwPredict =>
+          val h = rra.hw.get
+          val spec = graft.hw.HoltWinters.HwSpec(h.alpha, h.beta,
+            h.period.toInt, h.gamma, h.gamma,
+            multiplicative = rra.cf == Cf.MhwPredict,
+            deltaPos = h.deltaPos, deltaNeg = h.deltaNeg,
+            failThreshold = h.failThreshold, windowLen = h.windowLen,
+            smoothingWindow = h.smoothingWindow)
+          val members = ("hwpredict" -> i) +: schema.rras.zipWithIndex
+            .drop(i + 1)
+            .takeWhile(r => hwFamily.contains(r._1.cf))
+            .map(r => hwFamily(r._1.cf) -> r._2)
+          val perDs = schema.ds.map { d =>
+            val pdpDs = pdp.join(closedF, series)
+              .where(col("pdp_ts") <= col("__closed"))
+              .select(series.map(col) :+ col("pdp_ts").as("ts") :+
+                col(s"pdp_${d.name}").as("v"): _*)
+            val statePath = s"$path/hwstate/rra$i/${d.name}"
+            val prior =
+              if (Files.exists(Paths.get(statePath)))
+                spark.read.parquet(statePath)
+              else spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](),
+                graft.hw.HoltWinters.stateSchema(
+                  series.map(pdpDs.schema(_))))
+            val (rows, states) = graft.hw.HoltWinters.applyResumable(
+              pdpDs, series, "ts", "v", spec, prior, schema.stepSec)
+            (d.name, rows.persist(), states, statePath)
+          }
+          members.foreach { case (member, idx) =>
+            val cols = perDs.map { case (ds, out, _, _) =>
+              out.select(series.map(col) :+ col("ts") :+
+                col(member).as(ds): _*)
+            }
+            mergeInto(cols.reduce(_.join(_, series :+ "ts", "outer")), idx)
+          }
+          // state LAST: a crash before this point replays against the
+          // old state and the merges dedup the regenerated rows
+          perDs.foreach { case (_, rows, states, statePath) =>
+            writeSwap(states, statePath)
+            rows.unpersist()
+          }
+          familyWritten ++= members.map(_._2)
+        case _ if familyWritten.contains(i) => ()
+        case other => throw new IllegalArgumentException(
+          s"RRA $i ($other) has no preceding HWPREDICT to depend on")
+      }
     }
 
     // trim the tail to the new horizon: floor(newest/L)·L per series,

@@ -49,6 +49,29 @@ class HoltWintersSpec extends AnyFunSuite {
     assert(r.failures.exists(_ == 1.0), "threshold 2/3 must trip")
   }
 
+  test("runFrom chunked across batches == run whole (state round trip, smoother active)") {
+    val spec = HwSpec(0.1, 0.035, 48, 0.1, 0.1) // offset 1: smoothing fires
+    val rnd = new scala.util.Random(3)
+    val pdp = Array.fill(200)(
+      if (rnd.nextInt(20) == 0) Double.NaN else rnd.nextDouble() * 50)
+    val whole = HoltWinters.run(pdp, spec)
+    var st = HoltWinters.initState(spec)
+    val outs = Seq(pdp.slice(0, 37), pdp.slice(37, 100), pdp.slice(100, 200))
+      .map { p =>
+        val (r, s) = HoltWinters.runFrom(p, spec, st)
+        st = s // crosses cycle boundaries: smoothing state must carry over
+        r
+      }
+    def bits(a: Seq[Double]): Seq[Long] =
+      a.map(java.lang.Double.doubleToLongBits)
+    assert(bits(outs.flatMap(_.hwpredict)) == bits(whole.hwpredict.toSeq))
+    assert(bits(outs.flatMap(_.seasonal)) == bits(whole.seasonal.toSeq))
+    assert(bits(outs.flatMap(_.devseasonal)) == bits(whole.devseasonal.toSeq))
+    assert(bits(outs.flatMap(_.devpredict)) == bits(whole.devpredict.toSeq))
+    assert(bits(outs.flatMap(_.failures)) == bits(whole.failures.toSeq))
+    assert(st.t == 200L)
+  }
+
   test("smoother: centered cyclic moving average + baseline (rrd_hw.c:128-330)") {
     val a = Array(1.0, 2.0, 3.0, 4.0)
     val baseline = HoltWinters.smooth(a, 1)

@@ -91,6 +91,38 @@ class StreamingEndToEndSpec extends SparkSuite {
     assert(fetchBoth(store) == once)
   }
 
+  test("HW family streams: appendBatch resumes from state, matches one-shot update") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hwstream").toString
+    val hw = HwParams(alpha = 0.1, beta = 0.035, gamma = 0.1, period = 4L)
+    def mk(path: String): Unit = RrdStore.create(path, RrdSchema(300L, 0L,
+      Seq(DsDef("v", Dst.Gauge, 900L)),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 1000L),
+        RraDef(Cf.HwPredict, rowCnt = 1000L, hw = Some(hw)),
+        RraDef(Cf.Seasonal, rowCnt = 4L, hw = Some(hw)),
+        RraDef(Cf.DevSeasonal, rowCnt = 4L, hw = Some(hw)),
+        RraDef(Cf.DevPredict, rowCnt = 1000L),
+        RraDef(Cf.Failures, rowCnt = 1000L, hw = Some(hw)))))
+    val (a, b) = (s"$root/stream.rrd", s"$root/batch.rrd")
+    mk(a); mk(b)
+    val dsv = Map("v" -> "v")
+    def frame(ts: Seq[Long]) = ts.map(t =>
+      ("s", t * 1000000L, g(t))).toDF("k", "ts_us", "v")
+    RrdStore.appendBatch(spark, a, frame(ts1), Seq("k"), "ts_us", "ts_us", dsv)
+    RrdStore.appendBatch(spark, a, frame(ts2), Seq("k"), "ts_us", "ts_us", dsv)
+    RrdStore.update(spark, b, frame(ts1 ++ ts2), Seq("k"), "ts_us", "ts_us", dsv)
+    def hwFetch(p: String, cf: Cf) = RrdStore.fetch(spark, p, cf, "v",
+      Seq("k"), 0L, 5100L, 300L).orderBy("ts").collect().toSeq
+    Seq(Cf.HwPredict, Cf.Seasonal, Cf.DevSeasonal, Cf.DevPredict,
+        Cf.Failures).foreach { cf =>
+      assert(hwFetch(a, cf) == hwFetch(b, cf), s"$cf: streaming != batch")
+    }
+    // replayed micro-batch: state already past these slots -> no change
+    val before = hwFetch(a, Cf.HwPredict)
+    RrdStore.appendBatch(spark, a, frame(ts2), Seq("k"), "ts_us", "ts_us", dsv)
+    assert(hwFetch(a, Cf.HwPredict) == before)
+  }
+
   test("daemon serves FETCH/INFO/LAST/STATS and journals UPDATE to the spool") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_daemon").toString
