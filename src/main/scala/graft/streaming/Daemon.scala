@@ -130,6 +130,40 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L) {
         }
         Response(header.length + rows.length,
           s"Success (${rows.length} rows)", header ++ rows.toSeq)
+      case "FETCHBIN" =>
+        // same payload as FETCH; the reference's binary framing is a
+        // socket-bandwidth optimization with no semantic content
+        execute(line.replaceFirst("(?i)FETCHBIN", "FETCH"))
+      case "CREATE" =>
+        // CREATE <file> [-b start] [-s step] [-O] DS:... RRA:...
+        // (rrd_daemon.c:3119-3127; AT syntax deliberately not accepted)
+        var (start, step, noOverwrite) = (nowSec, 300L, false)
+        val specs = Seq.newBuilder[String]
+        var i = 0
+        while (i < cmd.args.length) {
+          cmd.args(i) match {
+            case "-b" => start = cmd.args(i + 1).toLong; i += 2
+            case "-s" => step = cmd.args(i + 1).toLong; i += 2
+            case "-O" => noOverwrite = true; i += 1
+            case spec => specs += spec; i += 1
+          }
+        }
+        RrdStore.create(storePath(cmd.path),
+          graft.model.RrdSchema.parse(step, start, specs.result()),
+          noOverwrite)
+        Response(0, s"RRD created OK (${cmd.path})")
+      case "TUNE" =>
+        // TUNE <file> --heartbeat ds:s | --minimum ds:v | ... —
+        // delegate to the command facade's tune surface
+        new graft.cli.Commands(spark, nowSec)
+          .tune(storePath(cmd.path), cmd.args)
+        Response(0, s"Tuned ${cmd.path}")
+      case "LIST" =>
+        val sub = (cmd.path +: cmd.args).filterNot(_ == "RECURSIVE")
+          .find(_.startsWith("/")).getOrElse("/")
+        val base = if (sub == "/") root else storePath(sub.drop(1))
+        val names = Dump.list(base)
+        Response(names.size, "RRDs", names)
       case "STATS" =>
         val stats = Seq(
           s"UpdatesReceived: ${updatesReceived.get}",

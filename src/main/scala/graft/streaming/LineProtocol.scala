@@ -28,6 +28,8 @@ object LineProtocol {
           "FIRST" | "LAST" | "FLUSH" | "PENDING" | "FORGET" =>
         require(parts.length >= 2, s"$verb needs a path")
         Command(verb, parts(1), parts.drop(2))
+      case "LIST" => // path optional: LIST [RECURSIVE] [/subdir]
+        Command(verb, parts.lift(1).getOrElse("/"), parts.drop(2))
       case "BATCH" | "." | "QUIT" | "STATS" =>
         Command(verb, "", parts.tail)
       case other => throw new IllegalArgumentException(

@@ -170,6 +170,19 @@ class StreamingEndToEndSpec extends SparkSuite {
       assert(spooled.size == 1)
       assert(new String(Files.readAllBytes(Paths.get(spooled.head)),
         StandardCharsets.UTF_8).trim == upd)
+      // FETCHBIN serves the FETCH payload
+      val fb = roundTrip("FETCHBIN web.rrd AVERAGE 0 900")
+      assert(fb == fetch)
+      // CREATE + TUNE + LIST over the wire
+      out.println("CREATE new.rrd -b 0 -s 300 DS:x:GAUGE:600:U:U " +
+        "RRA:AVERAGE:0.5:1:100")
+      assert(in.readLine().startsWith("0 "))
+      out.println("TUNE new.rrd --heartbeat x:1200")
+      assert(in.readLine().startsWith("0 "))
+      assert(RrdStore.readSchema(s"$root/new.rrd")
+        .ds.head.heartbeatSec == 1200L)
+      val listed = roundTrip("LIST /")
+      assert(listed.toSet == Set("web.rrd", "new.rrd"))
       // BATCH framing: two updates, one error summary
       out.println("BATCH")
       assert(in.readLine().startsWith("0 Go ahead"))
