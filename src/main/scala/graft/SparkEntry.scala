@@ -444,6 +444,20 @@ object SparkEntry {
         .orderBy("event_type", "ts")
     }),
 
+    // Near-dup GROUPS: LSH candidates → connected components — the
+    // keep-one-per-component output a dedup pipeline consumes.
+    "q43_neardup_groups" -> ((s, dir) => {
+      val cand = ext.Dedup.lshCandidates(Tables.documents(s, dir),
+          "doc_id", "text", 3, 16, 4)
+        .where(col("sig_agreement") >= 0.25)
+      val cc = ext.Dedup.connectedComponents(cand, "id1", "id2")
+      val out = cc.select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+      out.count() // materialize, then release the iteration cache
+      cc.unpersist()
+      out
+    }),
+
     // §2.1/2.2 materialized write path + §2.3 RRA best-match selection:
     // the store persists three RRAs (AVG 300s×4000, AVG 3600s×800,
     // MAX 3600s×400); a step-300 AVERAGE fetch must pick the 3600s RRA —
@@ -1017,6 +1031,22 @@ object SparkEntry {
     "q33_hwpredict" -> sqlHoltWinters(mult = false),
     "q34_mhwpredict" -> sqlHoltWinters(mult = true),
     "q42_hw_smooth" -> sqlHwSmooth(48),
+
+    // Connected components as a transitive closure: reach(node, other)
+    // = every id reachable over undirected candidate edges; component =
+    // min(self ∪ reachable). UNION-dedup recursion terminates; candidate
+    // graphs are tiny at oracle scale.
+    "q43_neardup_groups" ->
+      s"""WITH RECURSIVE ${sqlLshCand.stripPrefix("WITH ")},
+        |fcand AS (SELECT id1, id2 FROM cand WHERE sig_agreement >= 0.25),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM fcand
+        |          UNION SELECT id2, id1 FROM fcand),
+        |reach AS (
+        | SELECT a AS node, b AS other FROM edges
+        | UNION
+        | SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other)
+        |SELECT node AS doc_id, LEAST(node, MIN(other)) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // Store fetch oracles: the SQL hard-codes the RRA the selection rule
     // MUST pick — a different selection changes step/coverage and fails

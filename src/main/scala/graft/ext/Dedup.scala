@@ -115,6 +115,50 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Near-duplicate GROUPS: connected components over candidate pairs —
+    * the output a dedup pipeline actually consumes (keep one doc per
+    * component). Deterministic min-label propagation: each round every
+    * node takes the smallest component id among itself and its
+    * neighbors; converges in ≤ graph-diameter rounds (near-dup clusters
+    * are tight, so a handful) with a driver-side convergence check per
+    * round — the same shape as a Pregel superstep, one shuffle per
+    * round on the node key.
+    *
+    * Output: (node, component) for every id appearing in a pair, where
+    * component = the smallest id reachable. The RETURNED FRAME IS
+    * PERSISTED (its lineage is the whole iteration chain — recomputing
+    * it would replay every round); callers unpersist() it when done.
+    */
+  def connectedComponents(pairs: DataFrame, id1: String, id2: String,
+      maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
+      .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node")).persist()
+    var it = 0
+    var done = labels.isEmpty
+    while (!done && it < maxIter) {
+      val viaNb = edges
+        .join(labels.select(col("node").as("b"),
+          col("component").as("__nb")), Seq("b"))
+        .select(col("a").as("node"), col("__nb").as("component"))
+      val next = labels.union(viaNb)
+        .groupBy("node").agg(min("component").as("component"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("node"), col("component").as("__p")),
+          Seq("node"))
+        .where(col("component") < col("__p")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      done = !changed
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash signature over distinct tokens, `bits` ≤ 32: bit i set iff
     * Σ_tokens (md5-hex digit i ≥ '8' ? +1 : -1) > 0. md5-derived and
     * engine-portable; hamming distance on the resulting int detects

@@ -33,6 +33,19 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.forall { case (a, b) => b == a + 1 && a % 2 == 0 })
   }
 
+  test("connectedComponents: min-label groups over pair chains") {
+    import spark.implicits._
+    // two chains (1-2-3, via separate pairs) and an island (8-9); 5 is
+    // only reachable through 3 -> same component as 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 5L), (8L, 9L))
+      .toDF("id1", "id2")
+    val cc = ext.Dedup.connectedComponents(pairs, "id1", "id2")
+    val got = cc.as[(Long, Long)].collect().toMap
+    cc.unpersist()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      8L -> 8L, 9L -> 8L))
+  }
+
   test("candidate operators leave no lingering cached RDDs") {
     import spark.implicits._
     val docs = (0 until 50).map(i =>
