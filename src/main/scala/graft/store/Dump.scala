@@ -25,19 +25,28 @@ object Dump {
     Files.copy(Paths.get(storePath, "schema.rrd"),
       Paths.get(outPath, "schema.rrd"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    schema.rras.indices.foreach { i =>
-      val p = Paths.get(storePath, s"rra$i")
+    def copyTable(rel: String): Unit = {
+      val p = Paths.get(storePath, rel)
       if (Files.exists(p)) {
         val df = spark.read.parquet(p.toString)
-        df.write.mode("overwrite").json(s"$outPath/rra$i")
+        df.write.mode("overwrite").json(s"$outPath/$rel")
         // JSON omits null fields and an empty RRA has no rows to infer
         // from — record the exact table schema so restore never guesses
         // (an all-unknown DS column must survive the round trip as null,
         // like the reference's NaN <row> values, rrd_dump.c:404-433)
-        Files.write(Paths.get(outPath, s"rra$i.schema"),
+        Files.write(Paths.get(outPath, s"$rel.schema".replace('/', '_')),
           df.schema.toDDL.getBytes("UTF-8"))
       }
     }
+    schema.rras.indices.foreach { i =>
+      copyTable(s"rra$i")
+      // ingest scratch rides along: without the HW state a restored
+      // store would silently restart its model on the next appendBatch,
+      // and without the raw-sample tail it would lose rate-lag/bucket
+      // continuity (both are the reference's pdp_prep/cdp_prep as data)
+      schema.ds.foreach(d => copyTable(s"hwstate/rra$i/${d.name}"))
+    }
+    copyTable("tail")
   }
 
   /** Restore: rebuild a store directory from a dump. */
@@ -45,19 +54,24 @@ object Dump {
       storePath: String): Unit = {
     val schema = readDumpSchema(dumpPath)
     RrdStore.create(storePath, schema)
-    schema.rras.indices.foreach { i =>
-      val p = Paths.get(dumpPath, s"rra$i")
+    def readTable(rel: String): Unit = {
+      val p = Paths.get(dumpPath, rel)
       if (Files.exists(p)) {
-        val ddl = Paths.get(dumpPath, s"rra$i.schema")
+        val ddl = Paths.get(dumpPath, s"$rel.schema".replace('/', '_'))
         val reader =
           if (Files.exists(ddl)) spark.read.schema(
             org.apache.spark.sql.types.StructType.fromDDL(
               new String(Files.readAllBytes(ddl), "UTF-8")))
           else spark.read // pre-schema dumps: inference (best effort)
         reader.json(p.toString)
-          .write.mode("overwrite").parquet(s"$storePath/rra$i")
+          .write.mode("overwrite").parquet(s"$storePath/$rel")
       }
     }
+    schema.rras.indices.foreach { i =>
+      readTable(s"rra$i")
+      schema.ds.foreach(d => readTable(s"hwstate/rra$i/${d.name}"))
+    }
+    readTable("tail")
   }
 
   private def readDumpSchema(path: String): RrdSchema = {

@@ -340,10 +340,19 @@ object RrdStore {
             val prior =
               if (Files.exists(Paths.get(statePath)))
                 spark.read.parquet(statePath)
-              else spark.createDataFrame(
-                new java.util.ArrayList[org.apache.spark.sql.Row](),
-                graft.hw.HoltWinters.stateSchema(
-                  series.map(pdpDs.schema(_))))
+              else {
+                // history without state = a store whose sidecar was lost
+                // (e.g. restored from a pre-state dump): refusing beats
+                // silently restarting the model mid-history
+                require(!Files.exists(Paths.get(s"$path/rra$i")),
+                  s"HW RRA $i has history but no state sidecar " +
+                    s"($statePath): rebuild with update() or restore " +
+                    "from a dump that includes hwstate/")
+                spark.createDataFrame(
+                  new java.util.ArrayList[org.apache.spark.sql.Row](),
+                  graft.hw.HoltWinters.stateSchema(
+                    series.map(pdpDs.schema(_))))
+              }
             val (rows, states) = graft.hw.HoltWinters.applyResumable(
               pdpDs, series, "ts", "v", spec, prior, schema.stepSec)
             (d.name, rows.persist(), states, statePath)

@@ -121,6 +121,22 @@ class StreamingEndToEndSpec extends SparkSuite {
     val before = hwFetch(a, Cf.HwPredict)
     RrdStore.appendBatch(spark, a, frame(ts2), Seq("k"), "ts_us", "ts_us", dsv)
     assert(hwFetch(a, Cf.HwPredict) == before)
+
+    // dump/restore carries the ingest scratch (HW state + raw tail):
+    // the restored store CONTINUES the model instead of restarting it
+    val d = s"$root/dump"
+    graft.store.Dump.dump(spark, a, d)
+    val c = s"$root/restored.rrd"
+    graft.store.Dump.restore(spark, d, c)
+    val ts3 = Seq(5400L, 5710L, 6010L)
+    RrdStore.appendBatch(spark, a, frame(ts3), Seq("k"), "ts_us", "ts_us", dsv)
+    RrdStore.appendBatch(spark, c, frame(ts3), Seq("k"), "ts_us", "ts_us", dsv)
+    def hwFetch2(p: String, cf: Cf) = RrdStore.fetch(spark, p, cf, "v",
+      Seq("k"), 0L, 6000L, 300L).orderBy("ts").collect().toSeq
+    Seq(Cf.HwPredict, Cf.Seasonal, Cf.Failures).foreach { cf =>
+      assert(hwFetch2(a, cf) == hwFetch2(c, cf),
+        s"$cf: restored store diverged")
+    }
   }
 
   test("daemon serves FETCH/INFO/LAST/STATS and journals UPDATE to the spool") {
