@@ -450,12 +450,9 @@ object SparkEntry {
       val cand = ext.Dedup.lshCandidates(Tables.documents(s, dir),
           "doc_id", "text", 3, 16, 4)
         .where(col("sig_agreement") >= 0.25)
-      val cc = ext.Dedup.connectedComponents(cand, "id1", "id2")
-      val out = cc.select(col("node").as("doc_id"), col("component"))
+      ext.Dedup.connectedComponents(cand, "id1", "id2")
+        .select(col("node").as("doc_id"), col("component"))
         .orderBy("doc_id")
-      out.count() // materialize, then release the iteration cache
-      cc.unpersist()
-      out
     }),
 
     // §2.1/2.2 materialized write path + §2.3 RRA best-match selection:

@@ -119,23 +119,50 @@ object Dedup {
     * the output a dedup pipeline actually consumes (keep one doc per
     * component). Deterministic min-label propagation: each round every
     * node takes the smallest component id among itself and its
-    * neighbors; converges in ≤ graph-diameter rounds (near-dup clusters
-    * are tight, so a handful) with a driver-side convergence check per
-    * round — the same shape as a Pregel superstep, one shuffle per
-    * round on the node key.
+    * neighbors, then pointer-jumps (component := component's component —
+    * path doubling), so convergence needs O(log diameter) rounds even on
+    * chain-shaped components (a 2000-node chain showed up in testdata;
+    * diameter-many min-only rounds would blow past any iteration cap).
+    * Driver-side convergence check per round — the same shape as a
+    * Pregel superstep, two shuffles per round on the node key.
     *
     * Output: (node, component) for every id appearing in a pair, where
-    * component = the smallest id reachable. The RETURNED FRAME IS
-    * PERSISTED (its lineage is the whole iteration chain — recomputing
-    * it would replay every round); callers unpersist() it when done.
+    * component = the smallest id reachable. The result is eagerly
+    * local-checkpointed: its lineage is the whole iteration chain
+    * (self-referencing per round — uncached recomputation would be
+    * exponential), so the returned frame stands on materialized blocks
+    * with truncated lineage. Intermediate rounds' blocks are released
+    * before returning; only the final frame's blocks stay, and the
+    * context cleaner frees those once the caller drops the frame. On a
+    * real cluster a lost executor loses localCheckpoint blocks
+    * unrecoverably — for 100-TB runs swap in reliable `checkpoint`
+    * (HDFS-backed) via the same structure.
     */
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
       maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
+    // every iteration is eagerly local-checkpointed: the per-round plan
+    // would otherwise reference the previous round's plan (and Catalyst
+    // re-analyzes the whole growing chain on the driver every round —
+    // the classic iterative-DataFrame trap; measured 220 s for a
+    // seconds-sized loop at sf0.1 without truncation). Eager
+    // materialization means a round's blocks are dead as soon as the
+    // next round materializes; ckpt() tracks each round's RDD ids so
+    // they can be unpersisted instead of lingering until GC.
+    val sc = pairs.sparkSession.sparkContext
+    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      sc.getPersistentRDDs.collect {
+        case (id, rdd) if ids(id) => rdd.unpersist(blocking = false)
+      }
+    val (edges, edgeIds) = ckpt(pairs.select(col(id1).as("a"), col(id2).as("b"))
       .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
-      .distinct().persist()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node")).persist()
+      .distinct())
+    var (labels, labelIds) = ckpt(edges.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node")))
     var it = 0
     var done = labels.isEmpty
     while (!done && it < maxIter) {
@@ -143,19 +170,26 @@ object Dedup {
         .join(labels.select(col("node").as("b"),
           col("component").as("__nb")), Seq("b"))
         .select(col("a").as("node"), col("__nb").as("component"))
-      val next = labels.union(viaNb)
+      val stepped = labels.union(viaNb)
         .groupBy("node").agg(min("component").as("component"))
-        .persist()
+      // pointer jump: components are always live node ids, so the
+      // self-join resolves each label to its label's label
+      val (next, nextIds) = ckpt(stepped
+        .join(stepped.select(col("node").as("component"),
+          col("component").as("__c2")), Seq("component"), "left")
+        .select(col("node"),
+          coalesce(col("__c2"), col("component")).as("component")))
       val changed = next
         .join(labels.select(col("node"), col("component").as("__p")),
           Seq("node"))
         .where(col("component") < col("__p")).limit(1).count() > 0
-      labels.unpersist()
+      free(labelIds) // previous round read by `changed` above, now dead
       labels = next
+      labelIds = nextIds
       done = !changed
       it += 1
     }
-    edges.unpersist()
+    free(edgeIds)
     labels
   }
 
