@@ -656,6 +656,30 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // IVF coarse-quantizer ANN (the second scale path next to q39's
+    // hyperplane LSH): sampled-centroid cells (the 16 lowest vec_ids),
+    // nprobe=4 probing, recall@5 vs the brute-force truth.
+    "q44_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 20)
+      val cent = e.where(col("vec_id") < 16)
+      val bf = ext.Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+          64, 5).select(col("query_id"), col("neighbor_id"))
+      val ivf = ext.Similarity.ivfTopK(q, e, cent, "vec_id", "embedding",
+          64, 5, nprobe = 4).select(col("query_id"), col("neighbor_id"))
+      val agg = ivf.join(bf.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("ivf_n"), count(col("hit")).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(agg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("ivf_n"), lit(0L)).as("ivf_n"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) / 5.0).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1174,6 +1198,51 @@ object SparkEntry {
         | GROUP BY 1)
         |SELECT q.vec_id AS query_id,
         | COALESCE(ag.lsh_n, 0) AS lsh_n, COALESCE(ag.hits, 0) AS hits,
+        | COALESCE(ag.hits, 0) / 5.0 AS recall
+        |FROM q LEFT JOIN ag ON ag.query_id = q.vec_id
+        |ORDER BY 1""".stripMargin
+    },
+
+    "q44_ann_ivf" -> {
+      def cos(a: String, b: String) =
+        s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+      s"""WITH cent AS (
+        | SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        | WHERE vec_id < 16),
+        |asg AS (
+        | SELECT vec_id, embedding, cell FROM (
+        |  SELECT c.vec_id, c.embedding, ct.cid AS cell,
+        |   row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |     ${cos("c.embedding", "ct.cv")} DESC, ct.cid) AS rn
+        |  FROM embeddings c CROSS JOIN cent ct) WHERE rn = 1),
+        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |probes AS (
+        | SELECT vec_id, embedding, cell FROM (
+        |  SELECT q.vec_id, q.embedding, ct.cid AS cell,
+        |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |     ${cos("q.embedding", "ct.cv")} DESC, ct.cid) AS rn
+        |  FROM q CROSS JOIN cent ct) WHERE rn <= 4),
+        |ivf AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |     ${cos("p.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+        |  FROM asg c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.vec_id)
+        | WHERE rank <= 5),
+        |bf AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |     ${cos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+        |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.vec_id)
+        | WHERE rank <= 5),
+        |ag AS (
+        | SELECT l.query_id, COUNT(*) AS ivf_n, COUNT(b.neighbor_id) AS hits
+        | FROM ivf l LEFT JOIN bf b
+        | ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+        | GROUP BY 1)
+        |SELECT q.vec_id AS query_id,
+        | COALESCE(ag.ivf_n, 0) AS ivf_n, COALESCE(ag.hits, 0) AS hits,
         | COALESCE(ag.hits, 0) / 5.0 AS recall
         |FROM q LEFT JOIN ag ON ag.query_id = q.vec_id
         |ORDER BY 1""".stripMargin

@@ -104,6 +104,83 @@ object Similarity {
       .distinct()
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of C centroids
+    * partitions the corpus into cells; each query probes only its
+    * `nprobe` max-cosine cells and re-ranks exactly inside them —
+    * search cost O(n·nprobe/C) per query vs the brute-force O(n).
+    *
+    * The quantizer is caller-provided (`centroids`): index training is
+    * an offline concern in every IVF system; sampling corpus vectors
+    * (e.g. the C lowest ids) is the standard k-means seeding without
+    * the iterations, and keeps the quantizer reproducible in SQL for
+    * the cross-engine oracle.
+    *
+    * Scale shape: centroids and the probed query side are collected
+    * and broadcast (both small by contract — C in the thousands, a
+    * query batch); the corpus streams through ONE typed
+    * `mapPartitions` that fuses cell assignment (argmax cosine over
+    * the C centroids, ties to the lowest centroid id) with candidate
+    * scoring against the queries probing that cell. No corpus shuffle,
+    * no join — the only shuffle is the final per-query top-k. At
+    * 100 TB the assignment half would be materialized once as a
+    * cell-partitioned index and reused across query batches; fusing
+    * build+probe is the right shape for ad-hoc batches.
+    *
+    * Determinism: every dot product is the same strict left fold as
+    * [[dot]], so cells, probes, and ranks replay bit-identically in
+    * the DuckDB oracle. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      id: String, vec: String, dim: Int, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def dotK(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val cent = centroids.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])].collect()
+      .map { case (cid, cv) => (cid, cv, math.sqrt(dotK(cv, cv))) }
+      .sortBy(_._1)
+    // each query probes its nprobe max-cosine cells (ties -> lower cid)
+    val probed: Map[Long, Array[(Long, Array[Float], Double)]] =
+      queries.select(col(id).cast("long"), col(vec))
+        .as[(Long, Array[Float])].collect()
+        .flatMap { case (qid, qv) =>
+          val qn = math.sqrt(dotK(qv, qv))
+          cent.map { case (cid, cv, cn) => (cid, dotK(qv, cv) / (qn * cn)) }
+            .sortBy { case (cid, c) => (-c, cid) }.take(nprobe)
+            .map { case (cid, _) => (cid, (qid, qv, qn)) }
+        }
+        .groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2)) }
+    val bcC = spark.sparkContext.broadcast(cent)
+    val bcQ = spark.sparkContext.broadcast(probed)
+    val scored = corpus.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val qs = bcQ.value
+        it.flatMap { case (nid, v) =>
+          val n = math.sqrt(dotK(v, v))
+          var best = -1L; var bestC = Double.NegativeInfinity
+          cs.foreach { case (cid, cv, cn) =>
+            val c = dotK(v, cv) / (n * cn)
+            if (c > bestC) { bestC = c; best = cid }
+          }
+          qs.getOrElse(best, Array.empty[(Long, Array[Float], Double)])
+            .iterator.collect { case (qid, qv, qn) if qid != nid =>
+              (qid, nid, dotK(qv, v) / (qn * n))
+            }
+        }
+      }.toDF("query_id", "neighbor_id", "cosine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH bucket key: `planes` sign bits, plane p's
     * component d = ±1 from md5(p:d) (deterministic, no RNG state).
     * Vectors sharing a bucket are near in angle with high probability;

