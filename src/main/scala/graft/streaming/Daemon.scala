@@ -39,10 +39,19 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L) {
 
   private val spoolDir = Paths.get(root, "spool")
   private val updatesReceived = new AtomicLong
+  private val flushesReceived = new AtomicLong
   private val journalBytes = new AtomicLong
+  @volatile private var ingestStats: Option[StreamingIngest.IngestStats] =
+    None
   @volatile private var server: Option[ServerSocket] = None
 
   def spoolPath: String = spoolDir.toString
+
+  /** Register the ingest query's write counters so STATS can report the
+    * write side (pass the same [[StreamingIngest.IngestStats]] given to
+    * [[StreamingIngest.runUpdates]]). */
+  def attachIngest(stats: StreamingIngest.IngestStats): Unit =
+    ingestStats = Some(stats)
 
   private def storePath(p: String): String = {
     require(!p.contains(".."), s"path '$p' escapes the root")
@@ -74,7 +83,9 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L) {
     val cmd = LineProtocol.parse(line)
     cmd.verb match {
       case "UPDATE" => spool(line)
-      case "FLUSH" => Response(0, s"Nothing to flush: ${cmd.path}.")
+      case "FLUSH" =>
+        flushesReceived.incrementAndGet()
+        Response(0, s"Nothing to flush: ${cmd.path}.")
       case "PENDING" => Response(0, s"updates pending")
       case "FORGET" => Response(0, s"Gone!")
       case "FIRST" =>
@@ -165,9 +176,31 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L) {
         val names = Dump.list(base)
         Response(names.size, "RRDs", names)
       case "STATS" =>
+        // the reference's nine counters (doc/rrdcached.pod:652-672),
+        // mapped onto the streaming architecture: the write queue is the
+        // unconsumed spool (exact when the file source runs with
+        // cleanSource=delete, cumulative journal size otherwise); the
+        // daemon's AVL file tree is the store directory tree; journal
+        // rotation is micro-batch checkpoint commits
+        val spooled =
+          if (Files.exists(spoolDir))
+            Files.list(spoolDir).filter(_.toString.endsWith(".cmds"))
+              .count()
+          else 0L
+        val stores = Dump.list(root)
+        val depth = (0L +: stores.map(
+          _.count(_ == '/').toLong + 1L)).max
+        val w = ingestStats
         val stats = Seq(
+          s"QueueLength: $spooled",
           s"UpdatesReceived: ${updatesReceived.get}",
-          s"JournalBytes: ${journalBytes.get}")
+          s"FlushesReceived: ${flushesReceived.get}",
+          s"UpdatesWritten: ${w.map(_.updatesWritten.get).getOrElse(0L)}",
+          s"DataSetsWritten: ${w.map(_.dataSetsWritten.get).getOrElse(0L)}",
+          s"TreeNodesNumber: ${stores.size}",
+          s"TreeDepth: $depth",
+          s"JournalBytes: ${journalBytes.get}",
+          s"JournalRotate: ${w.map(_.journalRotate.get).getOrElse(0L)}")
         Response(stats.length, "Statistics follow", stats)
       case "QUIT" => Response(-1, "closing connection")
       case other => Response(-1, s"Unknown command: $other")

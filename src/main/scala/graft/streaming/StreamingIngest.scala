@@ -30,6 +30,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingIngest {
 
+  /** Write-side counters for the daemon's STATS surface
+    * (doc/rrdcached.pod:652-672; counters rrd_daemon.c:304-305).
+    * `foreachBatch` runs on the driver, so plain atomics suffice. */
+  final class IngestStats {
+    val updatesWritten = new java.util.concurrent.atomic.AtomicLong
+    val dataSetsWritten = new java.util.concurrent.atomic.AtomicLong
+    val journalRotate = new java.util.concurrent.atomic.AtomicLong
+  }
+
   /** One incoming sample; `series` is the file identity. */
   final case class Sample(series: String, tsUs: Long, value: Double)
 
@@ -86,7 +95,8 @@ object StreamingIngest {
   def runUpdates(spark: SparkSession, lines: Dataset[String],
       storePath: String, checkpoint: String,
       pathFilter: Option[String] = None,
-      nowSec: Long = 0L): StreamingQuery = {
+      nowSec: Long = 0L,
+      stats: Option[IngestStats] = None): StreamingQuery = {
     val schema = RrdStore.readSchema(storePath)
     val dsNames = schema.ds.map(_.name)
     implicit val wsEnc: Encoder[WideSample] = Encoders.product[WideSample]
@@ -107,7 +117,8 @@ object StreamingIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[WideSample], _: Long) =>
-        if (!batch.isEmpty) {
+        val n = batch.count()
+        if (n > 0) {
           val wide = dsNames.zipWithIndex.foldLeft(
             batch.toDF("k", "ts_us", "__vs")) { case (df, (ds, i)) =>
             df.withColumn(ds,
@@ -116,6 +127,13 @@ object StreamingIngest {
           }.drop("__vs")
           RrdStore.appendBatch(spark, storePath, wide, Seq("k"),
             "ts_us", "ts_us", dsNames.map(d => d -> d).toMap)
+          stats.foreach { s =>
+            s.updatesWritten.addAndGet(n)
+            s.dataSetsWritten.addAndGet(n * dsNames.length)
+            // each committed micro-batch supersedes its journal slice —
+            // the checkpoint analog of rrdcached's journal rotation
+            s.journalRotate.incrementAndGet()
+          }
         }
       }
       .start()

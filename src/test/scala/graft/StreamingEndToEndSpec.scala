@@ -47,9 +47,11 @@ class StreamingEndToEndSpec extends SparkSuite {
     // batch 1 on disk before the query starts
     Files.write(Paths.get(spool, "b1.cmds"),
       lines(ts1).getBytes(StandardCharsets.UTF_8))
+    val wstats = new StreamingIngest.IngestStats
     val q = StreamingIngest.runUpdates(spark,
       spark.readStream.text(spool).as[String], storeA,
-      s"$root/checkpoint", pathFilter = Some("web.rrd"))
+      s"$root/checkpoint", pathFilter = Some("web.rrd"),
+      stats = Some(wstats))
     try {
       q.processAllAvailable()
       // second micro-batch: continuity (COUNTER lag, partial MAX bucket)
@@ -58,6 +60,10 @@ class StreamingEndToEndSpec extends SparkSuite {
         lines(ts2).getBytes(StandardCharsets.UTF_8))
       q.processAllAvailable()
     } finally q.stop()
+    // write-side STATS counters track committed micro-batches
+    assert(wstats.updatesWritten.get == (ts1.size + ts2.size).toLong)
+    assert(wstats.dataSetsWritten.get == 2L * (ts1.size + ts2.size))
+    assert(wstats.journalRotate.get >= 2L)
 
     // batch oracle: same samples in ONE RrdStore.update
     val storeB = s"$root/batch.rrd"
@@ -179,8 +185,25 @@ class StreamingEndToEndSpec extends SparkSuite {
       val upd = "UPDATE web.rrd 3300:12.5:9900"
       out.println(upd)
       assert(in.readLine().startsWith("0 "))
+      out.println("FLUSH web.rrd")
+      assert(in.readLine().startsWith("0 "))
+      // the full rrdcached STATS surface (doc/rrdcached.pod:652-672):
+      // the UPDATE above is journaled (queue of 1) and unwritten (no
+      // ingest query attached -> write counters 0)
       val stats = roundTrip("STATS")
-      assert(stats.exists(_.startsWith("UpdatesReceived: 1")))
+      assert(stats == Seq("QueueLength: 1", "UpdatesReceived: 1",
+        "FlushesReceived: 1", "UpdatesWritten: 0", "DataSetsWritten: 0",
+        "TreeNodesNumber: 1", "TreeDepth: 1",
+        s"JournalBytes: ${upd.length + 1}", "JournalRotate: 0"), stats)
+      // with the ingest query's counters attached, the write side shows
+      val ws = new StreamingIngest.IngestStats
+      ws.updatesWritten.set(7); ws.dataSetsWritten.set(14)
+      ws.journalRotate.set(2)
+      daemon.attachIngest(ws)
+      val stats2 = roundTrip("STATS")
+      assert(stats2.contains("UpdatesWritten: 7"))
+      assert(stats2.contains("DataSetsWritten: 14"))
+      assert(stats2.contains("JournalRotate: 2"))
       val spooled = Files.list(Paths.get(daemon.spoolPath)).toArray.toSeq
         .map(_.toString).filter(_.endsWith(".cmds"))
       assert(spooled.size == 1)
