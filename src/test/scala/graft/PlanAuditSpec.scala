@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression gates for the scale-critical queries: these
+  * assert the plan SHAPE (pushdown, pruning, exchange reuse, partitioned
+  * windows, kernel placement), not timings — the properties that decide
+  * whether a query survives a 100× scale-up. Each one was verified by
+  * hand with `.explain("formatted")` first; the spec pins it against
+  * regressions.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: column pruning reaches the lineitem scan") {
+    val p = plan("q01_tpch_q1")
+    // the scan reads only the 6 referenced columns of lineitem's 16
+    val readSchema = p.linesIterator
+      .find(_.trim.startsWith("ReadSchema:")).get
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_comment"), readSchema)
+    assert(readSchema.contains("l_returnflag") &&
+      readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q27: banded self-join reuses one exchange, no operator cache") {
+    // both sides of the band equi-join are the identical subplan; the
+    // shuffle materializes once (round-2 persist() leak replaced by
+    // exchange reuse). AQE resolves reuse at runtime, and tiny inputs
+    // would take the broadcast path (where reuse is moot), so execute
+    // with broadcast off and audit the final adaptive plan.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q27_minhash_lsh")(spark, dir)
+      // collect() (not count(), which plans a different query) so THIS
+      // frame's adaptive plan finalizes and the reuse is visible
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString
+        .contains("ReusedExchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("q16: normalization aggregates map-side before the shuffle") {
+    val p = plan("q16_pdp_normalize")
+    // bounded explode fan-out, then partial_sum under the exchange and
+    // the final agg above it — one shuffle for the whole rollup
+    assert(p.contains("partial_sum"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q29/q44: ANN corpus pass is a typed kernel, top-k is the only wide exchange") {
+    for (q <- Seq("q29_ann_bruteforce", "q44_ann_ivf")) {
+      val p = plan(q)
+      // the dot-product work sits in a DeserializeToObject/MapPartitions
+      // island (compiled JVM loop), not interpreted HOF expressions
+      assert(p.contains("MapPartitions"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("aggregate(sequence"), s"$q leaks the HOF fold")
+    }
+  }
+
+  test("q07: planner CDEF windows are partitioned by the series key") {
+    val p = plan("q07_cdef_rpn")
+    // round-2 flag: Window.orderBy without partitionBy serializes the
+    // frame through one task; the planner now threads series keys
+    val windows = p.linesIterator.filter(_.contains("Window"))
+      .mkString("\n")
+    assert(!p.contains("WindowGroupLimit: No Partition"), windows)
+    val unpartitioned =
+      "windowspecdefinition\\(ts".r.findAllIn(p.toLowerCase).toSeq
+    assert(unpartitioned.isEmpty,
+      s"unpartitioned window spec in q07:\n$windows")
+  }
+}
