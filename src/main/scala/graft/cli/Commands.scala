@@ -88,6 +88,35 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     RrdStore.fetch(spark, path, Cf.parse(cf), ds, series, start, end, res)
   }
 
+  /** updatev (rrd_update.c:300-364): [[update]] plus the verbose
+    * return — the rollup rows (re)written by THIS call, as one long
+    * frame `(rra, series…, ts, <ds columns>)` (the reference's
+    * `[<ts>]RRA[<cf>][<steps>]DS[<name>] = v` info tree flattened).
+    * "Written by this call" = slots past the store's pre-call
+    * finalized-bucket horizon, which is exactly the set appendBatch
+    * recomputes and merges. */
+  def updatev(path: String, args: Seq[String],
+      template: Option[Seq[String]] = None): DataFrame = {
+    val tailPath = s"$path/tail"
+    val before =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(tailPath)))
+        spark.read.parquet(tailPath)
+          .agg(max("__horizon")).first().getLong(0)
+      else Long.MinValue
+    update(path, args, template)
+    val schema = RrdStore.readSchema(path)
+    val union = schema.rras.indices
+      .filter(i => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/rra$i")))
+      .map(i => spark.read.parquet(s"$path/rra$i")
+        .withColumn("rra", lit(i)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val dsCols = schema.ds.map(_.name).filter(union.columns.contains)
+    union.where(col("ts") > before)
+      .select(col("rra") +: series.map(col) :+ col("ts") :++
+        dsCols.map(col): _*)
+  }
+
   /** xport/graphv data outputs via [[GraphScript]]. */
   def graphv(args: Seq[String]): GraphScript.Result = {
     val (opts, stmts) = parseOpts(args)
@@ -96,6 +125,18 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     GraphScript.run(spark, GraphScript.parse(stmts), start, end,
       series, defaultKey)
   }
+
+  /** xport: the tabular frame of an XPORT script (rrd_xport.c) —
+    * [[graphv]]'s result narrowed to the export frame. */
+  def xport(args: Seq[String]): DataFrame =
+    graphv(args).xport.getOrElse(
+      spark.emptyDataFrame.withColumn("ts", lit(0L)).limit(0))
+
+  /** flushcached (rrd_flushcached.c): a no-op by construction here —
+    * a micro-batch either committed or will replay from the streaming
+    * checkpoint, so there is never an unflushed in-memory tree. Kept
+    * for command-surface parity. */
+  def flushcached(paths: Seq[String]): Unit = ()
 
   def first(path: String, rraIdx: Int = 0): Long = {
     val df = spark.read.parquet(s"$path/rra$rraIdx")

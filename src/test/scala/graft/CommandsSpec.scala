@@ -56,5 +56,35 @@ class CommandsSpec extends SparkSuite {
     assert(c.list(out) == Seq("d")) // a dump is itself restorable
     c.restore(s"$out/d", s"$out/restored")
     assert(c.list(out) == Seq("d", "restored"))
+
+    // xport narrows graphv to the tabular frame
+    val xf = c.xport(Seq("--start", "0", "--end", "100",
+      s"DEF:a=$path:speed:AVERAGE", "XPORT:a:speed"))
+    assert(xf.orderBy("ts").select("ts").as[Long].collect().nonEmpty)
+
+    c.flushcached(Seq(path)) // parity no-op
+  }
+
+  test("updatev returns only the rollup rows written by this call") {
+    import spark.implicits._
+    val c = new Commands(spark, nowSec = 1000L)
+    val path = java.nio.file.Files.createTempDirectory("graft_updv").toString
+    c.create(path, Seq("--start", "0", "--step", "10",
+      "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100", "RRA:MAX:0.5:2:50"))
+    val first = c.updatev(path, (1 to 8).map(i => s"${i * 10}:5.0"))
+    // lcm(1,2)*10 = 20s horizon: newest sample 80 -> horizon 80, all
+    // slots (re)written by the first call are returned
+    assert(first.select("rra").distinct().as[Int].collect().toSet
+      == Set(0, 1))
+    // materialize before the second call swaps the RRA files out from
+    // under this lazy frame
+    val firstMax = first.select(max("ts")).as[Long].head()
+    val firstCount = first.count()
+    val second = c.updatev(path, Seq("90:5.0", "100:5.0"))
+    val secondTs = second.select("ts").as[Long].collect()
+    // the second call reports only slots past the first call's horizon
+    assert(secondTs.nonEmpty && secondTs.forall(_ > firstMax - 20),
+      s"stale rows in updatev return: ${secondTs.sorted.toSeq}")
+    assert(secondTs.length < firstCount)
   }
 }
