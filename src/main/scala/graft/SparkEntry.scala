@@ -680,6 +680,17 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Embedding-cosine near-duplicate pairs (the dedup-by-embedding
+    // leg): hyperplane buckets + single-bit-flip probes propose
+    // candidates, a typed kernel verifies exact cosine >= tau. tau=0.40
+    // sits under the corpus's max pair cosine (~0.51), so the operator
+    // is oracle-covered on real pairs, not just constructed specs.
+    "q45_embed_neardup" -> ((s, dir) => {
+      ext.Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 64, tau = 0.40, planes = 4)
+        .orderBy("id1", "id2")
+    }),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1246,6 +1257,30 @@ object SparkEntry {
         | COALESCE(ag.hits, 0) / 5.0 AS recall
         |FROM q LEFT JOIN ag ON ag.query_id = q.vec_id
         |ORDER BY 1""".stripMargin
+    },
+
+    "q45_embed_neardup" -> {
+      // same md5-derived hyperplane buckets as the operator (and q39)
+      def proj(p: Int) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> " +
+          s"CASE WHEN substr(md5('$p' || ':' || CAST(i AS VARCHAR)), 1, 1) >= '8' " +
+          s"THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END), (a,b) -> a + b)"
+      val bucket = (0 until 4).map(p =>
+        s"(CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH keyed AS (
+        | SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+        |ap AS (
+        | SELECT vec_id, embedding,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        | FROM keyed)
+        |SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+        | ${sqlDot("a.embedding", "b.embedding")} /
+        |  (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS cosine
+        |FROM ap a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE ${sqlDot("a.embedding", "b.embedding")} /
+        |  (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) >= 0.40
+        |ORDER BY id1, id2""".stripMargin
     },
 
     "q30_embed_stats" ->

@@ -81,6 +81,8 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, id: String, vec: String, dim: Int,
       tau: Double, planes: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     // Cap check rides a window count over the bucket partition — one
     // shuffle, no operator-internal persist (round-2 leak). The probe
     // side re-derives keys/norms (cheap column math, no shuffle).
@@ -96,11 +98,22 @@ object Similarity {
       col("doc_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
     val b = capped.select(col("bucket"), col("doc_id").as("id2"),
       col("v").as("v2"), col("n").as("n2"))
+    // exact-cosine verify as a typed primitive-array kernel (the q29
+    // lesson: the `aggregate` HOF evaluates interpretively, ~40× the
+    // cost of this loop on a corpus-sized candidate set); identical
+    // left-fold order, so DuckDB's list_reduce oracle stays bit-exact
     a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        (dot(col("v1"), col("v2"), dim) / (col("n1") * col("n2")))
-          .as("cosine"))
-      .where(col("cosine") >= tau)
+      .select(col("id1"), col("id2"), col("v1"), col("v2"),
+        col("n1"), col("n2"))
+      .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (id1, id2, v1, v2, n1, n2) =>
+          var s = 0.0; var i = 0
+          while (i < dim) { s += v1(i).toDouble * v2(i).toDouble; i += 1 }
+          val c = s / (n1 * n2)
+          if (c >= tau) Some((id1, id2, c)) else None
+        }
+      }.toDF("id1", "id2", "cosine")
       .distinct()
   }
 
