@@ -145,6 +145,34 @@ class StreamingEndToEndSpec extends SparkSuite {
     }
   }
 
+  test("DaemonClient speaks the protocol end-to-end (rrd_client parity)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_client").toString
+    val store = s"$root/web.rrd"
+    createStore(store)
+    val samples = ts1.map(t =>
+      ("web.rrd", t * 1000000L, g(t), c(t))).toDF("k", "ts_us", "g", "c")
+    RrdStore.appendBatch(spark, store, samples, Seq("k"), "ts_us", "ts_us",
+      Map("g" -> "g", "c" -> "c"))
+    val daemon = new Daemon(spark, root, nowSec = 3010L)
+    val port = daemon.start()
+    val client = new graft.streaming.DaemonClient("127.0.0.1", port)
+    try {
+      assert(client.last("web.rrd").payload == Seq("3010"))
+      val f = client.fetch("web.rrd", "AVERAGE", 0, 900)
+      assert(f.status > 0 && f.payload.head == "FlushVersion: 1")
+      assert(client.info("web.rrd").payload.contains("step = 300"))
+      client.update("web.rrd", Seq("3300:12.5:9900"))
+      client.flush("web.rrd")
+      val s = client.stats()
+      assert(s("UpdatesReceived") == 1L && s("FlushesReceived") == 1L &&
+        s("QueueLength") == 1L)
+      // BATCH: one good update, one bogus verb -> one error line for #2
+      val errs = client.batch(Seq("UPDATE web.rrd 3400:1:2", "BOGUS x"))
+      assert(errs.size == 1 && errs.head.startsWith("2 "), errs)
+    } finally { client.close(); daemon.stop() }
+  }
+
   test("daemon serves FETCH/INFO/LAST/STATS and journals UPDATE to the spool") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_daemon").toString
