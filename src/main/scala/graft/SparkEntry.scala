@@ -1083,14 +1083,14 @@ object SparkEntry {
     // Store fetch oracles: the SQL hard-codes the RRA the selection rule
     // MUST pick — a different selection changes step/coverage and fails
     // the hash compare.
-    "q35_rra_select" -> (sqlPdp + sqlStoreCdp("AVERAGE") +
+    "q35_rra_select" -> (sqlPdpSeeded + sqlStoreCdp("AVERAGE") +
       s"""SELECT u.user_id AS user_id, g.ts AS ts, k.cdp AS v
          |FROM (SELECT DISTINCT user_id FROM kept) u
          |CROSS JOIN generate_series(${T0 + 3600}, $T1, 3600) AS g(ts)
          |LEFT JOIN kept k ON k.user_id = u.user_id AND k.cdp_ts = g.ts
          |ORDER BY 1, 2""".stripMargin),
 
-    "q36_store_retention" -> (sqlPdp + sqlStoreCdp("MAX") +
+    "q36_store_retention" -> (sqlPdpSeeded + sqlStoreCdp("MAX") +
       s"""SELECT u.user_id AS user_id, g.ts AS ts, k.cdp AS v
          |FROM (SELECT DISTINCT user_id FROM kept) u
          |CROSS JOIN generate_series(${T0 + 3600}, $T1, 3600) AS g(ts)
@@ -1405,7 +1405,7 @@ object SparkEntry {
     * path carries a version tag so semantics changes invalidate it). */
   private def ensureStore(s: SparkSession, dir: String): String = {
     val name = new java.io.File(dir).getName
-    val path = s"/tmp/graft_store_v2/$name"
+    val path = s"/tmp/graft_store_v3/$name"
     val marker = java.nio.file.Paths.get(path, "_built")
     if (!java.nio.file.Files.exists(marker)) {
       store.RrdStore.create(path, graft.model.RrdSchema(300L, T0,
@@ -1684,6 +1684,42 @@ object SparkEntry {
 
   /** Shared PDP-normalization CTE chain (mirrors Rates GAUGE + Normalize):
     * defines `ag(user_id, k, known_us, rate_sum)` on the 300s grid. */
+  /** [[sqlPdp]] with the store's create-time seed: a virtual all-null
+    * sample at T0 per series anchors the lag chain (RrdStore.seedStart
+    * — the reference's `last_up = --start`), and samples at or before
+    * T0 are gated out. Only the store-backed oracles (q35/q36) use
+    * this; raw-event queries (q16/q17) keep first-sample-unknown. */
+  private def sqlPdpSeeded: String =
+    s"""WITH ev AS (
+      | SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events
+      | WHERE epoch_us(ts) > ${T0}000000
+      | UNION ALL
+      | SELECT DISTINCT user_id, ${T0}000000 AS tus,
+      |  CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value
+      | FROM events WHERE epoch_us(ts) > ${T0}000000),
+      |r AS (
+      | SELECT user_id, tus AS t1,
+      |        lag(tus) OVER w AS t0,
+      |        CASE WHEN (tus - lag(tus) OVER w) / 1000000.0 > 7200.0
+      |             THEN NULL ELSE value END AS rate
+      | FROM ev
+      | WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |iv AS (SELECT * FROM r WHERE t0 IS NOT NULL AND t1 > t0),
+      |ex AS (
+      | SELECT user_id, t0, t1, rate,
+      |        unnest(generate_series(t0//300000000 + 1, (t1 - 1)//300000000 + 1)) AS k
+      | FROM iv),
+      |ov AS (
+      | SELECT user_id, k, rate,
+      |        least(t1, k * 300000000) - greatest(t0, (k - 1) * 300000000) AS overlap
+      | FROM ex),
+      |ag AS (
+      | SELECT user_id, k,
+      |        SUM(CASE WHEN rate IS NOT NULL THEN overlap END) AS known_us,
+      |        CAST(CAST(SUM(CAST(rate AS DECIMAL(18,2)) * overlap) AS VARCHAR) AS DOUBLE) AS rate_sum
+      | FROM ov GROUP BY 1, 2)
+      |""".stripMargin
+
   private val sqlPdp: String =
     """WITH r AS (
       | SELECT user_id, epoch_us(ts) AS t1,

@@ -185,15 +185,13 @@ object GraphScript {
             plan.scalarOf(vname).value match {
               case Some(v) if java.lang.Double.isFinite(v) =>
                 Graphv.Print.strftime(f, v.toLong, timeZone)
-              case Some(v) => "%.0f".formatLocal(java.util.Locale.ROOT, v)
-              case None => "NaN"
+              case _ => "nan" // C printf's lowercase non-finite
             }
           case "valstrfduration" => // the VALUE as milliseconds
             plan.scalarOf(vname).value match {
               case Some(v) if java.lang.Double.isFinite(v) =>
                 Graphv.Print.strfduration(fmt, v)
-              case Some(v) => "%f".formatLocal(java.util.Locale.ROOT, v)
-              case None => "NaN"
+              case _ => "nan"
             }
           case _ =>
             val (l, mf) = plan.print(vname, fmt, magfact)

@@ -133,11 +133,21 @@ object Graphv {
         val (sv, sy, _) = autoScale(v, 1000.0)
         v = sv; symb = sy
       }
-      // C "%lf" == Java "%f" etc.; keep widths/precision ("%5.2lf")
+      // C "%lf" == Java "%f" etc.; keep widths/precision ("%5.2lf").
+      // C accepts a zero flag without a width ("%0.1lf",
+      // tests/vformatter1) where Java's Formatter throws — the flag is
+      // meaningless there, so drop it.
       val jf = f.replaceAll("%([-+ 0#]*)(\\d+)?(\\.\\d+)?l([fFeEgG])", "%$1$2$3$4")
-      val line =
+        .replaceAll("%([-+ #]*)0(\\.)", "%$1$2")
+      val line0 =
         if (jf.contains("%s")) jf.formatLocal(java.util.Locale.ROOT, v, symb)
         else jf.formatLocal(java.util.Locale.ROOT, v)
+      // C printf renders non-finite doubles lowercase ("nan"/"inf");
+      // Java gives "NaN"/"Infinity" — the reference goldens compare
+      // post-`sed s/-nan/nan/` text (tests/functions:21)
+      val line =
+        if (java.lang.Double.isFinite(v)) line0
+        else line0.replace("NaN", "nan").replace("Infinity", "inf")
       (line, magfact)
     }
 
@@ -243,8 +253,36 @@ object Graphv {
     /** time_clean (rrd_graph.c:1669-1682 shape): when a VDEF carries no
       * timestamp (`never`), strip the conversions and keep the literal
       * text. */
-    def timeClean(fmt: String): String =
-      fmt.replaceAll("%[a-zA-Z%]", "").trim
+    /** The no-data form of a strftime PRINT: each conversion becomes
+      * dashes shaped like its expected output (rrd_graph.c:6164-6315
+      * time_clean table — %F -> "----------", %T -> "--:--:--", two-digit
+      * fields -> "--", years -> "----"). */
+    def timeClean(fmt: String): String = {
+      val two = "CdgHImMSUVWy".toSet
+      val sb = new StringBuilder
+      var j = 0
+      while (j < fmt.length) {
+        val c = fmt.charAt(j)
+        if (c == '%' && j + 1 < fmt.length) {
+          fmt.charAt(j + 1) match {
+            case 'E' | 'O' => sb += '-'; j += 3
+            case x if two(x) => sb ++= "--"; j += 2
+            case 'j' => sb ++= "---"; j += 2
+            case 'G' | 'Y' => sb ++= "----"; j += 2
+            case 'R' => sb ++= "--:--"; j += 2
+            case 'T' => sb ++= "--:--:--"; j += 2
+            case 'F' => sb ++= "----------"; j += 2
+            case 'D' => sb ++= "--/--/--"; j += 2
+            case 'n' => sb ++= "\r\n"; j += 2
+            case 't' => sb += '\t'; j += 2
+            case '%' => sb += '%'; j += 2
+            case x @ (' ' | '.' | '@') => sb += '%'; sb += x; j += 2
+            case _ => sb += '-'; j += 2
+          }
+        } else { sb += c; j += 1 }
+      }
+      sb.toString
+    }
 
     /** strfduration (rrd_graph.c:1684-1808): %W/%d/%D/%h/%H/%m/%M/%s/%S/
       * %f fields with optional zero-pad/width/precision; duration is in

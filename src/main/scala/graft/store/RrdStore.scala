@@ -92,14 +92,42 @@ object RrdStore {
     * @param dsValues DS name → sample value column (COMPUTE DSes take
     *                 their RPN inputs from the other DSes' rates)
     */
+  /** The reference's create initializes `last_up = --start`
+    * (rrd_create.c), so the FIRST update after create measures its
+    * interval against the create time instead of being an unknowable
+    * first sample — `tests/vformatter1` expects one update on a fresh
+    * GAUGE store to already yield a known PDP. Re-expressed as data: a
+    * virtual all-unknown sample at startSec anchors each new series'
+    * lag chain (GAUGE/ABSOLUTE become known if within heartbeat;
+    * COUNTER-family rates still need a known previous VALUE and stay
+    * unknown). Samples at or before startSec are dropped, exactly the
+    * reference's `t <= last_up` gate for the first update. */
+  private def seedStart(schema: RrdSchema, samples: DataFrame,
+      series: Seq[String], tsUs: String,
+      existingKeys: Option[DataFrame]): DataFrame = {
+    val startUs = schema.startSec * 1000000L
+    val live = samples.where(col(tsUs) > startUs)
+    val keys0 = live.select(series.map(col): _*).distinct()
+    val keys = existingKeys.fold(keys0)(ek =>
+      keys0.join(ek.select(series.map(col): _*).distinct(),
+        series, "left_anti"))
+    val seed = samples.columns.foldLeft(keys) { (df, c) =>
+      if (series.contains(c)) df
+      else if (c == tsUs) df.withColumn(c, lit(startUs))
+      else df.withColumn(c, lit(null).cast(samples.schema(c).dataType))
+    }.select(samples.columns.map(col): _*)
+    live.unionByName(seed)
+  }
+
   def update(spark: SparkSession, path: String, samples: DataFrame,
       series: Seq[String], tsUs: String, tieBreak: String,
       dsValues: Map[String, String],
       rateScale: Option[Int] = None): Unit = {
     val schema = readSchema(path)
+    val seeded = seedStart(schema, samples, series, tsUs, None)
     // cache the normalized PDP frame: every RRA consolidates from it,
     // and without this each RRA append would recompute rates+normalize
-    val pdp = pdpFrame(schema, samples, series, tsUs, tieBreak, dsValues,
+    val pdp = pdpFrame(schema, seeded, series, tsUs, tieBreak, dsValues,
       rateScale).persist()
     // 3. per-RRA consolidation + append. A HWPREDICT/MHWPREDICT RRA and
     // its contingent SEASONAL/DEVSEASONAL/DEVPREDICT/FAILURES rows (the
@@ -273,13 +301,16 @@ object RrdStore {
     val keep = (series ++ Seq(tsUs, tieBreak).distinct ++
       schema.ds.filter(_.dst != Dst.Compute).map(d => dsValues(d.name))
         .distinct).distinct
-    val fresh = samples.select(keep.map(col): _*)
-      .withColumn("__horizon", lit(Long.MinValue))
     val tailPath = s"$path/tail"
-    val all0 =
+    val tail =
       if (Files.exists(Paths.get(tailPath)))
-        spark.read.parquet(tailPath).unionByName(fresh)
-      else fresh
+        Some(spark.read.parquet(tailPath))
+      else None
+    // series the store has never seen get the create-time seed sample
+    val fresh = seedStart(schema, samples.select(keep.map(col): _*),
+        series, tsUs, tail)
+      .withColumn("__horizon", lit(Long.MinValue))
+    val all0 = tail.fold(fresh)(_.unionByName(fresh))
     // same-(series, ts) duplicates are replays of an already-ingested
     // sample (the gate forbids fresh ones) — keep one
     val all = all0.dropDuplicates(series :+ tsUs).persist()
@@ -548,18 +579,34 @@ object RrdStore {
       dss: Seq[String], series: Seq[String], startSec: Long, endSec: Long,
       requestedStepSec: Long): (DataFrame, Long) = {
     val schema = readSchema(path)
+    // a created-but-never-updated store has no rra<i> parquet yet; the
+    // reference's fetch on such a file yields all-unknown rows, so an
+    // empty typed frame (string series keys, long ts, double DSes) is
+    // the right read
+    def rraOrEmpty(i: Int): DataFrame =
+      if (Files.exists(Paths.get(s"$path/rra$i")))
+        spark.read.parquet(s"$path/rra$i")
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          series.map(org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.StringType)) ++
+          Seq(org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.LongType)) ++
+          schema.ds.map(d => org.apache.spark.sql.types.StructField(d.name,
+            org.apache.spark.sql.types.DoubleType))))
     // nowSec = the store's logical last_up: newest slot across the
     // finest RRA (metadata-only read of one small rollup)
     val rraIdx = schema.rras.indices.minBy(i => schema.rras(i).pdpCnt)
-    val nowDf = spark.read.parquet(s"$path/rra$rraIdx")
-    val nowSec = nowDf.agg(max("ts")).first().getLong(0)
+    val nowRow = rraOrEmpty(rraIdx).agg(max("ts")).first()
+    val nowSec = if (nowRow.isNullAt(0)) schema.startSec
+      else nowRow.getLong(0)
     val rra = Fetch.selectRra(schema, cf, startSec, endSec,
       requestedStepSec, nowSec)
     val i = schema.rras.indexOf(rra)
     val step = schema.stepSec * rra.pdpCnt
     val (s0, e0) = Fetch.align(startSec, endSec, step)
-    val roll = retained(spark.read.parquet(s"$path/rra$i"), series, rra,
-      schema.stepSec)
+    val roll = retained(rraOrEmpty(i), series, rra, schema.stepSec)
     // per-series grid: distinct series keys × slots (broadcastable grid)
     val keys = roll.select(series.map(col): _*).distinct()
     val grid = Fetch.grid(spark, s0, e0, step).crossJoin(keys)

@@ -17,8 +17,10 @@ class CommandsSpec extends SparkSuite {
       Seq("--start", "0", "--end", "200", "--resolution", "10"))
     import spark.implicits._
     val vs = f.orderBy("ts").select("v").as[Option[Double]].collect()
-    assert(vs.count(_.contains(7.5)) == 19) // first slot lost to rate lag
-    assert(c.first(path) == 20L)
+    // create seeds last_up = --start (rrd_create.c), so the FIRST
+    // update's GAUGE slot is already known — all 20 slots resolve
+    assert(vs.count(_.contains(7.5)) == 20)
+    assert(c.first(path) == 10L)
     assert(c.last(path) == 200L)
     assert(c.lastupdate(path).select("ts").as[Long].head() == 200L)
 
@@ -40,7 +42,8 @@ class CommandsSpec extends SparkSuite {
       "PRINT:m:%Y-%m-%d %H:%M:%S:strftime",   // MAXIMUM's timestamp
       "PRINT:m:%S seconds:valstrfduration"))  // value 75 as milliseconds
     assert(g.prints == Seq("75.000000",
-      "1970-01-01 00:00:20", // first slot where b hits its max
+      "1970-01-01 00:00:10", // first slot where b hits its max (the
+      // create-seeded first update already resolves slot 10)
       "0 seconds"))
 
     // --align-start (rrd_fetch.c:169-173): both ends shift down by

@@ -22,7 +22,11 @@ class GraphScriptSpec extends SparkSuite {
     assert(strftime("%c", 1300003020L) == "Sun Mar 13 07:57:00 2011")
     assert(strftime("%F %T %R 100%%", 1300003020L)
       == "2011-03-13 07:57:00 07:57 100%")
-    assert(timeClean("from %Y to %m") == "from  to")
+    // no-data form: conversions become output-shaped dashes
+    // (rrd_graph.c:6164-6315; vformatter1's "---------- --:--:--")
+    assert(timeClean("from %Y to %m") == "from ---- to --")
+    assert(timeClean("%F %T") == "---------- --:--:--")
+    assert(timeClean("%R %D %j 100%%") == "--:-- --/--/-- --- 100%")
   }
 
   test("tests/rpn1 via literal command strings against the store") {

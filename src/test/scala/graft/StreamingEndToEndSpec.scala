@@ -205,9 +205,10 @@ class StreamingEndToEndSpec extends SparkSuite {
       val fetch = roundTrip("FETCH web.rrd AVERAGE 0 900")
       assert(fetch.take(6) == Seq("FlushVersion: 1", "Start: 0",
         "End: 900", "Step: 300", "DSCount: 2", "DSName: g c"))
-      // slot 600 covers (300, 600]: gauge rate is g() over the 300–580–890
-      // samples; assert the slot is known and the unknown first slot is nan
-      assert(fetch(6).startsWith("300: nan"))
+      // slot 300 covers (0, 300]: the create-seeded lag chain makes the
+      // first GAUGE slot known (30.0) while COUNTER still needs a known
+      // previous value; slot 600 resolves both
+      assert(fetch(6).startsWith("300: 30.0 nan"), fetch(6))
       assert(!fetch(7).contains("nan"))
       // UPDATE over the wire lands in the spool for the streaming query
       val upd = "UPDATE web.rrd 3300:12.5:9900"
