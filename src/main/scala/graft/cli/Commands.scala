@@ -138,16 +138,13 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     * for command-surface parity. */
   def flushcached(paths: Seq[String]): Unit = ()
 
-  def first(path: String, rraIdx: Int = 0): Long = {
-    val df = spark.read.parquet(s"$path/rra$rraIdx")
-    df.agg(min("ts")).first().getLong(0)
-  }
+  /** rrd_first: geometric first slot of an RRA (works on a store with
+    * no data, create-from-template-1's `rrdtool first` check). */
+  def first(path: String, rraIdx: Int = 0): Long =
+    RrdStore.firstTime(spark, path, rraIdx)
 
-  def last(path: String): Long = {
-    val schema = RrdStore.readSchema(path)
-    val finest = schema.rras.indices.minBy(schema.rras(_).pdpCnt)
-    spark.read.parquet(s"$path/rra$finest").agg(max("ts")).first().getLong(0)
-  }
+  /** rrd_last: the raw last-update time. */
+  def last(path: String): Long = RrdStore.lastUpdateSec(spark, path)
 
   /** lastupdate: newest slot's values per DS. */
   def lastupdate(path: String): DataFrame = {

@@ -556,6 +556,38 @@ object RrdStore {
     * slots with no surviving row are null, mirroring
     * rrd_fetch.c:511-569's out-of-window NaN fill.
     */
+  /** rrd_last (rrd_last.c): the raw last-update time — the newest
+    * sample in the ingest tail; falls back to the finest rollup's
+    * newest slot (stores materialized without a tail), then to the
+    * create time (no data at all). */
+  def lastUpdateSec(spark: SparkSession, path: String): Long = {
+    val schema = readSchema(path)
+    if (Files.exists(Paths.get(s"$path/tail"))) {
+      val r = spark.read.parquet(s"$path/tail")
+        .agg(max("ts_us")).first()
+      if (r.isNullAt(0)) schema.startSec else r.getLong(0) / 1000000L
+    } else {
+      val finest = schema.rras.indices.minBy(schema.rras(_).pdpCnt)
+      if (Files.exists(Paths.get(s"$path/rra$finest"))) {
+        val r = spark.read.parquet(s"$path/rra$finest")
+          .agg(max("ts")).first()
+        if (r.isNullAt(0)) schema.startSec else r.getLong(0)
+      } else schema.startSec
+    }
+  }
+
+  /** rrd_first (rrd_first.c:84-123): the oldest slot RRA `rraIdx` CAN
+    * hold — pure geometry over last_up, not written data:
+    * floor(last_up/rraStep)·rraStep − (rows−1)·rraStep. The reference's
+    * create-from-template test asserts this on a file with NO data. */
+  def firstTime(spark: SparkSession, path: String, rraIdx: Int = 0): Long = {
+    val schema = readSchema(path)
+    val rra = schema.rras(rraIdx)
+    val rraStep = schema.stepSec * rra.pdpCnt
+    val lastUp = lastUpdateSec(spark, path)
+    math.floorDiv(lastUp, rraStep) * rraStep - (rra.rowCnt - 1) * rraStep
+  }
+
   def fetch(spark: SparkSession, path: String, cf: Cf, ds: String,
       series: Seq[String], startSec: Long, endSec: Long,
       requestedStepSec: Long): DataFrame =

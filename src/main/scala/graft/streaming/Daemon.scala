@@ -89,28 +89,13 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L) {
       case "PENDING" => Response(0, s"updates pending")
       case "FORGET" => Response(0, s"Gone!")
       case "FIRST" =>
-        val path = storePath(cmd.path)
         val idx = cmd.args.headOption.map(_.toInt).getOrElse(0)
-        val ts = spark.read.parquet(s"$path/rra$idx")
-          .agg(org.apache.spark.sql.functions.min("ts")).first().getLong(0)
+        val ts = RrdStore.firstTime(spark, storePath(cmd.path), idx)
         Response(1, "First UPDATE time", Seq(ts.toString))
       case "LAST" =>
-        val path = storePath(cmd.path)
-        // true last_up (rrd_last): newest RAW sample, kept in the ingest
-        // tail sidecar; fall back to the finest rollup's newest slot for
-        // stores materialized without one
-        val ts =
-          if (Files.exists(Paths.get(s"$path/tail")))
-            spark.read.parquet(s"$path/tail")
-              .agg(org.apache.spark.sql.functions.max("ts_us")).first()
-              .getLong(0) / 1000000L
-          else {
-            val schema = RrdStore.readSchema(path)
-            val finest = schema.rras.indices.minBy(schema.rras(_).pdpCnt)
-            spark.read.parquet(s"$path/rra$finest")
-              .agg(org.apache.spark.sql.functions.max("ts")).first()
-              .getLong(0)
-          }
+        // true last_up (rrd_last): newest RAW sample from the ingest
+        // tail, finest rollup slot for tail-less stores
+        val ts = RrdStore.lastUpdateSec(spark, storePath(cmd.path))
         Response(1, "Last UPDATE time", Seq(ts.toString))
       case "INFO" =>
         val kv = Dump.info(spark, storePath(cmd.path))

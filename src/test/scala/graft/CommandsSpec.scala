@@ -20,7 +20,8 @@ class CommandsSpec extends SparkSuite {
     // create seeds last_up = --start (rrd_create.c), so the FIRST
     // update's GAUGE slot is already known — all 20 slots resolve
     assert(vs.count(_.contains(7.5)) == 20)
-    assert(c.first(path) == 10L)
+    // rrd_first is RRA geometry, not data: floor(200/10)*10 - 99*10
+    assert(c.first(path) == -790L)
     assert(c.last(path) == 200L)
     assert(c.lastupdate(path).select("ts").as[Long].head() == 200L)
 
@@ -66,6 +67,18 @@ class CommandsSpec extends SparkSuite {
     assert(xf.orderBy("ts").select("ts").as[Long].collect().nonEmpty)
 
     c.flushcached(Seq(path)) // parity no-op
+  }
+
+  test("first on a data-less store is the reference's geometric value") {
+    // create-from-template-1: create --start 1299999999 --step 60
+    // RRA:AVERAGE:0.5:1:100 -> `rrdtool first` == 1299994020 (#1140)
+    val c = new Commands(spark, nowSec = 1300000000L)
+    val path = java.nio.file.Files.createTempDirectory("graft_first").toString
+    c.create(path, Seq("--start", "1299999999", "--step", "60",
+      "DS:a:GAUGE:120:0:U", "DS:b:COUNTER:120:0:U",
+      "RRA:AVERAGE:0.5:1:100", "RRA:AVERAGE:0.5:5:2"))
+    assert(c.first(path) == 1299994020L)
+    assert(c.last(path) == 1299999999L)
   }
 
   test("updatev returns only the rollup rows written by this call") {
