@@ -38,7 +38,7 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
   def create(path: String, args: Seq[String]): Unit = {
     val (opts, specs) = parseOpts(args)
     RrdStore.create(path, RrdSchema.parse(
-      opts.getOrElse("step", "300").toLong,
+      graft.model.Scaled(opts.getOrElse("step", "300"), 1L),
       opts.get("start").map(at).getOrElse(nowSec),
       specs))
   }

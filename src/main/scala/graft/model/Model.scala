@@ -61,20 +61,55 @@ final case class DsDef(
   require((dst == Dst.Compute) == rpn.isDefined,
     "COMPUTE iff an RPN expression is given")
 }
+/** `rrd_scaled_duration` (/root/reference/src/rrd_utils.c:235-283):
+  * `<digits>[smhdwMy]` — a BARE count inhibits both scaling and the
+  * divisor check (it already IS a count of `divisor` units); a suffixed
+  * value converts to seconds and must divide evenly by `divisor`.
+  * Anything else (negative, non-numeric, unknown suffix like `2H`) is
+  * rejected, matching tests/rrdcreate's diagnostics. */
+object Scaled {
+  private val Re = raw"(\d+)([smhdwMy])?".r
+  def apply(token: String, divisor: Long): Long = token match {
+    case Re(digits, null) =>
+      val v = digits.toLong
+      require(v > 0, s"value must be positive: '$token'")
+      v
+    case Re(digits, suf) =>
+      val mult = suf match {
+        case "s" => 1L
+        case "m" => 60L
+        case "h" => 3600L
+        case "d" => 86400L
+        case "w" => 604800L
+        case "M" => 2678400L // 31 days
+        case "y" => 31622400L // 366 days
+      }
+      val v = digits.toLong * mult
+      require(v > 0, s"value must be positive: '$token'")
+      require(v % divisor == 0,
+        s"value would truncate when scaled: '$token' (divisor $divisor)")
+      v / divisor
+    case _ => throw new IllegalArgumentException(
+      s"value must be (suffixed) positive number: '$token'")
+  }
+}
+
 object DsDef {
   /** [a-zA-Z0-9_-]{1,19} per rrd_format.h:162-164 (length relaxed here,
     * validated only in compat mode). */
   val NameRe = "[a-zA-Z0-9_-]+".r
 
   /** Parse "DS:name:TYPE:heartbeat:min:max" or "DS:name:COMPUTE:rpn"
-    * (grammar: /root/reference/src/rrd_create.c:310-480). */
+    * (grammar: /root/reference/src/rrd_create.c:310-480; heartbeat is a
+    * count-or-duration, rrd_create.c:1117-1132). */
   def parse(spec: String): DsDef = spec.split(":", -1).toList match {
     case "DS" :: name :: "COMPUTE" :: rest if rest.nonEmpty =>
       DsDef(name, Dst.Compute, rpn = Some(rest.mkString(":")))
     case "DS" :: name :: dst :: hb :: mn :: mx :: Nil =>
-      DsDef(name, Dst.parse(dst), hb.toLong, parseBound(mn), parseBound(mx))
+      DsDef(name, Dst.parse(dst), Scaled(hb, 1L),
+        parseBound(mn), parseBound(mx))
     case "DS" :: name :: dst :: hb :: Nil =>
-      DsDef(name, Dst.parse(dst), hb.toLong)
+      DsDef(name, Dst.parse(dst), Scaled(hb, 1L))
     case _ => throw new IllegalArgumentException(s"bad DS spec '$spec'")
   }
   private def parseBound(s: String): Option[Double] =
@@ -100,13 +135,18 @@ object RraDef {
     * "RRA:HWPREDICT:rows:alpha:beta:period" /
     * "RRA:SEASONAL:period:gamma:rra-num" /
     * "RRA:DEVPREDICT:rows:rra-num" / "RRA:FAILURES:rows:thr:win:rra-num"
-    * (/root/reference/src/rrd_create.c:480-790). */
-  def parse(spec: String): RraDef = spec.split(":", -1).toList match {
+    * (/root/reference/src/rrd_create.c:480-790). `steps` and `rows`
+    * accept scaled durations relative to the file's `stepSec`
+    * (rrd_create.c:567,616,659: steps scale by pdp_step, rows by
+    * pdp_step·pdp_cnt; HW row counts by pdp_step). */
+  def parse(spec: String, stepSec: Long = 1L): RraDef =
+    spec.split(":", -1).toList match {
     case "RRA" :: cf :: rest =>
       (Cf.parse(cf), rest) match {
         case (c @ (Cf.Average | Cf.Min | Cf.Max | Cf.Last),
             xff :: steps :: rows :: Nil) =>
-          RraDef(c, xff.toDouble, steps.toLong, rows.toLong)
+          val pdpCnt = Scaled(steps, stepSec)
+          RraDef(c, xff.toDouble, pdpCnt, Scaled(rows, stepSec * pdpCnt))
         case (c @ (Cf.HwPredict | Cf.MhwPredict), rows :: a :: b :: per :: extra) =>
           // optional trailing fields persist tuned values the reference
           // keeps in rra par words: gamma, delta+/-, threshold, window,
@@ -122,13 +162,15 @@ object RraDef {
             case other => throw new IllegalArgumentException(
               s"bad HWPREDICT extras $other")
           }
-          RraDef(c, rowCnt = rows.toLong, hw = Some(tuned))
+          RraDef(c, rowCnt = Scaled(rows, stepSec), hw = Some(tuned))
         case (c @ (Cf.Seasonal | Cf.DevSeasonal), per :: g :: _) =>
-          RraDef(c, rowCnt = per.toLong,
-            hw = Some(HwParams(gamma = g.toDouble, period = per.toLong)))
-        case (Cf.DevPredict, rows :: _) => RraDef(Cf.DevPredict, rowCnt = rows.toLong)
+          val period = Scaled(per, stepSec)
+          RraDef(c, rowCnt = period,
+            hw = Some(HwParams(gamma = g.toDouble, period = period)))
+        case (Cf.DevPredict, rows :: _) =>
+          RraDef(Cf.DevPredict, rowCnt = Scaled(rows, stepSec))
         case (Cf.Failures, rows :: thr :: win :: _) =>
-          RraDef(Cf.Failures, rowCnt = rows.toLong,
+          RraDef(Cf.Failures, rowCnt = Scaled(rows, stepSec),
             hw = Some(HwParams(failThreshold = thr.toInt, windowLen = win.toInt)))
         case _ => throw new IllegalArgumentException(s"bad RRA spec '$spec'")
       }
@@ -169,6 +211,6 @@ object RrdSchema {
   def parse(stepSec: Long, startSec: Long, specs: Seq[String]): RrdSchema = {
     val (dsSpecs, rraSpecs) = specs.partition(_.startsWith("DS:"))
     RrdSchema(stepSec, startSec, dsSpecs.map(DsDef.parse),
-      rraSpecs.map(RraDef.parse))
+      rraSpecs.map(RraDef.parse(_, stepSec)))
   }
 }

@@ -139,7 +139,8 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L) {
         while (i < cmd.args.length) {
           cmd.args(i) match {
             case "-b" => start = cmd.args(i + 1).toLong; i += 2
-            case "-s" => step = cmd.args(i + 1).toLong; i += 2
+            case "-s" =>
+              step = graft.model.Scaled(cmd.args(i + 1), 1L); i += 2
             case "-O" => noOverwrite = true; i += 1
             case spec => specs += spec; i += 1
           }

@@ -26,6 +26,34 @@ class ModelSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](RraDef.parse("RRA:AVERAGE:1.5:6:10"))
   }
 
+  test("scaled durations in create specs (tests/rrdcreate diagnostics)") {
+    // rrd_scaled_duration: bare counts pass through, suffixed values
+    // convert to seconds and must divide evenly by the divisor
+    assert(Scaled("10", 300L) == 10L) // bare count: divisor inhibited
+    assert(Scaled("15s", 5L) == 3L)
+    assert(Scaled("1h", 10L) == 360L)
+    assert(Scaled("2d", 86400L) == 2L)
+    // tests/rrdcreate failure table
+    assertThrows[IllegalArgumentException](Scaled("0", 1L)) // zero step
+    assertThrows[IllegalArgumentException](Scaled("-1", 1L)) // negative
+    assertThrows[IllegalArgumentException](Scaled("one", 1L)) // non-text
+    assertThrows[IllegalArgumentException](Scaled("2H", 1L)) // bad suffix
+    // misaligned RRA step: 15s at a 10s base step
+    assertThrows[IllegalArgumentException](
+      RraDef.parse("RRA:AVERAGE:0.5:15s:1h", stepSec = 10L))
+    // misaligned RRA rows: 75s span over a 10s RRA step
+    assertThrows[IllegalArgumentException](
+      RraDef.parse("RRA:AVERAGE:0.5:10s:75s", stepSec = 10L))
+    // zero RRA rows: 10s span at a 15s RRA step
+    assertThrows[IllegalArgumentException](
+      RraDef.parse("RRA:AVERAGE:0.5:15s:10s", stepSec = 5L))
+    // valid rrdtool idiom: 5-minute CDPs kept for three days
+    val r = RraDef.parse("RRA:AVERAGE:0.5:5m:3d", stepSec = 60L)
+    assert(r.pdpCnt == 5L && r.rowCnt == 864L)
+    // suffixed heartbeat
+    assert(DsDef.parse("DS:v:GAUGE:2m:U:U").heartbeatSec == 120L)
+  }
+
   test("schema assembly + retention") {
     val s = RrdSchema.parse(300L, 920804400L, Seq(
       "DS:speed:COUNTER:600:U:U",
