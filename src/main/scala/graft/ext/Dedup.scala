@@ -110,6 +110,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded signature index of a corpus: (doc_id, sig, band) — what a
+    * production pipeline materializes ONCE (written partitioned/bucketed
+    * by `band`) and reuses for every arriving batch, instead of
+    * re-mining the corpus per batch. */
+  def lshIndex(df: DataFrame, id: String, text: String,
+      k: Int = 3, h: Int = 16, r: Int = 4): DataFrame = {
+    val base = df.select(col(id).as("doc_id"),
+      minhashSignature(shingles(col(text), k), h).as("sig"))
+    base.select(col("doc_id"), col("sig"),
+      explode(bandKeys(col("sig"), h, r)).as("band"))
+  }
+
+  /** Near-dup candidates INVOLVING a new batch only: new×corpus via a
+    * band equi-join against the index, plus new×new — never
+    * corpus×corpus. The 100-TB shape: each arriving batch costs
+    * O(batch × bucket), not a re-mine of the whole corpus, and the
+    * result equals the full mine restricted to pairs touching the
+    * batch (spec-asserted). The band cap applies to the COMBINED
+    * bucket, so a bucket that explodes once the batch lands is dropped
+    * exactly as the full mine would.
+    *
+    * Output matches [[lshCandidates]]: (id1 < id2, sig_agreement),
+    * distinct. `index` comes from [[lshIndex]] over the existing
+    * corpus (ids must be disjoint from the batch). */
+  def incrementalLshCandidates(newDocs: DataFrame, index: DataFrame,
+      id: String, text: String, k: Int = 3, h: Int = 16, r: Int = 4,
+      maxBand: Int = 100): DataFrame = {
+    val all = index.withColumn("__new", lit(false))
+      .unionByName(lshIndex(newDocs, id, text, k, h, r)
+        .withColumn("__new", lit(true)))
+    val capped = capBands(all, "band", maxBand)
+    val a = capped.where(col("__new")).select(col("band"),
+      col("doc_id").as("ida"), col("sig").as("siga"))
+    val b = capped.select(col("band"), col("doc_id").as("idb"),
+      col("sig").as("sigb"), col("__new").as("__newb"))
+    a.join(b, Seq("band"))
+      .where(col("ida") =!= col("idb") &&
+        // new×new pairs appear on both sides: keep one orientation
+        (!col("__newb") || col("ida") < col("idb")))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) =>
+          when(x === y, lit(1)).otherwise(lit(null))), _.isNotNull))
+          .cast("double") / h).as("sig_agreement"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

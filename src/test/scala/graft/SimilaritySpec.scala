@@ -83,6 +83,26 @@ class SimilaritySpec extends SparkSuite {
     assert(added.size <= 1, s"lingering intermediate checkpoints: $added")
   }
 
+  test("incremental LSH == full mine restricted to pairs touching the batch") {
+    import spark.implicits._
+    def doc(i: Long) =
+      (i, s"the quick brown fox ${i % 9} jumps over the lazy dog ${i % 4}")
+    val corpus = (0L until 60L).map(doc).toDF("doc_id", "text")
+    val batch = (60L until 80L).map(doc).toDF("doc_id", "text")
+    val full = ext.Dedup.lshCandidates(
+        corpus.unionByName(batch), "doc_id", "text")
+      .where(col("id1") >= 60 || col("id2") >= 60)
+      .as[(Long, Long, Double)].collect().toSet
+    val index = ext.Dedup.lshIndex(corpus, "doc_id", "text")
+    val inc = ext.Dedup.incrementalLshCandidates(batch, index,
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty, "constructed corpus must produce candidates")
+    assert(inc == full)
+    // and no corpus-internal pair sneaks in
+    assert(inc.forall { case (i1, i2, _) => i1 >= 60 || i2 >= 60 })
+  }
+
   test("candidate operators leave no lingering cached RDDs") {
     import spark.implicits._
     // Round-2 defect: operator-internal persist() accreted cached blocks
