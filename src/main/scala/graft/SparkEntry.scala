@@ -613,6 +613,21 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Incremental LSH: an arriving batch (doc_id >= 400) against the
+    // materialized index of the existing corpus — new×corpus + new×new
+    // only. Equals the full mine restricted to batch-touching pairs
+    // (SimilaritySpec asserts the identity), which is exactly what the
+    // oracle computes.
+    "q46_incremental_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = ext.Dedup.lshIndex(
+        docs.where(col("doc_id") < 400), "doc_id", "text")
+      ext.Dedup.incrementalLshCandidates(
+          docs.where(col("doc_id") >= 400), index, "doc_id", "text")
+        .where(col("sig_agreement") >= 0.25)
+        .orderBy("id1", "id2")
+    }),
+
     // SimHash near-dup: signature bands (4-bit nibbles) bucket the
     // corpus; pairs sharing a band get exact hamming distance — the
     // same candidates-only shape as MinHash LSH, no all-pairs.
@@ -1134,6 +1149,14 @@ object SparkEntry {
       s"""$sqlLshCand
         |SELECT id1, id2, sig_agreement FROM cand
         |WHERE sig_agreement >= 0.25 ORDER BY id1, id2""".stripMargin,
+
+    // incremental == full mine restricted to pairs touching the batch
+    // (the operator-level identity SimilaritySpec asserts)
+    "q46_incremental_lsh" ->
+      s"""$sqlLshCand
+        |SELECT id1, id2, sig_agreement FROM cand
+        |WHERE (id1 >= 400 OR id2 >= 400) AND sig_agreement >= 0.25
+        |ORDER BY id1, id2""".stripMargin,
 
     "q26_shingle_jaccard" ->
       s"""$sqlLshCand,
