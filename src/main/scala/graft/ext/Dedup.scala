@@ -210,8 +210,17 @@ object Dedup {
       .distinct())
     var (labels, labelIds) = ckpt(edges.select(col("a").as("node")).distinct()
       .withColumn("component", col("node")))
+    // labels are non-increasing per node, so Σ component strictly
+    // decreases iff ANY label changed — a one-column agg over the
+    // just-materialized checkpoint replaces the previous join-based
+    // convergence check (one fewer join + count per round). decimal(38)
+    // keeps the sum exact for 64-bit ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).first()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var it = 0
-    var done = labels.isEmpty
+    var done = prevSum == null // no edges at all
     while (!done && it < maxIter) {
       val viaNb = edges
         .join(labels.select(col("node").as("b"),
@@ -226,14 +235,12 @@ object Dedup {
           col("component").as("__c2")), Seq("component"), "left")
         .select(col("node"),
           coalesce(col("__c2"), col("component")).as("component")))
-      val changed = next
-        .join(labels.select(col("node"), col("component").as("__p")),
-          Seq("node"))
-        .where(col("component") < col("__p")).limit(1).count() > 0
-      free(labelIds) // previous round read by `changed` above, now dead
+      val s = labelSum(next)
+      free(labelIds)
       labels = next
       labelIds = nextIds
-      done = !changed
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
       it += 1
     }
     free(edgeIds)
