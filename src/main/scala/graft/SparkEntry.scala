@@ -632,8 +632,8 @@ object SparkEntry {
     // corpus; pairs sharing a band get exact hamming distance — the
     // same candidates-only shape as MinHash LSH, no all-pairs.
     "q28_simhash" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), ext.Dedup.simhash(col("text"), 16).as("sig"))
+      val d = ext.Dedup.simhashSignatures(
+        Tables.documents(s, dir), "doc_id", "text", 16)
       ext.Dedup.simhashCandidates(d, "doc_id", "sig", bits = 16, bands = 4)
         .where(col("hamming") <= 3)
         .orderBy("id1", "id2")

@@ -273,6 +273,51 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** SimHash signatures as a typed primitive kernel — the q28 hot path.
+    * Tokenization stays in Catalyst (`array_distinct(words(text))`, so
+    * it is identical to [[simhash]] and to the SQL oracle); the md5 +
+    * vote fold runs as one `mapPartitions` over primitive arrays. Bit
+    * semantics match [[simhash]] exactly: bit i set iff
+    * Σ_tokens (hex nibble i of md5(token) ≥ 8 ? +1 : −1) > 0 — integer
+    * arithmetic, so kernel and column forms are bit-identical (spec-
+    * asserted). The column form folds a `bits`-wide Catalyst array per
+    * token (allocation + boxing per element); this loop is why q28
+    * dropped below the oracle's wall time.
+    *
+    * Output: (id as long, sig as long). No shuffle — per-row map only. */
+  def simhashSignatures(df: DataFrame, id: String, text: String,
+      bits: Int): DataFrame = {
+    require(bits <= 16, "one md5 supplies 16 hex nibbles = 16 vote bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"),
+        array_distinct(TextAnalysis.words(col(text))))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val votes = new Array[Int](bits)
+        it.map { case (docId, toks) =>
+          java.util.Arrays.fill(votes, 0)
+          toks.foreach { w =>
+            md.reset()
+            val h = md.digest(w.getBytes("UTF-8"))
+            var i = 0
+            while (i < bits) {
+              // hex nibble i (0-based): high half of byte i/2 when i even
+              val nib =
+                if ((i & 1) == 0) (h(i >> 1) >> 4) & 0xf else h(i >> 1) & 0xf
+              votes(i) += (if (nib >= 8) 1 else -1)
+              i += 1
+            }
+          }
+          var sig = 0L
+          var i = 0
+          while (i < bits) { if (votes(i) > 0) sig |= 1L << i; i += 1 }
+          (docId, sig)
+        }
+      }.toDF(id, "sig")
+  }
+
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -103,6 +103,21 @@ class SimilaritySpec extends SparkSuite {
     assert(inc.forall { case (i1, i2, _) => i1 >= 60 || i2 >= 60 })
   }
 
+  test("simhashSignatures kernel is bit-identical to the column form") {
+    import spark.implicits._
+    val docs = (0 until 80).map(i =>
+      (i.toLong, s"The Quick  brown fox ${i % 7} jumps over the lazy dog " +
+        s"${i % 3} and token$i")).toDF("doc_id", "text")
+    val colForm = docs
+      .select(col("doc_id"), ext.Dedup.simhash(col("text"), 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val kernel = ext.Dedup.simhashSignatures(docs, "doc_id", "text", 16)
+      .as[(Long, Long)].collect().toMap
+    assert(kernel == colForm)
+    // signatures are non-degenerate on this corpus
+    assert(kernel.values.toSet.size > 1)
+  }
+
   test("candidate operators leave no lingering cached RDDs") {
     import spark.implicits._
     // Round-2 defect: operator-internal persist() accreted cached blocks
