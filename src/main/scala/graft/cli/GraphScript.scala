@@ -43,9 +43,13 @@ object GraphScript {
   /** `mode`: "" (numeric/SI), "strftime" (format the VDEF's TIME),
     * "valstrftime" (value AS a timestamp), "valstrfduration" (value as
     * milliseconds) — PRINT:vname:format[:mode]
-    * (doc/rrdgraph_graph.pod:9, rrd_graph.c:1990-2045). */
+    * (doc/rrdgraph_graph.pod:9, rrd_graph.c:1990-2045).
+    * `cf` is the deprecated-but-supported legacy form
+    * `PRINT:vname:CF:format` (print_calc's non-VDEF branch,
+    * rrd_graph.c:1862-1901): the CF runs over the fetched slots of a
+    * DEF/CDEF instead of reading a VDEF scalar. */
   final case class PrintStmt(vname: String, fmt: String,
-      mode: String = "") extends Stmt
+      mode: String = "", cf: Option[Cf] = None) extends Stmt
   final case class ElementStmt(element: Graphv.Element,
       legend: String) extends Stmt
   final case class XportStmt(vname: String, legend: String) extends Stmt
@@ -94,11 +98,19 @@ object GraphScript {
       case "PRINT" | "GPRINT" =>
         val i = body.indexOf(':')
         val rest = body.drop(i + 1)
-        val modes = Seq(":strftime", ":valstrftime", ":valstrfduration")
-        modes.find(rest.endsWith) match {
-          case Some(m) => PrintStmt(body.take(i),
-            stripQuotes(rest.dropRight(m.length)), m.drop(1))
-          case None => PrintStmt(body.take(i), stripQuotes(rest))
+        // legacy PRINT:vname:CF:format (rrd_graph.c:1862-1901)
+        val legacy = Seq(Cf.Average, Cf.Min, Cf.Max, Cf.Last)
+          .find(c => rest.startsWith(c.name + ":"))
+        legacy match {
+          case Some(c) => PrintStmt(body.take(i),
+            stripQuotes(rest.drop(c.name.length + 1)), "", Some(c))
+          case None =>
+            val modes = Seq(":strftime", ":valstrftime", ":valstrfduration")
+            modes.find(rest.endsWith) match {
+              case Some(m) => PrintStmt(body.take(i),
+                stripQuotes(rest.dropRight(m.length)), m.drop(1))
+              case None => PrintStmt(body.take(i), stripQuotes(rest))
+            }
         }
       case "XPORT" =>
         val parts = body.split(":", 2)
@@ -127,8 +139,12 @@ object GraphScript {
     }
   }
 
+  /** Quotes off, and the reference's `\:` colon escape resolved
+    * (rrdgraph escapes ':' inside legends/formats since ':' is the
+    * argument separator). */
   private def stripQuotes(s: String): String =
     s.stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'")
+      .replace("\\:", ":")
 
   /** graphv data outputs. */
   final case class Result(
@@ -172,7 +188,19 @@ object GraphScript {
       case CdefStmt(vname, rpn) => plan.cdef(vname, rpn)
       case VdefStmt(vname, src, op, param) => plan.vdef(vname, src, op, param)
       case ShiftStmt(vname, src, off) => plan.shift(vname, src, off)
-      case PrintStmt(vname, fmt, mode) =>
+      case PrintStmt(vname, fmt, _, Some(cf)) =>
+        // legacy CF-over-slots form: the window's fetched values reduce
+        // through the CF driver-side (bounded by the pixel frame size,
+        // same as vdef_calc's collection)
+        val vals = plan.seriesOf(vname).df
+          .orderBy(col("ts")).select(col(vname))
+          .collect().map(r => if (r.isNullAt(0)) Double.NaN
+            else r.getDouble(0)).toSeq
+        val (line, mf) =
+          Graphv.Print.format(fmt, Graphv.Print.legacyCf(vals, cf), magfact)
+        magfact = mf
+        prints :+= line
+      case PrintStmt(vname, fmt, mode, None) =>
         val line = mode match {
           case "strftime" => // the VDEF's TIME component
             val f = if (fmt.isEmpty) "%Y-%m-%d %H:%M:%S" else fmt
@@ -215,9 +243,14 @@ object GraphScript {
         val frame = elements.map(_._1).distinct
           .map(n => plan.resampled(n, step))
           .reduce(_.join(_, Seq("ts"), "outer"))
+        // the pixel->slot mapping must start on the frame's step grid
+        // (the reference indexes into the ALIGNED fetched array,
+        // rrd_graph.c:1402: (t - start)/step with fetch-aligned start);
+        // a raw unaligned --start would look up off-grid slots
+        val (s0, e0) = Fetch.align(startSec, endSec, step)
         val (_, mn, mx) = Graphv.dataProc(spark, frame, "ts",
           elements.zipWithIndex.map { case ((n, e), i) => s"p$i" -> e },
-          startSec, endSec, step, xsize)
+          s0, e0, step, xsize)
         (mn, mx)
       }
     Result(prints,

@@ -83,9 +83,13 @@ object Graphv {
     else {
       val fin: String => Column = n =>
         when(abs(col(n)) =!= lit(Double.PositiveInfinity), col(n))
+      // least/greatest require arity >= 2 (single-element graphs are
+      // common: tests/graph2 is one AREA)
+      def fold(cs: Seq[Column], f: Seq[Column] => Column): Column =
+        if (cs.size == 1) cs.head else f(cs)
       val row = out.agg(
-        least(ranged.map(n => min(fin(n))): _*).as("mn"),
-        greatest(ranged.map(n => max(fin(n))): _*).as("mx")).first()
+        fold(ranged.map(n => min(fin(n))), least(_: _*)).as("mn"),
+        fold(ranged.map(n => max(fin(n))), greatest(_: _*)).as("mx")).first()
       (out, Option(row.get(0)).map(_.asInstanceOf[Double]),
         Option(row.get(1)).map(_.asInstanceOf[Double]))
     }
