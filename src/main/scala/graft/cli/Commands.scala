@@ -168,9 +168,35 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
   def list(root: String): Seq[String] = Dump.list(root)
 
   /** tune: "--heartbeat ds:s | --minimum ds:v | --maximum ds:v |
-    * --data-source-rename old:new" (rrd_tune.c option surface). */
+    * --data-source-type ds:DST | --data-source-rename old:new |
+    * --alpha/--beta/--gamma v" (rrd_tune.c option surface; HW params
+    * range-checked to (0,1) and rejected BEFORE any store change —
+    * tests/tune2's out-of-range beta leaves the RRD untouched). */
   def tune(path: String, args: Seq[String]): Unit = {
     val (opts, _) = parseOpts(args)
+    // validate every HW param before applying anything (atomic failure)
+    Seq("alpha", "beta", "gamma").foreach(k => opts.get(k).foreach { v =>
+      val x = v.toDouble
+      require(x > 0.0 && x < 1.0, s"$k must be between 0 and 1 (got $v)")
+    })
+    def hwRras(pred: graft.model.Cf => Boolean): Seq[Int] =
+      RrdStore.readSchema(path).rras.zipWithIndex.collect {
+        case (r, i) if pred(r.cf) && r.hw.isDefined => i
+      }
+    opts.get("alpha").foreach { v =>
+      hwRras(c => c == Cf.HwPredict || c == Cf.MhwPredict)
+        .foreach(i => Modify.tuneHw(path, i)(_.copy(alpha = v.toDouble)))
+    }
+    opts.get("beta").foreach { v =>
+      hwRras(c => c == Cf.HwPredict || c == Cf.MhwPredict)
+        .foreach(i => Modify.tuneHw(path, i)(_.copy(beta = v.toDouble)))
+    }
+    opts.get("gamma").foreach { v =>
+      hwRras(c => c == Cf.Seasonal || c == Cf.DevSeasonal)
+        .foreach(i => Modify.tuneHw(path, i)(_.copy(gamma = v.toDouble)))
+    }
+    opts.get("aberrant-reset").foreach(_ =>
+      Modify.aberrantReset(spark, path))
     def split(v: String): (String, String) = {
       val i = v.lastIndexOf(':'); (v.take(i), v.drop(i + 1))
     }
@@ -184,6 +210,10 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     opts.get("maximum").foreach { v =>
       val (ds, m) = split(v)
       Modify.tuneMax(path, ds, if (m == "U") None else Some(m.toDouble))
+    }
+    opts.get("data-source-type").foreach { v =>
+      val (ds, t) = split(v)
+      Modify.tuneDst(path, ds, graft.model.Dst.parse(t))
     }
     opts.get("data-source-rename").foreach { v =>
       val (from, to) = split(v); Modify.renameDs(spark, path, from, to)

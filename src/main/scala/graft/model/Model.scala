@@ -207,10 +207,35 @@ final case class RrdSchema(
 }
 object RrdSchema {
   /** Parse a full create-style spec list:
-    * `create(step, start, "DS:...", "RRA:...", ...)`. */
+    * `create(step, start, "DS:...", "RRA:...", ...)`.
+    *
+    * A lone HWPREDICT/MHWPREDICT RRA implicitly creates the four
+    * contingent aberrant RRAs the reference adds
+    * (create_hw_contingent_rras, /root/reference/src/rrd_create.c:
+    * 1168-1249): SEASONAL and DEVSEASONAL of `period` rows with
+    * gamma = alpha, DEVPREDICT mirroring the HW row count, FAILURES of
+    * `period` rows with delta 2.0, threshold 7, window 9 (tests/tune2's
+    * create shape). Declaring any SEASONAL RRA explicitly disables the
+    * implicit set (the rra-num cross-linked form). */
   def parse(stepSec: Long, startSec: Long, specs: Seq[String]): RrdSchema = {
     val (dsSpecs, rraSpecs) = specs.partition(_.startsWith("DS:"))
-    RrdSchema(stepSec, startSec, dsSpecs.map(DsDef.parse),
-      rraSpecs.map(RraDef.parse(_, stepSec)))
+    val parsed = rraSpecs.map(RraDef.parse(_, stepSec))
+    val hwLone = parsed.find(r =>
+      (r.cf == Cf.HwPredict || r.cf == Cf.MhwPredict) && r.hw.isDefined)
+      .filterNot(_ => parsed.exists(_.cf == Cf.Seasonal))
+    val rras = hwLone match {
+      case Some(hw) =>
+        val p = hw.hw.get
+        parsed ++ Seq(
+          RraDef(Cf.Seasonal, rowCnt = p.period,
+            hw = Some(HwParams(gamma = p.alpha, period = p.period))),
+          RraDef(Cf.DevSeasonal, rowCnt = p.period,
+            hw = Some(HwParams(gamma = p.alpha, period = p.period))),
+          RraDef(Cf.DevPredict, rowCnt = hw.rowCnt),
+          RraDef(Cf.Failures, rowCnt = p.period,
+            hw = Some(HwParams(period = p.period))))
+      case None => parsed
+    }
+    RrdSchema(stepSec, startSec, dsSpecs.map(DsDef.parse), rras)
   }
 }

@@ -346,9 +346,17 @@ object RrdStore {
     schema.rras.zipWithIndex.foreach { case (rra, i) =>
       rra.cf match {
         case Cf.Average | Cf.Min | Cf.Max | Cf.Last =>
+          // only COMPLETE buckets reach the table: the reference keeps
+          // the live partial CDP in cdp_prep scratch, never in the
+          // database (rrd_update.c:2006-2141) — and an early partial row
+          // would drag the retention window one slot forward (tests/
+          // tune1's 11th-row divergence). The tail sidecar replays its
+          // samples, so the bucket lands once a sample closes it.
           val recomputed = plainRraFrame(schema, rra, pdp, series)
             .join(bFrame, series)
             .where(col("ts") > col("__B")).drop("__B")
+            .join(closedF, series)
+            .where(col("ts") <= col("__closed")).drop("__closed")
           mergeInto(recomputed, i)
         case Cf.HwPredict | Cf.MhwPredict =>
           val h = rra.hw.get
