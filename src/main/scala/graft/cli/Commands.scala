@@ -171,9 +171,34 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     * --data-source-type ds:DST | --data-source-rename old:new |
     * --alpha/--beta/--gamma v" (rrd_tune.c option surface; HW params
     * range-checked to (0,1) and rejected BEFORE any store change —
-    * tests/tune2's out-of-range beta leaves the RRD untouched). */
+    * tests/tune2's out-of-range beta leaves the RRD untouched), plus
+    * 1.9's modify ops as positional specs (rrd_modify.c:1311,1345,1382;
+    * tests/modify1..5): `DS:<spec>` adds a DS, `DEL:<ds>` drops one,
+    * `RRA:<spec>` adds an RRA, `RRA#<n>:[+-=]<rows>` resizes one. */
   def tune(path: String, args: Seq[String]): Unit = {
-    val (opts, _) = parseOpts(args)
+    val (opts, rest) = parseOpts(args)
+    rest.foreach {
+      case s if s.startsWith("DEL:") => Modify.delDs(spark, path, s.drop(4))
+      case s if s.startsWith("RRA#") =>
+        val body = s.drop(4)
+        val i = body.indexOf(':')
+        val idx = body.take(i).toInt
+        val spec = body.drop(i + 1)
+        val cur = RrdStore.readSchema(path).rras(idx).rowCnt
+        val target = spec.head match {
+          case '+' => cur + spec.tail.toLong
+          case '-' => cur - spec.tail.toLong
+          case '=' => spec.tail.toLong
+          case _ => spec.toLong
+        }
+        Modify.resize(spark, path, idx, target - cur, series)
+      case s if s.startsWith("RRA:") => Modify.addRra(path,
+        graft.model.RraDef.parse(s, RrdStore.readSchema(path).stepSec))
+      case s if s.startsWith("DS:") =>
+        Modify.addDs(spark, path, graft.model.DsDef.parse(s))
+      case other =>
+        throw new IllegalArgumentException(s"unknown tune spec '$other'")
+    }
     // validate every HW param before applying anything (atomic failure)
     Seq("alpha", "beta", "gamma").foreach(k => opts.get(k).foreach { v =>
       val x = v.toDouble

@@ -90,6 +90,61 @@ object Modify {
     }
     // SHRINK becomes physical immediately, like the reference's rewrite
     if (deltaRows < 0) RrdStore.compact(spark, path, series)
+    // GROW backfills the newly exposed history from sibling RRAs
+    if (deltaRows > 0) backfillGrown(spark, path, rraIdx, deltaRows, series)
+  }
+
+  /** rrd_modify's row stealing (find_candidate_rras + populate,
+    * rrd_modify.c:50-150,391-440): rows a GROW exposes are populated
+    * from other RRAs — candidates are same-CF or AVERAGE RRAs, tried
+    * finest-step first (more rows breaking ties), each coarse value
+    * repeated across the finer slots it covers (tests/modify1's mod1
+    * fixture shows the 300 s AVERAGEs laddered into the grown 60 s
+    * rows). Slots no candidate covers stay unknown. */
+  private def backfillGrown(spark: SparkSession, path: String, rraIdx: Int,
+      deltaRows: Long, series: Seq[String]): Unit = {
+    val schema = RrdStore.readSchema(path) // rowCnt already grown
+    val r = schema.rras(rraIdx)
+    val step = schema.stepSec * r.pdpCnt
+    val target = s"$path/rra$rraIdx"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target))) return
+    val cur = spark.read.parquet(target)
+    val lastRow = cur.agg(max("ts")).first()
+    if (lastRow.isNullAt(0)) return
+    val last = lastRow.getLong(0)
+    val lo = last - r.rowCnt * step          // exclusive
+    val hi = last - (r.rowCnt - deltaRows) * step // inclusive
+    val candidates = schema.rras.zipWithIndex
+      .filter { case (o, i) => i != rraIdx &&
+        (o.cf == r.cf || o.cf == Cf.Average) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/rra$i")) }
+      .sortBy { case (o, _) => (o.pdpCnt, -o.rowCnt) }
+    if (candidates.isEmpty) return
+    val keys = cur.select(series.map(col): _*).distinct()
+    val dsCols = schema.ds.map(_.name).filter(cur.columns.contains)
+    // start all-unknown; each candidate (finest first) fills what is
+    // still null via the end-labeled ceil mapping onto its grid
+    var frame = graft.query.Fetch.grid(spark, lo, hi, step).crossJoin(keys)
+      .select(series.map(col) :+ col("ts") :++
+        dsCols.map(d => lit(null).cast("double").as(d)): _*)
+    candidates.foreach { case (o, i) =>
+      val oStep = schema.stepSec * o.pdpCnt
+      val src = spark.read.parquet(s"$path/rra$i")
+        .select(series.map(col) :+ col("ts").as("__src") :++
+          dsCols.map(d => col(d).as(s"__c_$d")): _*)
+      frame = frame
+        .withColumn("__src", (expr(s"(ts - 1) div $oStep") + 1) * oStep)
+        .join(src, series :+ "__src", "left")
+        .select(series.map(col) :+ col("ts") :++
+          dsCols.map(d => coalesce(col(d), col(s"__c_$d")).as(d)): _*)
+    }
+    val filled = frame
+      .where(dsCols.map(col(_).isNotNull).reduce(_ || _))
+      // never duplicate a slot the table already holds
+      .join(cur.select((series :+ "ts").map(col): _*),
+        series :+ "ts", "left_anti")
+    RrdStore.writeSwap(filled.unionByName(cur.select(
+      (series.map(col) :+ col("ts")) :++ dsCols.map(col): _*)), target)
   }
 
   // ---- modify (rrd_modify.c): DS/RRA add & drop ----------------------

@@ -84,6 +84,41 @@ class TuneGoldenSpec extends SparkSuite {
     assert(!m2.keys.exists(_.startsWith("ds[b]")))
   }
 
+  test("tests/modify1: tune RRA#0:+10 grows the RRA (fixture compare)") {
+    val c = new Commands(spark, nowSec = 1300003020L)
+    val root = Files.createTempDirectory("graft_mod1").toString
+    val b = s"$root/b"
+    c.restoreXml("/root/reference/tests/modify-test1.create.dump", b)
+    c.tune(b, Seq("RRA#0:+10"))
+    val want = s"$root/want"
+    c.restoreXml("/root/reference/tests/modify-test1.mod1.dump", want)
+    assert(RrdStore.readSchema(b).rras(0).rowCnt == 20L)
+    // the grown window matches the mod fixture: 20 rows, the freshly
+    // exposed older half unknown (GROW adds NaN history)
+    val got = fetchRows(b, "a", 1300003020L - 20 * 60, 1300003020L, 60L)
+    val exp = fetchRows(want, "a", 1300003020L - 20 * 60, 1300003020L, 60L)
+    assert(got == exp)
+    assert(got.size == 20 && got.last._2.contains(510.0))
+  }
+
+  test("tests/modify3: tune DEL:a RRA#0:+10 on a 3-DS store (fixture compare)") {
+    val c = new Commands(spark, nowSec = 1300003020L)
+    val root = Files.createTempDirectory("graft_mod3").toString
+    val b = s"$root/b"
+    c.restoreXml("/root/reference/tests/modify-test3.create.dump", b)
+    c.tune(b, Seq("DEL:a", "RRA#0:+10"))
+    val want = s"$root/want"
+    c.restoreXml("/root/reference/tests/modify-test3.mod1.dump", want)
+    val (sb, sw) = (RrdStore.readSchema(b), RrdStore.readSchema(want))
+    assert(sb.ds.map(_.name) == sw.ds.map(_.name)) // a gone, b/c remain
+    assert(sb.rras.map(_.rowCnt) == sw.rras.map(_.rowCnt))
+    for (ds <- sb.ds.map(_.name)) {
+      val got = fetchRows(b, ds, 1300003020L - 20 * 60, 1300003020L, 60L)
+      val exp = fetchRows(want, ds, 1300003020L - 20 * 60, 1300003020L, 60L)
+      assert(got == exp, s"$ds diverges from the mod1 fixture")
+    }
+  }
+
   test("tests/tune2: implicit HW family; out-of-range beta rejected atomically") {
     val c = new Commands(spark, nowSec = 1300000000L)
     val root = Files.createTempDirectory("graft_tune2").toString
