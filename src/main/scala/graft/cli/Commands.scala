@@ -174,11 +174,14 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     * tests/tune2's out-of-range beta leaves the RRD untouched), plus
     * 1.9's modify ops as positional specs (rrd_modify.c:1311,1345,1382;
     * tests/modify1..5): `DS:<spec>` adds a DS, `DEL:<ds>` drops one,
-    * `RRA:<spec>` adds an RRA, `RRA#<n>:[+-=]<rows>` resizes one. */
+    * `RRA:<spec>` adds an RRA (populated from siblings),
+    * `DELRRA:<n>` drops one, `RRA#<n>:[+-=]<rows>` resizes one. */
   def tune(path: String, args: Seq[String]): Unit = {
     val (opts, rest) = parseOpts(args)
     rest.foreach {
       case s if s.startsWith("DEL:") => Modify.delDs(spark, path, s.drop(4))
+      case s if s.startsWith("DELRRA:") =>
+        Modify.delRra(path, s.drop(7).toInt)
       case s if s.startsWith("RRA#") =>
         val body = s.drop(4)
         val i = body.indexOf(':')
@@ -192,8 +195,9 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
           case _ => spec.toLong
         }
         Modify.resize(spark, path, idx, target - cur, series)
-      case s if s.startsWith("RRA:") => Modify.addRra(path,
-        graft.model.RraDef.parse(s, RrdStore.readSchema(path).stepSec))
+      case s if s.startsWith("RRA:") => Modify.addRra(spark, path,
+        graft.model.RraDef.parse(s, RrdStore.readSchema(path).stepSec),
+        series)
       case s if s.startsWith("DS:") =>
         Modify.addDs(spark, path, graft.model.DsDef.parse(s))
       case other =>

@@ -1,7 +1,8 @@
 package graft.store
 
 import graft.model.{Cf, DsDef, Dst, RraDef, RrdSchema}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Schema evolution: tune / resize / modify (SURVEY.md §1.3;
@@ -94,13 +95,81 @@ object Modify {
     if (deltaRows > 0) backfillGrown(spark, path, rraIdx, deltaRows, series)
   }
 
-  /** rrd_modify's row stealing (find_candidate_rras + populate,
-    * rrd_modify.c:50-150,391-440): rows a GROW exposes are populated
-    * from other RRAs — candidates are same-CF or AVERAGE RRAs, tried
-    * finest-step first (more rows breaking ties), each coarse value
-    * repeated across the finer slots it covers (tests/modify1's mod1
-    * fixture shows the 300 s AVERAGEs laddered into the grown 60 s
-    * rows). Slots no candidate covers stay unknown. */
+  /** rrd_modify's row stealing (find_candidate_rras + populate_row,
+    * rrd_modify.c:61-90,407-560): target slots are filled from sibling
+    * RRAs — candidates are same-CF or AVERAGE RRAs, tried finest-step
+    * first (more rows breaking ties). A candidate row ending at `e`
+    * with timeslot `C` overlaps the end-labeled target row `T` with
+    * timeslot `S` iff `e−C < T < e+S` (both grids align to the base
+    * step); the reference folds the overlapping non-NaN candidate rows
+    * with the target CF — AVERAGE weights every candidate row by its
+    * FULL timeslot (populate_row's `tmp + v*cand_timeslot`, so it
+    * reduces to a plain mean), LAST keeps the newest — and the first
+    * candidate yielding a value for a DS wins. A coarse candidate thus
+    * repeats across the finer slots it covers (tests/modify1's mod1
+    * fixture: 300 s AVERAGEs laddered into grown 60 s rows) while a
+    * fine candidate aggregates into a coarser slot (tests/modify2's
+    * added 2-pdp RRA averages pairs of 1-pdp rows). Only
+    * AVERAGE/MIN/MAX/LAST targets populate (populate_row's CF gate);
+    * slots no candidate covers stay unknown. Returns the grid frame
+    * over (loTs, hiTs], or None if the CF is unsupported / no
+    * candidate RRA has a table. */
+  private def populate(spark: SparkSession, path: String, rraIdx: Int,
+      loTs: Long, hiTs: Long, series: Seq[String]): Option[
+      org.apache.spark.sql.DataFrame] = {
+    val schema = RrdStore.readSchema(path)
+    val r = schema.rras(rraIdx)
+    val supported: Set[Cf] = Set(Cf.Average, Cf.Min, Cf.Max, Cf.Last)
+    if (!supported(r.cf) || hiTs <= loTs) return None
+    val step = schema.stepSec * r.pdpCnt
+    val candidates = schema.rras.zipWithIndex
+      .filter { case (o, i) => i != rraIdx &&
+        (o.cf == r.cf || o.cf == Cf.Average) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/rra$i")) }
+      .sortBy { case (o, _) => (o.pdpCnt, -o.rowCnt) }
+    if (candidates.isEmpty) return None
+    val dsCols = schema.ds.map(_.name)
+    def cfAgg(d: String): Column = (r.cf match {
+      case Cf.Average => avg(col(d))
+      case Cf.Min => min(col(d))
+      case Cf.Max => max(col(d))
+      case _ => max_by(col(d), when(col(d).isNotNull, col("ts")))
+    }).as(s"__c_$d")
+    val keys = candidates.map { case (_, i) =>
+      spark.read.parquet(s"$path/rra$i").select(series.map(col): _*) }
+      .reduce(_.unionByName(_)).distinct()
+    var frame = graft.query.Fetch.grid(spark, loTs, hiTs, step)
+      .crossJoin(keys)
+      .select(series.map(col) :+ col("ts") :++
+        dsCols.map(d => lit(null).cast("double").as(d)): _*)
+    candidates.foreach { case (o, i) =>
+      val c = schema.stepSec * o.pdpCnt
+      // clip to the candidate's ring reach: rowCnt rows back from its
+      // newest slot — the reference can only read what the ring holds,
+      // while append storage may retain more
+      val w = Window.partitionBy(series.map(col): _*)
+      val src = spark.read.parquet(s"$path/rra$i")
+        .withColumn("__last", max(col("ts")).over(w))
+        .where(col("ts") > col("__last") - lit(o.rowCnt * c))
+      val contrib = src
+        .withColumn("__t", explode(sequence(
+          (expr(s"(ts - $c) div $step") + 1) * step,
+          expr(s"(ts + ${step - 1}) div $step") * step,
+          lit(step))))
+        .where(col("__t") > loTs && col("__t") <= hiTs)
+        .groupBy((series.map(col) :+ col("__t")): _*)
+        .agg(cfAgg(dsCols.head), dsCols.tail.map(cfAgg): _*)
+        .withColumnRenamed("__t", "ts")
+      frame = frame.join(contrib, series :+ "ts", "left")
+        .select(series.map(col) :+ col("ts") :++
+          dsCols.map(d => coalesce(col(d), col(s"__c_$d")).as(d)): _*)
+    }
+    Some(frame)
+  }
+
+  /** Rows a GROW exposes populate from sibling RRAs over the newly
+    * reachable window (rrd_modify.c:639-640 calling populate_row for
+    * the added rows). */
   private def backfillGrown(spark: SparkSession, path: String, rraIdx: Int,
       deltaRows: Long, series: Seq[String]): Unit = {
     val schema = RrdStore.readSchema(path) // rowCnt already grown
@@ -114,37 +183,17 @@ object Modify {
     val last = lastRow.getLong(0)
     val lo = last - r.rowCnt * step          // exclusive
     val hi = last - (r.rowCnt - deltaRows) * step // inclusive
-    val candidates = schema.rras.zipWithIndex
-      .filter { case (o, i) => i != rraIdx &&
-        (o.cf == r.cf || o.cf == Cf.Average) &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/rra$i")) }
-      .sortBy { case (o, _) => (o.pdpCnt, -o.rowCnt) }
-    if (candidates.isEmpty) return
-    val keys = cur.select(series.map(col): _*).distinct()
-    val dsCols = schema.ds.map(_.name).filter(cur.columns.contains)
-    // start all-unknown; each candidate (finest first) fills what is
-    // still null via the end-labeled ceil mapping onto its grid
-    var frame = graft.query.Fetch.grid(spark, lo, hi, step).crossJoin(keys)
-      .select(series.map(col) :+ col("ts") :++
-        dsCols.map(d => lit(null).cast("double").as(d)): _*)
-    candidates.foreach { case (o, i) =>
-      val oStep = schema.stepSec * o.pdpCnt
-      val src = spark.read.parquet(s"$path/rra$i")
-        .select(series.map(col) :+ col("ts").as("__src") :++
-          dsCols.map(d => col(d).as(s"__c_$d")): _*)
-      frame = frame
-        .withColumn("__src", (expr(s"(ts - 1) div $oStep") + 1) * oStep)
-        .join(src, series :+ "__src", "left")
-        .select(series.map(col) :+ col("ts") :++
-          dsCols.map(d => coalesce(col(d), col(s"__c_$d")).as(d)): _*)
+    populate(spark, path, rraIdx, lo, hi, series).foreach { frame =>
+      val dsCols = schema.ds.map(_.name).filter(cur.columns.contains)
+      val filled = frame
+        .select(series.map(col) :+ col("ts") :++ dsCols.map(col): _*)
+        .where(dsCols.map(col(_).isNotNull).reduce(_ || _))
+        // never duplicate a slot the table already holds
+        .join(cur.select((series :+ "ts").map(col): _*),
+          series :+ "ts", "left_anti")
+      RrdStore.writeSwap(filled.unionByName(cur.select(
+        (series.map(col) :+ col("ts")) :++ dsCols.map(col): _*)), target)
     }
-    val filled = frame
-      .where(dsCols.map(col(_).isNotNull).reduce(_ || _))
-      // never duplicate a slot the table already holds
-      .join(cur.select((series :+ "ts").map(col): _*),
-        series :+ "ts", "left_anti")
-    RrdStore.writeSwap(filled.unionByName(cur.select(
-      (series.map(col) :+ col("ts")) :++ dsCols.map(col): _*)), target)
   }
 
   // ---- modify (rrd_modify.c): DS/RRA add & drop ----------------------
@@ -176,11 +225,51 @@ object Modify {
     }
   }
 
-  /** RRA:<spec> (rrd_modify.c:1345): new rollup, starts empty and fills
-    * from subsequent updates (the reference backfills only in
-    * create --source prefill). */
-  def addRra(path: String, rra: RraDef): Unit =
+  /** RRA:<spec> (rrd_modify.c:1283-1345): new rollup, immediately
+    * populated from sibling RRAs (populate_row via add_rras) — the
+    * dump-equality invariant of tests/modify4/5: adding
+    * `RRA:AVERAGE:0.5:4:10` to a store must reproduce the rows a store
+    * that carried the RRA from creation would hold. The newest row ends
+    * at the last completed CDP boundary (floor(last_up / rraStep)). */
+  def addRra(spark: SparkSession, path: String, rra: RraDef,
+      series: Seq[String]): Unit = {
     rewriteSchema(path)(s => s.copy(rras = s.rras :+ rra))
+    val schema = RrdStore.readSchema(path)
+    val idx = schema.rras.size - 1
+    val step = schema.stepSec * rra.pdpCnt
+    val hi = math.floorDiv(
+      RrdStore.lastUpdateSec(spark, path), step) * step
+    populate(spark, path, idx, hi - rra.rowCnt * step, hi, series)
+      .foreach { frame =>
+        val dsCols = schema.ds.map(_.name)
+        val filled = frame
+          .where(dsCols.map(col(_).isNotNull).reduce(_ || _))
+        if (!filled.isEmpty)
+          RrdStore.writeSwap(filled, s"$path/rra$idx")
+      }
+  }
+
+  /** DELRRA:<n> (rrd_modify.c:980-1070, the inverse of add_rras): drop
+    * rollup n; later RRAs shift down one index — tests/modify4's
+    * invariant is that DELRRA:5 on a six-RRA store dump-equals the
+    * five-RRA store that never had it. */
+  def delRra(path: String, rraIdx: Int): Unit = {
+    val schema = RrdStore.readSchema(path)
+    require(rraIdx >= 0 && rraIdx < schema.rras.size, s"no RRA #$rraIdx")
+    require(schema.rras.size > 1, "an RRD needs at least one RRA")
+    rewriteSchema(path)(s => s.copy(rras = s.rras.patch(rraIdx, Nil, 1)))
+    def shift(prefix: String): Unit = {
+      deleteRecursively(java.nio.file.Paths.get(s"$path/$prefix$rraIdx"))
+      (rraIdx + 1 until schema.rras.size).foreach { i =>
+        val from = java.nio.file.Paths.get(s"$path/$prefix$i")
+        if (java.nio.file.Files.exists(from))
+          java.nio.file.Files.move(from,
+            java.nio.file.Paths.get(s"$path/$prefix${i - 1}"))
+      }
+    }
+    shift("rra")
+    shift("hwstate/rra")
+  }
 
   /** RRA#<n>:[+-]<rows> (rrd_modify.c:1382). */
   def resizeRra(spark: SparkSession, path: String, rraIdx: Int,

@@ -66,7 +66,7 @@ class ModifySpec extends SparkSuite {
     Modify.delDs(spark, path, "w")
     assert(RrdStore.readSchema(path).ds.map(_.name) == Seq("u", "x"))
     assert(!spark.read.parquet(s"$path/rra0").columns.contains("w"))
-    Modify.addRra(path, RraDef(Cf.Min, 0.5, 12L, 25L))
+    Modify.addRra(spark, path, RraDef(Cf.Min, 0.5, 12L, 25L), Seq("k"))
     val s = RrdStore.readSchema(path)
     assert(s.rras.size == 3 && s.rras(2).cf == Cf.Min)
     // dump -> restore survives the evolved schema
