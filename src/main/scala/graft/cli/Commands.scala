@@ -165,7 +165,8 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
   def restoreXml(inFile: String, path: String): Unit =
     RrdXml.restoreXml(spark, inFile, path,
       seriesKey = defaultKey.head.toString)
-  def list(root: String): Seq[String] = Dump.list(root)
+  def list(root: String, recursive: Boolean = false): Seq[String] =
+    Dump.list(root, recursive)
 
   /** tune: "--heartbeat ds:s | --minimum ds:v | --maximum ds:v |
     * --data-source-type ds:DST | --data-source-rename old:new |

@@ -124,15 +124,29 @@ object Dump {
   }
 
   /** list: enumerate stores (directories carrying a schema sidecar)
-    * under a root, sorted — rrd_list.c:146's directory walk. */
-  def list(root: String): Seq[String] = {
+    * under a root, sorted — rrd_list.c:146's directory walk, with
+    * tests/list1's full surface: a store path lists itself; a plain
+    * directory listing shows stores AND navigable subdirectories
+    * ("only lists RRDs and directories"); `recursive` walks the tree
+    * returning store paths only, relative to the root ("recursive
+    * list only lists rrd files"). */
+  def list(root: String, recursive: Boolean = false): Seq[String] = {
     val r = Paths.get(root)
+    def isStore(p: java.nio.file.Path): Boolean =
+      Files.exists(p.resolve("schema.rrd"))
     if (!Files.isDirectory(r)) Seq.empty
+    else if (isStore(r)) Seq(r.getFileName.toString)
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      Files.list(r).forEach { p =>
-        if (Files.exists(p.resolve("schema.rrd")))
-          out += p.getFileName.toString
+      if (recursive) {
+        Files.walk(r).forEach { p =>
+          if (Files.isDirectory(p) && isStore(p))
+            out += r.relativize(p).toString
+        }
+      } else {
+        Files.list(r).forEach { p =>
+          if (Files.isDirectory(p)) out += p.getFileName.toString
+        }
       }
       out.sorted.toSeq
     }

@@ -156,10 +156,11 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L) {
           .tune(storePath(cmd.path), cmd.args)
         Response(0, s"Tuned ${cmd.path}")
       case "LIST" =>
-        val sub = (cmd.path +: cmd.args).filterNot(_ == "RECURSIVE")
+        val tokens = cmd.path +: cmd.args
+        val sub = tokens.filterNot(_ == "RECURSIVE")
           .find(_.startsWith("/")).getOrElse("/")
         val base = if (sub == "/") root else storePath(sub.drop(1))
-        val names = Dump.list(base)
+        val names = Dump.list(base, tokens.contains("RECURSIVE"))
         Response(names.size, "RRDs", names)
       case "STATS" =>
         // the reference's nine counters (doc/rrdcached.pod:652-672),
@@ -173,7 +174,7 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L) {
             Files.list(spoolDir).filter(_.toString.endsWith(".cmds"))
               .count()
           else 0L
-        val stores = Dump.list(root)
+        val stores = Dump.list(root, recursive = true)
         val depth = (0L +: stores.map(
           _.count(_ == '/').toLong + 1L)).max
         val w = ingestStats

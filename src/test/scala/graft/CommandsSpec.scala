@@ -103,4 +103,42 @@ class CommandsSpec extends SparkSuite {
       s"stale rows in updatev return: ${secondTs.sorted.toSeq}")
     assert(secondTs.length < firstCount)
   }
+
+  test("list walks stores and directories (tests/list1)") {
+    import java.nio.file.{Files, Paths}
+    val c = new Commands(spark, nowSec = 1300000000L)
+    val root = Files.createTempDirectory("graft_list1").toString
+    val dir = s"$root/list_dir"
+    Files.createDirectories(Paths.get(dir))
+    // empty directory returns nothing
+    assert(c.list(dir) == Seq.empty)
+    // a store path lists itself (list of a single .rrd)
+    val store = s"$root/first"
+    c.create(store, Seq("--start", "1300000000", "--step", "60",
+      "DS:dv:DDERIVE:300:U:U", "DS:wh:DCOUNTER:300:0:U",
+      "RRA:AVERAGE:0.5:1:600", "RRA:AVERAGE:0.5:10:144"))
+    assert(c.list(store) == Seq("first"))
+    // directory with several stores
+    def copy(from: String, to: String): Unit =
+      Files.walk(Paths.get(from)).forEach { p =>
+        val t = Paths.get(to).resolve(Paths.get(from).relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+    copy(store, s"$dir/first"); copy(store, s"$dir/second")
+    copy(store, s"$dir/third")
+    assert(c.list(dir) == Seq("first", "second", "third"))
+    // non-store files are not listed
+    Files.write(Paths.get(s"$dir/not_an_rrd"), Array[Byte](1))
+    assert(c.list(dir).size == 3)
+    // plain directories ARE listed (navigable), non-recursively
+    Files.createDirectories(Paths.get(s"$dir/new_dir"))
+    assert(c.list(dir).size == 4)
+    // recursive lists only stores, as root-relative paths
+    Files.createDirectories(Paths.get(s"$dir/new_dir2"))
+    copy(store, s"$dir/new_dir2/fourth")
+    copy(store, s"$dir/new_dir2/fifth")
+    assert(c.list(dir, recursive = true) == Seq("first",
+      "new_dir2/fifth", "new_dir2/fourth", "second", "third"))
+  }
 }
