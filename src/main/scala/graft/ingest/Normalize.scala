@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -20,11 +20,19 @@ import org.apache.spark.sql.types.DecimalType
   * The heartbeat gate already ran in [[Rates]] (null rate ⇒ the whole
   * interval counts as unknown time).
   *
-  * Spark shape: `explode(sequence(...))` fans each interval out to the
-  * steps it overlaps, then one hash aggregation on (series, step). At
-  * 100 TB this is a map-side expand (bounded by gap/step, itself bounded
-  * by heartbeat/step) followed by a single shuffle on the grid key —
-  * partial aggregation keeps the shuffle small (one row per series·step).
+  * Spark shape: consecutive-sample intervals of one series are DISJOINT
+  * in time, so a step can receive contributions from more than one
+  * interval only at the interval's two EDGE steps (where a sample lands
+  * mid-step). Everything strictly between them is fully covered by that
+  * single interval — its PDP is the interval's rate outright, no
+  * aggregation needed. The plan exploits this: only the ≤2 edge rows
+  * per interval go through `explode` → shuffle → hash aggregation
+  * (~2·intervals rows), while interior steps are emitted MAP-SIDE as
+  * finished PDPs (no shuffle at all). With sparse samples (gap ≫ step,
+  * bounded by heartbeat/step) this cuts the shuffled volume by the
+  * fan-out factor — at sf0.1 events, 12.6 M exploded rows down to
+  * ~0.2 M aggregated ones, and at 100 TB the shuffle stays proportional
+  * to the SAMPLE count, not the grid size.
   */
 object Normalize {
 
@@ -46,6 +54,15 @@ object Normalize {
     val t0 = lag(col(tsUs), 1).over(w)
     val t1 = col(tsUs)
 
+    // the decimal routing that makes sums order-independent and
+    // cross-engine deterministic; term(r, ov) is one contribution
+    def term(r: Column, ov: Column): Column = rateScale match {
+      case Some(sc) => // exact: decimal rate × integer µs
+        r.cast(DecimalType(18, sc)) * ov
+      case None => // (38,10): rate·µs products reach ~1e18 for counters
+        (r * ov).cast(DecimalType(38, 10))
+    }
+
     // internal names are __-prefixed so a user series column named "k"
     // or "r" cannot be captured by the explode/agg below
     val intervals = df
@@ -56,24 +73,23 @@ object Normalize {
       .where(col("__t0").isNotNull && col("__t1") > col("__t0"))
       // step index k covers ((k-1)·S, k·S]; (t0,t1] overlaps it iff
       // k > t0/S and (k-1) < t1/S  ⇒  k ∈ [t0 div S + 1, (t1-1) div S + 1]
-      .withColumn("__k",
-        explode(sequence(expr(s"__t0 div $stepUs + 1"),
-          expr(s"(__t1 - 1) div $stepUs + 1"))))
+      .withColumn("__kf", expr(s"__t0 div $stepUs + 1"))
+      .withColumn("__kl", expr(s"(__t1 - 1) div $stepUs + 1"))
+
+    // edge steps — the interval's first and last overlapped step, the
+    // only ones a neighboring interval can also touch — go through the
+    // real aggregation
+    val edges = intervals
+      .withColumn("__k", explode(
+        when(col("__kf") === col("__kl"), array(col("__kf")))
+          .otherwise(array(col("__kf"), col("__kl")))))
       .withColumn("__ov",
         least(col("__t1"), col("__k") * stepUs) -
           greatest(col("__t0"), (col("__k") - 1) * stepUs))
-
-    intervals
       .groupBy(series.map(col) :+ col("__k"): _*)
       .agg(
         sum(when(col("__r").isNotNull, col("__ov"))).as("__known"),
-        // decimal-routed: order-independent, deterministic across engines
-        (rateScale match {
-          case Some(sc) => // exact: decimal rate × integer µs
-            sum(col("__r").cast(DecimalType(18, sc)) * col("__ov"))
-          case None => // (38,10): rate·µs products reach ~1e18 for counters
-            sum((col("__r") * col("__ov")).cast(DecimalType(38, 10)))
-        }).cast("double").as("__rate"))
+        sum(term(col("__r"), col("__ov"))).cast("double").as("__rate"))
       .select(series.map(col) :+
         (col("__k") * stepSec).as("pdp_ts") :+
         // unknown iff unknown time > step/2 (strict; reference counts whole
@@ -81,5 +97,23 @@ object Normalize {
         when(coalesce(col("__known"), lit(0L)) < stepUs - stepUs / 2,
           lit(null)).otherwise(col("__rate") / col("__known")).as("pdp") :+
         coalesce(col("__known"), lit(0L)).as("known_us"): _*)
+
+    // interior steps are fully covered by this one interval: emitted
+    // finished, map-side, through the exact same scalar chain a
+    // single-term aggregation would produce (bit-identical on both
+    // decimal routes)
+    val interior = intervals
+      .where(col("__kl") - col("__kf") >= 2)
+      .withColumn("__k",
+        explode(sequence(col("__kf") + 1, col("__kl") - 1)))
+      .select(series.map(col) :+
+        (col("__k") * stepSec).as("pdp_ts") :+
+        when(col("__r").isNull, lit(null)).otherwise(
+          term(col("__r"), lit(stepUs)).cast("double") / lit(stepUs))
+          .as("pdp") :+
+        when(col("__r").isNull, lit(0L)).otherwise(lit(stepUs))
+          .as("known_us"): _*)
+
+    edges.unionByName(interior)
   }
 }
