@@ -34,13 +34,28 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     else AtTime.parse(spec, AtTime.RefTimes(nowSec))
 
   /** create: "--start <at> --step <sec>" + DS:/RRA: specs
-    * (rrd_create.c). */
+    * (rrd_create.c). Repeated `--source <store>` options prefill the
+    * new store's RRAs (rrd_prefill_data via [[RrdStore.createFrom]]);
+    * `DS:a=b[idx]:…` specs map target DSes onto source DSes. */
   def create(path: String, args: Seq[String]): Unit = {
-    val (opts, specs) = parseOpts(args)
-    RrdStore.create(path, RrdSchema.parse(
+    // parseOpts keeps only the last occurrence of a repeated option;
+    // --source is the one reference flag that legitimately repeats
+    val sources = args.sliding(2).collect {
+      case Seq("--source", s) => s }.toSeq
+    val (opts, specs0) = parseOpts(args)
+    val split = specs0.map {
+      case s if s.startsWith("DS:") => graft.model.DsDef.splitMapping(s)
+      case s => (s, None)
+    }
+    val schema = RrdSchema.parse(
       graft.model.Scaled(opts.getOrElse("step", "300"), 1L),
       opts.get("start").map(at).getOrElse(nowSec),
-      specs))
+      split.map(_._1))
+    if (sources.isEmpty) RrdStore.create(path, schema)
+    else RrdStore.createFrom(spark, path, schema, sources, series,
+      split.collect { case (s, Some((src, idx))) if s.startsWith("DS:") =>
+        s.split(":")(1) -> RrdStore.DsMapping(Some(src), idx)
+      }.toMap)
   }
 
   /** update: parse "time:v1:v2" args against the schema and ingest

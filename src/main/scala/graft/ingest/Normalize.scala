@@ -48,7 +48,27 @@ object Normalize {
     *   product stays under 2^53 — fine for typical rates).
     */
   def pdp(df: DataFrame, series: Seq[String], tsUs: String, rate: String,
-      stepSec: Long, rateScale: Option[Int] = None): DataFrame = {
+      stepSec: Long, rateScale: Option[Int] = None): DataFrame =
+    pdpAll(df, series, tsUs, Seq(rate -> "pdp"), stepSec, rateScale)
+      .withColumnRenamed("pdp_known_us", "known_us")
+
+  /** Multi-column [[pdp]]: normalize every rate column in ONE pass.
+    *
+    * All rates of a sample frame share the same interval chain (the lag
+    * is over the row, not the value), so per-DS invocations would
+    * re-explode the same grid once per DS and then outer-join the
+    * grid-sized results — one shuffle of the full step grid per DS. One
+    * combined pass emits all `out` columns from a single explode with a
+    * single sample-sized edge aggregation and NO join: exactly the rows
+    * a per-column run joined on (series, pdp_ts) would produce,
+    * bit-identically (each column's scalar chain is unchanged).
+    *
+    * Output: series + `pdp_ts` + per entry `<out>` (double PDP, null =
+    * unknown) + `<out>_known_us` (bigint).
+    */
+  def pdpAll(df: DataFrame, series: Seq[String], tsUs: String,
+      rates: Seq[(String, String)], stepSec: Long,
+      rateScale: Option[Int] = None): DataFrame = {
     val stepUs = stepSec * 1000000L
     val w = Window.partitionBy(series.map(col): _*).orderBy(col(tsUs))
     val t0 = lag(col(tsUs), 1).over(w)
@@ -66,8 +86,8 @@ object Normalize {
     // internal names are __-prefixed so a user series column named "k"
     // or "r" cannot be captured by the explode/agg below
     val intervals = df
-      .select(series.map(col) :+ t0.as("__t0") :+ t1.as("__t1") :+
-        col(rate).as("__r"): _*)
+      .select(series.map(col) :+ t0.as("__t0") :+ t1.as("__t1") :++
+        rates.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
       // monotonicity gate (rrd_update.c:1416-1423): drop the first sample
       // of each series and any non-advancing timestamp
       .where(col("__t0").isNotNull && col("__t1") > col("__t0"))
@@ -87,16 +107,19 @@ object Normalize {
         least(col("__t1"), col("__k") * stepUs) -
           greatest(col("__t0"), (col("__k") - 1) * stepUs))
       .groupBy(series.map(col) :+ col("__k"): _*)
-      .agg(
-        sum(when(col("__r").isNotNull, col("__ov"))).as("__known"),
-        sum(term(col("__r"), col("__ov"))).cast("double").as("__rate"))
+      .agg(aggExprs(rates, term).head, aggExprs(rates, term).tail: _*)
       .select(series.map(col) :+
-        (col("__k") * stepSec).as("pdp_ts") :+
-        // unknown iff unknown time > step/2 (strict; reference counts whole
-        // seconds, we count µs — finer, same rule)
-        when(coalesce(col("__known"), lit(0L)) < stepUs - stepUs / 2,
-          lit(null)).otherwise(col("__rate") / col("__known")).as("pdp") :+
-        coalesce(col("__known"), lit(0L)).as("known_us"): _*)
+        (col("__k") * stepSec).as("pdp_ts") :++
+        rates.flatMap { case (_, out) => Seq(
+          // unknown iff unknown time > step/2 (strict; reference counts
+          // whole seconds, we count µs — finer, same rule)
+          when(coalesce(col(s"__known_$out"), lit(0L)) <
+              stepUs - stepUs / 2, lit(null))
+            .otherwise(col(s"__rate_$out") / col(s"__known_$out"))
+            .as(out),
+          coalesce(col(s"__known_$out"), lit(0L))
+            .as(s"${out}_known_us"))
+        }: _*)
 
     // interior steps are fully covered by this one interval: emitted
     // finished, map-side, through the exact same scalar chain a
@@ -107,13 +130,24 @@ object Normalize {
       .withColumn("__k",
         explode(sequence(col("__kf") + 1, col("__kl") - 1)))
       .select(series.map(col) :+
-        (col("__k") * stepSec).as("pdp_ts") :+
-        when(col("__r").isNull, lit(null)).otherwise(
-          term(col("__r"), lit(stepUs)).cast("double") / lit(stepUs))
-          .as("pdp") :+
-        when(col("__r").isNull, lit(0L)).otherwise(lit(stepUs))
-          .as("known_us"): _*)
+        (col("__k") * stepSec).as("pdp_ts") :++
+        rates.flatMap { case (_, out) => Seq(
+          when(col(s"__r_$out").isNull, lit(null)).otherwise(
+            term(col(s"__r_$out"), lit(stepUs)).cast("double") /
+              lit(stepUs)).as(out),
+          when(col(s"__r_$out").isNull, lit(0L)).otherwise(lit(stepUs))
+            .as(s"${out}_known_us"))
+        }: _*)
 
     edges.unionByName(interior)
   }
+
+  private def aggExprs(rates: Seq[(String, String)],
+      term: (Column, Column) => Column): Seq[Column] =
+    rates.flatMap { case (_, out) => Seq(
+      sum(when(col(s"__r_$out").isNotNull, col("__ov")))
+        .as(s"__known_$out"),
+      sum(term(col(s"__r_$out"), col("__ov"))).cast("double")
+        .as(s"__rate_$out"))
+    }
 }

@@ -99,6 +99,20 @@ object DsDef {
     * validated only in compat mode). */
   val NameRe = "[a-zA-Z0-9_-]+".r
 
+  private val MapRe =
+    raw"DS:([a-zA-Z0-9_-]+)=([a-zA-Z0-9_-]+)(?:\[(\d+)\])?(:.*)".r
+
+  /** Split the optional `=source[index]` prefill mapping off a DS spec
+    * (DS_RE subgroups 2-3, rrd_create.c:310-326; index is 1-based into
+    * the `--source` list). Returns the mapping-free spec plus
+    * `(source DS name, optional source index)`. */
+  def splitMapping(spec: String): (String, Option[(String, Option[Int])]) =
+    spec match {
+      case MapRe(name, src, idx, rest) =>
+        (s"DS:$name$rest", Some((src, Option(idx).map(_.toInt))))
+      case _ => (spec, None)
+    }
+
   /** Parse "DS:name:TYPE:heartbeat:min:max" or "DS:name:COMPUTE:rpn"
     * (grammar: /root/reference/src/rrd_create.c:310-480; heartbeat is a
     * count-or-duration, rrd_create.c:1117-1132). */

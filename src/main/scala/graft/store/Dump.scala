@@ -131,6 +131,13 @@ object Dump {
     * returning store paths only, relative to the root ("recursive
     * list only lists rrd files"). */
   def list(root: String, recursive: Boolean = false): Seq[String] = {
+    // rrd_list_r's guards (rrd_list.c:163-200): no climbing out of the
+    // tree; wildcards glob one listing and never combine with recursive
+    require(!root.contains(".."), s"list: '..' forbidden in '$root'")
+    if (root.exists(c => c == '*' || c == '?')) {
+      require(!recursive, "list: recursive list with wildcards forbidden")
+      return globList(root)
+    }
     val r = Paths.get(root)
     def isStore(p: java.nio.file.Path): Boolean =
       Files.exists(p.resolve("schema.rrd"))
@@ -150,5 +157,23 @@ object Dump {
       }
       out.sorted.toSeq
     }
+  }
+
+  /** Wildcard form of [[list]] (rrd_list.c:170-205's glob() branch):
+    * every match's basename, sorted; `*`/`?` do not cross `/`, like
+    * glob(3). */
+  private def globList(pattern: String): Seq[String] = {
+    val p = Paths.get(pattern).toAbsolutePath
+    val segs = (0 until p.getNameCount).map(p.getName(_).toString)
+    val wild = segs.indexWhere(_.exists(c => c == '*' || c == '?'))
+    val base = segs.take(wild).foldLeft(p.getRoot)(_.resolve(_))
+    if (!Files.isDirectory(base)) return Seq.empty
+    val matcher = base.getFileSystem.getPathMatcher("glob:" + p)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val s = Files.walk(base, segs.length - wild)
+    try s.forEach { q =>
+      if (matcher.matches(q)) out += q.getFileName.toString
+    } finally s.close()
+    out.sorted.toSeq
   }
 }

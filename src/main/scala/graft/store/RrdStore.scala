@@ -125,10 +125,15 @@ object RrdStore {
       rateScale: Option[Int] = None): Unit = {
     val schema = readSchema(path)
     val seeded = seedStart(schema, samples, series, tsUs, None)
-    // cache the normalized PDP frame: every RRA consolidates from it,
-    // and without this each RRA append would recompute rates+normalize
-    val pdp = pdpFrame(schema, seeded, series, tsUs, tieBreak, dsValues,
-      rateScale).persist()
+    // cache the SAMPLE-sized rated frame (one row per sample, windows
+    // already run); every RRA consolidates from it. The PDP frame
+    // itself is NOT cached: it is grid-sized (samples × gap/step — 128×
+    // the sample count on sparse series) and materializing it evicted
+    // everything else from the block store, while recomputing it is one
+    // cheap map-side explode over this cache per consumer.
+    val rated = ratedFrame(schema, seeded, series, tsUs, tieBreak,
+      dsValues).persist()
+    val pdp = pdpFrame(schema, rated, series, tsUs, rateScale)
     // 3. per-RRA consolidation + append. A HWPREDICT/MHWPREDICT RRA and
     // its contingent SEASONAL/DEVSEASONAL/DEVPREDICT/FAILURES rows (the
     // standard creation layout, rrd_create.c:1168-1245) materialize from
@@ -190,36 +195,43 @@ object RrdStore {
             s"RRA $i ($other) has no preceding HWPREDICT to depend on")
       }
     }
-    pdp.unpersist()
+    rated.unpersist()
   }
 
-  /** Rate conversion + PDP normalization over a sample frame: series
-    * cols + `pdp_ts` + one `pdp_<ds>` column per DS (stages 1–2 of the
-    * reference's update dataflow, shared by [[update]] and
-    * [[appendBatch]]). */
-  private def pdpFrame(schema: RrdSchema, samples: DataFrame,
+  /** Stage 1 of the reference's update dataflow: per-DS rate conversion
+    * over the sample frame (plain DSTs first, then COMPUTE over them) —
+    * series cols + `tsUs` + one `rate_<ds>` column per DS. One row per
+    * SAMPLE, windows already evaluated: this is the frame worth
+    * caching. */
+  private def ratedFrame(schema: RrdSchema, samples: DataFrame,
       series: Seq[String], tsUs: String, tieBreak: String,
-      dsValues: Map[String, String],
-      rateScale: Option[Int]): DataFrame = {
-    // per-DS rate conversion (plain DSTs first, then COMPUTE over them)
+      dsValues: Map[String, String]): DataFrame = {
     val (computeDs, plainDs) = schema.ds.partition(_.dst == Dst.Compute)
     val rated0 = plainDs.foldLeft(samples) { (df, d) =>
       Rates.withRate(df, series, tsUs, tieBreak, dsValues(d.name), d)
         .withColumnRenamed("rate", s"rate_${d.name}")
     }
-    val rated = computeDs.foldLeft(rated0) { (df, d) =>
+    computeDs.foldLeft(rated0) { (df, d) =>
       Rates.withComputeRate(df,
         plainDs.map(p => p.name -> s"rate_${p.name}").toMap, d,
         out = s"rate_${d.name}")
     }
-    val pdps = schema.ds.map { d =>
-      Normalize.pdp(rated, series, tsUs, s"rate_${d.name}", schema.stepSec,
-          rateScale)
-        .select(series.map(col) :+ col("pdp_ts") :+
-          col("pdp").as(s"pdp_${d.name}"): _*)
-    }
-    pdps.reduce(_.join(_, series :+ "pdp_ts", "outer"))
   }
+
+  /** Stage 2: PDP normalization of a [[ratedFrame]] — series cols +
+    * `pdp_ts` + one `pdp_<ds>` column per DS. ALL DS columns normalize
+    * in one [[Normalize.pdpAll]] pass: the per-DS form exploded the
+    * same grid once per DS and outer-joined grid-sized frames (one full
+    * shuffle per DS); the combined pass is one explode, one
+    * sample-sized edge aggregation, no join, identical rows. */
+  private def pdpFrame(schema: RrdSchema, rated: DataFrame,
+      series: Seq[String], tsUs: String,
+      rateScale: Option[Int]): DataFrame =
+    Normalize.pdpAll(rated, series, tsUs,
+        schema.ds.map(d => s"rate_${d.name}" -> s"pdp_${d.name}"),
+        schema.stepSec, rateScale)
+      .select(series.map(col) :+ col("pdp_ts") :++
+        schema.ds.map(d => col(s"pdp_${d.name}")): _*)
 
   /** Consolidate one plain-CF RRA from the PDP frame: series cols +
     * `ts` (end-labeled sec) + one value column per DS. */
@@ -315,8 +327,11 @@ object RrdStore {
     // sample (the gate forbids fresh ones) — keep one
     val all = all0.dropDuplicates(series :+ tsUs).persist()
 
-    val pdp = pdpFrame(schema, all.drop("__horizon"), series, tsUs,
-      tieBreak, dsValues, rateScale).persist()
+    // sample-sized cache; the grid-sized PDP frame derives map-side
+    // (same reasoning as update())
+    val rated = ratedFrame(schema, all.drop("__horizon"), series, tsUs,
+      tieBreak, dsValues).persist()
+    val pdp = pdpFrame(schema, rated, series, tsUs, rateScale)
     // per-series finalized-bucket horizon from the previous batch (sec);
     // Long.MinValue (no tail yet) keeps everything
     val bFrame = all.groupBy(series.map(col): _*)
@@ -435,7 +450,7 @@ object RrdStore {
       young.unionByName(oldNewest)
         .withColumn("__horizon", col("__B")).drop("__B"),
       tailPath)
-    pdp.unpersist()
+    rated.unpersist()
     all.unpersist()
   }
 
@@ -510,52 +525,203 @@ object RrdStore {
       dsCols.map(col): _*)
   }
 
-  /** create --source prefill (rrd_create.c:310-326 DS mapping,
-    * 1888-1924 coverage consolidation): create `path` with `schema` and
-    * fill each plain-CF RRA from `sourcePath`'s best-covering RRA —
-    * finer source data re-consolidates with the target CF; coarser
-    * source coverage stays unknown (the reference likewise only fills
-    * what the source resolves).
-    *
-    * @param dsMap new DS name → source DS name (`DS:a=b` mapping);
-    *              unmapped DSes start unknown
-    */
+  /** `DS:a=b[idx]` prefill mapping (rrd_create.c:310-326 DS_RE):
+    * optional source DS name and optional 1-BASED source-file index
+    * restricting the search to one `--source` entry. An unmapped target
+    * DS searches every source for a DS of its own name
+    * (find_ds_match, rrd_create.c:2353-2373). */
+  final case class DsMapping(srcDs: Option[String] = None,
+      srcIndex: Option[Int] = None)
+
+  /** Single-source convenience form of the multi-source [[createFrom]]. */
   def createFrom(spark: SparkSession, path: String, schema: RrdSchema,
       sourcePath: String, series: Seq[String],
-      dsMap: Map[String, String]): Unit = {
+      dsMap: Map[String, String]): Unit =
+    createFrom(spark, path, schema, Seq(sourcePath), series,
+      dsMap.map { case (k, v) => k -> DsMapping(Some(v)) })
+
+  /** create --source prefill (rrd_prefill_data,
+    * rrd_create.c:1888-2140): create `path` with `schema` and fill each
+    * plain-CF RRA bin from the best coverage the source stores offer.
+    *
+    * Reference semantics re-expressed:
+    *   - candidates per target DS = every RRA whose CF is AVERAGE or the
+    *     target CF (select_create_candidates, rrd_create.c:1991-2002),
+    *     from every source holding the mapped DS name, ordered per
+    *     source by order_candidates (rrd_create.c:1946-1988: exact
+    *     CF+bin-size match first, then AVERAGE over other CFs, then
+    *     finer bins, then longer retention);
+    *   - per target bin, candidate bins claim the seconds they overlap
+    *     in that priority order — only *newly covered* seconds
+    *     contribute (add_coverage interval merge, prefill_bin,
+    *     rrd_create.c:2004-2121);
+    *   - AVERAGE weighs each contribution by its newly covered seconds;
+    *     MIN/MAX fold the contributing bin values; LAST keeps the last
+    *     contribution in walk order (prefill_consolidate, 1888-1920);
+    *   - the bin stays unknown unless covered seconds exceed xff·bin
+    *     (min_required_coverage, rrd_create.c:2014, 2110).
+    *
+    * Incommensurate source/target steps (tests/create-with-source-4's
+    * 67 s/73 s → 71 s) resolve through the same overlap arithmetic — no
+    * divisibility requirement.
+    *
+    * Plan shape: per target RRA, one union of candidate rollup scans,
+    * a bounded `explode(sequence)` onto overlapping target bins (the
+    * Normalize trick — fan-out ≤ candBin/bin + 2), ONE shuffle on
+    * (series, ds, bin) into a per-bin typed fold (groups are small:
+    * Σ bin/candStep + candidates), then a pivot back to the wide RRA
+    * layout. Nothing is collected to the driver.
+    *
+    * The pdp_prep/cdp_prep scratch transplant
+    * (rrd_create.c:2140-2350) is not reproduced: this store's ingest
+    * scratch is the raw-sample tail, which the sources (rollup-only
+    * dumps) do not carry; the reference's own tests filter both subtrees
+    * out of the comparison (tests/create-with-source-2:9-14).
+    */
+  def createFrom(spark: SparkSession, path: String, schema: RrdSchema,
+      sources: Seq[String], series: Seq[String],
+      dsMap: Map[String, DsMapping]): Unit = {
     create(path, schema)
-    val src = readSchema(sourcePath)
-    val finest = src.rras.indices.minBy(i => src.rras(i).pdpCnt)
-    val bounds = spark.read.parquet(s"$sourcePath/rra$finest")
-      .agg(min("ts"), max("ts")).first()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val srcSchemas = sources.map(readSchema)
+    // source retention: the reference reads a circular buffer that holds
+    // exactly row_cnt rows per RRA; this store's parquet may hold more
+    // (retention is read-time), so clamp candidates to the same horizon
+    val srcLastUp = sources.map(lastUpdateSec(spark, _))
     schema.rras.zipWithIndex.foreach { case (rra, i) =>
       rra.cf match {
         case Cf.Average | Cf.Min | Cf.Max | Cf.Last =>
-          val step = schema.stepSec * rra.pdpCnt
-          val cols = schema.ds.flatMap { d =>
-            dsMap.get(d.name).map { srcDs =>
-              val f = fetch(spark, sourcePath, rra.cf, srcDs, series,
-                lo - step, hi, step)
-              val srcStep = {
-                val ts = f.select("ts").orderBy("ts").limit(2)
-                  .collect().map(_.getLong(0))
-                if (ts.length == 2) ts(1) - ts(0) else step
-              }
-              val at = if (srcStep == step) f
-                else if (srcStep < step && step % srcStep == 0)
-                  Fetch.reduce(f, series, "ts", srcDs, step, rra.cf)
-                else f.where(lit(false)) // coarser: stays unknown
-              at.select(series.map(col) :+ col("ts") :+
-                col(srcDs).as(d.name): _*)
-            }
-          }
-          if (cols.nonEmpty)
-            cols.reduce(_.join(_, series :+ "ts", "outer"))
-              .write.mode("overwrite").parquet(s"$path/rra$i")
+          prefillRra(spark, path, schema, rra, i, sources, srcSchemas,
+            srcLastUp, series, dsMap)
         case _ => () // HW families start cold, like the reference
       }
     }
+  }
+
+  private def prefillRra(spark: SparkSession, path: String,
+      schema: RrdSchema, rra: RraDef, rraIdx: Int, sources: Seq[String],
+      srcSchemas: Seq[RrdSchema], srcLastUp: Seq[Long],
+      series: Seq[String], dsMap: Map[String, DsMapping]): Unit = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val bin = schema.stepSec * rra.pdpCnt
+    // newest target row ends at last_up aligned down to the bin grid
+    // (end_time_for_row_simple); rowCnt rows of retention behind it
+    val lastTb = Math.floorDiv(schema.startSec, bin) * bin
+    val firstTb = lastTb - (rra.rowCnt - 1) * bin
+
+    // one candidate frame per (target DS, source RRA), priority-tagged
+    val candFrames: Seq[DataFrame] = schema.ds.flatMap { d =>
+      val m = dsMap.getOrElse(d.name, DsMapping())
+      val mapped = m.srcDs.getOrElse(d.name)
+      sources.zip(srcSchemas).zip(srcLastUp).zipWithIndex.flatMap {
+        case (((sp, ss), lu), si) =>
+        if (m.srcIndex.exists(_ != si + 1)) Nil // 1-based index gate
+        else if (!ss.ds.exists(_.name == mapped)) Nil
+        else {
+          val selected = ss.rras.zipWithIndex.filter { case (r, _) =>
+            r.cf == Cf.Average || r.cf == rra.cf }
+          val ordered = selected.sortWith { case ((a, _), (b, _)) =>
+            val (aB, bB) = (ss.stepSec * a.pdpCnt, ss.stepSec * b.pdpCnt)
+            val aExact = a.cf == rra.cf && aB == bin
+            val bExact = b.cf == rra.cf && bB == bin
+            if (aExact != bExact) aExact
+            else if (a.cf != b.cf) a.cf == Cf.Average
+            else if (aB != bB) aB < bB
+            else a.rowCnt > b.rowCnt
+          }
+          ordered.map { case (r, ri) => (sp, ss, lu, r, ri) }
+        }
+      }.zipWithIndex.flatMap { case ((sp, ss, lu, r, ri), p) =>
+        val t = Paths.get(sp, s"rra$ri")
+        if (!Files.exists(t)) None
+        else {
+          val candB = ss.stepSec * r.pdpCnt
+          val newest = Math.floorDiv(lu, candB) * candB
+          Some(spark.read.parquet(t.toString)
+            .where(col(mapped).isNotNull &&
+              col("ts") <= newest &&
+              col("ts") > newest - r.rowCnt * candB)
+            .select(series.map(col) :+ lit(d.name).as("ds") :+
+              (col("ts") - candB).as("cs") :+ col("ts").as("ce") :+
+              col(mapped).cast("double").as("v") :+ lit(p).as("p"): _*))
+        }
+      }
+    }
+    if (candFrames.isEmpty) return
+    // a candidate bin [cs,ce) overlaps target bins (tb-bin, tb] for
+    // aligned tb in (cs, ce+bin) — bounded fan-out, then one shuffle
+    val exploded = candFrames.reduce(_.unionByName(_))
+      .withColumn("tb", explode(sequence(
+        (floor(col("cs").cast("double") / bin).cast("long") + 1L) * bin,
+        (floor((col("ce") - 1L).cast("double") / bin).cast("long") + 1L) * bin,
+        lit(bin))))
+      .where(col("tb") >= firstTb && col("tb") <= lastTb)
+
+    val inSchema = exploded.schema
+    val sIdx = series.map(inSchema.fieldIndex)
+    val (dsI, csI, ceI, vI, pI, tbI) = (inSchema.fieldIndex("ds"),
+      inSchema.fieldIndex("cs"), inSchema.fieldIndex("ce"),
+      inSchema.fieldIndex("v"), inSchema.fieldIndex("p"),
+      inSchema.fieldIndex("tb"))
+    val outSchema = StructType(
+      series.map(inSchema(_)) :+ StructField("ts", LongType, false) :+
+        StructField("ds", StringType, false) :+
+        StructField("value", DoubleType, false))
+    val cf = rra.cf
+    val xff = rra.xff
+    val folded = exploded.groupByKey { r: Row =>
+      (sIdx :+ dsI :+ tbI).map { j =>
+        val s = String.valueOf(r.get(j)); s"${s.length}:$s"
+      }.mkString
+    }(Encoders.STRING).flatMapGroups { (_: String, rows: Iterator[Row]) =>
+      val rs = rows.toArray
+      val head = rs.head
+      val tb = head.getLong(tbI)
+      val (tbS, tbE) = (tb - bin, tb) // half-open [tbS, tbE)
+      // walk candidate bins in (priority, time) order; only seconds not
+      // yet covered contribute (the reference's add_coverage merge)
+      var covered = List.empty[(Long, Long)] // disjoint, unsorted ok
+      var est = Double.NaN
+      var total = 0L
+      rs.sortBy(r => (r.getInt(pI), r.getLong(csI))).foreach { r =>
+        val s = math.max(r.getLong(csI), tbS)
+        val e = math.min(r.getLong(ceI), tbE)
+        if (e > s) {
+          var segs = List((s, e))
+          covered.foreach { case (a, b) =>
+            segs = segs.flatMap { case (x, y) =>
+              if (b <= x || a >= y) List((x, y))
+              else List((x, math.max(x, a)), (math.min(y, b), y))
+                .filter(q => q._2 > q._1)
+            }
+          }
+          val newly = segs.map(q => q._2 - q._1).sum
+          if (newly > 0) {
+            covered = segs ++ covered
+            total += newly
+            val v = r.getDouble(vI)
+            est = cf match { // prefill_consolidate, rrd_create.c:1888
+              case Cf.Min => if (est.isNaN) v else math.min(est, v)
+              case Cf.Max => if (est.isNaN) v else math.max(est, v)
+              case Cf.Last => v
+              case _ => // AVERAGE: weight by newly covered seconds
+                (if (est.isNaN) 0.0 else est) + v / bin * newly
+            }
+          }
+        }
+      }
+      if (total > xff * bin && !est.isNaN) { // min_required_coverage
+        val value = // prefill_finish, rrd_create.c:1923-1943
+          if (cf == Cf.Average) est / total * bin else est
+        Iterator.single(Row.fromSeq(sIdx.map(head.get) ++
+          Seq(tb, head.getString(dsI), value)))
+      } else Iterator.empty
+    }(Encoders.row(outSchema)).toDF(outSchema.fieldNames.toIndexedSeq: _*)
+
+    folded.groupBy(series.map(col) :+ col("ts"): _*)
+      .pivot("ds", schema.ds.map(_.name))
+      .agg(first("value"))
+      .write.mode("overwrite").parquet(s"$path/rra$rraIdx")
   }
 
   /** Fetch: select the best RRA (rrd_fetch.c:344-441 semantics via

@@ -17,7 +17,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Role split, mirroring the reference's daemon:
   *   - **UPDATE / BATCH** are journaled — each command becomes a file in
-  *     `<root>/spool/`, the directory a Structured Streaming text source
+  *     the journal directory (a sibling of `root` by default, like
+  *     `rrdcached -j`), which a Structured Streaming text source
   *     watches ([[StreamingIngest.runUpdates]]). The reference's journal
   *     + write-behind flush threads (rrd_daemon.c:304-329,1063-1188)
   *     are the streaming checkpoint + micro-batch cadence.
@@ -35,9 +36,17 @@ import org.apache.spark.sql.SparkSession
   * same [[StreamingIngest.runUpdates]] query reading Kafka instead of
   * the spool directory; serving stays on the session.
   */
-final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L) {
+final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
+    journalDir: Option[String] = None) {
 
-  private val spoolDir = Paths.get(root, "spool")
+  // the journal lives OUTSIDE the served data tree, like the
+  // reference's `rrdcached -j journal_dir` (doc/rrdcached.pod) — a
+  // spool under `root` would surface in LIST's directory walk
+  // (rrd_list.c lists every subdirectory)
+  private val spoolDir = journalDir.map(Paths.get(_)).getOrElse {
+    val r = Paths.get(root).toAbsolutePath.normalize
+    r.resolveSibling(s"${r.getFileName}.journal")
+  }
   private val updatesReceived = new AtomicLong
   private val flushesReceived = new AtomicLong
   private val journalBytes = new AtomicLong

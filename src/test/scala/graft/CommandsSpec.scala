@@ -140,5 +140,14 @@ class CommandsSpec extends SparkSuite {
     copy(store, s"$dir/new_dir2/fifth")
     assert(c.list(dir, recursive = true) == Seq("first",
       "new_dir2/fifth", "new_dir2/fourth", "second", "third"))
+    // wildcards glob basenames (rrd_list.c:170-205): any match type,
+    // '*' does not cross '/', recursive+glob and '..' are refused
+    assert(c.list(s"$dir/s*") == Seq("second"))
+    assert(c.list(s"$dir/*ir*") ==
+      Seq("first", "new_dir", "new_dir2", "third"))
+    assert(c.list(s"$dir/*/f*") == Seq("fifth", "fourth"))
+    assert(c.list(s"$dir/nomatch*") == Seq.empty)
+    intercept[IllegalArgumentException](c.list(s"$dir/s*", recursive = true))
+    intercept[IllegalArgumentException](c.list(s"$dir/../x"))
   }
 }

@@ -123,7 +123,9 @@ class ModifySpec extends SparkSuite {
     import spark.implicits._
     val srcPath = freshStore() // DS u,w at step 10, AVG 1-step + MAX 6-step
     val dst = java.nio.file.Files.createTempDirectory("graft_cs").toString
-    RrdStore.createFrom(spark, dst, RrdSchema(10L, 0L,
+    // like the reference tests, create at the source's last update time —
+    // prefill only fills rows ending at or before the new file's last_up
+    RrdStore.createFrom(spark, dst, RrdSchema(10L, 300L,
         Seq(DsDef("a", Dst.Gauge, 600L)),
         Seq(RraDef(Cf.Average, 0.5, 1L, 100L),  // same step: copy
           RraDef(Cf.Average, 0.5, 3L, 50L))),   // coarser: re-consolidate
