@@ -55,6 +55,32 @@ class PlanAuditSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
 
+  test("store build caches nothing grid-sized and releases its cache") {
+    import graft.model._
+    import org.apache.spark.sql.functions.col
+    // Round-3 regression: update() persisted the PDP frame — grid-sized
+    // (samples × gap/step), ~5 GB at sf0.1 — which overflowed the block
+    // store and evicted every other cached block in the session. The
+    // build may only cache the SAMPLE-sized rated frame, and must
+    // release it before returning.
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val path = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    store.RrdStore.create(path, RrdSchema(10L, 0L,
+      Seq(DsDef("v", Dst.Gauge, 600L)),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 100L),
+        RraDef(Cf.Max, 0.5, 6L, 50L))))
+    val samples = (1 to 40).map(i => ("s1", i * 10000000L, i.toLong, 2.5))
+      .toDF("k", "ts_us", "id", "v")
+    store.RrdStore.update(spark, path, samples, Seq("k"), "ts_us", "id",
+      Map("v" -> "v"), rateScale = Some(2))
+    store.RrdStore.appendBatch(spark, path,
+      samples.withColumn("ts_us", col("ts_us") + 400000000L),
+      Seq("k"), "ts_us", "ts_us", Map("v" -> "v"), rateScale = Some(2))
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "store build left cached RDDs behind")
+  }
+
   test("q29/q44: ANN corpus pass is a typed kernel, top-k is the only wide exchange") {
     for (q <- Seq("q29_ann_bruteforce", "q44_ann_ivf")) {
       val p = plan(q)
