@@ -38,11 +38,15 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     * new store's RRAs (rrd_prefill_data via [[RrdStore.createFrom]]);
     * `DS:a=b[idx]:…` specs map target DSes onto source DSes. */
   def create(path: String, args: Seq[String]): Unit = {
+    // valueless flag first (parseOpts would swallow the next spec as
+    // its value), like fetch does for --align-start
+    val noOverwrite = args.contains("--no-overwrite") || args.contains("-O")
+    val args1 = args.filterNot(a => a == "--no-overwrite" || a == "-O")
     // parseOpts keeps only the last occurrence of a repeated option;
     // --source is the one reference flag that legitimately repeats
-    val sources = args.sliding(2).collect {
+    val sources = args1.sliding(2).collect {
       case Seq("--source", s) => s }.toSeq
-    val (opts, specs0) = parseOpts(args)
+    val (opts, specs0) = parseOpts(args1)
     val split = specs0.map {
       case s if s.startsWith("DS:") => graft.model.DsDef.splitMapping(s)
       case s => (s, None)
@@ -51,11 +55,14 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
       graft.model.Scaled(opts.getOrElse("step", "300"), 1L),
       opts.get("start").map(at).getOrElse(nowSec),
       split.map(_._1))
-    if (sources.isEmpty) RrdStore.create(path, schema)
-    else RrdStore.createFrom(spark, path, schema, sources, series,
-      split.collect { case (s, Some((src, idx))) if s.startsWith("DS:") =>
-        s.split(":")(1) -> RrdStore.DsMapping(Some(src), idx)
-      }.toMap)
+    if (sources.isEmpty) RrdStore.create(path, schema, noOverwrite)
+    else {
+      if (noOverwrite) RrdStore.create(path, schema, noOverwrite = true)
+      RrdStore.createFrom(spark, path, schema, sources, series,
+        split.collect { case (s, Some((src, idx))) if s.startsWith("DS:") =>
+          s.split(":")(1) -> RrdStore.DsMapping(Some(src), idx)
+        }.toMap)
+    }
   }
 
   /** update: parse "time:v1:v2" args against the schema and ingest

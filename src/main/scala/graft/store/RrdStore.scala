@@ -160,33 +160,33 @@ object RrdStore {
             .drop(i + 1)
             .takeWhile(r => hwFamily.contains(r._1.cf))
             .map(r => hwFamily(r._1.cf) -> r._2)
-          val perMember = schema.ds.map { d =>
-            val out = graft.hw.HoltWinters(
-              gridFill(pdp, series, s"pdp_${d.name}", schema.stepSec),
-              series, "pdp_ts", s"pdp_${d.name}", spec).persist()
-            d.name -> out
-          }
-          members.foreach { case (member, idx) =>
-            val cols = perMember.map { case (ds, out) =>
-              out.select(series.map(col) :+ col("pdp_ts").as("ts") :+
-                col(member).as(ds): _*)
-            }
-            cols.reduce(_.join(_, series :+ "ts", "outer"))
-              .write.mode("overwrite").parquet(s"$path/rra$idx")
-          }
-          perMember.foreach(_._2.unpersist())
-          // persist the recurrence state so a batch-built store can
-          // continue ingesting via appendBatch (streaming HW)
-          schema.ds.foreach { d =>
+          // ONE resumable pass per DS yields both the member rows AND
+          // the recurrence state sidecar (a batch-built store must
+          // continue ingesting via appendBatch — streaming HW); an
+          // empty prior makes applyResumable identical to the full run
+          // (StoreStreamingSpec: chunked == whole)
+          val perDs = schema.ds.map { d =>
             val g = gridFill(pdp, series, s"pdp_${d.name}", schema.stepSec)
               .select(series.map(col) :+ col("pdp_ts").as("ts") :+
                 col(s"pdp_${d.name}").as("v"): _*)
             val empty = spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),
               graft.hw.HoltWinters.stateSchema(series.map(g.schema(_))))
-            val (_, states) = graft.hw.HoltWinters.applyResumable(
+            val (rows, states) = graft.hw.HoltWinters.applyResumable(
               g, series, "ts", "v", spec, empty, schema.stepSec)
-            writeSwap(states, s"$path/hwstate/rra$i/${d.name}")
+            (d.name, rows.persist(), states)
+          }
+          members.foreach { case (member, idx) =>
+            val cols = perDs.map { case (ds, rows, _) =>
+              rows.select(series.map(col) :+ col("ts") :+
+                col(member).as(ds): _*)
+            }
+            cols.reduce(_.join(_, series :+ "ts", "outer"))
+              .write.mode("overwrite").parquet(s"$path/rra$idx")
+          }
+          perDs.foreach { case (ds, rows, states) =>
+            writeSwap(states, s"$path/hwstate/rra$i/$ds")
+            rows.unpersist()
           }
           familyWritten ++= members.map(_._2)
         case _ if familyWritten.contains(i) => () // written with its family

@@ -104,6 +104,20 @@ class CommandsSpec extends SparkSuite {
     assert(secondTs.length < firstCount)
   }
 
+  test("create --no-overwrite refuses an existing store " +
+      "(tests/create-no-overwrite)") {
+    val c = new Commands(spark, nowSec = 1000L)
+    val path = java.nio.file.Files.createTempDirectory("graft_no").toString
+    val spec = Seq("--start", "0", "--step", "10",
+      "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100")
+    c.create(path, spec)
+    // the flag is valueless: it must not swallow the following DS spec
+    intercept[IllegalStateException] {
+      c.create(path, "--no-overwrite" +: spec)
+    }
+    c.create(path, spec) // plain create still overwrites
+  }
+
   test("list walks stores and directories (tests/list1)") {
     import java.nio.file.{Files, Paths}
     val c = new Commands(spark, nowSec = 1300000000L)
