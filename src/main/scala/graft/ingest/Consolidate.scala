@@ -67,4 +67,30 @@ object Consolidate {
           .otherwise(col("cf_val")).as("cdp") :+
         col("known_cnt"): _*)
   }
+
+  /** Multi-column [[cdp]]: consolidate every PDP column of a shared
+    * frame in ONE aggregation. The per-column form aggregated the same
+    * grid once per DS and outer-joined bucket-grained frames (one
+    * shuffle per DS); all columns share the bucket key, so a combined
+    * groupBy produces identical rows with a single shuffle and no join
+    * (each column keeps its own known count for the xff rule). Output:
+    * series + `cdp_ts` + one `<out>` column per entry.
+    */
+  def cdpAll(df: DataFrame, series: Seq[String], pdpTs: String,
+      pdps: Seq[(String, String)], stepSec: Long, pdpCnt: Long, cf: Cf,
+      xff: Double,
+      sumType: DecimalType = DecimalType(28, 10)): DataFrame = {
+    val cdpStep = stepSec * pdpCnt
+    val bucket = (expr(s"($pdpTs - 1) div $cdpStep") + 1) * cdpStep
+    val aggs = pdps.flatMap { case (in, out) => Seq(
+      cfAgg(cf, col(in), col(pdpTs), sumType).as(s"__cf_$out"),
+      count(col(in)).as(s"__kn_$out")) }
+    df.groupBy(series.map(col) :+ bucket.as("cdp_ts"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(series.map(col) :+ col("cdp_ts") :++
+        pdps.map { case (_, out) =>
+          when(lit(pdpCnt) - col(s"__kn_$out") > lit(xff * pdpCnt),
+            lit(null)).otherwise(col(s"__cf_$out")).as(out)
+        }: _*)
+  }
 }

@@ -234,17 +234,15 @@ object RrdStore {
         schema.ds.map(d => col(s"pdp_${d.name}")): _*)
 
   /** Consolidate one plain-CF RRA from the PDP frame: series cols +
-    * `ts` (end-labeled sec) + one value column per DS. */
+    * `ts` (end-labeled sec) + one value column per DS — all DS columns
+    * in one [[Consolidate.cdpAll]] aggregation (the per-DS form joined
+    * bucket-grained frames once per DS). */
   private def plainRraFrame(schema: RrdSchema, rra: RraDef, pdp: DataFrame,
-      series: Seq[String]): DataFrame = {
-    val cols = schema.ds.map { d =>
-      Consolidate.cdp(pdp, series, "pdp_ts", s"pdp_${d.name}",
-          schema.stepSec, rra.pdpCnt, rra.cf, rra.xff)
-        .select(series.map(col) :+ col("cdp_ts").as("ts") :+
-          col("cdp").as(d.name): _*)
-    }
-    cols.reduce(_.join(_, series :+ "ts", "outer"))
-  }
+      series: Seq[String]): DataFrame =
+    Consolidate.cdpAll(pdp, series, "pdp_ts",
+        schema.ds.map(d => s"pdp_${d.name}" -> d.name),
+        schema.stepSec, rra.pdpCnt, rra.cf, rra.xff)
+      .withColumnRenamed("cdp_ts", "ts")
 
   /** Replace directory `target` with `tmp` in one rename pair (write the
     * final data ONCE, then swap — the round-2 write-read-rewrite dance
