@@ -141,12 +141,23 @@ object RrdStore {
     val hwFamily: Map[Cf, String] = Map(
       Cf.Seasonal -> "seasonal", Cf.DevSeasonal -> "devseasonal",
       Cf.DevPredict -> "devpredict", Cf.Failures -> "failures")
+    // the plain-CF materializations are independent reads of the same
+    // cache — submit them as concurrent jobs so a cluster's executors
+    // stay busy through each one's small final stages (sequential
+    // submission serializes the idle tails); SparkContext is
+    // thread-safe for this by design
+    val plainWrites = schema.rras.zipWithIndex.collect {
+      case (rra, i)
+          if Set[Cf](Cf.Average, Cf.Min, Cf.Max, Cf.Last)(rra.cf) =>
+        concurrent.Future {
+          plainRraFrame(schema, rra, pdp, series)
+            .write.mode("overwrite").parquet(s"$path/rra$i")
+        }(concurrent.ExecutionContext.global)
+    }
     var familyWritten = Set.empty[Int]
     schema.rras.zipWithIndex.foreach { case (rra, i) =>
       rra.cf match {
-        case Cf.Average | Cf.Min | Cf.Max | Cf.Last =>
-          plainRraFrame(schema, rra, pdp, series)
-            .write.mode("overwrite").parquet(s"$path/rra$i")
+        case Cf.Average | Cf.Min | Cf.Max | Cf.Last => () // running above
         case Cf.HwPredict | Cf.MhwPredict =>
           val h = rra.hw.get
           val spec = graft.hw.HoltWinters.HwSpec(h.alpha, h.beta,
@@ -195,6 +206,8 @@ object RrdStore {
             s"RRA $i ($other) has no preceding HWPREDICT to depend on")
       }
     }
+    plainWrites.foreach(f =>
+      concurrent.Await.result(f, concurrent.duration.Duration.Inf))
     rated.unpersist()
   }
 
