@@ -187,12 +187,17 @@ object RrdStore {
               g, series, "ts", "v", spec, empty, schema.stepSec)
             (d.name, rows.persist(), states)
           }
+          // ONE n-way join carries every member column of every DS
+          // (identical (series, ts) sets per DS); the per-member writes
+          // are then projections of it
+          val joined = perDs.map { case (ds, rows, _) =>
+            rows.select(series.map(col) :+ col("ts") :++
+              members.map { case (m, _) => col(m).as(s"${m}__$ds") }: _*)
+          }.reduce(_.join(_, series :+ "ts", "outer"))
           members.foreach { case (member, idx) =>
-            val cols = perDs.map { case (ds, rows, _) =>
-              rows.select(series.map(col) :+ col("ts") :+
-                col(member).as(ds): _*)
-            }
-            cols.reduce(_.join(_, series :+ "ts", "outer"))
+            joined.select(series.map(col) :+ col("ts") :++
+                perDs.map { case (ds, _, _) =>
+                  col(s"${member}__$ds").as(ds) }: _*)
               .write.mode("overwrite").parquet(s"$path/rra$idx")
           }
           perDs.foreach { case (ds, rows, states) =>
@@ -422,12 +427,16 @@ object RrdStore {
               pdpDs, series, "ts", "v", spec, prior, schema.stepSec)
             (d.name, rows.persist(), states, statePath)
           }
+          // same one-join shape as update(): all member columns ride a
+          // single n-way join, the merges project from it
+          val joined = perDs.map { case (ds, out, _, _) =>
+            out.select(series.map(col) :+ col("ts") :++
+              members.map { case (m, _) => col(m).as(s"${m}__$ds") }: _*)
+          }.reduce(_.join(_, series :+ "ts", "outer"))
           members.foreach { case (member, idx) =>
-            val cols = perDs.map { case (ds, out, _, _) =>
-              out.select(series.map(col) :+ col("ts") :+
-                col(member).as(ds): _*)
-            }
-            mergeInto(cols.reduce(_.join(_, series :+ "ts", "outer")), idx)
+            mergeInto(joined.select(series.map(col) :+ col("ts") :++
+              perDs.map { case (ds, _, _, _) =>
+                col(s"${member}__$ds").as(ds) }: _*), idx)
           }
           // state LAST: a crash before this point replays against the
           // old state and the merges dedup the regenerated rows
