@@ -72,42 +72,102 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     * RRA history via [[RrdStore.appendBatch]] (a second
     * `update path 200:2` after `update path 100:1` keeps both);
     * Holt-Winters RRAs resume from the state sidecar. */
-  def update(path: String, args: Seq[String],
+  def update(path: String, args0: Seq[String],
       template: Option[Seq[String]] = None): Unit = {
     import spark.implicits._
-    val schema = RrdStore.readSchema(path)
-    val rows = args.map { a =>
-      val u = graft.ingest.UpdateParser.parse(a, schema, template, nowSec)
-      (defaultKey.head.toString, u.tsUs,
-        schema.ds.map(d => u.values(d.name)))
+    // --daemon <host:port>: forward over the line protocol instead of
+    // ingesting locally (rrd_tool.c:275-307 remote mode; rrdc_update)
+    val (daemon, args) = splitDaemon(args0)
+    daemon match {
+      case Some(c) =>
+        try {
+          val r = c.update(path, args)
+          require(!r.isError, s"daemon UPDATE failed: ${r.text}")
+        } finally c.close()
+      case None =>
+        val schema = RrdStore.readSchema(path)
+        val rows = args.map { a =>
+          val u = graft.ingest.UpdateParser.parse(a, schema, template,
+            nowSec)
+          (defaultKey.head.toString, u.tsUs,
+            schema.ds.map(d => u.values(d.name)))
+        }
+        val withVs = schema.ds.zipWithIndex.foldLeft(
+          rows.map { case (k, ts, vs) =>
+            (k, ts, vs.map(_.map(Double.box).orNull))
+          }.toDF("k", "ts_us", "__vs")) { case (d, (ds, i)) =>
+          d.withColumn(ds.name,
+            element_at(col("__vs"), i + 1).cast("double"))
+        }.drop("__vs")
+        RrdStore.appendBatch(spark, path, withVs, Seq("k"), "ts_us",
+          "ts_us", schema.ds.map(d => d.name -> d.name).toMap)
     }
-    val withVs = schema.ds.zipWithIndex.foldLeft(
-      rows.map { case (k, ts, vs) =>
-        (k, ts, vs.map(_.map(Double.box).orNull))
-      }.toDF("k", "ts_us", "__vs")) { case (d, (ds, i)) =>
-      d.withColumn(ds.name, element_at(col("__vs"), i + 1).cast("double"))
-    }.drop("__vs")
-    RrdStore.appendBatch(spark, path, withVs, Seq("k"), "ts_us", "ts_us",
-      schema.ds.map(d => d.name -> d.name).toMap)
   }
+
+  /** Strip `--daemon <host:port>` and open the client when present
+    * (the reference's remote mode forwards the command to rrdcached,
+    * rrd_tool.c:275-307). */
+  private def splitDaemon(args: Seq[String])
+      : (Option[graft.streaming.DaemonClient], Seq[String]) =
+    args.indexOf("--daemon") match {
+      case -1 => (None, args)
+      case i =>
+        val addr = args(i + 1)
+        val (host, port) = addr.lastIndexOf(':') match {
+          case -1 => (addr, 42217) // the reference's default port
+          case j => (addr.take(j), addr.drop(j + 1).toInt)
+        }
+        (Some(new graft.streaming.DaemonClient(host, port)),
+          args.patch(i, Nil, 2))
+    }
 
   /** fetch <CF> --start --end [--resolution] [--align-start] → aligned
     * grid frame. `--align-start` shifts BOTH ends down by
     * `start % resolution` (window length preserved) before the usual
     * grid alignment — rrd_fetch.c:169-173. */
-  def fetch(path: String, cf: String, args: Seq[String]): DataFrame = {
+  def fetch(path: String, cf: String, args0: Seq[String]): DataFrame = {
+    val (daemon, args) = splitDaemon(args0)
     val alignStart = args.contains("--align-start") || args.contains("-a")
     val (opts, _) = parseOpts(
       args.filterNot(a => a == "--align-start" || a == "-a"))
     val end0 = opts.get("end").map(at).getOrElse(nowSec)
     val start0 = opts.get("start").map(at).getOrElse(end0 - 86400)
-    val schema = RrdStore.readSchema(path)
-    val res = opts.get("resolution").map(_.toLong)
-      .getOrElse(schema.stepSec)
-    val delta = if (alignStart) java.lang.Math.floorMod(start0, res) else 0L
-    val (start, end) = (start0 - delta, end0 - delta)
-    val ds = opts.getOrElse("ds", schema.ds.head.name)
-    RrdStore.fetch(spark, path, Cf.parse(cf), ds, series, start, end, res)
+    daemon match {
+      case Some(c) =>
+        // served remotely (rrdc_fetch): parse the payload frame back
+        // into the local fetch shape (series col + ts + one DS column)
+        val reply = try {
+          val r = c.fetch(path, cf, start0, end0)
+          require(!r.isError, s"daemon FETCH failed: ${r.text}")
+          r
+        } finally c.close()
+        val names = reply.payload.find(_.startsWith("DSName:"))
+          .map(_.stripPrefix("DSName:").trim.split("\\s+").toSeq)
+          .getOrElse(Seq.empty)
+        val ds = opts.getOrElse("ds", names.head)
+        val di = names.indexOf(ds)
+        require(di >= 0, s"daemon FETCH has no DS '$ds' (has $names)")
+        import spark.implicits._
+        reply.payload
+          .filter(_.headOption.exists(_.isDigit))
+          .map { l =>
+            val parts = l.split("[:\\s]+")
+            val v = parts(1 + di)
+            (defaultKey.head.toString, parts(0).toLong,
+              if (v == "nan") null else Double.box(v.toDouble))
+          }
+          .toDF(series.head, "ts", ds)
+      case None =>
+        val schema = RrdStore.readSchema(path)
+        val res = opts.get("resolution").map(_.toLong)
+          .getOrElse(schema.stepSec)
+        val delta =
+          if (alignStart) java.lang.Math.floorMod(start0, res) else 0L
+        val (start, end) = (start0 - delta, end0 - delta)
+        val ds = opts.getOrElse("ds", schema.ds.head.name)
+        RrdStore.fetch(spark, path, Cf.parse(cf), ds, series, start, end,
+          res)
+    }
   }
 
   /** updatev (rrd_update.c:300-364): [[update]] plus the verbose
@@ -154,11 +214,20 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     graphv(args).xport.getOrElse(
       spark.emptyDataFrame.withColumn("ts", lit(0L)).limit(0))
 
-  /** flushcached (rrd_flushcached.c): a no-op by construction here —
-    * a micro-batch either committed or will replay from the streaming
-    * checkpoint, so there is never an unflushed in-memory tree. Kept
-    * for command-surface parity. */
-  def flushcached(paths: Seq[String]): Unit = ()
+  /** flushcached (rrd_flushcached.c): with `--daemon <addr>` sends a
+    * FLUSH per path over the line protocol; locally a no-op by
+    * construction — a micro-batch either committed or will replay from
+    * the streaming checkpoint, so there is never an unflushed in-memory
+    * tree. */
+  def flushcached(args: Seq[String]): Unit = {
+    val (daemon, paths) = splitDaemon(args)
+    daemon.foreach { c =>
+      try paths.foreach { p =>
+        val r = c.command(s"FLUSH $p")
+        require(!r.isError, s"daemon FLUSH $p failed: ${r.text}")
+      } finally c.close()
+    }
+  }
 
   /** rrd_first: geometric first slot of an RRA (works on a store with
     * no data, create-from-template-1's `rrdtool first` check). */

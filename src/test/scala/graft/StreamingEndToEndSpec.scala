@@ -170,6 +170,27 @@ class StreamingEndToEndSpec extends SparkSuite {
       // BATCH: one good update, one bogus verb -> one error line for #2
       val errs = client.batch(Seq("UPDATE web.rrd 3400:1:2", "BOGUS x"))
       assert(errs.size == 1 && errs.head.startsWith("2 "), errs)
+
+      // the Commands facade's --daemon routing (rrd_tool.c remote
+      // mode): fetch returns the same known slots as the local fetch,
+      // update/flushcached land on the daemon's journal
+      val cmd = new graft.cli.Commands(spark, nowSec = 3010L,
+        defaultKey = Seq("web.rrd"))
+      val remote = cmd.fetch("web.rrd", "AVERAGE",
+        Seq("--daemon", s"127.0.0.1:$port",
+          "--start", "0", "--end", "900", "--ds", "g"))
+        .orderBy("ts").collect().toSeq.map(r =>
+          (r.getLong(1), Option(r.get(2))))
+      val local = RrdStore.fetch(spark, store, graft.model.Cf.Average,
+        "g", Seq("k"), 0L, 900L, 300L)
+        .orderBy("ts").collect().toSeq.map(r =>
+          (r.getLong(1), Option(r.get(2))))
+      assert(remote == local, s"remote $remote vs local $local")
+      val before = client.stats()("UpdatesReceived")
+      cmd.update("web.rrd",
+        Seq("--daemon", s"127.0.0.1:$port", "3500:1.5:9950"))
+      cmd.flushcached(Seq("--daemon", s"127.0.0.1:$port", "web.rrd"))
+      assert(client.stats()("UpdatesReceived") == before + 1)
     } finally { client.close(); daemon.stop() }
   }
 
