@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   * batch semantics); incremental micro-batches would instead append and
   * rely on compact() — both shapes keep the same table layout.
   */
-object RrdStore {
+object RrdStore extends Serializable {
 
   /** Write the schema sidecar (create; overwrite = destroy + recreate;
     * `noOverwrite` refuses an existing store — the --no-overwrite flag,
@@ -697,51 +697,66 @@ object RrdStore {
       val rs = rows.toArray
       val head = rs.head
       val tb = head.getLong(tbI)
-      val (tbS, tbE) = (tb - bin, tb) // half-open [tbS, tbE)
-      // walk candidate bins in (priority, time) order; only seconds not
-      // yet covered contribute (the reference's add_coverage merge)
-      var covered = List.empty[(Long, Long)] // disjoint, unsorted ok
-      var est = Double.NaN
-      var total = 0L
-      rs.sortBy(r => (r.getInt(pI), r.getLong(csI))).foreach { r =>
-        val s = math.max(r.getLong(csI), tbS)
-        val e = math.min(r.getLong(ceI), tbE)
-        if (e > s) {
-          var segs = List((s, e))
-          covered.foreach { case (a, b) =>
-            segs = segs.flatMap { case (x, y) =>
-              if (b <= x || a >= y) List((x, y))
-              else List((x, math.max(x, a)), (math.min(y, b), y))
-                .filter(q => q._2 > q._1)
-            }
-          }
-          val newly = segs.map(q => q._2 - q._1).sum
-          if (newly > 0) {
-            covered = segs ++ covered
-            total += newly
-            val v = r.getDouble(vI)
-            est = cf match { // prefill_consolidate, rrd_create.c:1888
-              case Cf.Min => if (est.isNaN) v else math.min(est, v)
-              case Cf.Max => if (est.isNaN) v else math.max(est, v)
-              case Cf.Last => v
-              case _ => // AVERAGE: weight by newly covered seconds
-                (if (est.isNaN) 0.0 else est) + v / bin * newly
-            }
-          }
-        }
+      prefillBin(
+        rs.toSeq.map(r =>
+          (r.getLong(csI), r.getLong(ceI), r.getDouble(vI), r.getInt(pI))),
+        tb - bin, tb, cf, xff) match {
+        case Some(value) =>
+          Iterator.single(Row.fromSeq(sIdx.map(head.get) ++
+            Seq(tb, head.getString(dsI), value)))
+        case None => Iterator.empty
       }
-      if (total > xff * bin && !est.isNaN) { // min_required_coverage
-        val value = // prefill_finish, rrd_create.c:1923-1943
-          if (cf == Cf.Average) est / total * bin else est
-        Iterator.single(Row.fromSeq(sIdx.map(head.get) ++
-          Seq(tb, head.getString(dsI), value)))
-      } else Iterator.empty
     }(Encoders.row(outSchema)).toDF(outSchema.fieldNames.toIndexedSeq: _*)
 
     folded.groupBy(series.map(col) :+ col("ts"): _*)
       .pivot("ds", schema.ds.map(_.name))
       .agg(first("value"))
       .write.mode("overwrite").parquet(s"$path/rra$rraIdx")
+  }
+
+  /** One target bin of the prefill (prefill_bin, rrd_create.c:2004-2121):
+    * walk candidate bins `(cs, ce, value, priority)` in (priority, time)
+    * order over the half-open target window [tbS, tbE); only seconds no
+    * earlier candidate covered contribute (add_coverage's interval
+    * merge). AVERAGE weighs each contribution by its newly covered
+    * seconds, MIN/MAX fold values, LAST keeps the last contribution in
+    * walk order; below the xff coverage threshold the bin stays
+    * unknown. Pure — property-tested against a per-second simulation. */
+  private[graft] def prefillBin(cands: Seq[(Long, Long, Double, Int)],
+      tbS: Long, tbE: Long, cf: Cf, xff: Double): Option[Double] = {
+    val bin = tbE - tbS
+    var covered = List.empty[(Long, Long)] // disjoint, unsorted ok
+    var est = Double.NaN
+    var total = 0L
+    cands.sortBy(c => (c._4, c._1)).foreach { case (cs, ce, v, _) =>
+      val s = math.max(cs, tbS)
+      val e = math.min(ce, tbE)
+      if (e > s) {
+        var segs = List((s, e))
+        covered.foreach { case (a, b) =>
+          segs = segs.flatMap { case (x, y) =>
+            if (b <= x || a >= y) List((x, y))
+            else List((x, math.max(x, a)), (math.min(y, b), y))
+              .filter(q => q._2 > q._1)
+          }
+        }
+        val newly = segs.map(q => q._2 - q._1).sum
+        if (newly > 0) {
+          covered = segs ++ covered
+          total += newly
+          est = cf match { // prefill_consolidate, rrd_create.c:1888
+            case Cf.Min => if (est.isNaN) v else math.min(est, v)
+            case Cf.Max => if (est.isNaN) v else math.max(est, v)
+            case Cf.Last => v
+            case _ => // AVERAGE: weight by newly covered seconds
+              (if (est.isNaN) 0.0 else est) + v / bin * newly
+          }
+        }
+      }
+    }
+    if (total > xff * bin && !est.isNaN) // min_required_coverage
+      Some(if (cf == Cf.Average) est / total * bin else est)
+    else None
   }
 
   /** Fetch: select the best RRA (rrd_fetch.c:344-441 semantics via

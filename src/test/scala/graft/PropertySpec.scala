@@ -128,6 +128,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("prefill coverage fold == per-second winner simulation") {
+    // The store's prefillBin walks candidate bins in (priority, start)
+    // order, counting only newly covered seconds (rrd_create.c's
+    // add_coverage). Equivalent formulation: every SECOND of the target
+    // bin belongs to the first candidate (in walk order) covering it.
+    // The fold must match that brute force for every CF and threshold.
+    import graft.model.Cf
+    import graft.store.RrdStore
+    val (tbS, tbE) = (100L, 160L)
+    val candGen = for {
+      cs <- Gen.choose(80L, 170L)
+      len <- Gen.choose(1L, 40L)
+      v <- Gen.choose(-100.0, 100.0)
+      p <- Gen.choose(0, 3)
+    } yield (cs, cs + len, v, p)
+    val candsGen = Gen.listOfN(6, candGen)
+    val cfGen = Gen.oneOf[Cf](Cf.Average, Cf.Min, Cf.Max, Cf.Last)
+    forAll(candsGen, cfGen, Gen.choose(0.0, 0.9)) { (cands, cf, xff) =>
+      val walk = cands.sortBy(c => (c._4, c._1))
+      // per-second winner = first covering candidate in walk order
+      val winners = (tbS until tbE).flatMap { sec =>
+        walk.find(c => c._1 <= sec && sec < c._2).map(sec -> _)
+      }
+      val expected = if (winners.size > xff * (tbE - tbS)) {
+        val contributing = walk.filter(c => winners.exists(_._2 == c))
+        cf match {
+          case Cf.Average => Some(
+            winners.map(_._2._3).sum / winners.size)
+          case Cf.Min => Some(contributing.map(_._3).min)
+          case Cf.Max => Some(contributing.map(_._3).max)
+          case Cf.Last => contributing.lastOption.map(_._3)
+          case _ => None
+        }
+      } else None
+      val got = RrdStore.prefillBin(cands, tbS, tbE, cf, xff)
+      (expected, got) match {
+        case (Some(e), Some(g)) =>
+          assert(math.abs(e - g) <= 1e-9 * math.max(1.0, math.abs(e)),
+            s"$cf xff=$xff cands=$cands: $g != $e")
+        case (e, g) => assert(e == g, s"$cf xff=$xff cands=$cands")
+      }
+    }
+  }
+
   test("update time parse keeps epoch microseconds exactly") {
     forAll(Gen.choose(0L, 2000000000L), Gen.choose(0L, 999999L)) {
       (sec, micro) =>
