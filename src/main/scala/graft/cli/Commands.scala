@@ -234,8 +234,18 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
   def first(path: String, rraIdx: Int = 0): Long =
     RrdStore.firstTime(spark, path, rraIdx)
 
-  /** rrd_last: the raw last-update time. */
-  def last(path: String): Long = RrdStore.lastUpdateSec(spark, path)
+  /** rrd_last: the raw last-update time (`--daemon` serves it
+    * remotely, rrdc_command LAST). */
+  def last(path: String, args: Seq[String] = Nil): Long =
+    splitDaemon(args) match {
+      case (Some(c), _) =>
+        try {
+          val r = c.last(path)
+          require(!r.isError, s"daemon LAST failed: ${r.text}")
+          r.payload.head.toLong
+        } finally c.close()
+      case _ => RrdStore.lastUpdateSec(spark, path)
+    }
 
   /** lastupdate: newest slot's values per DS. */
   def lastupdate(path: String): DataFrame = {
@@ -245,7 +255,21 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     t.orderBy(col("ts").desc).limit(1)
   }
 
-  def info(path: String): Seq[(String, String)] = Dump.info(spark, path)
+  /** info, optionally served remotely (`--daemon`, payload lines are
+    * the same `key = value` pairs the local view renders). */
+  def info(path: String, args: Seq[String] = Nil): Seq[(String, String)] =
+    splitDaemon(args) match {
+      case (Some(c), _) =>
+        try {
+          val r = c.info(path)
+          require(!r.isError, s"daemon INFO failed: ${r.text}")
+          r.payload.map { l =>
+            val i = l.indexOf(" = ")
+            l.take(i) -> l.drop(i + 3)
+          }
+        } finally c.close()
+      case _ => Dump.info(spark, path)
+    }
   def dump(path: String, out: String): Unit = Dump.dump(spark, path, out)
   def restore(in: String, path: String): Unit =
     Dump.restore(spark, in, path)

@@ -191,6 +191,10 @@ class StreamingEndToEndSpec extends SparkSuite {
         Seq("--daemon", s"127.0.0.1:$port", "3500:1.5:9950"))
       cmd.flushcached(Seq("--daemon", s"127.0.0.1:$port", "web.rrd"))
       assert(client.stats()("UpdatesReceived") == before + 1)
+      assert(cmd.last("web.rrd",
+        Seq("--daemon", s"127.0.0.1:$port")) == 3010L)
+      assert(cmd.info("web.rrd", Seq("--daemon", s"127.0.0.1:$port"))
+        .toMap.apply("step") == "300")
     } finally { client.close(); daemon.stop() }
   }
 
