@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one compiled class per query stage; a
+  // 46-query session overflows the JVM's default 240 MB reserved code
+  // cache, the JIT silently disables, and expression-heavy queries run
+  // interpreted ~10x slower from that point on. Reserve enough for the
+  // full query corpus.
+  "-XX:ReservedCodeCacheSize=1g",
 )
