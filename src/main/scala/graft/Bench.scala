@@ -20,6 +20,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A full sweep's whole-stage codegen overflows the default 240 MB
+    // JIT code cache; the compiler then silently disables and
+    // expression-heavy queries run interpreted ~10x slower (measured:
+    // q26 4-8 s with headroom vs 71-77 s without). Surface the
+    // misconfiguration instead of producing quietly-bimodal numbers.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val reserved = java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getMax).sum
+      if (reserved < 400L * 1024 * 1024)
+        System.err.println(s"[bench] WARNING: reserved JIT code cache " +
+          s"is ${reserved / 1024 / 1024} MB; a full query sweep " +
+          "overflows it and the tail runs interpreted — launch with " +
+          "-XX:ReservedCodeCacheSize=1g (build.sbt sets it for sbt runs)")
+    }
     // Absorb one-time session costs (executor spin-up, codegen compiler,
     // parquet reader init) before the clock starts: whichever query runs
     // first would otherwise be charged ~4-5 s of JVM warmup that is not
