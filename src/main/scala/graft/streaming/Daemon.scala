@@ -97,6 +97,32 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
         Response(0, s"Nothing to flush: ${cmd.path}.")
       case "PENDING" => Response(0, s"updates pending")
       case "FORGET" => Response(0, s"Gone!")
+      case "QUEUE" =>
+        // rrd_daemon.c's QUEUE: one "<pending-updates> <path>" line per
+        // queued file; here the queue is the journal, one file per
+        // spooled UPDATE command
+        val counts =
+          if (Files.exists(spoolDir))
+            scala.jdk.CollectionConverters.IteratorHasAsScala(
+              Files.list(spoolDir).iterator).asScala
+              .filter(_.toString.endsWith(".cmds"))
+              .map(f => LineProtocol.parse(new String(
+                Files.readAllBytes(f), StandardCharsets.UTF_8).trim).path)
+              .toSeq.groupBy(identity).view.mapValues(_.size).toSeq
+          else Seq.empty
+        Response(counts.size, "in queue",
+          counts.map { case (p, n) => s"$n $p" })
+      case "SUSPEND" | "RESUME" | "SUSPENDALL" | "RESUMEALL" =>
+        // flush throttling has no analog under streaming-journal
+        // ingestion (there is no per-file write-behind tree to pause);
+        // acknowledged for client parity like FLUSH
+        Response(0, s"${cmd.verb} acknowledged")
+      case "HELP" =>
+        val verbs = Seq("UPDATE", "FETCH", "FETCHBIN", "CREATE", "TUNE",
+          "INFO", "FIRST", "LAST", "FLUSH", "PENDING", "FORGET", "QUEUE",
+          "LIST", "STATS", "BATCH", "SUSPEND", "RESUME", "SUSPENDALL",
+          "RESUMEALL", "HELP", "QUIT")
+        Response(verbs.size, "Command overview", verbs)
       case "FIRST" =>
         val idx = cmd.args.headOption.map(_.toInt).getOrElse(0)
         val ts = RrdStore.firstTime(spark, storePath(cmd.path), idx)

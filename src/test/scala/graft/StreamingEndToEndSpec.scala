@@ -266,6 +266,15 @@ class StreamingEndToEndSpec extends SparkSuite {
       // FETCHBIN serves the FETCH payload
       val fb = roundTrip("FETCHBIN web.rrd AVERAGE 0 900")
       assert(fb == fetch)
+      // QUEUE lists the journaled file with its pending-command count;
+      // HELP lists the command table; SUSPEND-family acks (no
+      // write-behind tree to pause under streaming-journal ingestion)
+      assert(roundTrip("QUEUE") == Seq("1 web.rrd"))
+      assert(roundTrip("HELP").contains("FETCHBIN"))
+      out.println("SUSPEND web.rrd")
+      assert(in.readLine().startsWith("0 "))
+      out.println("RESUMEALL")
+      assert(in.readLine().startsWith("0 "))
       // CREATE + TUNE + LIST over the wire
       out.println("CREATE new.rrd -b 0 -s 300 DS:x:GAUGE:600:U:U " +
         "RRA:AVERAGE:0.5:1:100")
