@@ -1,15 +1,66 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.lang.management.ManagementFactory
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
 
-/** Benchmark main: one JSON line with per-query wall times.
+/** Benchmark main: one JSON line with per-query wall times plus JVM
+  * health counters.
   *
-  * Each query is consumed through `xxhash64(all columns)` + `sum` so that
-  * every output column is materialized — a bare `.count()` lets Catalyst
-  * prune unreferenced projections and drop final sorts, under-measuring
-  * projection-heavy queries (round-1 verdict, "What's wrong" #2).
+  * Each query is consumed through `xxhash64(all columns)` + `bit_xor`
+  * so that every output column is materialized — a bare `.count()`
+  * lets Catalyst prune unreferenced projections and drop final sorts,
+  * under-measuring projection-heavy queries.
+  *
+  * Health counters exist because a sweep of 46 codegen'd queries can
+  * poison its own JVM (code-cache exhaustion → interpreted tail,
+  * block-store evictions → spill storms) in ways a bare seconds number
+  * cannot distinguish from a plan regression: BENCH_r03 measured 869 s
+  * for a sweep that reproduces at 78 s. Per query we record GC time,
+  * JIT compilation time, shuffle/agg spill bytes, CodeHeap occupancy,
+  * and block-store occupancy; any query >5x its previous-round time is
+  * re-run once, solo, at the end of the sweep in the same JVM, and both
+  * numbers land in the artifact.
   */
 object Bench {
+  private val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+  private def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
+  private val jitBean = ManagementFactory.getCompilationMXBean
+  private def jitMs: Long =
+    if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+      jitBean.getTotalCompilationTime
+    else -1L
+  private def codeHeapPools =
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+  private def codeHeapUsed: Long = codeHeapPools.map(_.getUsage.getUsed).sum
+  private def codeHeapMax: Long = codeHeapPools.map(_.getUsage.getMax).sum
+
+  private case class Health(gcMs: Long, jitMs: Long, spillMb: Long,
+                            codeHeapMb: Long, storeMb: Long) {
+    def json: String =
+      s"""{"gc_ms":$gcMs,"jit_ms":$jitMs,"spill_mb":$spillMb,""" +
+        s""""code_heap_mb":$codeHeapMb,"store_mb":$storeMb}"""
+  }
+
+  /** Previous-round per-query seconds, scraped from the newest
+    * BENCH_r*.json in the working directory. Raw text scan, not JSON
+    * parse: the driver's artifact wraps the bench line inside an sbt
+    * log tail. Query keys are qNN_* so the regex cannot collide with
+    * the other numeric fields.
+    */
+  private def priorTimes(): Map[String, Double] = {
+    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    files.lastOption.map { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      """"(q\d{2}[A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
+        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,32 +74,37 @@ object Bench {
     // A full sweep's whole-stage codegen overflows the default 240 MB
     // JIT code cache; the compiler then silently disables and
     // expression-heavy queries run interpreted ~10x slower (measured:
-    // q26 4-8 s with headroom vs 71-77 s without). Surface the
-    // misconfiguration instead of producing quietly-bimodal numbers.
-    locally {
-      import scala.jdk.CollectionConverters._
-      val reserved = java.lang.management.ManagementFactory
-        .getMemoryPoolMXBeans.asScala
-        .filter(_.getName.startsWith("CodeHeap"))
-        .map(_.getUsage.getMax).sum
-      if (reserved < 400L * 1024 * 1024)
-        System.err.println(s"[bench] WARNING: reserved JIT code cache " +
-          s"is ${reserved / 1024 / 1024} MB; a full query sweep " +
-          "overflows it and the tail runs interpreted — launch with " +
-          "-XX:ReservedCodeCacheSize=1g (build.sbt sets it for sbt runs)")
-    }
+    // q26 4-8 s with headroom vs 71-77 s without). build.sbt reserves
+    // 1 GB for sbt runs; surface the misconfiguration either way.
+    val reservedCode = codeHeapMax
+    if (reservedCode < 400L * 1024 * 1024)
+      System.err.println(s"[bench] WARNING: reserved JIT code cache " +
+        s"is ${reservedCode / 1024 / 1024} MB; a full query sweep " +
+        "overflows it and the tail runs interpreted — launch with " +
+        "-XX:ReservedCodeCacheSize=1g (build.sbt sets it for sbt runs)")
+
+    // Executor-side spill totals, accumulated across all tasks. The
+    // listener bus is async so a query's delta can lag by a beat; the
+    // counters are health diagnostics, not the timed measurement.
+    val spillBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    })
+
     // Absorb one-time session costs (executor spin-up, codegen compiler,
-    // parquet reader init) before the clock starts: whichever query runs
-    // first would otherwise be charged ~4-5 s of JVM warmup that is not
-    // query work. One tiny shuffle + one tiny parquet read cover both.
+    // parquet reader init) before the clock starts.
     spark.range(1000).groupBy((col("id") % 4).as("g"))
       .agg(expr("bit_xor(xxhash64(id))")).collect()
     Tables.table(spark, sfDir, "region").collect()
-    // Local-iteration subset: SPARK_GRAFT_ONLY=q28,q39 (driver never sets it)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
+
+    def run1(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Health) = {
+      val gc0 = gcMs; val jit0 = jitMs; val sp0 = spillBytes.get()
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -57,12 +113,45 @@ object Bench {
         df.select(xxhash64(df.columns.map(col): _*).as("h"))
           .agg(expr("bit_xor(h)")).collect()
       } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val storeMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+      (sec, Health(gcMs - gc0, jitMs - jit0, (spillBytes.get() - sp0) >> 20,
+        codeHeapUsed >> 20, storeMb))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Local-iteration subset: SPARK_GRAFT_ONLY=q28,q39 (driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) => name -> run1(name, fn) }
+
+    // Anomaly pass: any query >5x its previous-round time (and >5 s
+    // absolute) re-runs once, solo, same JVM. A real plan regression
+    // reproduces; environment poisoning (code cache, evictions, outside
+    // CPU contention) shows a solo time back in family.
+    val prior = priorTimes()
+    val reruns = results.collect {
+      case (name, (sec, _)) if sec > 5.0 &&
+          prior.get(name).exists(p => p > 0 && sec > 5 * p) =>
+        System.err.println(f"[bench] $name%s took $sec%.1f s vs " +
+          f"${prior(name)}%.1f s last round — re-running solo")
+        name -> run1(name, selected(name))
+    }
+
+    def qjson(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = qjson(results.map { case (k, (sec, _)) => k -> sec })
+    val rr = qjson(reruns.map { case (k, (sec, _)) => k -> sec })
+    val health = results.map { case (k, (_, h)) => "\"" + k + "\":" + h.json }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum
+    val jvm = s"""{"code_heap_max_mb":${reservedCode >> 20},""" +
+      s""""code_heap_used_mb":${codeHeapUsed >> 20},""" +
+      s""""code_cache_full":${codeHeapUsed > reservedCode * 9 / 10},""" +
+      s""""gc_total_ms":$gcMs,"jit_total_ms":$jitMs,""" +
+      s""""spill_total_mb":${spillBytes.get() >> 20}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""health":$health,"jvm":$jvm,"reruns":$rr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -628,6 +628,22 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // §2.2 integer-exact COUNTER diffs above 2^53: a synthetic 64-bit
+    // SNMP-style counter near Long.MaxValue (ulp of a double there is
+    // 2048, so a double lag-diff would be off by up to ~10^3). The
+    // integral path in Rates.withRate diffs in DECIMAL(20,0), mirroring
+    // the reference's ASCII integer diff (rrd_update.c:1466-1499); the
+    // jitter term forces both the 2^32-1 and 2^64-2^32 wrap corrections.
+    "q47_rate_bigcounter" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("cval",
+        lit(9223360000000000000L) + expr("ts_us div 1000") * lit(5L)
+          - (col("event_id") % 97) * lit(100000000L))
+      Rates.withRate(ev, Seq("user_id"), "ts_us", "event_id", "cval",
+          DsDef("v", Dst.Counter, heartbeatSec = 2592000L))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("rate"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // SimHash near-dup: signature bands (4-bit nibbles) bucket the
     // corpus; pairs sharing a band get exact hamming distance — the
     // same candidates-only shape as MinHash LSH, no all-pairs.
@@ -1158,6 +1174,36 @@ object SparkEntry {
         |WHERE (id1 >= 400 OR id2 >= 400) AND sig_agreement >= 0.25
         |ORDER BY id1, id2""".stripMargin,
 
+    // integer-exact counter: HUGEINT diff (DuckDB int128) == the Spark
+    // DECIMAL(20,0) path; both cast to double only for the final divide
+    "q47_rate_bigcounter" ->
+      """WITH c AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  9223360000000000000 + (epoch_us(ts) // 1000) * 5
+        |    - (event_id % 97) * 100000000 AS v
+        | FROM events),
+        |r AS (
+        | SELECT user_id, event_id, ts_us, v,
+        |  lag(v) OVER w AS pv, lag(ts_us) OVER w AS pt
+        | FROM c
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |d AS (
+        | SELECT user_id, event_id, ts_us, pt,
+        |  CASE WHEN CAST(v AS HUGEINT) - pv < 0
+        |       THEN CAST(v AS HUGEINT) - pv + 4294967295
+        |       ELSE CAST(v AS HUGEINT) - pv END AS d1
+        | FROM r),
+        |dd AS (
+        | SELECT user_id, event_id, ts_us, pt,
+        |  CASE WHEN d1 < 0 THEN d1 + 18446744069414584320 ELSE d1 END AS d2
+        | FROM d)
+        |SELECT user_id, event_id, ts_us,
+        | CASE WHEN pt IS NULL
+        |        OR CAST(ts_us - pt AS DOUBLE) / 1000000.0 > 2592000.0 THEN NULL
+        |      ELSE CAST(d2 AS DOUBLE) / (CAST(ts_us - pt AS DOUBLE) / 1000000.0)
+        | END AS rate
+        |FROM dd ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     "q26_shingle_jaccard" ->
       s"""$sqlLshCand,
         |jac AS (
@@ -1424,12 +1470,41 @@ object SparkEntry {
       |        i -> a.sa[i] = b.sa[i])) AS DOUBLE) / 16 AS sig_agreement
       | FROM bandc a JOIN bandc b ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Content identity of the events parquet backing a cached store:
+    * sorted (name, size, mtime) of every data file under
+    * `dir`/events.parquet. The driver regenerates testdata in place
+    * between rounds, so a marker keyed by directory name alone would
+    * silently serve rollups of the previous round's data. */
+  private def eventsFingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir, "events.parquet")
+    if (!java.nio.file.Files.exists(root)) return "missing"
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p))
+        files += s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    }
+    java.util.UUID.nameUUIDFromBytes(
+      files.sorted.mkString("\n").getBytes("UTF-8")).toString
+  }
+
   /** Build the q35/q36 store once per testdata dir (marker-gated; the
-    * path carries a version tag so semantics changes invalidate it). */
+    * path carries a version tag so semantics changes invalidate it, and
+    * the marker stores the source-data fingerprint so regenerated
+    * testdata forces a rebuild). */
   private def ensureStore(s: SparkSession, dir: String): String = {
     val name = new java.io.File(dir).getName
     val path = s"/tmp/graft_store_v3/$name"
     val marker = java.nio.file.Paths.get(path, "_built")
+    val fp = eventsFingerprint(dir)
+    val stale = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != fp
+    if (stale) {
+      // wipe the whole store dir: RrdStore.create refuses to overwrite
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
+    }
     if (!java.nio.file.Files.exists(marker)) {
       store.RrdStore.create(path, graft.model.RrdSchema(300L, T0,
         Seq(DsDef("v", Dst.Gauge, 7200L)),
@@ -1438,7 +1513,7 @@ object SparkEntry {
           graft.model.RraDef(graft.model.Cf.Max, 0.5, 12L, 400L))))
       store.RrdStore.update(s, path, Tables.events(s, dir), Seq("user_id"),
         "ts_us", "event_id", Map("v" -> "value"), rateScale = Some(2))
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
     }
     path
   }

@@ -42,14 +42,38 @@ object Rates {
     // realistic gap), division by 1e6 is one deterministic IEEE op.
     val interval = (col(tsUs) - prevT).cast("double") / lit(1e6)
 
+    // The reference diffs COUNTER/DERIVE as integer text precisely
+    // because doubles cannot hold 64-bit SNMP counters (last_ds kept as
+    // ASCII, rrd_format.h:299-315; string diff rrd_update.c:1466-1499).
+    // When the source column is integral we mirror that: lag-diff in
+    // DECIMAL(20,0) (wide enough for a full signed-64 span and the
+    // 2^64-2^32 wrap constant), convert to double only for the final
+    // divide — exactly where the reference goes (double)diff/interval.
+    val integralInput = df.schema(value).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
+
     val raw: Column = spec.dst match {
       case Dst.Gauge => v // value is already a rate (rrd_update.c:1516-1521)
       case Dst.Absolute => v / interval // rrd_update.c:1509-1515
+      case Dst.Counter if integralInput =>
+        val d0 = v.cast(dec) - prevV.cast(dec)
+        val d1 = when(d0 < 0, d0 + lit(BigDecimal("4294967295"))).otherwise(d0)
+        val d2 = when(d1 < 0,
+          d1 + lit(BigDecimal("18446744069414584320"))).otherwise(d1)
+        d2.cast("double") / interval
       case Dst.Counter => // unsigned diff with wrap fix (rrd_update.c:1487-1499)
         val d0 = v - prevV
         val d1 = when(d0 < 0, d0 + lit(Wrap32)).otherwise(d0)
         val d2 = when(d1 < 0, d1 + lit(Wrap64)).otherwise(d1)
         d2 / interval
+      case Dst.Derive if integralInput =>
+        (v.cast(dec) - prevV.cast(dec)).cast("double") / interval
       case Dst.Derive | Dst.DDerive => (v - prevV) / interval
       case Dst.DCounter => // direction-change reset (rrd_update.c:1534-1546)
         val reset = (v > 0 && prevV > v) || (v < 0 && v > prevV)
