@@ -644,6 +644,76 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // §2.3 PRINT/GPRINT formatted lines (print_calc,
+    // rrd_graph.c:1832-2113): printf numerics, %S SI autoscale with the
+    // magfact shared to the following line, and GPRINT strftime. The
+    // formatted STRINGS are the compared surface. VDEF scalars are
+    // bounded (one row per event_type) so the driver-side format loop
+    // mirrors the reference's gdes print list, not a data-sized collect.
+    "q48_print_gprint" -> ((s, dir) => {
+      import s.implicits._
+      val agg = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(max(col("value")).as("mx"), min(col("value")).as("mn"),
+          davg(col("value")).as("av"), dsum(col("value")).as("tot"),
+          max(col("ts_sec")).as("lts"))
+        .orderBy("event_type")
+        .collect()
+      agg.toSeq.flatMap { r =>
+        val et = r.getString(0)
+        val (mx, mn, av) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        val (tot, lts) = (r.getDouble(4), r.getLong(5))
+        val (l1, _) = query.Graphv.Print.format("max %10.4lf", mx)
+        val (l2, _) = query.Graphv.Print.format("avg %.4le", av)
+        val (l3, mf) = query.Graphv.Print.format("tot %.4lf %S", tot)
+        val (l4, _) = query.Graphv.Print.format("min %.4lf %S", mn, mf)
+        val l5 = "last " + query.Graphv.Print.strftime("%Y-%m-%d %H:%M:%S", lts)
+        Seq((et, 1L, l1), (et, 2L, l2), (et, 3L, l3), (et, 4L, l4),
+          (et, 5L, l5))
+      }.toDF("event_type", "line_no", "line")
+        .orderBy("event_type", "line_no")
+    }),
+
+    // §2.4 RPN stack ops (DUP/POP/EXC/DEPTH/COPY/INDEX/ROLL — resolved
+    // at compile time) and set ops (SORT/REV/AVG/MEDIAN/STDEV/SMIN/SMAX/
+    // PERCENT — NaN-skipping / NaN-first-sort semantics,
+    // rrd_rpncalc.c:837-1446) as one CDEF pass over the typed grid.
+    "q49_rpn_stackset" -> ((s, dir) => {
+      query.Cdef.compiled(typedGrid(s, dir), Seq("event_type"), "ts",
+          Seq("v"), ListMap(
+            "sq" -> "v,DUP,*",
+            "swp" -> "v,100,EXC,-",
+            "cpy" -> "v,1,2,COPY,+,+,+",
+            "idx" -> "v,50,2,INDEX,+,+",
+            "rol" -> "10,20,v,3,1,ROLL,-,-",
+            "dep" -> "v,100,DEPTH,+,+",
+            "med3" -> "v,2,/,v,90,3,SORT,3,REV,3,MEDIAN",
+            "avg3" -> "v,2,/,v,90,3,AVG",
+            "std3" -> "v,2,/,v,90,3,STDEV",
+            "smin3" -> "v,2,/,v,90,3,SMIN",
+            "smax3" -> "v,2,/,v,90,3,SMAX",
+            "pct95" -> "v,2,/,v,90,95,3,PERCENT"), 3600L)
+        .select("event_type", "ts", "sq", "swp", "cpy", "idx", "rol",
+          "dep", "med3", "avg3", "std3", "smin3", "smax3", "pct95")
+        .orderBy("event_type", "ts")
+    }),
+
+    // §2.1 dump → restore → fetch round trip (rrd_dump.c / rrd_restore.c
+    // as distributed JSON-lines jobs): the restored store must fetch
+    // exactly what the original would — the oracle is q35's.
+    "q50_dump_restore_fetch" -> ((s, dir) => {
+      val path = ensureStore(s, dir)
+      val name = new java.io.File(dir).getName
+      val dumpDir = s"/tmp/graft_dump_rt/$name"
+      val restDir = s"/tmp/graft_dump_rt/${name}_restored"
+      rmTree(dumpDir); rmTree(restDir) // prove the CURRENT store survives
+      store.Dump.dump(s, path, dumpDir)
+      store.Dump.restore(s, dumpDir, restDir)
+      store.RrdStore.fetch(s, restDir, graft.model.Cf.Average, "v",
+          Seq("user_id"), T0, T1, 300L)
+        .orderBy("user_id", "ts")
+    }),
+
     // SimHash near-dup: signature bands (4-bit nibbles) bucket the
     // corpus; pairs sharing a band get exact hamming distance — the
     // same candidates-only shape as MinHash LSH, no all-pairs.
@@ -1121,6 +1191,14 @@ object SparkEntry {
          |LEFT JOIN kept k ON k.user_id = u.user_id AND k.cdp_ts = g.ts
          |ORDER BY 1, 2""".stripMargin),
 
+    // round trip is lossless: the restored store fetches exactly q35
+    "q50_dump_restore_fetch" -> (sqlPdpSeeded + sqlStoreCdp("AVERAGE") +
+      s"""SELECT u.user_id AS user_id, g.ts AS ts, k.cdp AS v
+         |FROM (SELECT DISTINCT user_id FROM kept) u
+         |CROSS JOIN generate_series(${T0 + 3600}, $T1, 3600) AS g(ts)
+         |LEFT JOIN kept k ON k.user_id = u.user_id AND k.cdp_ts = g.ts
+         |ORDER BY 1, 2""".stripMargin),
+
     "q36_store_retention" -> (sqlPdpSeeded + sqlStoreCdp("MAX") +
       s"""SELECT u.user_id AS user_id, g.ts AS ts, k.cdp AS v
          |FROM (SELECT DISTINCT user_id FROM kept) u
@@ -1203,6 +1281,77 @@ object SparkEntry {
         |      ELSE CAST(d2 AS DOUBLE) / (CAST(ts_us - pt AS DOUBLE) / 1000000.0)
         | END AS rate
         |FROM dd ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // PRINT/GPRINT: the oracle rebuilds the formatted strings with
+    // DuckDB printf. magfact = 1000^sindex via explicit magnitude CASE
+    // (identical to auto_scale's floor(log1000) on non-boundary values);
+    // %S shares tot's magfact with the min line. make_timestamp keeps
+    // strftime timezone-independent (naive µs timestamp).
+    "q48_print_gprint" ->
+      """WITH a AS (
+        | SELECT event_type,
+        |  MAX(value) AS mx, MIN(value) AS mn,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+        |    / COUNT(value) AS av,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+        |    AS tot,
+        |  MAX(epoch_us(ts) // 1000000) AS lts
+        | FROM events GROUP BY 1),
+        |m AS (
+        | SELECT a.*,
+        |  CASE WHEN ABS(tot) < 1000.0 THEN 1.0
+        |       WHEN ABS(tot) < 1000000.0 THEN 1000.0
+        |       WHEN ABS(tot) < 1000000000.0 THEN 1000000.0
+        |       ELSE 1000000000.0 END AS magfact,
+        |  CASE WHEN ABS(tot) < 1000.0 THEN ' '
+        |       WHEN ABS(tot) < 1000000.0 THEN 'k'
+        |       WHEN ABS(tot) < 1000000000.0 THEN 'M'
+        |       ELSE 'G' END AS sym
+        | FROM a),
+        |lines AS (
+        | SELECT event_type, 1 AS line_no, printf('max %10.4f', mx) AS line
+        |  FROM m
+        | UNION ALL
+        | SELECT event_type, 2, printf('avg %.4e', av) FROM m
+        | UNION ALL
+        | SELECT event_type, 3, printf('tot %.4f %s', tot / magfact, sym)
+        |  FROM m
+        | UNION ALL
+        | SELECT event_type, 4, printf('min %.4f %s', mn / magfact, sym)
+        |  FROM m
+        | UNION ALL
+        | SELECT event_type, 5,
+        |  'last ' || strftime(make_timestamp(lts * 1000000),
+        |                      '%Y-%m-%d %H:%M:%S')
+        |  FROM m)
+        |SELECT event_type, CAST(line_no AS BIGINT) AS line_no, line
+        |FROM lines ORDER BY event_type, line_no""".stripMargin,
+
+    // stack ops resolve at compile time to plain arithmetic (grouping
+    // mirrors the pop order exactly — FP addition is commutative but not
+    // associative); set ops are element picks / NaN-skipping folds in
+    // the compiler's exact operand order.
+    "q49_rpn_stackset" ->
+      s"""$sqlTypedGrid
+        |SELECT event_type, ts,
+        | v * v AS sq,
+        | 100.0 - v AS swp,
+        | v + (1.0 + (v + 1.0)) AS cpy,
+        | v + (50.0 + v) AS idx,
+        | v - (10.0 - 20.0) AS rol,
+        | v + 102.0 AS dep,
+        | CASE WHEN v IS NULL THEN 90.0 WHEN v <= 90.0 THEN v
+        |      WHEN v/2 <= 90.0 THEN 90.0 ELSE v/2 END AS med3,
+        | CASE WHEN v IS NULL THEN 90.0
+        |      ELSE ((90.0 + v) + v/2) / 3.0 END AS avg3,
+        | CASE WHEN v IS NULL THEN NULL
+        |      ELSE SQRT((((8100.0 + v*v) + (v/2)*(v/2))
+        |        - (((90.0 + v) + v/2) * ((90.0 + v) + v/2)) / 3.0) / 2.0)
+        |      END AS std3,
+        | LEAST(90.0, v, v/2) AS smin3,
+        | GREATEST(90.0, v, v/2) AS smax3,
+        | CASE WHEN v IS NULL THEN 90.0 ELSE GREATEST(v, 90.0) END AS pct95
+        |FROM j ORDER BY event_type, ts""".stripMargin,
 
     "q26_shingle_jaccard" ->
       s"""$sqlLshCand,
@@ -1470,6 +1619,15 @@ object SparkEntry {
       |        i -> a.sa[i] = b.sa[i])) AS DOUBLE) / 16 AS sig_agreement
       | FROM bandc a JOIN bandc b ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
+  private def rmTree(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
+    }
+  }
+
   /** Content identity of the events parquet backing a cached store:
     * sorted (name, size, mtime) of every data file under
     * `dir`/events.parquet. The driver regenerates testdata in place
@@ -1499,12 +1657,8 @@ object SparkEntry {
     val fp = eventsFingerprint(dir)
     val stale = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != fp
-    if (stale) {
-      // wipe the whole store dir: RrdStore.create refuses to overwrite
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
-        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
-    }
+    // wipe the whole store dir when stale: create refuses to overwrite
+    if (stale) rmTree(path)
     if (!java.nio.file.Files.exists(marker)) {
       store.RrdStore.create(path, graft.model.RrdSchema(300L, T0,
         Seq(DsDef("v", Dst.Gauge, 7200L)),
