@@ -338,13 +338,35 @@ object Dedup {
     val banded = df.select(col(id).as("doc_id"), col(sig).as("sig"),
         explode(array(bandExprs: _*)).as("band"))
     val capped = capBands(banded, "band", maxBand)
-    val a = capped.select(col("band"), col("doc_id").as("id1"),
-      col("sig").as("sig1"))
+    // A pair sharing k surviving bands surfaces k times from the join.
+    // Dedup per-row instead of with a distinct(): keep a pair only at
+    // its FIRST surviving shared band, decided from the already-joined
+    // signatures plus a per-doc bitmask of cap-surviving band indexes.
+    // The distinct was a second full shuffle of the CANDIDATE set, and
+    // at scale candidates dwarf the banded rows; the mask costs one
+    // extra doc-keyed window over banded rows instead. Survival is a
+    // band-KEY property, so when the slices agree at index b the two
+    // docs share that key and id1's mask bit alone decides it.
+    val bandIdx = split(col("band"), lit(":")).getItem(0).cast("int")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val masked = capped.withColumn("__mask",
+      sum(pow(lit(2.0), bandIdx.cast("double")).cast("long")).over(wDoc))
+    val a = masked.select(col("band"), col("doc_id").as("id1"),
+      col("sig").as("sig1"), col("__mask").as("mask1"))
     val b = capped.select(col("band"), col("doc_id").as("id2"),
       col("sig").as("sig2"))
+    def slice(s: Column, b: Int) =
+      shiftright(s, b * w).bitwiseAND(lit((1L << w) - 1))
+    val firstShared = (0 until bands).foldRight(lit(bands): Column) {
+      (i, rest) =>
+        val agree = slice(col("sig1"), i) === slice(col("sig2"), i)
+        val survived = col("mask1").bitwiseAND(lit(1L << i)) =!= lit(0L)
+        when(agree && survived, lit(i)).otherwise(rest)
+    }
     a.join(b, Seq("band")).where(col("id1") < col("id2"))
+      .where(bandIdx === firstShared)
       .select(col("id1"), col("id2"), col("sig1"), col("sig2"),
         hamming(col("sig1"), col("sig2")).cast("int").as("hamming"))
-      .distinct()
   }
 }
