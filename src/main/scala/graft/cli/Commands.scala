@@ -190,7 +190,7 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     val union = schema.rras.indices
       .filter(i => java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$path/rra$i")))
-      .map(i => spark.read.parquet(s"$path/rra$i")
+      .map(i => RrdStore.readRra(spark, s"$path/rra$i")
         .withColumn("rra", lit(i)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val dsCols = schema.ds.map(_.name).filter(union.columns.contains)
@@ -251,7 +251,7 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
   def lastupdate(path: String): DataFrame = {
     val schema = RrdStore.readSchema(path)
     val finest = schema.rras.indices.minBy(schema.rras(_).pdpCnt)
-    val t = spark.read.parquet(s"$path/rra$finest")
+    val t = RrdStore.readRra(spark, s"$path/rra$finest")
     t.orderBy(col("ts").desc).limit(1)
   }
 

@@ -28,7 +28,9 @@ object Dump {
     def copyTable(rel: String): Unit = {
       val p = Paths.get(storePath, rel)
       if (Files.exists(p)) {
-        val df = spark.read.parquet(p.toString)
+        // readRra strips the physical partition column: a dump carries
+        // the logical schema only (restore re-derives layout on merge)
+        val df = RrdStore.readRra(spark, p.toString)
         df.write.mode("overwrite").json(s"$outPath/$rel")
         // JSON omits null fields and an empty RRA has no rows to infer
         // from — record the exact table schema so restore never guesses
@@ -94,7 +96,7 @@ object Dump {
   def info(spark: SparkSession, storePath: String): Seq[(String, String)] = {
     val schema = RrdStore.readSchema(storePath)
     val finest = schema.rras.indices.minBy(i => schema.rras(i).pdpCnt)
-    val lastUp = spark.read.parquet(s"$storePath/rra$finest")
+    val lastUp = RrdStore.readRra(spark, s"$storePath/rra$finest")
       .agg(max("ts")).first().getLong(0)
     Seq("step" -> schema.stepSec.toString,
       "last_update" -> lastUp.toString) ++

@@ -136,7 +136,7 @@ object Modify {
       case _ => max_by(col(d), when(col(d).isNotNull, col("ts")))
     }).as(s"__c_$d")
     val keys = candidates.map { case (_, i) =>
-      spark.read.parquet(s"$path/rra$i").select(series.map(col): _*) }
+      RrdStore.readRra(spark, s"$path/rra$i").select(series.map(col): _*) }
       .reduce(_.unionByName(_)).distinct()
     var frame = graft.query.Fetch.grid(spark, loTs, hiTs, step)
       .crossJoin(keys)
@@ -148,7 +148,7 @@ object Modify {
       // newest slot — the reference can only read what the ring holds,
       // while append storage may retain more
       val w = Window.partitionBy(series.map(col): _*)
-      val src = spark.read.parquet(s"$path/rra$i")
+      val src = RrdStore.readRra(spark, s"$path/rra$i")
         .withColumn("__last", max(col("ts")).over(w))
         .where(col("ts") > col("__last") - lit(o.rowCnt * c))
       val contrib = src
@@ -279,8 +279,10 @@ object Modify {
   private def rewrite(spark: SparkSession, p: String)(
       f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
     // single write + atomic directory swap (the round-2 version wrote the
-    // data twice and could crash between overwrites with no full copy)
-    RrdStore.writeSwap(f(spark.read.parquet(p)), p)
+    // data twice and could crash between overwrites with no full copy);
+    // readRra strips the appendBatch partition column, so a modify
+    // degrades the layout to flat and the next merge re-partitions
+    RrdStore.writeSwap(f(RrdStore.readRra(spark, p)), p)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p))

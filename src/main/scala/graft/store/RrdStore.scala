@@ -282,6 +282,27 @@ object RrdStore extends Serializable {
     swapInto(tmp, target)
   }
 
+  /** Slots per time-bucket partition of an appendBatch-maintained RRA
+    * table (`__tb = ts div (rraStep * BucketSlots)`). 512 slots keeps a
+    * partition a few parquet row groups wide at typical series counts
+    * while a steady append stream touches only the newest bucket. */
+  private[store] val BucketSlots = 512L
+
+  /** Read an RRA table regardless of physical layout: flat (bulk
+    * update/modify/restore writers) or `__tb=`-partitioned (appendBatch's
+    * merge target). The partition column is derived from `ts` and never
+    * part of the logical schema. */
+  def readRra(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(dir)
+    if (df.columns.contains("__tb")) df.drop("__tb") else df
+  }
+
+  private def writeSwapPartitioned(df: DataFrame, target: String): Unit = {
+    val tmp = target + ".next"
+    df.write.mode("overwrite").partitionBy("__tb").parquet(tmp)
+    swapInto(tmp, target)
+  }
+
   /** Incremental micro-batch ingest — the streaming write path (the
     * reference's strictly-ordered `rrd_update` append; rrdcached's role
     * of write-behind batching is played by the caller's micro-batches).
@@ -358,16 +379,52 @@ object RrdStore extends Serializable {
       .agg((expr(s"(max($tsUs) div 1000000) div ${schema.stepSec}") *
         schema.stepSec).as("__closed"))
 
+    // Merge fresh rollup rows into rra<idx>, touching only the coarse
+    // ts-bucket partitions the batch lands in. A steady append stream
+    // writes the newest bucket and leaves the rest of the table's files
+    // alone — the previous version rewrote the WHOLE table per
+    // micro-batch, the one write-path scale-killer at 100 TB. A legacy
+    // flat table migrates to the partitioned layout on its first merge
+    // (one full rewrite, same cost as the old path).
     def mergeInto(freshRows: DataFrame, idx: Int): Unit = {
       val target = s"$path/rra$idx"
-      if (Files.exists(Paths.get(target))) {
+      val span = schema.stepSec * schema.rras(idx).pdpCnt * BucketSlots
+      val fresh = freshRows.withColumn("__tb", expr(s"ts div $span"))
+      if (!Files.exists(Paths.get(target))) {
+        fresh.write.mode("overwrite").partitionBy("__tb").parquet(target)
+      } else {
         val existing = spark.read.parquet(target)
-        val merged = existing
-          .join(freshRows.select((series :+ "ts").map(col): _*),
-            series :+ "ts", "left_anti")
-          .unionByName(freshRows)
-        writeSwap(merged, target)
-      } else freshRows.write.mode("overwrite").parquet(target)
+        if (existing.columns.contains("__tb")) {
+          // buckets the batch touches: bounded by batch-span/span + 1
+          // per horizon replay — a tiny driver-side list
+          val touched = fresh.select(col("__tb").cast("long"))
+            .distinct().collect().map(_.getLong(0))
+          val exTouched = existing
+            .where(col("__tb").cast("long").isin(touched: _*))
+            .drop("__tb").withColumn("__tb", expr(s"ts div $span"))
+          val merged = exTouched
+            .join(fresh.select((series :+ "ts").map(col): _*),
+              series :+ "ts", "left_anti")
+            .unionByName(fresh)
+          // stage the touched partitions, then swap ONLY their dirs
+          val tmp = target + ".next"
+          merged.write.mode("overwrite").partitionBy("__tb").parquet(tmp)
+          touched.foreach { b =>
+            val src = Paths.get(tmp, s"__tb=$b")
+            val dst = Paths.get(target, s"__tb=$b")
+            deleteRecursively(dst)
+            if (Files.exists(src)) Files.move(src, dst)
+          }
+          deleteRecursively(Paths.get(tmp))
+        } else {
+          val merged = existing
+            .join(fresh.select((series :+ "ts").map(col): _*),
+              series :+ "ts", "left_anti")
+            .withColumn("__tb", expr(s"ts div $span"))
+            .unionByName(fresh)
+          writeSwapPartitioned(merged, target)
+        }
+      }
     }
 
     val hwFamily: Map[Cf, String] = Map(
@@ -514,7 +571,7 @@ object RrdStore extends Serializable {
     schema.rras.zipWithIndex.foreach { case (rra, i) =>
       val p = s"$path/rra$i"
       if (Files.exists(Paths.get(p)))
-        writeSwap(retained(spark.read.parquet(p), series, rra,
+        writeSwap(retained(readRra(spark, p), series, rra,
           schema.stepSec), p)
     }
   }
@@ -537,7 +594,7 @@ object RrdStore extends Serializable {
     val schema = readSchema(path)
     val union = schema.rras.indices
       .filter(i => Files.exists(Paths.get(s"$path/rra$i")))
-      .map(i => spark.read.parquet(s"$path/rra$i")
+      .map(i => readRra(spark, s"$path/rra$i")
         .withColumn("rra", lit(i)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val dsCols = schema.ds.map(_.name).filter(union.columns.contains)
@@ -778,7 +835,7 @@ object RrdStore extends Serializable {
     } else {
       val finest = schema.rras.indices.minBy(schema.rras(_).pdpCnt)
       if (Files.exists(Paths.get(s"$path/rra$finest"))) {
-        val r = spark.read.parquet(s"$path/rra$finest")
+        val r = readRra(spark, s"$path/rra$finest")
           .agg(max("ts")).first()
         if (r.isNullAt(0)) schema.startSec else r.getLong(0)
       } else schema.startSec
@@ -826,7 +883,7 @@ object RrdStore extends Serializable {
     // the right read
     def rraOrEmpty(i: Int): DataFrame =
       if (Files.exists(Paths.get(s"$path/rra$i")))
-        spark.read.parquet(s"$path/rra$i")
+        readRra(spark, s"$path/rra$i")
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(

@@ -52,7 +52,7 @@ object RrdXml {
           .agg(max("ts_us")).first().getLong(0) / 1000000L
       else {
         val finest = schema.rras.indices.minBy(schema.rras(_).pdpCnt)
-        spark.read.parquet(s"$storePath/rra$finest")
+        RrdStore.readRra(spark, s"$storePath/rra$finest")
           .agg(max("ts")).first().getLong(0)
       }
     }
@@ -133,7 +133,7 @@ object RrdXml {
       val values: Map[Long, Row] = {
         val p = s"$storePath/rra$i"
         if (Files.exists(Paths.get(p))) {
-          val df = spark.read.parquet(p)
+          val df = RrdStore.readRra(spark, p)
           df.where(col("ts") > base - rra.rowCnt * rraStep &&
               col("ts") <= base)
             .select((Seq("ts") ++ schema.ds.map(_.name)).map(col): _*)

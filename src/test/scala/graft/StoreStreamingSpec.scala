@@ -148,6 +148,46 @@ class StoreStreamingSpec extends SparkSuite {
       org.apache.spark.sql.functions.col("v") =!= 0.0).count() == 0)
   }
 
+  test("appendBatch rewrites only the partitions the batch touches") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ab").toString
+    RrdStore.create(path, RrdSchema(10L, 0L,
+      Seq(DsDef("v", Dst.Gauge, 3600L)),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 100000L))))
+    // bucket span = step 10s * pdpCnt 1 * 512 slots = 5120 s; 1200
+    // samples at 10 s cover ts 10..12000 -> partitions __tb=0,1,2
+    val b1 = (0 to 1200).map(i => ("s1", i * 10000000L, i.toLong, 5.0))
+      .toDF("k", "ts_us", "id", "v")
+    RrdStore.appendBatch(spark, path, b1, Seq("k"), "ts_us", "id",
+      Map("v" -> "v"), rateScale = Some(2))
+    val rraDir = java.nio.file.Paths.get(s"$path/rra0")
+    def files(tb: Long): Map[String, Long] = {
+      val d = rraDir.resolve(s"__tb=$tb")
+      assert(java.nio.file.Files.isDirectory(d), s"missing __tb=$tb")
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.list(d).forEach(p => out +=
+        p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      out.toMap
+    }
+    val old0 = files(0); val old1 = files(1)
+    // one new sample in the newest bucket (ts 12010 -> __tb=2)
+    val b2 = Seq(("s1", 12010000000L, 9999L, 7.0))
+      .toDF("k", "ts_us", "id", "v")
+    RrdStore.appendBatch(spark, path, b2, Seq("k"), "ts_us", "id",
+      Map("v" -> "v"), rateScale = Some(2))
+    // buckets 0 and 1: same files, byte-for-byte untouched
+    assert(files(0) == old0, "partition __tb=0 was rewritten")
+    assert(files(1) == old1, "partition __tb=1 was rewritten")
+    // the merged table still answers a full-range fetch
+    val f = RrdStore.fetch(spark, path, Cf.Average, "v", Seq("k"),
+      0L, 12020L, 10L)
+    assert(f.count() == 1202)
+    val atNew = f.where(org.apache.spark.sql.functions.col("ts") === 12010L)
+      .select("v").as[Option[Double]].collect()
+    assert(atNew.toSeq == Seq(Some(7.0)))
+  }
+
   test("streaming monotonic gate rejects t <= last_up across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
