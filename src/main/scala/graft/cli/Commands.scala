@@ -77,7 +77,14 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     import spark.implicits._
     // --daemon <host:port>: forward over the line protocol instead of
     // ingesting locally (rrd_tool.c:275-307 remote mode; rrdc_update)
-    val (daemon, args) = splitDaemon(args0)
+    val (daemon, args1) = splitDaemon(args0)
+    // --skip-past-updates (rrd_update.c:675-789): silently skip
+    // non-advancing samples instead of erroring; the in-order remainder
+    // still ingests
+    val skipPast = args1.contains("--skip-past-updates") ||
+      args1.contains("-s")
+    val args = args1.filterNot(a =>
+      a == "--skip-past-updates" || a == "-s")
     daemon match {
       case Some(c) =>
         try {
@@ -86,12 +93,24 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
         } finally c.close()
       case None =>
         val schema = RrdStore.readSchema(path)
-        val rows = args.map { a =>
+        // the reference's per-arg gate (rrd_update.c:1416-1423): each
+        // sample must advance last_up (µs-strict), processed in command
+        // order; without the flag a stale sample is an error
+        var lastUs = RrdStore.lastUpdateSec(spark, path) * 1000000L
+        val rows = args.flatMap { a =>
           val u = graft.ingest.UpdateParser.parse(a, schema, template,
             nowSec)
-          (defaultKey.head.toString, u.tsUs,
-            schema.ds.map(d => u.values(d.name)))
+          if (u.tsUs > lastUs) {
+            lastUs = u.tsUs
+            Some((defaultKey.head.toString, u.tsUs,
+              schema.ds.map(d => u.values(d.name))))
+          } else if (skipPast) None
+          else throw new IllegalArgumentException(
+            s"illegal attempt to update using time ${u.tsUs / 1000000} " +
+              s"when last update time is ${lastUs / 1000000} " +
+              "(minimum one second step)")
         }
+        if (rows.isEmpty) return
         val withVs = schema.ds.zipWithIndex.foldLeft(
           rows.map { case (k, ts, vs) =>
             (k, ts, vs.map(_.map(Double.box).orNull))
@@ -112,6 +131,7 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     args.indexOf("--daemon") match {
       case -1 => (None, args)
       case i =>
+        require(i + 1 < args.length, "--daemon needs <host:port>")
         val addr = args(i + 1)
         val (host, port) = addr.lastIndexOf(':') match {
           case -1 => (addr, 42217) // the reference's default port
@@ -134,10 +154,16 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     val start0 = opts.get("start").map(at).getOrElse(end0 - 86400)
     daemon match {
       case Some(c) =>
-        // served remotely (rrdc_fetch): parse the payload frame back
-        // into the local fetch shape (series col + ts + one DS column)
+        // served remotely (rrdc_fetch): the reference aligns start/end
+        // BEFORE calling rrdc_fetch (rrd_fetch.c:169-200), so
+        // --align-start shifts the window here too. --resolution cannot
+        // travel over the wire (rrdcached FETCH has no resolution
+        // field) but still drives the alignment delta, like the CLI.
+        val resR = opts.get("resolution").map(_.toLong).getOrElse(1L)
+        val deltaR =
+          if (alignStart) java.lang.Math.floorMod(start0, resR) else 0L
         val reply = try {
-          val r = c.fetch(path, cf, start0, end0)
+          val r = c.fetch(path, cf, start0 - deltaR, end0 - deltaR)
           require(!r.isError, s"daemon FETCH failed: ${r.text}")
           r
         } finally c.close()
@@ -200,12 +226,17 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
   }
 
   /** xport/graphv data outputs via [[GraphScript]]. */
-  def graphv(args: Seq[String]): GraphScript.Result = {
+  def graphv(args0: Seq[String]): GraphScript.Result = {
+    // valueless flag stripped before parseOpts (like --align-start):
+    // -o/--logarithmic switches the value axis to log scale, which
+    // clips non-positive painted values from the range
+    val logarithmic = args0.contains("--logarithmic") || args0.contains("-o")
+    val args = args0.filterNot(a => a == "--logarithmic" || a == "-o")
     val (opts, stmts) = parseOpts(args)
     val end = opts.get("end").map(at).getOrElse(nowSec)
     val start = opts.get("start").map(at).getOrElse(end - 86400)
     GraphScript.run(spark, GraphScript.parse(stmts), start, end,
-      series, defaultKey)
+      series, defaultKey, logarithmic = logarithmic)
   }
 
   /** xport: the tabular frame of an XPORT script (rrd_xport.c) —

@@ -156,7 +156,8 @@ object GraphScript {
 
   def run(spark: SparkSession, stmts: Seq[Stmt], startSec: Long,
       endSec: Long, series: Seq[String] = Nil, seriesKey: Seq[Any] = Nil,
-      xsize: Int = 400, timeZone: String = "UTC"): Result = {
+      xsize: Int = 400, timeZone: String = "UTC",
+      logarithmic: Boolean = false): Result = {
     val plan = new GraphPlan(spark, startSec, endSec, timeZone)
     var prints = Vector.empty[String]
     var magfact = -1.0
@@ -250,7 +251,7 @@ object GraphScript {
         val (s0, e0) = Fetch.align(startSec, endSec, step)
         val (_, mn, mx) = Graphv.dataProc(spark, frame, "ts",
           elements.zipWithIndex.map { case ((n, e), i) => s"p$i" -> e },
-          s0, e0, step, xsize)
+          s0, e0, step, xsize, logarithmic)
         (mn, mx)
       }
     Result(prints,

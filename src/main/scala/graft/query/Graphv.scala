@@ -52,7 +52,8 @@ object Graphv {
     */
   def dataProc(spark: SparkSession, frame: DataFrame, ts: String,
       elements: Seq[(String, Element)], startSec: Long, endSec: Long,
-      stepSec: Long, xsize: Int): (DataFrame, Option[Double], Option[Double]) = {
+      stepSec: Long, xsize: Int,
+      logarithmic: Boolean = false): (DataFrame, Option[Double], Option[Double]) = {
     val pixstep = (endSec - startSec).toDouble / xsize
     val px = spark.range(xsize).select(col("id").as("px"),
       (lit(startSec) + (lit(pixstep) * col("id")).cast("long")).as("gr_time"))
@@ -81,17 +82,34 @@ object Graphv {
     }
     if (ranged.isEmpty) (out, None, None)
     else {
-      val fin: String => Column = n =>
+      val finMax: String => Column = n =>
         when(abs(col(n)) =!= lit(Double.PositiveInfinity), col(n))
+      // log scale: non-positive painted values cannot appear on the
+      // axis, so they are excluded from the MINIMUM (the maximum still
+      // sees them — rrd_graph.c:1444-1449)
+      val finMin: String => Column = n =>
+        if (logarithmic) when(abs(col(n)) =!= lit(Double.PositiveInfinity)
+          && col(n) > 0.0, col(n))
+        else finMax(n)
       // least/greatest require arity >= 2 (single-element graphs are
       // common: tests/graph2 is one AREA)
       def fold(cs: Seq[Column], f: Seq[Column] => Column): Column =
         if (cs.size == 1) cs.head else f(cs)
       val row = out.agg(
-        fold(ranged.map(n => min(fin(n))), least(_: _*)).as("mn"),
-        fold(ranged.map(n => max(fin(n))), greatest(_: _*)).as("mx")).first()
-      (out, Option(row.get(0)).map(_.asInstanceOf[Double]),
-        Option(row.get(1)).map(_.asInstanceOf[Double]))
+        fold(ranged.map(n => min(finMin(n))), least(_: _*)).as("mn"),
+        fold(ranged.map(n => max(finMax(n))), greatest(_: _*)).as("mx"))
+        .first()
+      var mn = Option(row.get(0)).map(_.asInstanceOf[Double])
+      var mx = Option(row.get(1)).map(_.asInstanceOf[Double])
+      if (logarithmic) {
+        // no usable data on a log axis -> dummy range; a min at or
+        // below zero collapses to way under max (rrd_graph.c:1470-1478)
+        if (mn.isEmpty || mx.isEmpty || mx.exists(_ <= 0.0)) {
+          mn = Some(0.0); mx = Some(5.1)
+        }
+        if (mn.exists(_ <= 0.0)) mn = Some(mx.get / 10e8)
+      }
+      (out, mn, mx)
     }
   }
 

@@ -45,6 +45,10 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
   // (rrd_list.c lists every subdirectory)
   private val spoolDir = journalDir.map(Paths.get(_)).getOrElse {
     val r = Paths.get(root).toAbsolutePath.normalize
+    // a filesystem root has no file name to derive a sibling from —
+    // require an explicit journal path instead of NPEing on getFileName
+    require(r.getFileName != null,
+      s"store root '$root' has no parent; pass journalDir explicitly")
     r.resolveSibling(s"${r.getFileName}.journal")
   }
   private val updatesReceived = new AtomicLong
@@ -95,20 +99,42 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
       case "FLUSH" =>
         flushesReceived.incrementAndGet()
         Response(0, s"Nothing to flush: ${cmd.path}.")
+      case "FLUSHALL" =>
+        // rrd_daemon.c:1530-1540: trigger writing of ALL pending
+        // updates, return immediately. Journaled spool files are the
+        // pending set; the streaming query drains them on its own
+        // cadence, so the trigger is (like FLUSH) already satisfied.
+        flushesReceived.incrementAndGet()
+        Response(0, "Started flush.")
+      case "WROTE" =>
+        // journal-replay marker (rrd_daemon.c:2277-2300, context
+        // JOURNAL): "this file's accumulated values were flushed before
+        // the crash — discard them during replay". Our replay is the
+        // streaming checkpoint: consumed spool files are deleted
+        // (cleanSource=delete), so the discard has already happened by
+        // construction; acknowledge for replay-stream compatibility.
+        Response(0, s"Nothing to discard: ${cmd.path} (checkpointed)")
       case "PENDING" => Response(0, s"updates pending")
       case "FORGET" => Response(0, s"Gone!")
       case "QUEUE" =>
         // rrd_daemon.c's QUEUE: one "<pending-updates> <path>" line per
         // queued file; here the queue is the journal, one file per
-        // spooled UPDATE command
+        // spooled UPDATE command. The streaming source consumes/deletes
+        // spool files concurrently, so a file listed a moment ago may be
+        // gone by the read — skip it (it is no longer queued) instead of
+        // failing the whole reply; sort for a deterministic payload.
         val counts =
           if (Files.exists(spoolDir))
             scala.jdk.CollectionConverters.IteratorHasAsScala(
               Files.list(spoolDir).iterator).asScala
               .filter(_.toString.endsWith(".cmds"))
-              .map(f => LineProtocol.parse(new String(
-                Files.readAllBytes(f), StandardCharsets.UTF_8).trim).path)
-              .toSeq.groupBy(identity).view.mapValues(_.size).toSeq
+              .flatMap { f =>
+                try Some(LineProtocol.parse(new String(
+                  Files.readAllBytes(f), StandardCharsets.UTF_8).trim).path)
+                catch { case _: Exception => None }
+              }
+              .toSeq.groupBy(identity).view.mapValues(_.size)
+              .toSeq.sortBy(_._1)
           else Seq.empty
         Response(counts.size, "in queue",
           counts.map { case (p, n) => s"$n $p" })
@@ -119,9 +145,9 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
         Response(0, s"${cmd.verb} acknowledged")
       case "HELP" =>
         val verbs = Seq("UPDATE", "FETCH", "FETCHBIN", "CREATE", "TUNE",
-          "INFO", "FIRST", "LAST", "FLUSH", "PENDING", "FORGET", "QUEUE",
-          "LIST", "STATS", "BATCH", "SUSPEND", "RESUME", "SUSPENDALL",
-          "RESUMEALL", "HELP", "QUIT")
+          "INFO", "FIRST", "LAST", "FLUSH", "FLUSHALL", "WROTE", "PENDING",
+          "FORGET", "QUEUE", "LIST", "STATS", "BATCH", "SUSPEND", "RESUME",
+          "SUSPENDALL", "RESUMEALL", "HELP", "QUIT")
         Response(verbs.size, "Command overview", verbs)
       case "FIRST" =>
         val idx = cmd.args.headOption.map(_.toInt).getOrElse(0)

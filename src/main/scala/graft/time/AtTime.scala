@@ -36,8 +36,8 @@ object AtTime {
     case "w" | "wk" | "week" | "weeks" => Some("w")
     case "mon" | "month" | "months" => Some("mon")
     case "y" | "yr" | "year" | "years" => Some("y")
-    // bare m: minutes for time offsets (the reference disambiguates by
-    // context, rrd_parsetime.c:432-460; we side with minutes as doc does)
+    // bare m in a DURATION is minutes; in an offset chain it is
+    // context-disambiguated by applyOffsets (rrd_parsetime.c:509-532)
     case "m" => Some("min")
     case _ => None
   }
@@ -160,16 +160,34 @@ object AtTime {
   private def applyOffsets(base: LocalDateTime, off: String,
       ref: RefTimes): LocalDateTime = {
     if (off.isEmpty) return base
-    val re = raw"([+-])\s*(\d+)\s*([a-z]*)".r
+    // sign optional on continuation pairs ("-1day2m" repeats the '-',
+    // rrd_parsetime.c plus_minus doop < 0)
+    val re = raw"([+-]?)\s*(\d+)\s*([a-z]*)".r
     var cur = base
-    var lastSign = 1
+    var op = 1
+    // months-vs-minutes guessing state (rrd_parsetime.c:489-532): the
+    // previous pair's unit decides a bare `m`; an explicit +/- resets it
+    var prevMult: Option[String] = None
     re.findAllMatchIn(off.toLowerCase).foreach { m =>
-      val sign = if (m.group(1) == "-") -1 else 1
-      lastSign = sign
-      val n = m.group(2).toLong * sign
-      unitOf(m.group(3)).getOrElse(
-          if (m.group(3).isEmpty) "h" else
-            throw new IllegalArgumentException(s"bad unit '${m.group(3)}'")) match {
+      if (m.group(1).nonEmpty) {
+        op = if (m.group(1) == "-") -1 else 1
+        prevMult = None
+      }
+      val delta = m.group(2).toLong
+      val n = delta * op
+      val unit = m.group(3) match {
+        case "m" => prevMult match { // rrd_parsetime.c:509-532
+          case Some("d") | Some("w") | Some("mon") | Some("y") => "mon"
+          case Some("s") | Some("min") | Some("h") => "min"
+          // "in the context of RRD who needs less than 6 min deltas?"
+          case _ => if (delta < 6) "mon" else "min"
+        }
+        case "" => "h"
+        case u => unitOf(u).getOrElse(
+          throw new IllegalArgumentException(s"bad unit '$u'"))
+      }
+      prevMult = Some(unit)
+      unit match {
         case "s" => cur = cur.plusSeconds(n)
         case "min" => cur = cur.plusMinutes(n)
         case "h" => cur = cur.plusHours(n)

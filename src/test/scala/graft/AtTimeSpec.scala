@@ -53,6 +53,26 @@ class AtTimeSpec extends AnyFunSuite {
     assert(p("noon-1mon") != 0) // calendar months apply
   }
 
+  test("bare m months-vs-minutes guessing (rrd_parsetime.c:509-532)") {
+    // previous unit d/w/mon/y -> months: now-1d2m = minus 1 day 2 months
+    assert(p("now-1d2m") ==
+      java.time.LocalDateTime.ofEpochSecond(now, 0, java.time.ZoneOffset.UTC)
+        .minusDays(1).minusMonths(2).toEpochSecond(java.time.ZoneOffset.UTC))
+    // previous unit s/min/h -> minutes
+    assert(p("now-2h5m") == now - 2 * 3600 - 5 * 60)
+    // no context: < 6 guesses months ("who needs less than 6 min
+    // deltas?"), >= 6 guesses minutes
+    assert(p("now-5m") ==
+      java.time.LocalDateTime.ofEpochSecond(now, 0, java.time.ZoneOffset.UTC)
+        .minusMonths(5).toEpochSecond(java.time.ZoneOffset.UTC))
+    assert(p("now-10m") == now - 600)
+    // an explicit sign resets the guessing state: the second -5m is
+    // context-free again -> months
+    assert(p("now-1d-5m") ==
+      java.time.LocalDateTime.ofEpochSecond(now, 0, java.time.ZoneOffset.UTC)
+        .minusDays(1).minusMonths(5).toEpochSecond(java.time.ZoneOffset.UTC))
+  }
+
   test("durations (rrd_utils.c:235 suffixes)") {
     assert(AtTime.parseDuration("300") == 300L)
     assert(AtTime.parseDuration("5m") == 300L)

@@ -104,6 +104,28 @@ class CommandsSpec extends SparkSuite {
     assert(secondTs.length < firstCount)
   }
 
+  test("update rejects past samples; --skip-past-updates ingests the " +
+      "in-order remainder (rrd_update.c:675-789)") {
+    import spark.implicits._
+    val c = new Commands(spark, nowSec = 1000L)
+    val path = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    c.create(path, Seq("--start", "0", "--step", "10",
+      "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"))
+    c.update(path, Seq("10:1.0", "20:2.0"))
+    // default: a non-advancing sample is an error, like the reference's
+    // "illegal attempt to update using time ... when last update time is"
+    val e = intercept[IllegalArgumentException] {
+      c.update(path, Seq("15:9.0", "30:3.0"))
+    }
+    assert(e.getMessage.contains("illegal attempt"))
+    // with the flag: the stale sample skips silently, 30 and 40 land
+    c.update(path, Seq("--skip-past-updates", "15:9.0", "30:3.0", "40:4.0"))
+    val f = c.fetch(path, "AVERAGE",
+      Seq("--start", "0", "--end", "40", "--resolution", "10"))
+    val vs = f.orderBy("ts").select("v").as[Option[Double]].collect()
+    assert(vs.toSeq == Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0)))
+  }
+
   test("create --no-overwrite refuses an existing store " +
       "(tests/create-no-overwrite)") {
     val c = new Commands(spark, nowSec = 1000L)

@@ -43,6 +43,34 @@ class GraphGoldenSpec extends SparkSuite {
     assert(g.prints == Seq("0.040000")) // graph1.output:1
   }
 
+  test("--logarithmic clips non-positive values from the range " +
+      "(rrd_graph.c:1444-1449,1470-1478)") {
+    val c = new Commands(spark, nowSec = 1000L)
+    val path = java.nio.file.Files.createTempDirectory("graft_log").toString
+    c.create(path, Seq("--start", "0", "--step", "10",
+      "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"))
+    // painted values -5, 0.5, 2: the log minimum must skip the
+    // non-positive ones, the maximum still sees every finite value
+    c.update(path, Seq("10:-5", "20:0.5", "30:2"))
+    val g = c.graphv(Seq("--logarithmic", "--start", "0", "--end", "30",
+      s"DEF:v=$path:v:AVERAGE", "LINE1:v#000000"))
+    assert(g.valueMin.contains(0.5) && g.valueMax.contains(2.0))
+    // linear axis keeps the negative minimum
+    val lin = c.graphv(Seq("--start", "0", "--end", "30",
+      s"DEF:v=$path:v:AVERAGE", "LINE1:v#000000"))
+    assert(lin.valueMin.contains(-5.0) && lin.valueMax.contains(2.0))
+    // all-nonpositive data -> the reference's dummy log range
+    // (min 0 -> 5.1, then min = max/10e8)
+    val path2 = java.nio.file.Files.createTempDirectory("graft_log2").toString
+    c.create(path2, Seq("--start", "0", "--step", "10",
+      "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"))
+    c.update(path2, Seq("10:-1", "20:-2", "30:-3"))
+    val g2 = c.graphv(Seq("--logarithmic", "--start", "0", "--end", "30",
+      s"DEF:v=$path2:v:AVERAGE", "LINE1:v#000000"))
+    assert(g2.valueMax.contains(5.1) &&
+      g2.valueMin.contains(5.1 / 10e8))
+  }
+
   test("tests/graph2: legacy GPRINT:vname:CF:format goldens") {
     // the update list is graph2's own (identical in tests/xport1, whose
     // script is the cleaner parse): "$RRDTOOL update ${BUILD}.rrd t:v:v …"

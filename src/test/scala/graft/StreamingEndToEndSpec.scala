@@ -275,6 +275,14 @@ class StreamingEndToEndSpec extends SparkSuite {
       assert(in.readLine().startsWith("0 "))
       out.println("RESUMEALL")
       assert(in.readLine().startsWith("0 "))
+      // FLUSHALL triggers writing of all pending updates and returns
+      // immediately (rrd_daemon.c:1530-1540); WROTE is the journal
+      // replay marker — both acknowledged, neither loses the queue
+      out.println("FLUSHALL")
+      assert(in.readLine() == "0 Started flush.")
+      out.println("WROTE web.rrd")
+      assert(in.readLine().startsWith("0 "))
+      assert(roundTrip("QUEUE") == Seq("1 web.rrd"))
       // CREATE + TUNE + LIST over the wire
       out.println("CREATE new.rrd -b 0 -s 300 DS:x:GAUGE:600:U:U " +
         "RRA:AVERAGE:0.5:1:100")
