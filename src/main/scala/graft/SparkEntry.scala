@@ -698,6 +698,44 @@ object SparkEntry {
         .orderBy("event_type", "ts")
     }),
 
+    // §2.4 PREDICT family (rrd_rpncalc.c:1479-1563) through the
+    // sequential interpreter: shifts [0, 86400], window 7200 (3 slots at
+    // the 3600 grid), so each row averages/deviates/percentiles over
+    // {now-0..2, now-24..26} slots with the reference's strict
+    // off < idx backward-window rule.
+    "q52_rpn_predict" -> ((s, dir) => {
+      query.Cdef.interpreted(typedGrid(s, dir), Seq("event_type"), "ts",
+          Seq("v"), ListMap(
+            "pred" -> "0,86400,2,7200,v,PREDICT",
+            "psig" -> "0,86400,2,7200,v,PREDICTSIGMA",
+            "pperc" -> "0,86400,2,7200,50,v,PREDICTPERC"), 3600L)
+        .orderBy("event_type", "ts")
+    }),
+
+    // §2.1 rrdcached protocol end to end: a daemon serves the
+    // single-series store over a real socket; the query is the parsed
+    // FETCH payload (rrd_daemon.c:2968-3141 handler onto rrd_fetch_r).
+    // The oracle is the same CDP pipeline restricted to that series —
+    // so the wire framing, header, and nan rendering are all under the
+    // row-hash, not just a golden.
+    "q51_daemon_fetch" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensureDaemonStore(s, dir)
+      val root = new java.io.File(path).getParent
+      val name = new java.io.File(path).getName
+      val d = new streaming.Daemon(s, root, nowSec = T1)
+      val port = d.start()
+      val reply = try {
+        val c = new streaming.DaemonClient("127.0.0.1", port)
+        try c.fetch(name, "AVERAGE", T0, T1) finally c.close()
+      } finally d.stop()
+      require(!reply.isError, s"daemon FETCH failed: ${reply.text}")
+      reply.payload.filter(_.headOption.exists(_.isDigit)).map { l =>
+        val Array(t, v) = l.split(":\\s+")
+        (t.toLong, if (v == "nan") null else Double.box(v.toDouble))
+      }.toDF("ts", "v").orderBy("ts")
+    }),
+
     // §2.1 dump → restore → fetch round trip (rrd_dump.c / rrd_restore.c
     // as distributed JSON-lines jobs): the restored store must fetch
     // exactly what the original would — the oracle is q35's.
@@ -1191,6 +1229,57 @@ object SparkEntry {
          |LEFT JOIN kept k ON k.user_id = u.user_id AND k.cdp_ts = g.ts
          |ORDER BY 1, 2""".stripMargin),
 
+    // PREDICT collects slots at rn-off for off in [0,1,2,24,25,26]
+    // (shifts 0/86400, window 7200) with the strict off < idx rule
+    // (first grid row never contributes); sums replay the interpreter's
+    // 0.0-seeded left fold via list_prepend, so FP grouping matches.
+    "q52_rpn_predict" -> {
+      val offs = Seq(0, 1, 2, 24, 25, 26)
+      val terms = offs.map { o =>
+        val src = if (o == 0) "v" else s"lag(v, $o) OVER w"
+        s"CASE WHEN row_number() OVER w - $o >= 2 THEN $src END"
+      }.mkString(",\n        |    ")
+      s"""$sqlTypedGrid,
+        |r AS (
+        | SELECT event_type, ts,
+        |  list_filter([
+        |    $terms
+        |  ], x -> x IS NOT NULL) AS coll
+        | FROM j
+        | WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        |r2 AS (
+        | SELECT event_type, ts, CAST(len(coll) AS INT) AS cnt,
+        |  list_reduce(list_prepend(0.0, coll), (a,b) -> a + b) AS s,
+        |  list_reduce(list_prepend(0.0,
+        |    list_transform(coll, x -> x * x)), (a,b) -> a + b) AS s2,
+        |  list_sort(coll) AS ls
+        | FROM r)
+        |SELECT event_type, ts,
+        | CASE WHEN cnt > 0 THEN s / cnt END AS pred,
+        | CASE WHEN cnt > 1 THEN
+        |   CASE WHEN cnt * s2 - s * s < 0 THEN NULL
+        |        ELSE SQRT((cnt * s2 - s * s) / (cnt * (cnt - 1.0))) END
+        | END AS psig,
+        | CASE WHEN cnt > 0 THEN
+        |   CASE WHEN 0.5 * (cnt - 1.0) = FLOOR(0.5 * (cnt - 1.0))
+        |        THEN ls[CAST(FLOOR(0.5 * (cnt - 1.0)) AS INT) + 1]
+        |        ELSE ls[CAST(FLOOR(0.5 * (cnt - 1.0)) AS INT) + 1]
+        |          + (ls[CAST(FLOOR(0.5 * (cnt - 1.0)) AS INT) + 2]
+        |             - ls[CAST(FLOOR(0.5 * (cnt - 1.0)) AS INT) + 1])
+        |            * (0.5 * (cnt - 1.0) - FLOOR(0.5 * (cnt - 1.0)))
+        |   END
+        | END AS pperc
+        |FROM r2 ORDER BY event_type, ts""".stripMargin
+    },
+
+    // the daemon's FETCH payload = the q35 CDP pipeline for one series
+    "q51_daemon_fetch" -> (sqlPdpSeeded + sqlStoreCdp("AVERAGE") +
+      s"""SELECT g.ts AS ts, k.cdp AS v
+         |FROM generate_series(${T0 + 3600}, $T1, 3600) AS g(ts)
+         |LEFT JOIN (SELECT * FROM kept WHERE user_id = 3) k
+         |  ON k.cdp_ts = g.ts
+         |ORDER BY 1""".stripMargin),
+
     // round trip is lossless: the restored store fetches exactly q35
     "q50_dump_restore_fetch" -> (sqlPdpSeeded + sqlStoreCdp("AVERAGE") +
       s"""SELECT u.user_id AS user_id, g.ts AS ts, k.cdp AS v
@@ -1644,6 +1733,34 @@ object SparkEntry {
     }
     java.util.UUID.nameUUIDFromBytes(
       files.sorted.mkString("\n").getBytes("UTF-8")).toString
+  }
+
+  /** Single-series store for the daemon protocol query (q51): the q35
+    * pipeline restricted to user_id 3, keyed by the daemon's implicit
+    * single-file series "k" (one RRD file = one series). Same
+    * marker+fingerprint gating as [[ensureStore]]. */
+  private def ensureDaemonStore(s: SparkSession, dir: String): String = {
+    val name = new java.io.File(dir).getName
+    val path = s"/tmp/graft_store_d1/$name"
+    val marker = java.nio.file.Paths.get(path, "_built")
+    val fp = eventsFingerprint(dir)
+    val stale = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != fp
+    if (stale) rmTree(path)
+    if (!java.nio.file.Files.exists(marker)) {
+      store.RrdStore.create(path, graft.model.RrdSchema(300L, T0,
+        Seq(DsDef("v", Dst.Gauge, 7200L)),
+        Seq(graft.model.RraDef(graft.model.Cf.Average, 0.5, 1L, 4000L),
+          graft.model.RraDef(graft.model.Cf.Average, 0.5, 12L, 800L),
+          graft.model.RraDef(graft.model.Cf.Max, 0.5, 12L, 400L))))
+      store.RrdStore.update(s, path,
+        Tables.events(s, dir).where(col("user_id") === 3)
+          .withColumn("k", lit("k")),
+        Seq("k"), "ts_us", "event_id", Map("v" -> "value"),
+        rateScale = Some(2))
+      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+    }
+    path
   }
 
   /** Build the q35/q36 store once per testdata dir (marker-gated; the
