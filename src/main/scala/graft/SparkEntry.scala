@@ -698,6 +698,26 @@ object SparkEntry {
         .orderBy("event_type", "ts")
     }),
 
+    // §2.2 update-string parsing as a DISTRIBUTED column pipeline
+    // (rrd_update.c:1303-1359): fractional-second timestamps, U/empty
+    // unknowns, and a --template reorder ("b:a"), synthesized from
+    // events with integer-exact string assembly so both engines parse
+    // byte-identical lines.
+    "q53_update_parse" -> ((s, dir) => {
+      val schema = graft.model.RrdSchema(300L, T0,
+        Seq(DsDef("a", Dst.Gauge, 600L), DsDef("b", Dst.Gauge, 600L)),
+        Seq(graft.model.RraDef(graft.model.Cf.Average, 0.5, 1L, 100L)))
+      val lines = Tables.events(s, dir).select(concat(
+        expr("ts_us div 1000000").cast("string"), lit("."),
+        lpad(expr("ts_us % 1000000").cast("string"), 6, "0"), lit(":"),
+        when(col("event_id") % 3 === 0, lit("U"))
+          .otherwise(col("user_id").cast("string")), lit(":"),
+        col("event_id").cast("string")).as("line"))
+      ingest.UpdateParser.parseUpdates(lines, "line", schema,
+          template = Some(Seq("b", "a")))
+        .orderBy("ts_us", "a") // (ts_us, a=event_id) is unique
+    }),
+
     // §2.4 PREDICT family (rrd_rpncalc.c:1479-1563) through the
     // sequential interpreter: shifts [0, 86400], window 7200 (3 slots at
     // the 3600 grid), so each row averages/deviates/percentiles over
@@ -1271,6 +1291,25 @@ object SparkEntry {
         | END AS pperc
         |FROM r2 ORDER BY event_type, ts""".stripMargin
     },
+
+    // same byte-identical line synthesis, split, and typed cast
+    "q53_update_parse" ->
+      """WITH l AS (
+        | SELECT CAST(epoch_us(ts) // 1000000 AS VARCHAR) || '.' ||
+        |   lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || ':' ||
+        |   (CASE WHEN event_id % 3 = 0 THEN 'U'
+        |         ELSE CAST(user_id AS VARCHAR) END) || ':' ||
+        |   CAST(event_id AS VARCHAR) AS line
+        | FROM events),
+        |p AS (SELECT string_split(line, ':') AS parts FROM l)
+        |SELECT
+        | CAST(string_split(parts[1], '.')[1] AS BIGINT) * 1000000
+        |   + CAST(rpad(string_split(parts[1], '.')[2], 6, '0') AS BIGINT)
+        |   AS ts_us,
+        | CAST(parts[3] AS DOUBLE) AS a,
+        | CASE WHEN parts[2] IN ('U', '') THEN NULL
+        |      ELSE CAST(parts[2] AS DOUBLE) END AS b
+        |FROM p ORDER BY ts_us, a""".stripMargin,
 
     // the daemon's FETCH payload = the q35 CDP pipeline for one series
     "q51_daemon_fetch" -> (sqlPdpSeeded + sqlStoreCdp("AVERAGE") +
