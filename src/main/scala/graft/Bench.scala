@@ -48,15 +48,16 @@ object Bench {
   /** Previous-round per-query seconds, scraped from the newest
     * BENCH_r*.json in the working directory. Raw text scan, not JSON
     * parse: the driver's artifact wraps the bench line inside an sbt
-    * log tail. Query keys are qNN_* so the regex cannot collide with
-    * the other numeric fields.
+    * log tail as a JSON-ENCODED string, so the quotes around the query
+    * keys may appear escaped (`\"q25...\":`). Query keys are qNN_* so
+    * the pattern cannot collide with the other numeric fields.
     */
   private def priorTimes(): Map[String, Double] = {
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
     files.lastOption.map { f =>
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      """"(q\d{2}[A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
+      """(q\d{2}[A-Za-z0-9_]*)\\?":([0-9]+(?:\.[0-9]+)?)""".r
         .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
   }
