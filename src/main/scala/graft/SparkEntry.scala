@@ -490,6 +490,29 @@ object SparkEntry {
       out.orderBy("px")
     }),
 
+    // §2.3 the full graph-element palette as data (rrd_graph.h:63-67,
+    // data_proc rrd_graph.c:1365-1543): LINE, stacked AREA, HRULE
+    // (constant paint, resets the stack base), STACK-on-constant, and
+    // TICK (painted but excluded from the value range). vmin/vmax are
+    // the computed range broadcast back as columns so the TICK
+    // exclusion and stack accumulation land under the row hash.
+    "q54_graph_elements" -> ((s, dir) => {
+      val frame = query.Xport.pivotFrame(typedGrid(s, dir), "event_type",
+        "ts", "v", EventTypes)
+      val (out, mn, mx) = query.Graphv.dataProc(s, frame, "ts",
+        Seq("p_line" -> query.Graphv.Element.line("click"),
+          "p_area" -> query.Graphv.Element.line("view", stack = true),
+          "p_hrule" -> query.Graphv.Element.const(50.0),
+          "p_hstack" -> query.Graphv.Element.const(10.0, stack = true),
+          "p_tick" -> query.Graphv.Element.tick("error")),
+        T0, T1, 3600L, 400)
+      out.withColumn("vmin",
+          mn.map(lit(_)).getOrElse(lit(null).cast("double")))
+        .withColumn("vmax",
+          mx.map(lit(_)).getOrElse(lit(null).cast("double")))
+        .orderBy("px")
+    }),
+
     // §2.3 info: key/value schema introspection of the materialized
     // store (/root/reference/src/rrd_info.c:143-330).
     "q38_info" -> ((s, dir) => {
@@ -638,9 +661,15 @@ object SparkEntry {
       val ev = Tables.events(s, dir).withColumn("cval",
         lit(9223360000000000000L) + expr("ts_us div 1000") * lit(5L)
           - (col("event_id") % 97) * lit(100000000L))
-      Rates.withRate(ev, Seq("user_id"), "ts_us", "event_id", "cval",
-          DsDef("v", Dst.Counter, heartbeatSec = 2592000L))
-        .select(col("user_id"), col("event_id"), col("ts_us"), col("rate"))
+      val counter = Rates.withRate(ev, Seq("user_id"), "ts_us",
+        "event_id", "cval", DsDef("v", Dst.Counter,
+          heartbeatSec = 2592000L))
+      // DERIVE takes the same integral path but keeps the sign
+      Rates.withRate(counter.withColumnRenamed("rate", "rate_c"),
+          Seq("user_id"), "ts_us", "event_id", "cval",
+          DsDef("v", Dst.Derive, heartbeatSec = 2592000L))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("rate_c"), col("rate").as("rate_d"))
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
@@ -1171,6 +1200,42 @@ object SparkEntry {
         |      ELSE COALESCE(click, 0.0) + view END AS p_view
         |FROM jo ORDER BY px""".stripMargin,
 
+    // same pixel mapping as q37, plus constants, stack-on-constant,
+    // TICK passthrough, and the range scalars (TICK excluded)
+    "q54_graph_elements" ->
+      s"""$sqlTypedGrid,
+        |f AS (
+        | SELECT ts,
+        |  MAX(CASE WHEN event_type = 'click' THEN v END) AS click,
+        |  MAX(CASE WHEN event_type = 'view' THEN v END) AS view,
+        |  MAX(CASE WHEN event_type = 'error' THEN v END) AS error
+        | FROM j GROUP BY 1),
+        |px AS (
+        | SELECT i AS px,
+        |  $T0 + CAST(trunc(6480.0 * i) AS BIGINT) AS gr_time
+        | FROM generate_series(0, 399) t(i)),
+        |jo AS (
+        | SELECT px.px, px.gr_time, f.click, f.view, f.error
+        | FROM px LEFT JOIN f
+        | ON f.ts = $T0 + ((px.gr_time - $T0)//3600 + 1)*3600),
+        |painted AS (
+        | SELECT px, gr_time,
+        |  click AS p_line,
+        |  CASE WHEN view IS NULL THEN NULL
+        |       ELSE COALESCE(click, 0.0) + view END AS p_area,
+        |  50.0 AS p_hrule,
+        |  60.0 AS p_hstack,
+        |  error AS p_tick
+        | FROM jo),
+        |rng AS (
+        | SELECT LEAST(MIN(p_line), MIN(p_area), MIN(p_hrule),
+        |              MIN(p_hstack)) AS vmin,
+        |        GREATEST(MAX(p_line), MAX(p_area), MAX(p_hrule),
+        |                 MAX(p_hstack)) AS vmax
+        | FROM painted)
+        |SELECT painted.*, rng.vmin, rng.vmax
+        |FROM painted CROSS JOIN rng ORDER BY px""".stripMargin,
+
     "q40_gdes_plan" ->
       s"""${sqlHourly("click")},
         |b6 AS (
@@ -1397,17 +1462,23 @@ object SparkEntry {
         | SELECT user_id, event_id, ts_us, pt,
         |  CASE WHEN CAST(v AS HUGEINT) - pv < 0
         |       THEN CAST(v AS HUGEINT) - pv + 4294967295
-        |       ELSE CAST(v AS HUGEINT) - pv END AS d1
+        |       ELSE CAST(v AS HUGEINT) - pv END AS d1,
+        |  CAST(v AS HUGEINT) - pv AS dv
         | FROM r),
         |dd AS (
         | SELECT user_id, event_id, ts_us, pt,
-        |  CASE WHEN d1 < 0 THEN d1 + 18446744069414584320 ELSE d1 END AS d2
+        |  CASE WHEN d1 < 0 THEN d1 + 18446744069414584320 ELSE d1 END AS d2,
+        |  dv
         | FROM d)
         |SELECT user_id, event_id, ts_us,
         | CASE WHEN pt IS NULL
         |        OR CAST(ts_us - pt AS DOUBLE) / 1000000.0 > 2592000.0 THEN NULL
         |      ELSE CAST(d2 AS DOUBLE) / (CAST(ts_us - pt AS DOUBLE) / 1000000.0)
-        | END AS rate
+        | END AS rate_c,
+        | CASE WHEN pt IS NULL
+        |        OR CAST(ts_us - pt AS DOUBLE) / 1000000.0 > 2592000.0 THEN NULL
+        |      ELSE CAST(dv AS DOUBLE) / (CAST(ts_us - pt AS DOUBLE) / 1000000.0)
+        | END AS rate_d
         |FROM dd ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     // PRINT/GPRINT: the oracle rebuilds the formatted strings with
