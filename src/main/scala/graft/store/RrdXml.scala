@@ -43,7 +43,15 @@ object RrdXml {
 
   /** Dump one series of a store as a reference-format XML document. */
   def dumpXml(spark: SparkSession, storePath: String, outFile: String,
-      series: Seq[String] = Seq("k")): Unit = {
+      series: Seq[String] = Seq("k")): Unit =
+    Files.write(Paths.get(outFile),
+      dumpXmlString(spark, storePath, series)
+        .getBytes(StandardCharsets.UTF_8))
+
+  /** [[dumpXml]] as a string — the daemon's DUMP relays it over the
+    * socket (rrd_daemon.c:1842-1891 streams rrd_dump_cb_r output). */
+  def dumpXmlString(spark: SparkSession, storePath: String,
+      series: Seq[String] = Seq("k")): String = {
     val schema = RrdStore.readSchema(storePath)
     val lastUp = {
       val tail = Paths.get(storePath, "tail")
@@ -154,8 +162,7 @@ object RrdXml {
       sb ++= "\t\t</database>\n\t</rra>\n"
     }
     sb ++= "</rrd>\n"
-    Files.write(Paths.get(outFile),
-      sb.toString.getBytes(StandardCharsets.UTF_8))
+    sb.toString
   }
 
   /** The RRA index the aberrant family member feeds/reads

@@ -116,6 +116,16 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
         Response(0, s"Nothing to discard: ${cmd.path} (checkpointed)")
       case "PENDING" => Response(0, s"updates pending")
       case "FORGET" => Response(0, s"Gone!")
+      case "PING" => Response(0, "PONG") // rrd_daemon.c:3325-3330
+      case "DUMP" =>
+        // rrd_daemon.c:1842-1891 relays rrd_dump_cb_r's XML over the
+        // socket; the reference then closes the connection to mark the
+        // end — under the line protocol the N-line payload frame
+        // already delimits it, so the connection stays usable.
+        val xml = graft.store.RrdXml
+          .dumpXmlString(spark, storePath(cmd.path))
+          .linesIterator.toSeq
+        Response(xml.size, s"Dump of ${cmd.path} follows", xml)
       case "QUEUE" =>
         // rrd_daemon.c's QUEUE: one "<pending-updates> <path>" line per
         // queued file; here the queue is the journal, one file per
@@ -147,7 +157,7 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
         val verbs = Seq("UPDATE", "FETCH", "FETCHBIN", "CREATE", "TUNE",
           "INFO", "FIRST", "LAST", "FLUSH", "FLUSHALL", "WROTE", "PENDING",
           "FORGET", "QUEUE", "LIST", "STATS", "BATCH", "SUSPEND", "RESUME",
-          "SUSPENDALL", "RESUMEALL", "HELP", "QUIT")
+          "SUSPENDALL", "RESUMEALL", "PING", "DUMP", "HELP", "QUIT")
         Response(verbs.size, "Command overview", verbs)
       case "FIRST" =>
         val idx = cmd.args.headOption.map(_.toInt).getOrElse(0)

@@ -26,13 +26,13 @@ object LineProtocol {
     verb match {
       case "UPDATE" | "FETCH" | "FETCHBIN" | "CREATE" | "TUNE" | "INFO" |
           "FIRST" | "LAST" | "FLUSH" | "PENDING" | "FORGET" |
-          "SUSPEND" | "RESUME" | "WROTE" =>
+          "SUSPEND" | "RESUME" | "WROTE" | "DUMP" =>
         require(parts.length >= 2, s"$verb needs a path")
         Command(verb, parts(1), parts.drop(2))
       case "LIST" => // path optional: LIST [RECURSIVE] [/subdir]
         Command(verb, parts.lift(1).getOrElse("/"), parts.drop(2))
       case "BATCH" | "." | "QUIT" | "STATS" | "HELP" | "QUEUE" |
-          "SUSPENDALL" | "RESUMEALL" | "FLUSHALL" =>
+          "SUSPENDALL" | "RESUMEALL" | "FLUSHALL" | "PING" =>
         Command(verb, "", parts.tail)
       case other => throw new IllegalArgumentException(
         s"unknown command '$other'")

@@ -283,6 +283,13 @@ class StreamingEndToEndSpec extends SparkSuite {
       out.println("WROTE web.rrd")
       assert(in.readLine().startsWith("0 "))
       assert(roundTrip("QUEUE") == Seq("1 web.rrd"))
+      // PING/PONG (rrd_daemon.c:3325) and DUMP relaying the XML
+      out.println("PING")
+      assert(in.readLine() == "0 PONG")
+      val dump = roundTrip("DUMP web.rrd")
+      assert(dump.head.startsWith("<?xml") &&
+        dump.exists(_.contains("<rrd>")) &&
+        dump.exists(_.contains("<row>")) && dump.last == "</rrd>")
       // CREATE + TUNE + LIST over the wire
       out.println("CREATE new.rrd -b 0 -s 300 DS:x:GAUGE:600:U:U " +
         "RRA:AVERAGE:0.5:1:100")
