@@ -38,11 +38,29 @@ object Bench {
   private def codeHeapUsed: Long = codeHeapPools.map(_.getUsage.getUsed).sum
   private def codeHeapMax: Long = codeHeapPools.map(_.getUsage.getMax).sum
 
+  /** 1-minute load average — catches OUTSIDE-the-JVM contention (the
+    * one poison GC/JIT/spill counters cannot see: a noisy neighbor on
+    * the host shows up as load >> our own thread count). */
+  private def loadAvg: Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Cumulative host CPU steal jiffies (/proc/stat field 8): time the
+    * hypervisor ran someone else while this VM wanted the CPU. A big
+    * per-query delta proves external contention conclusively. */
+  private def cpuStealJiffies: Long =
+    try {
+      val cpu = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      cpu.trim.split("\\s+").lift(8).map(_.toLong).getOrElse(-1L)
+    } catch { case _: Exception => -1L }
+
   private case class Health(gcMs: Long, jitMs: Long, spillMb: Long,
-                            codeHeapMb: Long, storeMb: Long) {
+                            codeHeapMb: Long, storeMb: Long,
+                            load: Double, stealJ: Long) {
     def json: String =
       s"""{"gc_ms":$gcMs,"jit_ms":$jitMs,"spill_mb":$spillMb,""" +
-        s""""code_heap_mb":$codeHeapMb,"store_mb":$storeMb}"""
+        s""""code_heap_mb":$codeHeapMb,"store_mb":$storeMb,""" +
+        s""""load":$load,"steal_j":$stealJ}"""
   }
 
   /** Previous-round per-query seconds, scraped from the newest
@@ -106,6 +124,7 @@ object Bench {
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Health) = {
       val gc0 = gcMs; val jit0 = jitMs; val sp0 = spillBytes.get()
+      val steal0 = cpuStealJiffies
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -116,8 +135,10 @@ object Bench {
       } catch { case _: Throwable => }
       val sec = (System.nanoTime() - t0) / 1e9
       val storeMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+      val stealD =
+        if (steal0 < 0) -1L else math.max(cpuStealJiffies - steal0, -1L)
       (sec, Health(gcMs - gc0, jitMs - jit0, (spillBytes.get() - sp0) >> 20,
-        codeHeapUsed >> 20, storeMb))
+        codeHeapUsed >> 20, storeMb, loadAvg, stealD))
     }
 
     // Local-iteration subset: SPARK_GRAFT_ONLY=q28,q39 (driver never sets it)
