@@ -868,6 +868,33 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // The 100 TB IVF shape: materialize the cell index ONCE (one
+    // assignment pass; written partitioned by cell in production), then
+    // each query batch filters to its probed cells and re-ranks — no
+    // re-assignment per batch. Scores identically to q44's fused path.
+    "q55_ann_ivf_indexed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 20)
+      val cent = e.where(col("vec_id") < 16)
+      val idx = ext.Similarity.ivfIndex(e, cent, "vec_id", "embedding", 64)
+      val bf = ext.Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+          64, 5).select(col("query_id"), col("neighbor_id"))
+      val ivf = ext.Similarity.ivfTopKIndexed(q, idx, cent, "vec_id",
+          "embedding", 64, 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val agg = ivf.join(bf.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("ivf_n"), count(col("hit")).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(agg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("ivf_n"), lit(0L)).as("ivf_n"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) / 5.0).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     // leg): hyperplane buckets + single-bit-flip probes propose
     // candidates, a typed kernel verifies exact cosine >= tau. tau=0.40
@@ -1631,50 +1658,11 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin
     },
 
-    "q44_ann_ivf" -> {
-      def cos(a: String, b: String) =
-        s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
-      s"""WITH cent AS (
-        | SELECT vec_id AS cid, embedding AS cv FROM embeddings
-        | WHERE vec_id < 16),
-        |asg AS (
-        | SELECT vec_id, embedding, cell FROM (
-        |  SELECT c.vec_id, c.embedding, ct.cid AS cell,
-        |   row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |     ${cos("c.embedding", "ct.cv")} DESC, ct.cid) AS rn
-        |  FROM embeddings c CROSS JOIN cent ct) WHERE rn = 1),
-        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
-        |probes AS (
-        | SELECT vec_id, embedding, cell FROM (
-        |  SELECT q.vec_id, q.embedding, ct.cid AS cell,
-        |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |     ${cos("q.embedding", "ct.cv")} DESC, ct.cid) AS rn
-        |  FROM q CROSS JOIN cent ct) WHERE rn <= 4),
-        |ivf AS (
-        | SELECT query_id, neighbor_id FROM (
-        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
-        |     ${cos("p.embedding", "c.embedding")} DESC, c.vec_id) AS rank
-        |  FROM asg c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.vec_id)
-        | WHERE rank <= 5),
-        |bf AS (
-        | SELECT query_id, neighbor_id FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |     ${cos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
-        |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.vec_id)
-        | WHERE rank <= 5),
-        |ag AS (
-        | SELECT l.query_id, COUNT(*) AS ivf_n, COUNT(b.neighbor_id) AS hits
-        | FROM ivf l LEFT JOIN bf b
-        | ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
-        | GROUP BY 1)
-        |SELECT q.vec_id AS query_id,
-        | COALESCE(ag.ivf_n, 0) AS ivf_n, COALESCE(ag.hits, 0) AS hits,
-        | COALESCE(ag.hits, 0) / 5.0 AS recall
-        |FROM q LEFT JOIN ag ON ag.query_id = q.vec_id
-        |ORDER BY 1""".stripMargin
-    },
+    "q44_ann_ivf" -> sqlIvfRecall,
+
+    // the indexed path scores identically (same centroids, same strict
+    // fold), so the fused-path recall oracle applies unchanged
+    "q55_ann_ivf_indexed" -> sqlIvfRecall,
 
     "q45_embed_neardup" -> {
       // same md5-derived hyperplane buckets as the operator (and q39)
@@ -2138,6 +2126,54 @@ object SparkEntry {
     * 0.5, then the per-series retention horizon of the selected RRA
     * (AVERAGE → 800 rows = no-op for this window; MAX → 400 rows = first
     * half of the month dropped). Defines `kept(user_id, cdp_ts, cdp)`. */
+  /** IVF recall@5 vs brute force — shared by q44 (fused assign+probe)
+    * and q55 (materialized index): both score with the same strict fold
+    * over the same centroids, so one oracle covers both paths. */
+  private val sqlIvfRecall: String = {
+    def cos(a: String, b: String) =
+      s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+    s"""WITH cent AS (
+      | SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      | WHERE vec_id < 16),
+      |asg AS (
+      | SELECT vec_id, embedding, cell FROM (
+      |  SELECT c.vec_id, c.embedding, ct.cid AS cell,
+      |   row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |     ${cos("c.embedding", "ct.cv")} DESC, ct.cid) AS rn
+      |  FROM embeddings c CROSS JOIN cent ct) WHERE rn = 1),
+      |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      |probes AS (
+      | SELECT vec_id, embedding, cell FROM (
+      |  SELECT q.vec_id, q.embedding, ct.cid AS cell,
+      |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |     ${cos("q.embedding", "ct.cv")} DESC, ct.cid) AS rn
+      |  FROM q CROSS JOIN cent ct) WHERE rn <= 4),
+      |ivf AS (
+      | SELECT query_id, neighbor_id FROM (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+      |     ${cos("p.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+      |  FROM asg c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.vec_id)
+      | WHERE rank <= 5),
+      |bf AS (
+      | SELECT query_id, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |     ${cos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+      |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.vec_id)
+      | WHERE rank <= 5),
+      |ag AS (
+      | SELECT l.query_id, COUNT(*) AS ivf_n, COUNT(b.neighbor_id) AS hits
+      | FROM ivf l LEFT JOIN bf b
+      | ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      | GROUP BY 1)
+      |SELECT q.vec_id AS query_id,
+      | COALESCE(ag.ivf_n, 0) AS ivf_n, COALESCE(ag.hits, 0) AS hits,
+      | COALESCE(ag.hits, 0) / 5.0 AS recall
+      |FROM q LEFT JOIN ag ON ag.query_id = q.vec_id
+      |ORDER BY 1""".stripMargin
+  }
+
   private def sqlStoreCdp(cf: String): String = {
     val (agg, rowCnt) =
       if (cf == "MAX") ("MAX(pdp)", 400L)

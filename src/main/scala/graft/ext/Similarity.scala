@@ -194,6 +194,94 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Materialized IVF index: one corpus pass assigns every vector to
+    * its max-cosine cell (ties to the lowest centroid id) and carries
+    * the precomputed norm — the expensive half of [[ivfTopK]], done
+    * ONCE. At scale this frame is written partitioned by `cell`
+    * (`df.write.partitionBy("cell")`), so a probe reads only its cells'
+    * files; each arriving query batch then costs O(n·nprobe/C) scoring
+    * with no re-assignment. Output: (cell, id, vec, norm). */
+  def ivfIndex(corpus: DataFrame, centroids: DataFrame, id: String,
+      vec: String, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def dotK(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val cent = centroids.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])].collect()
+      .map { case (cid, cv) => (cid, cv, math.sqrt(dotK(cv, cv))) }
+      .sortBy(_._1)
+    val bcC = spark.sparkContext.broadcast(cent)
+    corpus.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.map { case (nid, v) =>
+          val n = math.sqrt(dotK(v, v))
+          var best = -1L; var bestC = Double.NegativeInfinity
+          cs.foreach { case (cid, cv, cn) =>
+            val c = dotK(v, cv) / (n * cn)
+            if (c > bestC) { bestC = c; best = cid }
+          }
+          (best, nid, v, n)
+        }
+      }.toDF("cell", id, vec, "norm")
+  }
+
+  /** ANN over a materialized [[ivfIndex]]: each query probes its
+    * `nprobe` max-cosine cells, the index is FILTERED to the union of
+    * probed cells (partition pruning when stored partitioned by cell),
+    * and candidates re-rank exactly. Scoring is the same strict fold as
+    * [[ivfTopK]], so for identical centroids the two paths return
+    * identical rows (spec-asserted). */
+  def ivfTopKIndexed(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, id: String, vec: String, dim: Int, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    def dotK(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val cent = centroids.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])].collect()
+      .map { case (cid, cv) => (cid, cv, math.sqrt(dotK(cv, cv))) }
+      .sortBy(_._1)
+    val probed: Map[Long, Array[(Long, Array[Float], Double)]] =
+      queries.select(col(id).cast("long"), col(vec))
+        .as[(Long, Array[Float])].collect()
+        .flatMap { case (qid, qv) =>
+          val qn = math.sqrt(dotK(qv, qv))
+          cent.map { case (cid, cv, cn) => (cid, dotK(qv, cv) / (qn * cn)) }
+            .sortBy { case (cid, c) => (-c, cid) }.take(nprobe)
+            .map { case (cid, _) => (cid, (qid, qv, qn)) }
+        }
+        .groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2)) }
+    val bcQ = spark.sparkContext.broadcast(probed)
+    val scored = index
+      .where(col("cell").isin(probed.keys.toSeq: _*))
+      .select(col("cell"), col(id).cast("long"), col(vec), col("norm"))
+      .as[(Long, Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.flatMap { case (cell, nid, v, n) =>
+          qs.getOrElse(cell, Array.empty[(Long, Array[Float], Double)])
+            .iterator.collect { case (qid, qv, qn) if qid != nid =>
+              (qid, nid, dotK(qv, v) / (qn * n))
+            }
+        }
+      }.toDF("query_id", "neighbor_id", "cosine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH bucket key: `planes` sign bits, plane p's
     * component d = ±1 from md5(p:d) (deterministic, no RNG state).
     * Vectors sharing a bucket are near in angle with high probability;

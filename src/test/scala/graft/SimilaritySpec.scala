@@ -59,6 +59,32 @@ class SimilaritySpec extends SparkSuite {
       .as[(Long, Long)].collect().forall(_._2 <= 3))
   }
 
+  test("ivfTopKIndexed over a materialized index == the fused ivfTopK") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 80L).map(i =>
+      (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat).toSeq))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") < 6)
+    val cent = corpus.where(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val fused = key(Similarity.ivfTopK(q, corpus, cent, "vec_id",
+      "embedding", dim, 3, nprobe = 2))
+    // the index round-trips through parquet partitioned by cell, the
+    // production layout — a probe reads only its cells' partitions
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf")
+      .toString + "/idx"
+    Similarity.ivfIndex(corpus, cent, "vec_id", "embedding", dim)
+      .write.partitionBy("cell").parquet(dir)
+    val indexed = key(Similarity.ivfTopKIndexed(q,
+      spark.read.parquet(dir), cent, "vec_id", "embedding", dim, 3,
+      nprobe = 2))
+    assert(indexed == fused)
+  }
+
   test("connectedComponents: min-label groups over pair chains") {
     import spark.implicits._
     // two chains (1-2-3, via separate pairs) and an island (8-9); 5 is
