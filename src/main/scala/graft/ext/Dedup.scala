@@ -196,11 +196,19 @@ object Dedup {
     // next round materializes; ckpt() tracks each round's RDD ids so
     // they can be unpersisted instead of lingering until GC.
     val sc = pairs.sparkSession.sparkContext
-    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
+    // When the session has a checkpoint dir, rounds checkpoint RELIABLY
+    // (HDFS-backed files survive executor loss — the 100 TB mode; set
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true so dead
+    // rounds' files are GC'd). Otherwise localCheckpoint: executor-local
+    // blocks, fastest on a healthy cluster.
+    val reliable = sc.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): (DataFrame, Set[Int]) =
+      if (reliable) (df.checkpoint(true), Set.empty)
+      else {
+        val before = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint(true)
+        (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+      }
     def free(ids: Set[Int]): Unit =
       sc.getPersistentRDDs.collect {
         case (id, rdd) if ids(id) => rdd.unpersist(blocking = false)

@@ -162,4 +162,31 @@ class SimilaritySpec extends SparkSuite {
     Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 8, 0.99, planes = 4).count()
     assert(spark.sparkContext.getPersistentRDDs.keySet == before)
   }
+
+  // LAST in the suite: setCheckpointDir is session-global and has no
+  // unset — every later connectedComponents call in this session would
+  // take the reliable path
+  test("connectedComponents under a checkpoint dir: reliable rounds, " +
+      "same groups, no cached RDDs") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id1", "id2")
+    val local = ext.Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rel = ext.Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toSet
+    assert(rel == local)
+    assert(rel == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // reliable rounds write checkpoint files instead of caching blocks
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+    def walk(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+    }
+    assert(walk(java.nio.file.Paths.get(dir))
+      .exists(java.nio.file.Files.isRegularFile(_)), "no checkpoint files")
+  }
 }
