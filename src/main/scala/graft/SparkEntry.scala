@@ -1806,14 +1806,7 @@ object SparkEntry {
       |        i -> a.sa[i] = b.sa[i])) AS DOUBLE) / 16 AS sig_agreement
       | FROM bandc a JOIN bandc b ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
-  private def rmTree(path: String): Unit = {
-    val root = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala
-        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
-    }
-  }
+  private def rmTree(path: String): Unit = store.RrdStore.deleteTree(path)
 
   /** Content identity of the events parquet backing a cached store:
     * sorted (name, size, mtime) of every data file under

@@ -94,23 +94,29 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
       case None =>
         val schema = RrdStore.readSchema(path)
         // the reference's per-arg gate (rrd_update.c:1416-1423): each
-        // sample must advance last_up (µs-strict), processed in command
-        // order; without the flag a stale sample is an error
-        var lastUs = RrdStore.lastUpdateSec(spark, path) * 1000000L
-        val rows = args.flatMap { a =>
-          val u = graft.ingest.UpdateParser.parse(a, schema, template,
-            nowSec)
+        // sample must advance last_up µs-STRICTLY (hence lastUpdateUs,
+        // not the second-truncated form), processed in command order.
+        // Without the flag a stale sample errors — but like the
+        // reference, which writes each arg before parsing the next, the
+        // valid PREFIX is still ingested before the error surfaces.
+        var lastUs = RrdStore.lastUpdateUs(spark, path)
+        val accepted = Seq.newBuilder[(String, Long, Seq[Option[Double]])]
+        var err: Option[IllegalArgumentException] = None
+        val it = args.iterator
+        while (err.isEmpty && it.hasNext) {
+          val u = graft.ingest.UpdateParser.parse(it.next(), schema,
+            template, nowSec)
           if (u.tsUs > lastUs) {
             lastUs = u.tsUs
-            Some((defaultKey.head.toString, u.tsUs,
+            accepted += ((defaultKey.head.toString, u.tsUs,
               schema.ds.map(d => u.values(d.name))))
-          } else if (skipPast) None
-          else throw new IllegalArgumentException(
+          } else if (!skipPast) err = Some(new IllegalArgumentException(
             s"illegal attempt to update using time ${u.tsUs / 1000000} " +
               s"when last update time is ${lastUs / 1000000} " +
-              "(minimum one second step)")
+              "(minimum one second step)"))
         }
-        if (rows.isEmpty) return
+        val rows = accepted.result()
+        if (rows.isEmpty) { err.foreach(throw _); return }
         val withVs = schema.ds.zipWithIndex.foldLeft(
           rows.map { case (k, ts, vs) =>
             (k, ts, vs.map(_.map(Double.box).orNull))
@@ -120,6 +126,7 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
         }.drop("__vs")
         RrdStore.appendBatch(spark, path, withVs, Seq("k"), "ts_us",
           "ts_us", schema.ds.map(d => d.name -> d.name).toMap)
+        err.foreach(throw _) // prefix committed, THEN the error surfaces
     }
   }
 
@@ -185,8 +192,12 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
           .toDF(series.head, "ts", ds)
       case None =>
         val schema = RrdStore.readSchema(path)
-        val res = opts.get("resolution").map(_.toLong)
-          .getOrElse(schema.stepSec)
+        // the reference defaults resolution to 1 (rrd_fetch.c:74
+        // step_tmp) — RRA selection still picks the finest rollup, and
+        // --align-start with the default shifts by start % 1 = 0, like
+        // the reference (a schema.stepSec default made align-start
+        // shift when the reference would not)
+        val res = opts.get("resolution").map(_.toLong).getOrElse(1L)
         val delta =
           if (alignStart) java.lang.Math.floorMod(start0, res) else 0L
         val (start, end) = (start0 - delta, end0 - delta)

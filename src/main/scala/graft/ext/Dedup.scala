@@ -197,22 +197,38 @@ object Dedup {
     // they can be unpersisted instead of lingering until GC.
     val sc = pairs.sparkSession.sparkContext
     // When the session has a checkpoint dir, rounds checkpoint RELIABLY
-    // (HDFS-backed files survive executor loss — the 100 TB mode; set
-    // spark.cleaner.referenceTracking.cleanCheckpoints=true so dead
-    // rounds' files are GC'd). Otherwise localCheckpoint: executor-local
-    // blocks, fastest on a healthy cluster.
-    val reliable = sc.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): (DataFrame, Set[Int]) =
-      if (reliable) (df.checkpoint(true), Set.empty)
-      else {
+    // (filesystem-backed files survive executor loss — the 100 TB
+    // mode). Otherwise localCheckpoint: executor-local blocks, fastest
+    // on a healthy cluster. Either way a round's artifacts are freed as
+    // soon as the NEXT round materializes — the cleanup closure
+    // unpersists blocks or deletes the round's rdd-* checkpoint dirs
+    // (Spark's own cleaner only removes them on driver GC, and only
+    // with cleanCheckpoints=true; an iterative loop would otherwise
+    // accumulate one dead frame copy per round).
+    val ckDir = sc.getCheckpointDir
+    def ckFiles(): Set[java.nio.file.Path] = ckDir match {
+      case Some(d) if java.nio.file.Files.exists(java.nio.file.Paths.get(d)) =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d), 2)
+          .iterator().asScala
+          .filter(_.getFileName.toString.startsWith("rdd-")).toSet
+      case _ => Set.empty
+    }
+    def ckpt(df: DataFrame): (DataFrame, () => Unit) =
+      if (ckDir.isDefined) {
+        val before = ckFiles()
+        val out = df.checkpoint(true)
+        val mine = ckFiles() -- before
+        (out, () => mine.foreach(graft.store.RrdStore.deleteRecursively))
+      } else {
         val before = sc.getPersistentRDDs.keySet
         val out = df.localCheckpoint(true)
-        (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+        val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+        (out, () => sc.getPersistentRDDs.collect {
+          case (id, rdd) if ids(id) => rdd.unpersist(blocking = false)
+        }: Unit)
       }
-    def free(ids: Set[Int]): Unit =
-      sc.getPersistentRDDs.collect {
-        case (id, rdd) if ids(id) => rdd.unpersist(blocking = false)
-      }
+    def free(cleanup: () => Unit): Unit = cleanup()
     val (edges, edgeIds) = ckpt(pairs.select(col(id1).as("a"), col(id2).as("b"))
       .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
       .distinct())

@@ -29,6 +29,54 @@ object Similarity {
   def cosine(a: Column, b: Column, dim: Int): Column =
     dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
+  /** The primitive form of [[dot]]: same strict left fold compiled to a
+    * JVM loop. Every ANN kernel uses THIS one definition — the
+    * fused/indexed IVF paths are spec-asserted identical, and a single
+    * shared fold is what keeps that (and the SQL oracles) from drifting. */
+  private def dotK(dim: Int)(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < dim) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Collected (id, vec, norm) rows, sorted by id — the broadcastable
+    * form of a by-contract-small frame (queries, centroids). */
+  private def collectNormed(df: DataFrame, id: String, vec: String,
+      dim: Int): Array[(Long, Array[Float], Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    df.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])].collect()
+      .map { case (i, v) => (i, v, math.sqrt(d(v, v))) }
+      .sortBy(_._1)
+  }
+
+  /** cell → the queries probing it: each query's `nprobe` max-cosine
+    * centroids, ties to the lower centroid id. */
+  private def probeMap(queries: DataFrame,
+      cent: Array[(Long, Array[Float], Double)], id: String, vec: String,
+      dim: Int, nprobe: Int): Map[Long, Array[(Long, Array[Float], Double)]] = {
+    val d = dotK(dim) _
+    collectNormed(queries, id, vec, dim)
+      .flatMap { case (qid, qv, qn) =>
+        cent.map { case (cid, cv, cn) => (cid, d(qv, cv) / (qn * cn)) }
+          .sortBy { case (cid, c) => (-c, cid) }.take(nprobe)
+          .map { case (cid, _) => (cid, (qid, qv, qn)) }
+      }
+      .groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2)) }
+  }
+
+  /** Per-query top-k over scored (query_id, neighbor_id, cosine) rows —
+    * the one wide exchange every ANN path ends in. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: every query row against every corpus row.
     * At scale: the (small, by contract) query side is collected and
     * broadcast as primitive arrays; the corpus streams through ONE typed
@@ -43,31 +91,21 @@ object Similarity {
       vec: String, dim: Int, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def dotK(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    val q = queries.select(col(id).cast("long"), col(vec))
-      .as[(Long, Array[Float])].collect()
-      .map { case (qid, qv) => (qid, qv, math.sqrt(dotK(qv, qv))) }
-    val bc = spark.sparkContext.broadcast(q)
+    val d = dotK(dim) _
+    val bc = spark.sparkContext.broadcast(
+      collectNormed(queries, id, vec, dim))
     val scored = corpus.select(col(id).cast("long"), col(vec))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = bc.value
         it.flatMap { case (nid, cv) =>
-          val cn = math.sqrt(dotK(cv, cv))
+          val cn = math.sqrt(d(cv, cv))
           qs.iterator.collect { case (qid, qv, qn) if qid != nid =>
-            (qid, nid, dotK(qv, cv) / (qn * cn))
+            (qid, nid, d(qv, cv) / (qn * cn))
           }
         }
       }.toDF("query_id", "neighbor_id", "cosine")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding leg
@@ -147,51 +185,30 @@ object Similarity {
       nprobe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def dotK(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    val cent = centroids.select(col(id).cast("long"), col(vec))
-      .as[(Long, Array[Float])].collect()
-      .map { case (cid, cv) => (cid, cv, math.sqrt(dotK(cv, cv))) }
-      .sortBy(_._1)
-    // each query probes its nprobe max-cosine cells (ties -> lower cid)
-    val probed: Map[Long, Array[(Long, Array[Float], Double)]] =
-      queries.select(col(id).cast("long"), col(vec))
-        .as[(Long, Array[Float])].collect()
-        .flatMap { case (qid, qv) =>
-          val qn = math.sqrt(dotK(qv, qv))
-          cent.map { case (cid, cv, cn) => (cid, dotK(qv, cv) / (qn * cn)) }
-            .sortBy { case (cid, c) => (-c, cid) }.take(nprobe)
-            .map { case (cid, _) => (cid, (qid, qv, qn)) }
-        }
-        .groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2)) }
+    val d = dotK(dim) _
+    val cent = collectNormed(centroids, id, vec, dim)
     val bcC = spark.sparkContext.broadcast(cent)
-    val bcQ = spark.sparkContext.broadcast(probed)
+    val bcQ = spark.sparkContext.broadcast(
+      probeMap(queries, cent, id, vec, dim, nprobe))
     val scored = corpus.select(col(id).cast("long"), col(vec))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bcC.value
         val qs = bcQ.value
         it.flatMap { case (nid, v) =>
-          val n = math.sqrt(dotK(v, v))
+          val n = math.sqrt(d(v, v))
           var best = -1L; var bestC = Double.NegativeInfinity
           cs.foreach { case (cid, cv, cn) =>
-            val c = dotK(v, cv) / (n * cn)
+            val c = d(v, cv) / (n * cn)
             if (c > bestC) { bestC = c; best = cid }
           }
           qs.getOrElse(best, Array.empty[(Long, Array[Float], Double)])
             .iterator.collect { case (qid, qv, qn) if qid != nid =>
-              (qid, nid, dotK(qv, v) / (qn * n))
+              (qid, nid, d(qv, v) / (qn * n))
             }
         }
       }.toDF("query_id", "neighbor_id", "cosine")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topK(scored, k)
   }
 
   /** Materialized IVF index: one corpus pass assigns every vector to
@@ -205,25 +222,18 @@ object Similarity {
       vec: String, dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def dotK(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    val cent = centroids.select(col(id).cast("long"), col(vec))
-      .as[(Long, Array[Float])].collect()
-      .map { case (cid, cv) => (cid, cv, math.sqrt(dotK(cv, cv))) }
-      .sortBy(_._1)
-    val bcC = spark.sparkContext.broadcast(cent)
+    val d = dotK(dim) _
+    val bcC = spark.sparkContext.broadcast(
+      collectNormed(centroids, id, vec, dim))
     corpus.select(col(id).cast("long"), col(vec))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bcC.value
         it.map { case (nid, v) =>
-          val n = math.sqrt(dotK(v, v))
+          val n = math.sqrt(d(v, v))
           var best = -1L; var bestC = Double.NegativeInfinity
           cs.foreach { case (cid, cv, cn) =>
-            val c = dotK(v, cv) / (n * cn)
+            val c = d(v, cv) / (n * cn)
             if (c > bestC) { bestC = c; best = cid }
           }
           (best, nid, v, n)
@@ -242,25 +252,9 @@ object Similarity {
       nprobe: Int = 4): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    def dotK(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    val cent = centroids.select(col(id).cast("long"), col(vec))
-      .as[(Long, Array[Float])].collect()
-      .map { case (cid, cv) => (cid, cv, math.sqrt(dotK(cv, cv))) }
-      .sortBy(_._1)
-    val probed: Map[Long, Array[(Long, Array[Float], Double)]] =
-      queries.select(col(id).cast("long"), col(vec))
-        .as[(Long, Array[Float])].collect()
-        .flatMap { case (qid, qv) =>
-          val qn = math.sqrt(dotK(qv, qv))
-          cent.map { case (cid, cv, cn) => (cid, dotK(qv, cv) / (qn * cn)) }
-            .sortBy { case (cid, c) => (-c, cid) }.take(nprobe)
-            .map { case (cid, _) => (cid, (qid, qv, qn)) }
-        }
-        .groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2)) }
+    val d = dotK(dim) _
+    val cent = collectNormed(centroids, id, vec, dim)
+    val probed = probeMap(queries, cent, id, vec, dim, nprobe)
     val bcQ = spark.sparkContext.broadcast(probed)
     val scored = index
       .where(col("cell").isin(probed.keys.toSeq: _*))
@@ -271,15 +265,11 @@ object Similarity {
         it.flatMap { case (cell, nid, v, n) =>
           qs.getOrElse(cell, Array.empty[(Long, Array[Float], Double)])
             .iterator.collect { case (qid, qv, qn) if qid != nid =>
-              (qid, nid, dotK(qv, v) / (qn * n))
+              (qid, nid, d(qv, v) / (qn * n))
             }
         }
       }.toDF("query_id", "neighbor_id", "cosine")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topK(scored, k)
   }
 
   /** Random-hyperplane LSH bucket key: `planes` sign bits, plane p's

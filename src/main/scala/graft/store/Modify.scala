@@ -284,9 +284,6 @@ object Modify {
     // degrades the layout to flat and the next merge re-partitions
     RrdStore.writeSwap(f(RrdStore.readRra(spark, p)), p)
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).forEach(deleteRecursively(_))
-    java.nio.file.Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    RrdStore.deleteRecursively(p)
 }

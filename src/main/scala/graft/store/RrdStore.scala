@@ -406,14 +406,21 @@ object RrdStore extends Serializable {
             .join(fresh.select((series :+ "ts").map(col): _*),
               series :+ "ts", "left_anti")
             .unionByName(fresh)
-          // stage the touched partitions, then swap ONLY their dirs
+          // stage the touched partitions, then swap ONLY their dirs —
+          // same old-aside/move-in/clean protocol as swapInto (never
+          // hard-delete the sole copy before the replacement is in
+          // place; the .old holding dir lives OUTSIDE target so a
+          // crash-leftover never pollutes partition discovery)
           val tmp = target + ".next"
           merged.write.mode("overwrite").partitionBy("__tb").parquet(tmp)
           touched.foreach { b =>
             val src = Paths.get(tmp, s"__tb=$b")
             val dst = Paths.get(target, s"__tb=$b")
-            deleteRecursively(dst)
+            val old = Paths.get(target + s".old__tb=$b")
+            deleteRecursively(old)
+            if (Files.exists(dst)) Files.move(dst, old)
             if (Files.exists(src)) Files.move(src, dst)
+            deleteRecursively(old)
           }
           deleteRecursively(Paths.get(tmp))
         } else {
@@ -576,11 +583,16 @@ object RrdStore extends Serializable {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).forEach(deleteRecursively(_))
     Files.deleteIfExists(p)
   }
+
+  /** Recursive delete by path string (the one tree-removal helper —
+    * callers used to each carry their own walk-and-delete copy). */
+  private[graft] def deleteTree(path: String): Unit =
+    deleteRecursively(Paths.get(path))
 
   /** updatev (rrd_update.c:300-364): like [[update]] but returns the
     * written rollup rows as one long frame
@@ -826,19 +838,26 @@ object RrdStore extends Serializable {
     * sample in the ingest tail; falls back to the finest rollup's
     * newest slot (stores materialized without a tail), then to the
     * create time (no data at all). */
-  def lastUpdateSec(spark: SparkSession, path: String): Long = {
+  def lastUpdateSec(spark: SparkSession, path: String): Long =
+    lastUpdateUs(spark, path) / 1000000L
+
+  /** Microsecond-exact last_up — the update gate compares at µs
+    * precision (rrd_update.c:1416-1423 checks last_up_usec too), so a
+    * second-truncated value would let sub-second-stale samples through. */
+  def lastUpdateUs(spark: SparkSession, path: String): Long = {
     val schema = readSchema(path)
     if (Files.exists(Paths.get(s"$path/tail"))) {
       val r = spark.read.parquet(s"$path/tail")
         .agg(max("ts_us")).first()
-      if (r.isNullAt(0)) schema.startSec else r.getLong(0) / 1000000L
+      if (r.isNullAt(0)) schema.startSec * 1000000L else r.getLong(0)
     } else {
       val finest = schema.rras.indices.minBy(schema.rras(_).pdpCnt)
       if (Files.exists(Paths.get(s"$path/rra$finest"))) {
         val r = readRra(spark, s"$path/rra$finest")
           .agg(max("ts")).first()
-        if (r.isNullAt(0)) schema.startSec else r.getLong(0)
-      } else schema.startSec
+        if (r.isNullAt(0)) schema.startSec * 1000000L
+        else r.getLong(0) * 1000000L
+      } else schema.startSec * 1000000L
     }
   }
 

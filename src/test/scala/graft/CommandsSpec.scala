@@ -124,6 +124,25 @@ class CommandsSpec extends SparkSuite {
       Seq("--start", "0", "--end", "40", "--resolution", "10"))
     val vs = f.orderBy("ts").select("v").as[Option[Double]].collect()
     assert(vs.toSeq == Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0)))
+    // the gate is µs-strict (rrd_update.c checks last_up_usec too):
+    // 40.5 advances past 40; a later 40.2 is stale even though both
+    // truncate to second 40
+    c.update(path, Seq("40.5:5.0"))
+    val e2 = intercept[IllegalArgumentException] {
+      c.update(path, Seq("40.2:6.0"))
+    }
+    assert(e2.getMessage.contains("illegal attempt"))
+    // reference semantics on a partially valid batch: the in-order
+    // PREFIX commits before the error surfaces
+    val e3 = intercept[IllegalArgumentException] {
+      c.update(path, Seq("50:7.0", "41:9.9"))
+    }
+    assert(e3.getMessage.contains("illegal attempt"))
+    // slot (40,50] = 0.5s of rate 5 (the 40.5 sample) + 9.5s of rate 7
+    val f2 = c.fetch(path, "AVERAGE",
+      Seq("--start", "40", "--end", "50", "--resolution", "10"))
+    val got = f2.orderBy("ts").select("v").as[Option[Double]].collect()
+    assert(got.length == 1 && got.head.exists(v => math.abs(v - 6.9) < 1e-9))
   }
 
   test("create --no-overwrite refuses an existing store " +
