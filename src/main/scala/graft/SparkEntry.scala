@@ -812,6 +812,22 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Incremental SimHash: an arriving batch (doc_id >= 400) against
+    // the materialized banded index of the existing corpus — new×corpus
+    // + new×new only, combined-bucket cap, equal to the full mine
+    // restricted to batch-touching pairs (the q46 identity, SimHash
+    // family).
+    "q56_incremental_simhash" -> ((s, dir) => {
+      val d = ext.Dedup.simhashSignatures(
+        Tables.documents(s, dir), "doc_id", "text", 16)
+      val idx = ext.Dedup.simhashIndex(
+        d.where(col("doc_id") < 400), "doc_id", "sig", 16, 4)
+      ext.Dedup.incrementalSimhashCandidates(
+          d.where(col("doc_id") >= 400), idx, "doc_id", "sig", 16, 4)
+        .where(col("hamming") <= 3)
+        .orderBy("id1", "id2")
+    }),
+
     // Brute-force cosine top-k (the ANN exactness baseline).
     "q29_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1595,6 +1611,11 @@ object SparkEntry {
 
     "q28_simhash" -> sqlSimhash,
 
+    // incremental == full mine restricted to batch-touching pairs
+    // (the same identity q46 pins for the MinHash family)
+    "q56_incremental_simhash" ->
+      sqlSimhashWhere("AND (id1 >= 400 OR id2 >= 400)"),
+
     "q29_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |  FROM embeddings WHERE vec_id < 20),
@@ -1748,7 +1769,11 @@ object SparkEntry {
 
   /** SimHash oracle: 16 md5-digit votes per distinct token, then 4-bit
     * band bucketing with the same cap as Dedup.simhashCandidates. */
-  private val sqlSimhash: String = {
+  private val sqlSimhash: String = sqlSimhashWhere("")
+
+  /** SimHash candidate mine with an extra pair predicate (the
+    * incremental query restricts to pairs touching the batch). */
+  private def sqlSimhashWhere(extra: String): String = {
     val votes = (1 to 16).map(i =>
       s"list_reduce(list_transform(wd, w -> CASE WHEN substr(md5(w), $i, 1) >= '8' THEN 1 ELSE -1 END), (a,b) -> a + b) AS v$i"
     ).mkString(",\n  ")
@@ -1772,7 +1797,7 @@ object SparkEntry {
       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
       | FROM bandc a JOIN bandc b ON a.band = b.band AND a.doc_id < b.doc_id)
       |SELECT id1, id2, sig1, sig2, hamming FROM cand
-      |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin
+      |WHERE hamming <= 3 $extra ORDER BY id1, id2""".stripMargin
   }
 
   /** MinHash LSH candidate chain shared by q26/q27: defines

@@ -351,16 +351,63 @@ object Dedup {
     * within hamming (bands-1) of each other share at least one band, so
     * a `hamming <= bands-1` filter downstream loses nothing. Same
     * equi-join shape as MinHash LSH — never all-pairs. */
-  def simhashCandidates(df: DataFrame, id: String, sig: String,
-      bits: Int, bands: Int, maxBand: Int = 1000): DataFrame = {
+  /** Banded SimHash index of a corpus: (doc_id, sig, band) — the
+    * materialize-once artifact each arriving batch joins against
+    * (written partitioned by band in production), mirroring [[lshIndex]]
+    * for the SimHash family. Band b's key is the b-th `bits/bands`-bit
+    * slice of the signature, tagged with the band index. */
+  def simhashIndex(df: DataFrame, id: String, sig: String, bits: Int,
+      bands: Int): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val w = bits / bands
     val bandExprs = (0 until bands).map(b =>
       concat(lit(s"$b:"),
         shiftright(col(sig), b * w).bitwiseAND(lit((1L << w) - 1))
           .cast("string")))
-    val banded = df.select(col(id).as("doc_id"), col(sig).as("sig"),
-        explode(array(bandExprs: _*)).as("band"))
+    df.select(col(id).as("doc_id"), col(sig).as("sig"),
+      explode(array(bandExprs: _*)).as("band"))
+  }
+
+  /** SimHash near-dup candidates INVOLVING a new batch only: new×corpus
+    * via the band equi-join against a [[simhashIndex]], plus new×new —
+    * never corpus×corpus, the same batch-cost shape as
+    * [[incrementalLshCandidates]]. The cap applies to the COMBINED
+    * bucket; output matches [[simhashCandidates]] (id1 < id2, sig1/sig2
+    * aligned with the ids, exact hamming), and equals the full mine
+    * restricted to pairs touching the batch (spec-asserted). */
+  def incrementalSimhashCandidates(newSigs: DataFrame, index: DataFrame,
+      id: String, sig: String, bits: Int, bands: Int,
+      maxBand: Int = 1000): DataFrame = {
+    val all = index.withColumn("__new", lit(false))
+      .unionByName(simhashIndex(newSigs, id, sig, bits, bands)
+        .withColumn("__new", lit(true)))
+    val capped = capBands(all, "band", maxBand)
+    val a = capped.where(col("__new")).select(col("band"),
+      col("doc_id").as("ida"), col("sig").as("siga"))
+    val b = capped.select(col("band"), col("doc_id").as("idb"),
+      col("sig").as("sigb"), col("__new").as("__newb"))
+    a.join(b, Seq("band"))
+      .where(col("ida") =!= col("idb") &&
+        // new×new pairs appear on both sides: keep one orientation
+        (!col("__newb") || col("ida") < col("idb")))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"),
+        when(col("ida") < col("idb"), col("siga")).otherwise(col("sigb"))
+          .as("sig1"),
+        when(col("ida") < col("idb"), col("sigb")).otherwise(col("siga"))
+          .as("sig2"))
+      .withColumn("hamming",
+        hamming(col("sig1"), col("sig2")).cast("int"))
+      // batch-sized candidates: a distinct is cheap here, unlike the
+      // corpus-wide mine where dedup rides the join
+      .distinct()
+  }
+
+  def simhashCandidates(df: DataFrame, id: String, sig: String,
+      bits: Int, bands: Int, maxBand: Int = 1000): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val w = bits / bands
+    val banded = simhashIndex(df, id, sig, bits, bands)
     val capped = capBands(banded, "band", maxBand)
     // A pair sharing k surviving bands surfaces k times from the join.
     // Dedup per-row instead of with a distinct(): keep a pair only at

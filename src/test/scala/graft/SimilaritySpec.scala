@@ -129,6 +129,27 @@ class SimilaritySpec extends SparkSuite {
     assert(inc.forall { case (i1, i2, _) => i1 >= 60 || i2 >= 60 })
   }
 
+  test("incremental SimHash == full mine restricted to batch pairs") {
+    import spark.implicits._
+    def doc(i: Long) =
+      (i, s"the quick brown fox ${i % 9} jumps over the lazy dog ${i % 4}")
+    val all = (0L until 80L).map(doc).toDF("doc_id", "text")
+    val sigs = ext.Dedup.simhashSignatures(all, "doc_id", "text", 16)
+    val full = ext.Dedup.simhashCandidates(sigs, "doc_id", "sig", 16, 4)
+      .where(col("id1") >= 60 || col("id2") >= 60)
+      .select("id1", "id2", "sig1", "sig2", "hamming")
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    val idx = ext.Dedup.simhashIndex(
+      sigs.where(col("doc_id") < 60), "doc_id", "sig", 16, 4)
+    val inc = ext.Dedup.incrementalSimhashCandidates(
+        sigs.where(col("doc_id") >= 60), idx, "doc_id", "sig", 16, 4)
+      .select("id1", "id2", "sig1", "sig2", "hamming")
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(full.nonEmpty, "constructed corpus must produce candidates")
+    assert(inc == full)
+    assert(inc.forall { case (i1, i2, _, _, _) => i1 >= 60 || i2 >= 60 })
+  }
+
   test("simhashSignatures kernel is bit-identical to the column form") {
     import spark.implicits._
     val docs = (0 until 80).map(i =>
