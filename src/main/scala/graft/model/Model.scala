@@ -162,17 +162,23 @@ object RraDef {
           val pdpCnt = Scaled(steps, stepSec)
           RraDef(c, xff.toDouble, pdpCnt, Scaled(rows, stepSec * pdpCnt))
         case (c @ (Cf.HwPredict | Cf.MhwPredict), rows :: a :: b :: per :: extra) =>
-          // optional trailing fields persist tuned values the reference
-          // keeps in rra par words: gamma, delta+/-, threshold, window,
-          // smoothing-window (rrd_tune.c:344-360)
+          // `period` scales like the row counts (the reference's
+          // duration form `RRA:HWPREDICT:5d:0.1:0.0035:1d[:rra-num]`,
+          // tests/rrdcreate "HWPREDICT equivalents"); a single trailing
+          // field is the cross-link rra-num (our linkage is by family
+          // position, so it carries no extra information); six trailing
+          // fields persist tuned values the reference keeps in rra par
+          // words: gamma, delta+/-, threshold, window, smoothing-window
+          // (rrd_tune.c:344-360)
           val base = HwParams(alpha = a.toDouble, beta = b.toDouble,
-            period = per.toLong)
-          val tuned = extra.map(_.toDouble) match {
+            period = Scaled(per, stepSec))
+          val tuned = extra match {
             case g :: dp :: dn :: thr :: win :: sw :: Nil =>
-              base.copy(gamma = g, deltaPos = dp, deltaNeg = dn,
-                failThreshold = thr.toInt, windowLen = win.toInt,
-                smoothingWindow = sw)
-            case Nil => base
+              base.copy(gamma = g.toDouble, deltaPos = dp.toDouble,
+                deltaNeg = dn.toDouble, failThreshold = thr.toDouble.toInt,
+                windowLen = win.toDouble.toInt,
+                smoothingWindow = sw.toDouble)
+            case Nil | _ :: Nil => base // optional rra-num cross-link
             case other => throw new IllegalArgumentException(
               s"bad HWPREDICT extras $other")
           }

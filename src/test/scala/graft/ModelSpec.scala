@@ -54,6 +54,52 @@ class ModelSpec extends AnyFunSuite {
     assert(DsDef.parse("DS:v:GAUGE:2m:U:U").heartbeatSec == 120L)
   }
 
+  test("tests/rrdcreate: duration-suffix specs equal their count forms") {
+    // the reference's four checkequiv blocks: the same schema written
+    // with bare step counts and with scaled-duration suffixes must
+    // produce identical files (compared there via `rrdtool info`)
+    val ct1 = RrdSchema.parse(1L, 0L, Seq("DS:watts:GAUGE:300:0:24000",
+      "RRA:AVERAGE:0.5:1:864000", "RRA:AVERAGE:0.5:60:129600",
+      "RRA:AVERAGE:0.5:3600:13392", "RRA:AVERAGE:0.5:86400:3660"))
+    val dur1 = RrdSchema.parse(1L, 0L, Seq("DS:watts:GAUGE:5m:0:24000",
+      "RRA:AVERAGE:0.5:1s:10d", "RRA:AVERAGE:0.5:1m:90d",
+      "RRA:AVERAGE:0.5:1h:18M", "RRA:AVERAGE:0.5:1d:10y"))
+    assert(ct1 == dur1)
+    val ct5 = RrdSchema.parse(5L, 0L, Seq("DS:watts:GAUGE:300:0:24000",
+      "RRA:AVERAGE:0.5:1:172800", "RRA:AVERAGE:0.5:12:129600",
+      "RRA:AVERAGE:0.5:720:13392", "RRA:AVERAGE:0.5:17280:3660"))
+    val dur5 = RrdSchema.parse(5L, 0L, Seq("DS:watts:GAUGE:5m:0:24000",
+      "RRA:AVERAGE:0.5:5s:10d", "RRA:AVERAGE:0.5:1m:90d",
+      "RRA:AVERAGE:0.5:1h:18M", "RRA:AVERAGE:0.5:1d:10y"))
+    assert(ct5 == dur5)
+    // HWPREDICT: the lone count form (implicit contingent family) ==
+    // the duration form with the family spelled out and cross-linked
+    val hwCt = RrdSchema.parse(300L, 0L, Seq(
+      "DS:ifOutOctets:COUNTER:1800:0:4294967295",
+      "RRA:AVERAGE:0.5:1:2016",
+      "RRA:HWPREDICT:1440:0.1:0.0035:288"))
+    val hwDur = RrdSchema.parse(300L, 0L, Seq(
+      "DS:ifOutOctets:COUNTER:30m:0:4294967295",
+      "RRA:AVERAGE:0.5:1:2016",
+      "RRA:HWPREDICT:5d:0.1:0.0035:1d:3",
+      "RRA:SEASONAL:1d:0.1:2", "RRA:DEVSEASONAL:1d:0.1:2",
+      "RRA:DEVPREDICT:5d:5", "RRA:FAILURES:1d:7:9:5"))
+    assert(hwCt.ds == hwDur.ds)
+    assert(hwCt.rras.size == hwDur.rras.size)
+    assert(hwCt.rras.map(r => (r.cf, r.pdpCnt, r.rowCnt)) ==
+      hwDur.rras.map(r => (r.cf, r.pdpCnt, r.rowCnt)))
+    // FETCH shapes: every mixed AVERAGE/MAX pair equivalent
+    val fCt = RrdSchema.parse(10L, 0L, Seq("DS:ds0:GAUGE:300:0:U",
+      "RRA:AVERAGE:0.5:30:3600", "RRA:AVERAGE:0.5:90:1200",
+      "RRA:AVERAGE:0.5:360:1200", "RRA:MAX:0.5:360:1200",
+      "RRA:AVERAGE:0.5:8640:600", "RRA:MAX:0.5:8640:600"))
+    val fDur = RrdSchema.parse(10L, 0L, Seq("DS:ds0:GAUGE:5m:0:U",
+      "RRA:AVERAGE:0.5:5m:300h", "RRA:AVERAGE:0.5:15m:300h",
+      "RRA:AVERAGE:0.5:1h:50d", "RRA:MAX:0.5:1h:50d",
+      "RRA:AVERAGE:0.5:1d:600d", "RRA:MAX:0.5:1d:600d"))
+    assert(fCt == fDur)
+  }
+
   test("schema assembly + retention") {
     val s = RrdSchema.parse(300L, 920804400L, Seq(
       "DS:speed:COUNTER:600:U:U",
