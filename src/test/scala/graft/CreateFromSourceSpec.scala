@@ -29,6 +29,52 @@ class CreateFromSourceSpec extends SparkSuite {
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
 
+  test("chained prefill with DS reorder keeps data by name " +
+      "(tests/create-with-source-1)") {
+    val c = new Commands(spark)
+    val Seq(a1, a2, a3, a4, a5, a6) =
+      (1 to 6).map(i => tmp(s"cs1a$i"))
+    c.create(a1, Seq("--start", s"${ST - 1}", "--step", "60",
+      "DS:a:GAUGE:120:0:U") ++ Rras)
+    val ts = (0 to 150).map(i => ST + 60L * i)
+    c.update(a1, ts.indices.map(i => s"${ts(i)}:${10 + 20L * i}"))
+    def from(dst: String, src: String, ds: Seq[String]): Unit =
+      c.create(dst, Seq("--start", s"${ts.last}", "--step", "60",
+        "--source", src) ++ ds ++ Rras)
+    from(a2, a1, Seq("DS:a:GAUGE:120:0:U"))
+    from(a3, a2, Seq("DS:a:GAUGE:120:0:U"))
+    // new DS b (no history) AHEAD of a: prefill matches by name
+    from(a4, a2, Seq("DS:b:GAUGE:120:0:U", "DS:a:GAUGE:120:0:U"))
+    from(a5, a4, Seq("DS:a:GAUGE:120:0:U", "DS:b:GAUGE:120:0:U"))
+    from(a6, a5, Seq("DS:b:GAUGE:120:0:U", "DS:a:GAUGE:120:0:U"))
+    def fetchA(p: String): Seq[(Long, Option[Double])] =
+      RrdStore.fetch(spark, p, Cf.Average, "a", Seq("k"), ST, ts.last,
+        60L).orderBy("ts").collect().toSeq
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val want = fetchA(a1)
+    assert(want.exists(_._2.isDefined), "source store must carry data")
+    // the reference compares these dumps through its float-normalizing
+    // seddif filter (tests/functions:17-22) — the prefill coverage
+    // merge is 1-ulp off the direct CDP on some slots, so compare with
+    // the same tolerance in spirit
+    def close(x: Seq[(Long, Option[Double])],
+        y: Seq[(Long, Option[Double])]): Boolean =
+      x.size == y.size && x.zip(y).forall {
+        case ((t1, v1), (t2, v2)) => t1 == t2 && ((v1, v2) match {
+          case (None, None) => true
+          case (Some(a), Some(b)) =>
+            math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a))
+          case _ => false
+        })
+      }
+    Seq(a2, a3, a4, a5, a6).foreach(p => assert(close(fetchA(p), want), p))
+    // b stays all-unknown through the whole chain
+    val fb = RrdStore.fetch(spark, a6, Cf.Average, "b", Seq("k"),
+      ST, ts.last, 60L)
+    assert(fb.where(col("b").isNotNull).count() == 0)
+  }
+
   test("two single-DS sources rebuild the direct-ingest store " +
       "(tests/create-with-source-2)") {
     val c = new Commands(spark)
