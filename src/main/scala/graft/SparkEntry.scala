@@ -643,10 +643,14 @@ object SparkEntry {
     // oracle computes.
     "q46_incremental_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // scale-relative corpus/batch split (80/20): a fixed id threshold
+      // made the "batch" 92% of the corpus at sf0.1 and the measurement
+      // stopped being incremental; the oracle derives the same split
+      val thr = docs.count() * 4 / 5
       val index = ext.Dedup.lshIndex(
-        docs.where(col("doc_id") < 400), "doc_id", "text")
+        docs.where(col("doc_id") < thr), "doc_id", "text")
       ext.Dedup.incrementalLshCandidates(
-          docs.where(col("doc_id") >= 400), index, "doc_id", "text")
+          docs.where(col("doc_id") >= thr), index, "doc_id", "text")
         .where(col("sig_agreement") >= 0.25)
         .orderBy("id1", "id2")
     }),
@@ -818,12 +822,13 @@ object SparkEntry {
     // restricted to batch-touching pairs (the q46 identity, SimHash
     // family).
     "q56_incremental_simhash" -> ((s, dir) => {
-      val d = ext.Dedup.simhashSignatures(
-        Tables.documents(s, dir), "doc_id", "text", 16)
+      val docs = Tables.documents(s, dir)
+      val thr = docs.count() * 4 / 5 // scale-relative 80/20 split
+      val d = ext.Dedup.simhashSignatures(docs, "doc_id", "text", 16)
       val idx = ext.Dedup.simhashIndex(
-        d.where(col("doc_id") < 400), "doc_id", "sig", 16, 4)
+        d.where(col("doc_id") < thr), "doc_id", "sig", 16, 4)
       ext.Dedup.incrementalSimhashCandidates(
-          d.where(col("doc_id") >= 400), idx, "doc_id", "sig", 16, 4)
+          d.where(col("doc_id") >= thr), idx, "doc_id", "sig", 16, 4)
         .where(col("hamming") <= 3)
         .orderBy("id1", "id2")
     }),
@@ -1481,11 +1486,13 @@ object SparkEntry {
         |WHERE sig_agreement >= 0.25 ORDER BY id1, id2""".stripMargin,
 
     // incremental == full mine restricted to pairs touching the batch
-    // (the operator-level identity SimilaritySpec asserts)
+    // (the operator-level identity SimilaritySpec asserts); the 80/20
+    // split derives from the corpus size in both engines
     "q46_incremental_lsh" ->
       s"""$sqlLshCand
         |SELECT id1, id2, sig_agreement FROM cand
-        |WHERE (id1 >= 400 OR id2 >= 400) AND sig_agreement >= 0.25
+        |WHERE (id1 >= $sqlBatchThr OR id2 >= $sqlBatchThr)
+        |  AND sig_agreement >= 0.25
         |ORDER BY id1, id2""".stripMargin,
 
     // integer-exact counter: HUGEINT diff (DuckDB int128) == the Spark
@@ -1614,7 +1621,8 @@ object SparkEntry {
     // incremental == full mine restricted to batch-touching pairs
     // (the same identity q46 pins for the MinHash family)
     "q56_incremental_simhash" ->
-      sqlSimhashWhere("AND (id1 >= 400 OR id2 >= 400)"),
+      sqlSimhashWhere(
+        s"AND (id1 >= $sqlBatchThr OR id2 >= $sqlBatchThr)"),
 
     "q29_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -1770,6 +1778,10 @@ object SparkEntry {
   /** SimHash oracle: 16 md5-digit votes per distinct token, then 4-bit
     * band bucketing with the same cap as Dedup.simhashCandidates. */
   private val sqlSimhash: String = sqlSimhashWhere("")
+
+  /** The q46/q56 corpus/batch split threshold (80/20), derived from the
+    * corpus size so the batch stays a batch at every SF. */
+  private val sqlBatchThr = "(SELECT (COUNT(*) * 4) // 5 FROM documents)"
 
   /** SimHash candidate mine with an extra pair predicate (the
     * incremental query restricts to pairs touching the batch). */

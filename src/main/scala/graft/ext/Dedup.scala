@@ -134,12 +134,16 @@ object Dedup {
     * Output matches [[lshCandidates]]: (id1 < id2, sig_agreement),
     * distinct. `index` comes from [[lshIndex]] over the existing
     * corpus (ids must be disjoint from the batch). */
-  def incrementalLshCandidates(newDocs: DataFrame, index: DataFrame,
-      id: String, text: String, k: Int = 3, h: Int = 16, r: Int = 4,
-      maxBand: Int = 100): DataFrame = {
+  /** Shared incremental-candidate skeleton for both LSH families:
+    * union the batch's banded rows into the index, cap the COMBINED
+    * buckets, join the new side against everything, keep one
+    * orientation of new×new, and align the signatures with (id1 < id2).
+    * Output: (id1, id2, sig1, sig2) with band-join duplicates intact —
+    * callers score and dedup. */
+  private def incrementalCandidates(index: DataFrame,
+      newBanded: DataFrame, maxBand: Int): DataFrame = {
     val all = index.withColumn("__new", lit(false))
-      .unionByName(lshIndex(newDocs, id, text, k, h, r)
-        .withColumn("__new", lit(true)))
+      .unionByName(newBanded.withColumn("__new", lit(true)))
     val capped = capBands(all, "band", maxBand)
     val a = capped.where(col("__new")).select(col("band"),
       col("doc_id").as("ida"), col("sig").as("siga"))
@@ -151,11 +155,22 @@ object Dedup {
         (!col("__newb") || col("ida") < col("idb")))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"),
-        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) =>
+        when(col("ida") < col("idb"), col("siga")).otherwise(col("sigb"))
+          .as("sig1"),
+        when(col("ida") < col("idb"), col("sigb")).otherwise(col("siga"))
+          .as("sig2"))
+  }
+
+  def incrementalLshCandidates(newDocs: DataFrame, index: DataFrame,
+      id: String, text: String, k: Int = 3, h: Int = 16, r: Int = 4,
+      maxBand: Int = 100): DataFrame =
+    incrementalCandidates(index, lshIndex(newDocs, id, text, k, h, r),
+        maxBand)
+      .select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) =>
           when(x === y, lit(1)).otherwise(lit(null))), _.isNotNull))
           .cast("double") / h).as("sig_agreement"))
       .distinct()
-  }
 
   /** Exact n-gram Jaccard similarity between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -377,31 +392,14 @@ object Dedup {
     * restricted to pairs touching the batch (spec-asserted). */
   def incrementalSimhashCandidates(newSigs: DataFrame, index: DataFrame,
       id: String, sig: String, bits: Int, bands: Int,
-      maxBand: Int = 1000): DataFrame = {
-    val all = index.withColumn("__new", lit(false))
-      .unionByName(simhashIndex(newSigs, id, sig, bits, bands)
-        .withColumn("__new", lit(true)))
-    val capped = capBands(all, "band", maxBand)
-    val a = capped.where(col("__new")).select(col("band"),
-      col("doc_id").as("ida"), col("sig").as("siga"))
-    val b = capped.select(col("band"), col("doc_id").as("idb"),
-      col("sig").as("sigb"), col("__new").as("__newb"))
-    a.join(b, Seq("band"))
-      .where(col("ida") =!= col("idb") &&
-        // new×new pairs appear on both sides: keep one orientation
-        (!col("__newb") || col("ida") < col("idb")))
-      .select(least(col("ida"), col("idb")).as("id1"),
-        greatest(col("ida"), col("idb")).as("id2"),
-        when(col("ida") < col("idb"), col("siga")).otherwise(col("sigb"))
-          .as("sig1"),
-        when(col("ida") < col("idb"), col("sigb")).otherwise(col("siga"))
-          .as("sig2"))
+      maxBand: Int = 1000): DataFrame =
+    incrementalCandidates(index,
+        simhashIndex(newSigs, id, sig, bits, bands), maxBand)
       .withColumn("hamming",
         hamming(col("sig1"), col("sig2")).cast("int"))
       // batch-sized candidates: a distinct is cheap here, unlike the
       // corpus-wide mine where dedup rides the join
       .distinct()
-  }
 
   def simhashCandidates(df: DataFrame, id: String, sig: String,
       bits: Int, bands: Int, maxBand: Int = 1000): DataFrame = {

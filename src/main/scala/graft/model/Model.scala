@@ -178,7 +178,9 @@ object RraDef {
                 deltaNeg = dn.toDouble, failThreshold = thr.toDouble.toInt,
                 windowLen = win.toDouble.toInt,
                 smoothingWindow = sw.toDouble)
-            case Nil | _ :: Nil => base // optional rra-num cross-link
+            case Nil => base
+            case n :: Nil if n.nonEmpty && n.forall(_.isDigit) =>
+              base // optional rra-num cross-link (linkage is positional)
             case other => throw new IllegalArgumentException(
               s"bad HWPREDICT extras $other")
           }
