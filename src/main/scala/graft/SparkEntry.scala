@@ -1532,8 +1532,10 @@ object SparkEntry {
         |FROM dd ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     // PRINT/GPRINT: the oracle rebuilds the formatted strings with
-    // DuckDB printf. magfact = 1000^sindex via explicit magnitude CASE
-    // (identical to auto_scale's floor(log1000) on non-boundary values);
+    // DuckDB printf. magfact = 1000^sindex with sindex derived the same
+    // way auto_scale derives it — floor(ln|tot|/ln 1000) — over the FULL
+    // symbol table 'a'..'E' (a Spark-side total <1 or >=1e12 must not
+    // make the engines disagree); tot==0 pins (1.0, ' ') like autoScale.
     // %S shares tot's magfact with the min line. make_timestamp keeps
     // strftime timezone-independent (naive µs timestamp).
     "q48_print_gprint" ->
@@ -1546,17 +1548,21 @@ object SparkEntry {
         |    AS tot,
         |  MAX(epoch_us(ts) // 1000000) AS lts
         | FROM events GROUP BY 1),
-        |m AS (
+        |si AS (
         | SELECT a.*,
-        |  CASE WHEN ABS(tot) < 1000.0 THEN 1.0
-        |       WHEN ABS(tot) < 1000000.0 THEN 1000.0
-        |       WHEN ABS(tot) < 1000000000.0 THEN 1000000.0
-        |       ELSE 1000000000.0 END AS magfact,
-        |  CASE WHEN ABS(tot) < 1000.0 THEN ' '
-        |       WHEN ABS(tot) < 1000000.0 THEN 'k'
-        |       WHEN ABS(tot) < 1000000000.0 THEN 'M'
-        |       ELSE 'G' END AS sym
+        |  CASE WHEN tot = 0.0 THEN 0
+        |       ELSE CAST(FLOOR(LN(ABS(tot)) / LN(1000.0)) AS INTEGER)
+        |  END AS sidx
         | FROM a),
+        |m AS (
+        | SELECT si.*,
+        |  CASE WHEN tot = 0.0 THEN 1.0
+        |       ELSE POWER(1000.0, sidx) END AS magfact,
+        |  CASE WHEN tot = 0.0 THEN ' '
+        |       WHEN sidx < -6 OR sidx > 6 THEN '?'
+        |       ELSE substring('afpnum kMGTPE', sidx + 7, 1)
+        |  END AS sym
+        | FROM si),
         |lines AS (
         | SELECT event_type, 1 AS line_no, printf('max %10.4f', mx) AS line
         |  FROM m
@@ -1854,10 +1860,12 @@ object SparkEntry {
     val root = java.nio.file.Paths.get(dir, "events.parquet")
     if (!java.nio.file.Files.exists(root)) return "missing"
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    java.nio.file.Files.walk(root).forEach { p =>
-      if (java.nio.file.Files.isRegularFile(p))
-        files += s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) { s =>
+      s.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          files += s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      }
     }
     java.util.UUID.nameUUIDFromBytes(
       files.sorted.mkString("\n").getBytes("UTF-8")).toString

@@ -87,8 +87,12 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
       a == "--skip-past-updates" || a == "-s")
     daemon match {
       case Some(c) =>
+        // the flag forwards over the line protocol (instead of being
+        // silently dropped like the reference CLI does) so remote
+        // default behavior keeps the reference's error-on-stale
+        // semantics and `-s` keeps the local skip semantics
         try {
-          val r = c.update(path, args)
+          val r = c.update(path, args, skipPast = skipPast)
           require(!r.isError, s"daemon UPDATE failed: ${r.text}")
         } finally c.close()
       case None =>

@@ -220,21 +220,35 @@ object Dedup {
     // (Spark's own cleaner only removes them on driver GC, and only
     // with cleanCheckpoints=true; an iterative loop would otherwise
     // accumulate one dead frame copy per round).
+    // the checkpoint dir may be non-local (hdfs://, s3:// — the 100 TB
+    // deployment), so listing and deletion go through the Hadoop
+    // FileSystem API, not java.nio (which would silently see nothing
+    // on a remote scheme and leak one dead frame copy per round)
     val ckDir = sc.getCheckpointDir
-    def ckFiles(): Set[java.nio.file.Path] = ckDir match {
-      case Some(d) if java.nio.file.Files.exists(java.nio.file.Paths.get(d)) =>
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(d), 2)
-          .iterator().asScala
-          .filter(_.getFileName.toString.startsWith("rdd-")).toSet
+    val hconf = sc.hadoopConfiguration
+    def ckFiles(): Set[String] = ckDir match {
+      case Some(d) =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(hconf)
+        if (!fs.exists(p)) Set.empty
+        else fs.listStatus(p).iterator.flatMap { st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).iterator
+          else Iterator(st)
+        }.map(_.getPath)
+          .filter(_.getName.startsWith("rdd-"))
+          .map(_.toString).toSet
       case _ => Set.empty
+    }
+    def rmCk(uri: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(uri)
+      p.getFileSystem(hconf).delete(p, true): Unit
     }
     def ckpt(df: DataFrame): (DataFrame, () => Unit) =
       if (ckDir.isDefined) {
         val before = ckFiles()
         val out = df.checkpoint(true)
         val mine = ckFiles() -- before
-        (out, () => mine.foreach(graft.store.RrdStore.deleteRecursively))
+        (out, () => mine.foreach(rmCk))
       } else {
         val before = sc.getPersistentRDDs.keySet
         val out = df.localCheckpoint(true)

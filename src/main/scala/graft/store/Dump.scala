@@ -148,13 +148,17 @@ object Dump {
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       if (recursive) {
-        Files.walk(r).forEach { p =>
-          if (Files.isDirectory(p) && isStore(p))
-            out += r.relativize(p).toString
+        scala.util.Using.resource(Files.walk(r)) { s =>
+          s.forEach { p =>
+            if (Files.isDirectory(p) && isStore(p))
+              out += r.relativize(p).toString
+          }
         }
       } else {
-        Files.list(r).forEach { p =>
-          if (Files.isDirectory(p)) out += p.getFileName.toString
+        scala.util.Using.resource(Files.list(r)) { s =>
+          s.forEach { p =>
+            if (Files.isDirectory(p)) out += p.getFileName.toString
+          }
         }
       }
       out.sorted.toSeq

@@ -268,6 +268,10 @@ object RrdStore extends Serializable {
   private[store] def swapInto(tmp: String, target: String): Unit = {
     val (t, g) = (Paths.get(tmp), Paths.get(target))
     val old = Paths.get(target + ".old")
+    // a leftover .old with no target is the sole copy from a crashed
+    // earlier swap — it is about to be replaced by `tmp` anyway, but
+    // never hard-delete it while it is the only copy standing
+    if (Files.exists(old) && !Files.exists(g)) Files.move(old, g)
     deleteRecursively(old)
     if (Files.exists(g)) Files.move(g, old)
     Files.move(t, g)
@@ -288,11 +292,44 @@ object RrdStore extends Serializable {
     * while a steady append stream touches only the newest bucket. */
   private[store] val BucketSlots = 512L
 
+  /** Crash recovery for the old-aside/move-in swap protocol: a crash
+    * between `move(dst, old)` and `move(src, dst)` leaves the ONLY copy
+    * of `target` (swapInto) or of one `__tb=` bucket (mergeInto) in a
+    * `<target>.old*` sibling. Scan for such leftovers and either move
+    * them back (dst missing — they are the sole copy) or delete them
+    * (dst present — the replacement landed; the leftover is stale).
+    * Must run BEFORE any read of `target` that feeds a rewrite, or the
+    * rewrite is computed without the lost rows and recovery after the
+    * fact would be overwritten. */
+  private[graft] def recoverLeftovers(target: String): Unit = {
+    val g = Paths.get(target)
+    val parent = g.getParent
+    val name = g.getFileName.toString
+    if (parent != null && Files.exists(parent)) {
+      val leftovers = scala.util.Using.resource(Files.list(parent)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(name + ".old"))
+          .toList
+      }
+      leftovers.foreach { p =>
+        val suffix = p.getFileName.toString.stripPrefix(name + ".old")
+        val dst = if (suffix.isEmpty) g else g.resolve(suffix)
+        if (Files.exists(dst)) deleteRecursively(p)
+        else { // sole surviving copy — restore it
+          if (suffix.nonEmpty) Files.createDirectories(g)
+          Files.move(p, dst)
+        }
+      }
+    }
+  }
+
   /** Read an RRA table regardless of physical layout: flat (bulk
     * update/modify/restore writers) or `__tb=`-partitioned (appendBatch's
     * merge target). The partition column is derived from `ts` and never
     * part of the logical schema. */
   def readRra(spark: SparkSession, dir: String): DataFrame = {
+    recoverLeftovers(dir)
     val df = spark.read.parquet(dir)
     if (df.columns.contains("__tb")) df.drop("__tb") else df
   }
@@ -388,6 +425,10 @@ object RrdStore extends Serializable {
     // (one full rewrite, same cost as the old path).
     def mergeInto(freshRows: DataFrame, idx: Int): Unit = {
       val target = s"$path/rra$idx"
+      // restore any crash-leftover .old buckets BEFORE reading the
+      // table: the merged frame below is computed from `existing`, so a
+      // bucket recovered later would be overwritten without its rows
+      recoverLeftovers(target)
       val span = schema.stepSec * schema.rras(idx).pdpCnt * BucketSlots
       val fresh = freshRows.withColumn("__tb", expr(s"ts div $span"))
       if (!Files.exists(Paths.get(target))) {

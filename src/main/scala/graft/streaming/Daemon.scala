@@ -54,6 +54,12 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
   private val updatesReceived = new AtomicLong
   private val flushesReceived = new AtomicLong
   private val journalBytes = new AtomicLong
+  // per-path last-update stamp (µs), seeded lazily from the store —
+  // rrdcached's in-memory ci->last_update_stamp (rrd_daemon.c:1738-1742,
+  // 1802-1810): stale samples are rejected SYNCHRONOUSLY at enqueue
+  // time, not silently dropped by the downstream streaming gate
+  private val lastStamps =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]
   @volatile private var ingestStats: Option[StreamingIngest.IngestStats] =
     None
   @volatile private var server: Option[ServerSocket] = None
@@ -95,7 +101,44 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
   def execute(line: String): Response = try {
     val cmd = LineProtocol.parse(line)
     cmd.verb match {
-      case "UPDATE" => spool(line)
+      case "UPDATE" =>
+        // our protocol extension: a leading --skip-past-updates/-s
+        // (forwarded by the CLI's --daemon path) opts into the local
+        // `-s` semantics — silently skip non-advancing samples. Without
+        // it, match rrdcached's enqueue-time gate (rrd_daemon.c:1802):
+        // the valid prefix spools, then the stale sample errors.
+        val skipPast = cmd.args.headOption
+          .exists(a => a == "--skip-past-updates" || a == "-s")
+        val vals = if (skipPast) cmd.args.tail else cmd.args
+        val last = lastStamps.computeIfAbsent(cmd.path, p =>
+          new AtomicLong(
+            try RrdStore.lastUpdateUs(spark, storePath(p))
+            catch { case _: Exception => 0L }))
+        val (accepted, stale) = last.synchronized {
+          val acc = Seq.newBuilder[String]
+          var firstStale: Option[Long] = None
+          vals.foreach { v =>
+            val ts = graft.ingest.UpdateParser
+              .parseTime(v.takeWhile(_ != ':'), nowSec)
+            if (ts > last.get) {
+              // without -s the reference stops at the first stale sample
+              // (rrd_daemon.c:1802 goto done) — later in-order samples
+              // are NOT enqueued; with -s each is judged independently
+              if (skipPast || firstStale.isEmpty) { last.set(ts); acc += v }
+            } else if (firstStale.isEmpty) firstStale = Some(ts)
+          }
+          (acc.result(), firstStale)
+        }
+        val r = if (accepted.nonEmpty)
+          spool((s"UPDATE ${cmd.path}" +: accepted).mkString(" "))
+        else Response(0, "errors, nothing new to enqueue")
+        stale match {
+          case Some(ts) if !skipPast => Response(-1,
+            s"illegal attempt to update using time ${ts / 1000000} when " +
+              s"last update time is ${last.get / 1000000} " +
+              "(minimum one second step)")
+          case _ => r
+        }
       case "FLUSH" =>
         flushesReceived.incrementAndGet()
         Response(0, s"Nothing to flush: ${cmd.path}.")

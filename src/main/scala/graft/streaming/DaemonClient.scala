@@ -48,8 +48,15 @@ final class DaemonClient(host: String, port: Int) extends AutoCloseable {
     command(".").payload
   }
 
-  def update(path: String, samples: Seq[String]): Reply =
-    command(s"UPDATE $path ${samples.mkString(" ")}")
+  def update(path: String, samples: Seq[String],
+      skipPast: Boolean = false): Reply = {
+    // --skip-past-updates travels as a leading option token — a graft
+    // protocol extension (the reference CLI silently DROPS the flag on
+    // the daemon path, rrd_update.c:745-769; forwarding it keeps remote
+    // semantics identical to local `-s`)
+    val opt = if (skipPast) Seq("--skip-past-updates") else Nil
+    command((s"UPDATE $path" +: (opt ++ samples)).mkString(" "))
+  }
 
   def fetch(path: String, cf: String, start: Long, end: Long,
       ds: Seq[String] = Nil): Reply =

@@ -188,6 +188,50 @@ class StoreStreamingSpec extends SparkSuite {
     assert(atNew.toSeq == Seq(Some(7.0)))
   }
 
+  test("crash-leftover .old bucket is restored before reads and merges") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cr").toString
+    RrdStore.create(path, RrdSchema(10L, 0L,
+      Seq(DsDef("v", Dst.Gauge, 3600L)),
+      Seq(RraDef(Cf.Average, 0.5, 1L, 100000L))))
+    val b1 = (0 to 1200).map(i => ("s1", i * 10000000L, i.toLong, 5.0))
+      .toDF("k", "ts_us", "id", "v")
+    RrdStore.appendBatch(spark, path, b1, Seq("k"), "ts_us", "id",
+      Map("v" -> "v"), rateScale = Some(2))
+    // count DATA rows, not fetch's gap-filled grid (grid size is fixed
+    // by the window, so it cannot witness a lost bucket)
+    def dataRows(): Long = RrdStore.fetch(spark, path, Cf.Average, "v",
+        Seq("k"), 0L, 12020L, 10L)
+      .where(org.apache.spark.sql.functions.col("v").isNotNull).count()
+    val full = dataRows()
+    // simulate a crash between move(dst, old) and move(src, dst): the
+    // bucket's ONLY copy sits in the .old holding dir
+    val rraDir = java.nio.file.Paths.get(s"$path/rra0")
+    val dst = rraDir.resolve("__tb=1")
+    val old = java.nio.file.Paths.get(s"$path/rra0.old__tb=1")
+    java.nio.file.Files.move(dst, old)
+    // a plain read recovers the leftover instead of losing the bucket
+    assert(dataRows() == full)
+    assert(java.nio.file.Files.isDirectory(dst) &&
+      !java.nio.file.Files.exists(old), "leftover not restored")
+    // same crash again, then a MERGE into another bucket: recovery must
+    // run before the merge reads the table, so nothing is discarded
+    java.nio.file.Files.move(dst, old)
+    val b2 = Seq(("s1", 12010000000L, 9999L, 7.0))
+      .toDF("k", "ts_us", "id", "v")
+    RrdStore.appendBatch(spark, path, b2, Seq("k"), "ts_us", "id",
+      Map("v" -> "v"), rateScale = Some(2))
+    assert(dataRows() == full + 1)
+    // a STALE leftover (dst present) is deleted, not restored over it
+    val dst0 = rraDir.resolve("__tb=0")
+    val old0 = java.nio.file.Paths.get(s"$path/rra0.old__tb=0")
+    java.nio.file.Files.createDirectories(old0)
+    java.nio.file.Files.write(old0.resolve("junk"), "x".getBytes)
+    RrdStore.recoverLeftovers(s"$path/rra0")
+    assert(java.nio.file.Files.isDirectory(dst0) &&
+      !java.nio.file.Files.exists(old0), "stale leftover not dropped")
+  }
+
   test("streaming monotonic gate rejects t <= last_up across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

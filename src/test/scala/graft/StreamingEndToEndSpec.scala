@@ -167,6 +167,20 @@ class StreamingEndToEndSpec extends SparkSuite {
       val s = client.stats()
       assert(s("UpdatesReceived") == 1L && s("FlushesReceived") == 1L &&
         s("QueueLength") == 1L)
+      // enqueue-time staleness gate (rrd_daemon.c:1802): a non-advancing
+      // sample errors synchronously; the valid prefix is still enqueued,
+      // the remainder after the stale one is NOT (reference stops there)
+      val stale = client.update("web.rrd",
+        Seq("3350:1:1", "3300:2:2", "3360:3:3"))
+      assert(stale.isError &&
+        stale.text.contains("illegal attempt to update using time 3300"),
+        stale.text)
+      assert(client.stats()("UpdatesReceived") == 2L) // prefix spooled
+      // forwarded --skip-past-updates: stale samples skip silently and
+      // later in-order samples are judged independently
+      val skip = client.update("web.rrd",
+        Seq("3340:4:4", "3370:5:5"), skipPast = true)
+      assert(!skip.isError, skip.text)
       // BATCH: one good update, one bogus verb -> one error line for #2
       val errs = client.batch(Seq("UPDATE web.rrd 3400:1:2", "BOGUS x"))
       assert(errs.size == 1 && errs.head.startsWith("2 "), errs)
