@@ -833,6 +833,97 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // §2.1 sql// DEF source (rrd_fetch_libdbi.c; grammar
+    // doc/rrdgraph_libdbi.pod:7): a real JDBC round trip — a Derby
+    // database is loaded from a deterministic slice of the events
+    // parquet, then fetched back through the sql// path grammar with a
+    // pushed-down where-clause. The oracle reads the same slice straight
+    // from parquet: any JDBC url/property/filter mishap hash-fails.
+    "q57_sql_source" -> ((s, dir) => {
+      val db = ensureDerby(s, dir)
+      sources.DefSource.resolve(s,
+          s"sql//derby/dbname=$db//EVTS/UTS/VALUE/TAG=7")
+        .orderBy("ts_sec", "value")
+    }),
+
+    // §2.1 cb// callback DEF source (rrd_fetch_cb.c): the registered
+    // producer IS the data source; its series then feeds a normal
+    // hourly consolidation — proving the callback output enters the
+    // same pipeline every other DEF feeds.
+    "q58_cb_source" -> ((s, dir) => {
+      sources.DefSource.registerCallback("graft_q58", sp =>
+        Tables.events(sp, dir).where(col("user_id") === 7)
+          .select(col("ts_sec"), col("value").cast("double").as("value")))
+      val raw = sources.DefSource.resolve(s, "cb//graft_q58")
+      raw.groupBy((expr("ts_sec div 3600") * 3600L + 3600L).as("ts"))
+        .agg(davg(col("value")).as("v"))
+        .orderBy("ts")
+    }),
+
+    // §2.1 list (rrd_list.c:146 recursive walk): a store tree derived
+    // from the events table — even user groups at the root, odd ones
+    // nested one directory down — listed recursively. The oracle
+    // recomputes the expected relative paths from the same parquet.
+    "q59_list" -> ((s, dir) => {
+      import s.implicits._
+      val name = new java.io.File(dir).getName
+      val root = s"/tmp/graft_list_q59/$name"
+      rmTree(root)
+      val gids = Tables.events(s, dir)
+        .select((col("user_id") % 10).cast("long").as("g"))
+        .distinct().as[Long].collect().sorted
+      gids.foreach { k =>
+        val p = if (k % 2 == 0) s"$root/u$k.rrd" else s"$root/grp$k/u$k.rrd"
+        store.RrdStore.create(p, graft.model.RrdSchema(300L, T0,
+          Seq(DsDef("v", Dst.Gauge, 600L)),
+          Seq(graft.model.RraDef(graft.model.Cf.Average, 0.5, 1L, 10L))))
+      }
+      store.Dump.list(root, recursive = true).toDF("name").orderBy("name")
+    }),
+
+    // §2.6 HW tune → refetch (rrd_tune.c:79-99): the store is created
+    // with WRONG Holt-Winters params, tuned to the oracle's constants,
+    // and only then materialized — so the fetched HWPREDICT series
+    // hashes against the recurrence ONLY if tune persisted alpha/beta
+    // into the sidecar and the write path consumed them. Inputs are
+    // floored to 2 decimals so the store's decimal-exact PDP pipeline
+    // reproduces the grid values bit-for-bit (rateScale=2).
+    "q60_hw_tune" -> ((s, dir) => {
+      val name = new java.io.File(dir).getName
+      val path = s"/tmp/graft_store_tune/$name"
+      rmTree(path)
+      val wrong = graft.model.HwParams(alpha = 0.5, beta = 0.5,
+        gamma = 0.1, period = 24L)
+      store.RrdStore.create(path, graft.model.RrdSchema(3600L, T0,
+        Seq(DsDef("v", Dst.Gauge, 7200L)),
+        Seq(graft.model.RraDef(graft.model.Cf.Average, 0.5, 1L, 1000L),
+          graft.model.RraDef(graft.model.Cf.HwPredict, rowCnt = 1000L,
+            hw = Some(wrong)),
+          graft.model.RraDef(graft.model.Cf.Seasonal, rowCnt = 24L,
+            hw = Some(wrong)),
+          graft.model.RraDef(graft.model.Cf.DevSeasonal, rowCnt = 24L,
+            hw = Some(wrong)),
+          graft.model.RraDef(graft.model.Cf.DevPredict, rowCnt = 1000L),
+          graft.model.RraDef(graft.model.Cf.Failures, rowCnt = 1000L,
+            hw = Some(wrong)))))
+      new cli.Commands(s, nowSec = T1)
+        .tune(path, Seq("--alpha", "0.2", "--beta", "0.05"))
+      val g = typedGrid(s, dir).select(col("event_type"),
+        (col("ts") * 1000000L).as("ts_us"),
+        (floor(col("v") * 100) / 100.0).as("v"))
+      // seed sample at T0 per series: gives the first grid sample a
+      // predecessor so slot 1's GAUGE rate is defined (value unused)
+      val seed = g.select(col("event_type")).distinct()
+        .select(col("event_type"), lit(T0 * 1000000L).as("ts_us"),
+          lit(0.0).as("v"))
+      store.RrdStore.update(s, path, g.unionByName(seed),
+        Seq("event_type"), "ts_us", "ts_us", Map("v" -> "v"),
+        rateScale = Some(2))
+      store.RrdStore.fetch(s, path, graft.model.Cf.HwPredict, "v",
+          Seq("event_type"), T0, T1, 3600L)
+        .orderBy("event_type", "ts")
+    }),
+
     // Brute-force cosine top-k (the ANN exactness baseline).
     "q29_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1630,6 +1721,42 @@ object SparkEntry {
       sqlSimhashWhere(
         s"AND (id1 >= $sqlBatchThr OR id2 >= $sqlBatchThr)"),
 
+    // sql// source: the same 1-in-20 slice the Derby database was loaded
+    // from, read straight from parquet — the Spark side's JDBC round
+    // trip (url build, property pass-through, pushed where) must be
+    // value-transparent.
+    "q57_sql_source" ->
+      """SELECT epoch_us(ts)//1000000 AS ts_sec, value
+        |FROM events WHERE event_id % 20 = 3 AND user_id % 10 = 7
+        |ORDER BY 1, 2""".stripMargin,
+
+    // cb// source feeding an hourly consolidation (decimal-exact avg,
+    // same replay as sqlHourly).
+    "q58_cb_source" ->
+      """SELECT epoch_us(ts)//1000000//3600*3600 + 3600 AS ts,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+        |   / COUNT(value) AS v
+        |FROM events WHERE user_id = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // list: expected relative paths of the store tree q59 derives from
+    // the events table (even groups at the root, odd ones nested).
+    "q59_list" ->
+      """SELECT DISTINCT CASE WHEN (user_id % 10) % 2 = 0
+        |  THEN 'u' || CAST(user_id % 10 AS VARCHAR) || '.rrd'
+        |  ELSE 'grp' || CAST(user_id % 10 AS VARCHAR) || '/u' ||
+        |       CAST(user_id % 10 AS VARCHAR) || '.rrd' END AS name
+        |FROM events ORDER BY 1""".stripMargin,
+
+    // HW tune → refetch: the recurrence under the TUNED constants
+    // (alpha .2, beta .05) over the 2-decimal-floored grid — hashing
+    // proves tune persisted the params and the store consumed them.
+    "q60_hw_tune" -> sqlHoltWinters(mult = false,
+      alpha = "0.2", beta = "0.05", xSql = "FLOOR(v*100)/100.0",
+      finalSelect = Some(
+        """SELECT event_type, ts, hwpredict AS v
+          |FROM st WHERE i >= 0 ORDER BY event_type, ts""".stripMargin)),
+
     "q29_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |  FROM embeddings WHERE vec_id < 20),
@@ -1903,6 +2030,46 @@ object SparkEntry {
     * path carries a version tag so semantics changes invalidate it, and
     * the marker stores the source-data fingerprint so regenerated
     * testdata forces a rebuild). */
+  /** Derby in-memory database for q57's sql// source (Derby ships on the
+    * Spark classpath, standing in for a libdbi client library): table
+    * EVTS(UTS, VALUE, TAG) loaded from a deterministic 1-in-20 slice of
+    * the events parquet. Keyed by the events fingerprint so a
+    * driver-side testdata regeneration rebuilds it; returns the
+    * `dbname` for the sql// path grammar. */
+  private val derbyBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def ensureDerby(s: SparkSession, dir: String): String = {
+    val name = new java.io.File(dir).getName
+    val db = s"memory:graftq57_${name}_${eventsFingerprint(dir).take(8)}"
+    derbyBuilt.compute(name, (_, prev) => {
+      if (prev != db) {
+        val rows = Tables.events(s, dir)
+          .where(col("event_id") % 20 === 3)
+          .select(col("ts_sec"), col("value").cast("double"),
+            (col("user_id") % 10).cast("int"))
+          .collect()
+        val conn = java.sql.DriverManager
+          .getConnection(s"jdbc:derby:$db;create=true")
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE TABLE EVTS (UTS BIGINT, VALUE DOUBLE, TAG INT)")
+          st.close()
+          val ps = conn.prepareStatement("INSERT INTO EVTS VALUES (?,?,?)")
+          rows.foreach { r =>
+            ps.setLong(1, r.getLong(0))
+            if (r.isNullAt(1)) ps.setNull(2, java.sql.Types.DOUBLE)
+            else ps.setDouble(2, r.getDouble(1))
+            ps.setInt(3, r.getInt(2))
+            ps.addBatch()
+          }
+          ps.executeBatch()
+          ps.close()
+        } finally conn.close()
+      }
+      db
+    })
+  }
+
   private def ensureStore(s: SparkSession, dir: String): String = {
     val name = new java.io.File(dir).getName
     val path = s"/tmp/graft_store_v3/$name"
@@ -1934,9 +2101,11 @@ object SparkEntry {
     * the reference's seasonal smoothing a no-op (offset =
     * floor(0.05/2*24) = 0, rrd_hw.c:146-154), so the recursion is exact.
     */
-  private def sqlHoltWinters(mult: Boolean): String = {
+  private def sqlHoltWinters(mult: Boolean, alpha: String = "0.1",
+      beta: String = "0.035", xSql: String = "v",
+      finalSelect: Option[String] = None): String = {
     val (a, b, g, gd, dp, dn, thr, w, p) =
-      ("0.1", "0.035", "0.1", "0.1", "2.0", "2.0", 7, 9, 24)
+      (alpha, beta, "0.1", "0.1", "2.0", "2.0", 7, 9, 24)
     val (pred, icf, initse, seasf, predd) =
       if (mult) (
         "CASE WHEN prednan THEN NULL ELSE (ic + sl*nc) * shs END",
@@ -1956,7 +2125,8 @@ object SparkEntry {
          |        WHEN (x > predd + $dp*newlsdv) OR (x < predd - $dn*newlsdv) THEN 1
          |        ELSE 0 END""".stripMargin
     s"""WITH RECURSIVE ${sqlTypedGrid.stripPrefix("WITH ")},
-       |dd AS (SELECT event_type, (ts - $T0)//3600 - 1 AS i, ts, v FROM j),
+       |dd AS (SELECT event_type, (ts - $T0)//3600 - 1 AS i, ts,
+       |       ($xSql) AS v FROM j),
        |st AS (
        | SELECT event_type, CAST(-1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS ts,
        |  CAST(NULL AS DOUBLE) AS x,
@@ -2020,9 +2190,10 @@ object SparkEntry {
        |      FROM st JOIN dd ON dd.event_type = st.event_type AND dd.i = st.i + 1
        |     )))))
        |)
-       |SELECT event_type, ts, x AS v, hwpredict, seasonal, devseasonal, devpredict,
-       | failures, violation
-       |FROM st WHERE i >= 0 ORDER BY event_type, ts""".stripMargin
+       |${finalSelect.getOrElse(
+          """SELECT event_type, ts, x AS v, hwpredict, seasonal, devseasonal, devpredict,
+            | failures, violation
+            |FROM st WHERE i >= 0 ORDER BY event_type, ts""".stripMargin)}""".stripMargin
   }
 
   /** Additive Holt-Winters oracle with ACTIVE seasonal smoothing
