@@ -4,10 +4,11 @@ import scala.collection.immutable.ListMap
 
 import graft.ingest.Rates
 import graft.model.{DsDef, Dst}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{BinaryType, DecimalType, LongType,
+  StructField, StructType}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -924,6 +925,33 @@ object SparkEntry {
         .orderBy("event_type", "ts")
     }),
 
+    // Multimodal IMAGE leg, de-stubbed: deterministic grayscale PNGs are
+    // synthesized per document (pixel k = (doc_id·31 + 7k) mod 256),
+    // ENCODED and DECODED through the real javax.imageio codec, and the
+    // decoded pixel features hash against the oracle's closed-form pixel
+    // math — a lossy transcode, wrong raster order, or stubbed decode
+    // all fail the checksum.
+    "q61_image_decode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val paySchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val pngs = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 16 + (id % 17).toInt
+          val h = 8 + (id % 9).toInt
+          val px = Array.tabulate(w * h)(k =>
+            ((id * 31 + 7L * k) % 256).toByte)
+          Row(id, ext.Multimodal.ImageCodec.encodeGrayPng(w, h, px))
+        }
+      }(Encoders.row(paySchema))
+      val media = ext.Multimodal.asMedia(pngs, "doc_id", "payload", "image/png")
+      ext.Multimodal.decodeImageFeatures(media, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Brute-force cosine top-k (the ANN exactness baseline).
     "q29_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1756,6 +1784,25 @@ object SparkEntry {
       finalSelect = Some(
         """SELECT event_type, ts, hwpredict AS v
           |FROM st WHERE i >= 0 ORDER BY event_type, ts""".stripMargin)),
+
+    // Image decode: closed-form pixel math for the synthesized PNGs —
+    // the Spark side must recover exactly these values THROUGH the real
+    // encode→decode round trip. Integer sums stay far under 2^53, so a
+    // single trailing modulo matches the Scala fold.
+    "q61_image_decode" ->
+      """WITH d AS (
+        | SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 9 AS h
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, w, h,
+        |  list_transform(range(0, w*h), k -> (doc_id*31 + 7*k) % 256) AS px
+        | FROM d)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        | CAST(list_sum(px) AS DOUBLE) / (w*h) AS mean_px,
+        | CAST(list_sum(list_transform(range(0, w*h),
+        |   k -> ((doc_id*31 + 7*k) % 256) * (k+1))) % 1000000007
+        |  AS BIGINT) AS px_checksum
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q29_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

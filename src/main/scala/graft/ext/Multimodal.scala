@@ -7,10 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (BASELINE.json north-star): image/audio/
   * video as opaque `binary` columns with typed metadata. The Spark-side
   * plumbing — schema, partition-friendly batch iteration, frame
-  * sampling — is real; the codec itself is STUBBED (this container has
-  * no image/audio libraries): [[StubCodec.decode]] produces a
-  * deterministic fake feature vector from the bytes, with the exact
-  * signature a real decoder (libjpeg/ffmpeg behind JNI or a Python
+  * sampling — is real. The IMAGE leg is a REAL codec: [[ImageCodec]]
+  * encodes/decodes PNG through `javax.imageio` (in the JDK — no external
+  * library), and [[decodeImageFeatures]] extracts true pixel features.
+  * Audio/video remain STUBBED ([[StubCodec.decode]] — this container has
+  * no ffmpeg), with the exact signature a real decoder (JNI or a Python
   * worker) would plug into.
   */
 object Multimodal {
@@ -45,10 +46,80 @@ object Multimodal {
       f => pmod(f.getField("frame_no"), lit(stride)) === 0)
   }
 
+  /** REAL image codec over `javax.imageio` (JDK-built-in; PNG is
+    * lossless 8-bit so gray pixels round-trip bit-exactly). Grayscale
+    * keeps the math closed-form for oracles while the decode path —
+    * container format, IDAT inflate, raster conversion — is the real
+    * thing a production pipeline runs. */
+  object ImageCodec {
+    def encodeGrayPng(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+      require(px.length == w * h, s"expected ${w * h} pixels, got ${px.length}")
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, px)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload (PNG/BMP/GIF/JPEG) to 8-bit
+      * gray samples in row-major order. Non-gray inputs are converted
+      * through a gray raster (the standard luminance path). */
+    def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val gray =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+        else {
+          val g = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val gr = g.createGraphics()
+          try gr.drawImage(img, 0, 0, null) finally gr.dispose()
+          g
+        }
+      val px = new Array[Int](w * h)
+      gray.getRaster.getSamples(0, 0, w, h, 0, px)
+      (w, h, px)
+    }
+  }
+
+  /** Real pixel features from the real decoder: width/height, mean
+    * pixel, and an order-sensitive checksum Σ px(k)·(k+1) mod 1e9+7 —
+    * any decode bug (wrong raster order, off-by-one, lossy transcode)
+    * changes the checksum. mapPartitions keeps the codec-per-task batch
+    * shape; rows stream, never materialized. */
+  def decodeImageFeatures(media: DataFrame, id: String): DataFrame = {
+    val idIdx = media.schema.fieldIndex(id)
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      media.schema(id),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_px", DoubleType),
+      StructField("px_checksum", LongType)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = ImageCodec.decodeGray(r.getAs[Array[Byte]](bytesIdx))
+        var sum = 0L
+        var chk = 0L
+        var k = 0
+        while (k < px.length) {
+          sum += px(k)
+          chk += px(k).toLong * (k + 1)
+          k += 1
+        }
+        Row(r.get(idIdx), w, h, sum.toDouble / (w * h), chk % 1000000007L)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** STUB decoder — deterministic fake features standing in for a real
-    * codec. Signature and batching are production-shaped: one call per
-    * partition iterator (so a real implementation can amortize codec
-    * init per task), rows streamed, never materialized. */
+    * codec (audio/video legs). Signature and batching are
+    * production-shaped: one call per partition iterator (so a real
+    * implementation can amortize codec init per task), rows streamed,
+    * never materialized. */
   object StubCodec {
     /** ??? in spirit: a real build would JNI into a codec here. The fake
       * "embedding" is the first `dim` bytes scaled to [0,1) — enough to

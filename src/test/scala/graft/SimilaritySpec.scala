@@ -210,4 +210,37 @@ class SimilaritySpec extends SparkSuite {
     assert(walk(java.nio.file.Paths.get(dir))
       .exists(java.nio.file.Files.isRegularFile(_)), "no checkpoint files")
   }
+
+  test("ImageCodec: gray PNG round-trips pixel-exactly; RGB converts") {
+    import spark.implicits._
+    val px = Array.tabulate(6 * 4)(k => ((k * 37 + 11) % 256).toByte)
+    val bytes = ext.Multimodal.ImageCodec.encodeGrayPng(6, 4, px)
+    // a real PNG container: magic bytes + decodes back bit-exactly
+    assert((bytes(1) & 0xff) == 'P' && (bytes(2) & 0xff) == 'N' &&
+      (bytes(3) & 0xff) == 'G')
+    val (w, h, back) = ext.Multimodal.ImageCodec.decodeGray(bytes)
+    assert(w == 6 && h == 4)
+    assert(back.toSeq == px.map(_ & 0xff).toSeq)
+    // non-gray input goes through the luminance conversion, same dims
+    val rgb = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xff0000); rgb.setRGB(2, 1, 0x00ff00)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    val (w2, h2, px2) = ext.Multimodal.ImageCodec.decodeGray(bos.toByteArray)
+    assert(w2 == 3 && h2 == 2 && px2.length == 6)
+    assert(px2.forall(v => v >= 0 && v <= 255))
+    // decodeImageFeatures end-to-end over a tiny media frame
+    val df = Seq((1L, bytes)).toDF("id", "payload")
+    val media = ext.Multimodal.asMedia(df, "id", "payload", "image/png")
+    val feats = ext.Multimodal.decodeImageFeatures(media, "id").collect()
+    assert(feats.length == 1)
+    val r = feats.head
+    assert(r.getInt(1) == 6 && r.getInt(2) == 4)
+    val exp = px.map(_ & 0xff)
+    assert(r.getDouble(3) == exp.map(_.toLong).sum.toDouble / 24)
+    assert(r.getLong(4) ==
+      exp.zipWithIndex.map { case (v, k) => v.toLong * (k + 1) }.sum
+        % 1000000007L)
+  }
 }
