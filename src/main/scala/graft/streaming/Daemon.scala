@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.io.{BufferedReader, InputStreamReader}
 import java.net.{ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -81,6 +81,72 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
       payload: Seq[String] = Nil) {
     def render: String =
       (s"$status $text" +: payload).mkString("", "\n", "\n")
+  }
+
+  /** FETCHBIN reply (rrd_daemon.c handle_request_fetchbin +
+    * add_binary_response_info): text header lines, then per-DS a
+    * `DSName-<ds>: BinaryData <records> <rsize> <endian>` line followed
+    * by the raw little-endian doubles and one `\n`. The status count is
+    * header + one line per binary part (the blob belongs to its header
+    * line), matching the reference's `field_cnt + 5`. */
+  final case class BinResponse(status: Int, text: String,
+      header: Seq[String], parts: Seq[(String, Array[Byte])]) {
+    def write(os: java.io.OutputStream): Unit = {
+      val head = (s"$status $text" +: header).mkString("", "\n", "\n")
+      os.write(head.getBytes(StandardCharsets.UTF_8))
+      parts.foreach { case (h, bytes) =>
+        os.write((h + "\n").getBytes(StandardCharsets.UTF_8))
+        os.write(bytes)
+        os.write('\n')
+      }
+      os.flush()
+    }
+  }
+
+  /** Shared FETCH/FETCHBIN argument parse + window fetch (the
+    * reference's handle_request_fetch_parse): (start, end, step,
+    * ds names, ts-ordered rows). */
+  private def fetchParsed(cmd: LineProtocol.Command)
+      : (Long, Long, Long, Seq[String], Array[org.apache.spark.sql.Row]) = {
+    val path = storePath(cmd.path)
+    val cf = Cf.parse(cmd.args.headOption.getOrElse("AVERAGE"))
+    val end = cmd.args.lift(2).map(_.toLong).getOrElse(nowSec)
+    val start = cmd.args.lift(1).map(_.toLong).getOrElse(end - 86400)
+    val schema = RrdStore.readSchema(path)
+    val dss = if (cmd.args.length > 3) cmd.args.drop(3)
+      else schema.ds.map(_.name)
+    val f = RrdStore.fetchAll(spark, path, cf, dss, Seq("k"),
+        start, end, schema.stepSec)
+      .orderBy("ts").collect()
+    val step = if (f.length >= 2)
+      f(1).getLong(1) - f(0).getLong(1) else schema.stepSec
+    (f.headOption.map(_.getLong(1) - step).getOrElse(start),
+      f.lastOption.map(_.getLong(1)).getOrElse(end), step, dss, f)
+  }
+
+  /** Execute a FETCHBIN with real binary framing (direct connections;
+    * [[handle]] routes here so raw bytes never pass through the text
+    * renderer). Column-major per-DS buffers like the reference's
+    * per-field dbuffer loop; unknowns are NaN doubles. */
+  def executeFetchBin(line: String): Either[Response, BinResponse] = try {
+    val cmd = LineProtocol.parse(line)
+    require(cmd.verb == "FETCHBIN", s"not a FETCHBIN: ${cmd.verb}")
+    val (s0, e0, step, dss, f) = fetchParsed(cmd)
+    val header = Seq("FlushVersion: 1", s"Start: $s0", s"End: $e0",
+      s"Step: $step", s"DSCount: ${dss.length}")
+    val parts = dss.zipWithIndex.map { case (ds, i) =>
+      val bb = java.nio.ByteBuffer.allocate(f.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      f.foreach(r => bb.putDouble(
+        if (r.isNullAt(2 + i)) Double.NaN else r.getDouble(2 + i)))
+      (s"DSName-$ds: BinaryData ${f.length} 8 LITTLE", bb.array())
+    }
+    Right(BinResponse(header.length + parts.length, "Success",
+      header, parts))
+  } catch {
+    case e: Exception => Left(Response(-1,
+      Option(e.getMessage).getOrElse(e.toString)
+        .linesIterator.mkString(" ")))
   }
 
   /** Journal an UPDATE command: one atomically-created spool file per
@@ -216,21 +282,9 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
         Response(kv.size, s"Info for ${cmd.path}",
           kv.map { case (k, v) => s"$k = $v" })
       case "FETCH" =>
-        val path = storePath(cmd.path)
-        val cf = Cf.parse(cmd.args.headOption.getOrElse("AVERAGE"))
-        val end = cmd.args.lift(2).map(_.toLong).getOrElse(nowSec)
-        val start = cmd.args.lift(1).map(_.toLong).getOrElse(end - 86400)
-        val schema = RrdStore.readSchema(path)
-        val dss = if (cmd.args.length > 3) cmd.args.drop(3)
-          else schema.ds.map(_.name)
-        val f = RrdStore.fetchAll(spark, path, cf, dss, Seq("k"),
-            start, end, schema.stepSec)
-          .orderBy("ts").collect()
-        val step = if (f.length >= 2)
-          f(1).getLong(1) - f(0).getLong(1) else schema.stepSec
+        val (s0, e0, step, dss, f) = fetchParsed(cmd)
         val header = Seq(s"FlushVersion: 1",
-          s"Start: ${f.headOption.map(_.getLong(1) - step).getOrElse(start)}",
-          s"End: ${f.lastOption.map(_.getLong(1)).getOrElse(end)}",
+          s"Start: $s0", s"End: $e0",
           s"Step: $step", s"DSCount: ${dss.length}",
           s"DSName: ${dss.mkString(" ")}")
         val rows = f.map { r =>
@@ -241,8 +295,9 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
         Response(header.length + rows.length,
           s"Success (${rows.length} rows)", header ++ rows.toSeq)
       case "FETCHBIN" =>
-        // same payload as FETCH; the reference's binary framing is a
-        // socket-bandwidth optimization with no semantic content
+        // inside BATCH (or any text-only context) the binary framing
+        // cannot ride the line protocol — degrade to FETCH's text form;
+        // direct connections get the real framing via executeFetchBin
         execute(line.replaceFirst("(?i)FETCHBIN", "FETCH"))
       case "CREATE" =>
         // CREATE <file> [-b start] [-s step] [-O] DS:... RRA:...
@@ -330,7 +385,13 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
   private def handle(sock: Socket): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-    val out = new PrintWriter(sock.getOutputStream, true)
+    // raw byte stream, not a Writer: FETCHBIN interleaves binary blobs
+    // with the text lines, and a charset encoder would mangle them
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    def writeText(s: String): Unit = {
+      out.write(s.getBytes(StandardCharsets.UTF_8))
+      out.flush()
+    }
     try {
       var batch: Option[Vector[String]] = None
       var line = in.readLine()
@@ -339,22 +400,24 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
         (batch, trimmed) match {
           case (None, "BATCH") =>
             batch = Some(Vector.empty)
-            out.print(Response(0, "Go ahead.  End with dot '.'.").render)
-            out.flush()
+            writeText(Response(0, "Go ahead.  End with dot '.'.").render)
           case (Some(cmds), ".") =>
             val errs = cmds.zipWithIndex.flatMap { case (c, i) =>
               val r = execute(c)
               if (r.status < 0) Seq(s"${i + 1} ${r.text}") else Nil
             }
-            out.print(Response(errs.size, "errors", errs).render)
-            out.flush()
+            writeText(Response(errs.size, "errors", errs).render)
             batch = None
           case (Some(cmds), c) => batch = Some(cmds :+ c)
           case (None, "QUIT") | (None, "") =>
             sock.close(); return
+          case (None, c) if c.toUpperCase.startsWith("FETCHBIN") =>
+            executeFetchBin(c) match {
+              case Right(b) => b.write(out)
+              case Left(r) => writeText(r.render)
+            }
           case (None, c) =>
-            out.print(execute(c).render)
-            out.flush()
+            writeText(execute(c).render)
         }
         line = if (sock.isClosed) null else in.readLine()
       }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.io.PrintWriter
 import java.net.Socket
 import java.nio.charset.StandardCharsets
 
@@ -22,20 +22,42 @@ final class DaemonClient(host: String, port: Int) extends AutoCloseable {
 
   private val sock = new Socket(host, port)
   private val out = new PrintWriter(sock.getOutputStream, true)
-  private val in = new BufferedReader(
-    new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+  // raw byte stream with a manual line reader: FETCHBIN interleaves
+  // binary payloads with text lines, and a Reader's charset decoder
+  // would corrupt (and read ahead past) the raw bytes
+  private val in = new java.io.BufferedInputStream(sock.getInputStream)
+
+  private def readLine(): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { bos.write(b); b = in.read() }
+    val s = new String(bos.toByteArray, StandardCharsets.UTF_8)
+    if (s.endsWith("\r")) s.dropRight(1) else s
+  }
+
+  private def readFully(n: Int): Array[Byte] = {
+    val a = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(a, off, n - off)
+      if (r < 0) throw new java.io.IOException("EOF inside binary payload")
+      off += r
+    }
+    a
+  }
 
   /** Send one protocol line, read the full reply. */
   def command(line: String): Reply = {
     out.println(line)
-    val status = in.readLine()
+    val status = readLine()
     if (status == null)
       throw new java.io.IOException("daemon closed the connection")
     val (n, text) = status.indexOf(' ') match {
       case -1 => (status.toInt, "")
       case i => (status.take(i).toInt, status.drop(i + 1))
     }
-    Reply(n, text, if (n > 0) (0 until n).map(_ => in.readLine()) else Nil)
+    Reply(n, text, if (n > 0) (0 until n).map(_ => readLine()) else Nil)
   }
 
   /** BATCH framing: many commands, one error summary
@@ -61,6 +83,54 @@ final class DaemonClient(host: String, port: Int) extends AutoCloseable {
   def fetch(path: String, cf: String, start: Long, end: Long,
       ds: Seq[String] = Nil): Reply =
     command((s"FETCH $path $cf $start $end" +: ds).mkString(" "))
+
+  final case class BinReply(status: Int, text: String,
+      header: Map[String, String], series: Seq[(String, Array[Double])]) {
+    def isError: Boolean = status < 0
+  }
+
+  private val BinHeaderRe =
+    """DSName-(.+): BinaryData (\d+) (\d+) (\w+)""".r
+
+  /** FETCHBIN (rrd_client.c rrdc_fetch's binary branch): text header
+    * key/values, then per-DS raw doubles read straight off the socket
+    * in the advertised endianness. */
+  def fetchBin(path: String, cf: String, start: Long, end: Long,
+      ds: Seq[String] = Nil): BinReply = {
+    out.println((s"FETCHBIN $path $cf $start $end" +: ds).mkString(" "))
+    val status = readLine()
+    if (status == null)
+      throw new java.io.IOException("daemon closed the connection")
+    val (n, text) = status.indexOf(' ') match {
+      case -1 => (status.toInt, "")
+      case i => (status.take(i).toInt, status.drop(i + 1))
+    }
+    if (n < 0) {
+      // error replies are plain text; payload lines (if any) were
+      // already consumed by the negative count convention (none follow)
+      return BinReply(n, text, Map.empty, Nil)
+    }
+    val hdr = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val series = Seq.newBuilder[(String, Array[Double])]
+    (0 until n).foreach { _ =>
+      readLine() match {
+        case BinHeaderRe(name, rec, rsize, endian) =>
+          val records = rec.toInt
+          val bytes = readFully(records * rsize.toInt)
+          readLine() // the blob's trailing newline
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (endian == "LITTLE") java.nio.ByteOrder.LITTLE_ENDIAN
+            else java.nio.ByteOrder.BIG_ENDIAN)
+          series += name -> Array.fill(records)(bb.getDouble)
+        case l =>
+          l.split(": ", 2) match {
+            case Array(k, v) => hdr += k -> v
+            case _ => ()
+          }
+      }
+    }
+    BinReply(n, text, hdr.toMap, series.result())
+  }
 
   def info(path: String): Reply = command(s"INFO $path")
   def last(path: String): Reply = command(s"LAST $path")

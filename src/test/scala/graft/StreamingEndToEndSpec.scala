@@ -161,6 +161,20 @@ class StreamingEndToEndSpec extends SparkSuite {
       assert(client.last("web.rrd").payload == Seq("3010"))
       val f = client.fetch("web.rrd", "AVERAGE", 0, 900)
       assert(f.status > 0 && f.payload.head == "FlushVersion: 1")
+      // FETCHBIN: real binary framing — raw little-endian doubles under
+      // the DSName-* headers must equal the text FETCH's values
+      val fb = client.fetchBin("web.rrd", "AVERAGE", 0, 900)
+      assert(!fb.isError && fb.header("DSCount") == "2", fb.toString)
+      assert(fb.series.map(_._1) == Seq("g", "c"))
+      val textRows = f.payload.dropWhile(!_.headOption.exists(_.isDigit))
+      val gText = textRows.map(_.split(":\\s+")(1).split(" ")(0).toDouble)
+      val gBin = fb.series.head._2.toSeq
+      assert(gBin.length == gText.length, s"$gBin vs $gText")
+      gBin.zip(gText).foreach { case (a, b) =>
+        assert(a == b || (a.isNaN && b.isNaN), s"$a != $b")
+      }
+      // protocol stays usable after the binary payload
+      assert(client.info("web.rrd").payload.contains("step = 300"))
       assert(client.info("web.rrd").payload.contains("step = 300"))
       client.update("web.rrd", Seq("3300:12.5:9900"))
       client.flush("web.rrd")
@@ -277,9 +291,20 @@ class StreamingEndToEndSpec extends SparkSuite {
       assert(spooled.size == 1)
       assert(new String(Files.readAllBytes(Paths.get(spooled.head)),
         StandardCharsets.UTF_8).trim == upd)
-      // FETCHBIN serves the FETCH payload
-      val fb = roundTrip("FETCHBIN web.rrd AVERAGE 0 900")
-      assert(fb == fetch)
+      // FETCHBIN serves the same window in REAL binary framing (raw
+      // little-endian doubles) — read it on a separate binary-capable
+      // client so this connection's text reader never sees the blobs
+      val cbin = new graft.streaming.DaemonClient("127.0.0.1", port)
+      try {
+        val fb = cbin.fetchBin("web.rrd", "AVERAGE", 0, 900)
+        assert(!fb.isError && fb.status == 7, fb.toString) // 5 hdr + 2 DS
+        assert(fb.header("Step") == "300" && fb.header("DSCount") == "2")
+        assert(fb.series.map(_._1) == Seq("g", "c"))
+        val g0 = fb.series.head._2
+        assert(g0.length == 3 && g0(0) == 30.0, g0.toSeq.toString)
+        val c0 = fb.series(1)._2
+        assert(c0(0).isNaN && !c0(1).isNaN, c0.toSeq.toString)
+      } finally cbin.close()
       // QUEUE lists the journaled file with its pending-command count;
       // HELP lists the command table; SUSPEND-family acks (no
       // write-behind tree to pause under streaming-journal ingestion)
