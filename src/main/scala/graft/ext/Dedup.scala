@@ -340,7 +340,13 @@ object Dedup {
     * Output: (id as long, sig as long). No shuffle — per-row map only. */
   def simhashSignatures(df: DataFrame, id: String, text: String,
       bits: Int): DataFrame = {
-    require(bits <= 16, "one md5 supplies 16 hex nibbles = 16 vote bits")
+    // one md5 = 32 hex nibbles = 32 vote bits; bits 32..63 vote from a
+    // second, salted digest. The <32 derivation is frozen — the q28/q56
+    // SQL oracles replay it nibble-for-nibble. 16-bit signatures suit
+    // small corpora; at corpus scale use 64 (2^16 keys per 4-band slice)
+    // or the banded buckets saturate and the cap discards them (the
+    // q28 cliff measured in SCALE.md).
+    require(bits <= 64, "two md5 digests supply at most 64 vote bits")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(id).cast("long"),
@@ -354,11 +360,16 @@ object Dedup {
           toks.foreach { w =>
             md.reset()
             val h = md.digest(w.getBytes("UTF-8"))
+            val h2 = if (bits > 32) {
+              md.reset(); md.digest((w + "#2").getBytes("UTF-8"))
+            } else null
             var i = 0
             while (i < bits) {
-              // hex nibble i (0-based): high half of byte i/2 when i even
+              val (src, j) = if (i < 32) (h, i) else (h2, i - 32)
+              // hex nibble j (0-based): high half of byte j/2 when j even
               val nib =
-                if ((i & 1) == 0) (h(i >> 1) >> 4) & 0xf else h(i >> 1) & 0xf
+                if ((j & 1) == 0) (src(j >> 1) >> 4) & 0xf
+                else src(j >> 1) & 0xf
               votes(i) += (if (nib >= 8) 1 else -1)
               i += 1
             }

@@ -118,19 +118,33 @@ object Similarity {
     * is spec-covered on constructed near-dups rather than oracle-backed.)
     */
   def cosineNearDupPairs(df: DataFrame, id: String, vec: String, dim: Int,
-      tau: Double, planes: Int = 8, maxBucket: Int = 10000): DataFrame = {
+      tau: Double, planes: Int = 0, maxBucket: Int = 10000,
+      targetOccupancy: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // planes <= 0 → size the hyperplane count to the corpus so expected
+    // bucket occupancy stays near targetOccupancy: bucket count grows
+    // WITH the corpus and within-bucket pair mining stays O(n·occ),
+    // linear. A FIXED plane count is the classic LSH scale failure —
+    // pairs grow n²/2^planes (measured: 17.6× wall at 10× corpus with
+    // planes=4; SCALE.md). The sizing pass is one count() — at real
+    // scale pass a known corpus size via `planes` explicitly, or accept
+    // the extra scan. hyperplaneSign is seeded per (plane, dim), so a
+    // larger plane count extends, never reshuffles, the existing planes.
+    val nPlanes = if (planes > 0) planes else
+      math.min(20, math.max(4, math.ceil(math.log(
+        math.max(df.count(), 1L).toDouble / targetOccupancy) /
+        math.log(2)).toInt))
     // Cap check rides a window count over the bucket partition — one
     // shuffle, no operator-internal persist (round-2 leak). The probe
     // side re-derives keys/norms (cheap column math, no shuffle).
     val keyed = df.select(col(id).as("doc_id"), col(vec).as("v"),
         norm(col(vec), dim).as("n"),
-        hyperplaneKey(col(vec), dim, planes).as("bucket"))
+        hyperplaneKey(col(vec), dim, nPlanes).as("bucket"))
     val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
     val capped = keyed.withColumn("__bn", count(lit(1)).over(wb))
       .where(col("__bn") <= maxBucket).drop("__bn")
-    val probes = array(col("bucket") +: (0 until planes).map(p =>
+    val probes = array(col("bucket") +: (0 until nPlanes).map(p =>
       col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val a = capped.select(explode(probes).as("bucket"),
       col("doc_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
