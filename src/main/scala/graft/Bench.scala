@@ -122,23 +122,33 @@ object Bench {
 
     def run1(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Health) = {
+        : (Double, Health, Option[String]) = {
       val gc0 = gcMs; val jit0 = jitMs; val sp0 = spillBytes.get()
       val steal0 = cpuStealJiffies
       val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        // bit_xor, not sum: xxhash64 spans the full 64-bit range and a
-        // long sum overflows (throws under ANSI mode)
-        df.select(xxhash64(df.columns.map(col): _*).as("h"))
-          .agg(expr("bit_xor(h)")).collect()
-      } catch { case _: Throwable => }
+      // A throwing query must surface in the artifact, not score ~0 s
+      // and silently inflate the sweep: record the exception per query.
+      val err: Option[String] =
+        try {
+          val df = fn(spark, sfDir)
+          // bit_xor, not sum: xxhash64 spans the full 64-bit range and a
+          // long sum overflows (throws under ANSI mode)
+          df.select(xxhash64(df.columns.map(col): _*).as("h"))
+            .agg(expr("bit_xor(h)")).collect()
+          None
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $t")
+            Some(s"${t.getClass.getSimpleName}: " +
+              Option(t.getMessage).getOrElse("").linesIterator
+                .take(1).mkString.take(200))
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       val storeMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
       val stealD =
         if (steal0 < 0) -1L else math.max(cpuStealJiffies - steal0, -1L)
       (sec, Health(gcMs - gc0, jitMs - jit0, (spillBytes.get() - sp0) >> 20,
-        codeHeapUsed >> 20, storeMb, loadAvg, stealD))
+        codeHeapUsed >> 20, storeMb, loadAvg, stealD), err)
     }
 
     // Local-iteration subset: SPARK_GRAFT_ONLY=q28,q39 (driver never sets it)
@@ -153,7 +163,7 @@ object Bench {
     // CPU contention) shows a solo time back in family.
     val prior = priorTimes()
     val reruns = results.collect {
-      case (name, (sec, _)) if sec > 5.0 &&
+      case (name, (sec, _, _)) if sec > 5.0 &&
           prior.get(name).exists(p => p > 0 && sec > 5 * p) =>
         System.err.println(f"[bench] $name%s took $sec%.1f s vs " +
           f"${prior(name)}%.1f s last round — re-running solo")
@@ -162,10 +172,13 @@ object Bench {
 
     def qjson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = qjson(results.map { case (k, (sec, _)) => k -> sec })
-    val rr = qjson(reruns.map { case (k, (sec, _)) => k -> sec })
-    val health = results.map { case (k, (_, h)) => "\"" + k + "\":" + h.json }
+    val qs = qjson(results.map { case (k, (sec, _, _)) => k -> sec })
+    val rr = qjson(reruns.map { case (k, (sec, _, _)) => k -> sec })
+    val health = results.map { case (k, (_, h, _)) => "\"" + k + "\":" + h.json }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, _, Some(e))) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val jvm = s"""{"code_heap_max_mb":${reservedCode >> 20},""" +
       s""""code_heap_used_mb":${codeHeapUsed >> 20},""" +
@@ -173,7 +186,7 @@ object Bench {
       s""""gc_total_ms":$gcMs,"jit_total_ms":$jitMs,""" +
       s""""spill_total_mb":${spillBytes.get() >> 20}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""health":$health,"jvm":$jvm,"reruns":$rr,"sf":"$sfDir"}""")
+      s""""health":$health,"jvm":$jvm,"reruns":$rr,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

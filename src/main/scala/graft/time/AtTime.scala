@@ -19,8 +19,16 @@ import java.time.{Instant, LocalDate, LocalDateTime, LocalTime, ZoneId, ZoneOffs
 object AtTime {
   private val Utc: ZoneId = ZoneOffset.UTC
 
+  /** `zone` is the reference's process TZ (rrd_parsetime works on
+    * localtime/mktime): base keywords and offset arithmetic are
+    * evaluated in wall-clock terms and converted to epoch once at the
+    * end, so a `+1day` across a DST transition is 23 or 25 real hours —
+    * exactly mktime's normalization. Gap times resolve forward by the
+    * gap length and ambiguous (fall-back) times take the earlier
+    * occurrence, matching glibc mktime with tm_isdst = -1. */
   final case class RefTimes(nowSec: Long,
-      startSec: Option[Long] = None, endSec: Option[Long] = None)
+      startSec: Option[Long] = None, endSec: Option[Long] = None,
+      zone: ZoneId = ZoneOffset.UTC)
 
   private val Months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul",
     "aug", "sep", "oct", "nov", "dec")
@@ -47,7 +55,12 @@ object AtTime {
     // split base and offset chain at the first +/- that isn't leading
     val (baseStr, offsetStr) = splitOffset(spec)
     val base: LocalDateTime = parseBase(baseStr, ref)
-    applyOffsets(base, offsetStr, ref).toEpochSecond(ZoneOffset.UTC)
+    // one mktime at the end: spring-forward gap times shift forward by
+    // the gap length, and ambiguous fall-back times take the LATER
+    // (standard-time) occurrence — both measured against glibc mktime
+    // with tm_isdst = -1, which is what the reference calls
+    applyOffsets(base, offsetStr, ref).atZone(ref.zone)
+      .withLaterOffsetAtOverlap.toEpochSecond
   }
 
   /** Scaled duration for CLI args like `1h30m` or plain seconds
@@ -81,17 +94,19 @@ object AtTime {
   }
 
   private def parseBase(b0: String, ref: RefTimes): LocalDateTime = {
-    val now = LocalDateTime.ofEpochSecond(ref.nowSec, 0, ZoneOffset.UTC)
+    def local(sec: Long): LocalDateTime =
+      LocalDateTime.ofInstant(Instant.ofEpochSecond(sec), ref.zone)
+    val now = local(ref.nowSec)
     def today = now.toLocalDate
     val b = b0.trim
     def at(d: LocalDate, t: LocalTime) = LocalDateTime.of(d, t)
     b match {
       case "" | "now" | "n" => now
-      case "start" | "s" => LocalDateTime.ofEpochSecond(ref.startSec.getOrElse(
-        throw new IllegalArgumentException("start undefined")), 0, ZoneOffset.UTC)
-      case "end" | "e" => LocalDateTime.ofEpochSecond(ref.endSec.getOrElse(
-        throw new IllegalArgumentException("end undefined")), 0, ZoneOffset.UTC)
-      case "epoch" => LocalDateTime.ofEpochSecond(0, 0, ZoneOffset.UTC)
+      case "start" | "s" => local(ref.startSec.getOrElse(
+        throw new IllegalArgumentException("start undefined")))
+      case "end" | "e" => local(ref.endSec.getOrElse(
+        throw new IllegalArgumentException("end undefined")))
+      case "epoch" => local(0L)
       case "midnight" => at(today, LocalTime.MIDNIGHT)
       case "noon" => at(today, LocalTime.NOON)
       case "teatime" => at(today, LocalTime.of(16, 0)) // rrd_parsetime.c:137
@@ -139,7 +154,7 @@ object AtTime {
             }
             at(dateOf(rest), t)
           case t if t.forall(_.isDigit) && t.length >= 8 && t.length != 8 =>
-            LocalDateTime.ofEpochSecond(t.toLong, 0, ZoneOffset.UTC)
+            LocalDateTime.ofInstant(Instant.ofEpochSecond(t.toLong), ref.zone)
           case ymd(y, m, d) => at(LocalDate.of(y.toInt, m.toInt, d.toInt),
             LocalTime.MIDNIGHT)
           case tm(h, mi, ap, rest) =>

@@ -86,4 +86,63 @@ class AtTimeSpec extends AnyFunSuite {
     assert(e == now && s == now - 86400)
     assertThrows[IllegalArgumentException](AtTime.startEnd("now", "now-1h", now))
   }
+
+  // ---- DST property tests, Europe/Zurich -------------------------------
+  // The reference evaluates AT-specs through localtime/mktime
+  // (rrd_parsetime.c:36-111), so day arithmetic is wall-clock: a day
+  // across a transition is 23 or 25 real hours. Every expected epoch
+  // below was computed with glibc mktime (tm_isdst = -1) under
+  // TZ=Europe/Zurich — the exact call chain the reference makes.
+  private val zrh = java.time.ZoneId.of("Europe/Zurich")
+  // spring forward: 2024-03-31 02:00 CET -> 03:00 CEST
+  private val nowSpring = 1711879200L // 2024-03-31 12:00 CEST
+  // fall back: 2024-10-27 03:00 CEST -> 02:00 CET
+  private val nowFall = 1730026800L // 2024-10-27 12:00 CET
+  private def pz(s: String, at: Long): Long =
+    AtTime.parse(s, RefTimes(at, zone = zrh))
+
+  test("DST spring forward: the 23-hour day (Europe/Zurich)") {
+    assert(pz("midnight", nowSpring) == 1711839600L) // 00:00 CET
+    // midnight tomorrow is 23 real hours later: the day loses 02:00-03:00
+    assert(pz("midnight tomorrow", nowSpring) == 1711922400L)
+    assert(pz("midnight tomorrow", nowSpring) -
+      pz("midnight", nowSpring) == 23 * 3600)
+    // +1day across the gap = 23 real hours (mktime normalization);
+    // -1day lands on a plain CET day = 24 real hours
+    assert(pz("noon+1d", 1711796400L) == 1711879200L) // Mar30 noon -> Mar31
+    assert(pz("midnight yesterday", nowSpring) == 1711753200L)
+    assert(pz("midnight", nowSpring) -
+      pz("midnight yesterday", nowSpring) == 24 * 3600)
+  }
+
+  test("DST spring forward: times in the missing hour shift forward") {
+    // 02:30 does not exist on 2024-03-31; mktime resolves it forward
+    // across the gap to 03:30 CEST
+    assert(pz("2:30", nowSpring) == 1711848600L)
+    // day-crossing wall-clock offset: midnight+26h = 01.04. 02:00 local,
+    // which is only 25 real hours after midnight
+    assert(pz("midnight+26", nowSpring) == 1711929600L)
+    assert(pz("midnight+26", nowSpring) -
+      pz("midnight", nowSpring) == 25 * 3600)
+  }
+
+  test("DST fall back: the 25-hour day and the ambiguous hour") {
+    assert(pz("midnight", nowFall) == 1729980000L) // 00:00 CEST
+    assert(pz("midnight tomorrow", nowFall) == 1730070000L) // 00:00 CET
+    assert(pz("midnight tomorrow", nowFall) -
+      pz("midnight", nowFall) == 25 * 3600)
+    // 02:30 occurs twice; glibc mktime (isdst=-1) picks the LATER,
+    // standard-time occurrence: 02:30 CET
+    assert(pz("2:30", nowFall) == 1729992600L)
+    // wall-clock +25h = 01:00 next day local = 26 real hours
+    assert(pz("midnight+25", nowFall) == 1730073600L)
+    assert(pz("midnight+25", nowFall) -
+      pz("midnight", nowFall) == 26 * 3600)
+  }
+
+  test("DST: UTC default is unaffected by the zone parameter") {
+    // the same specs through the default-zone path still evaluate in UTC
+    assert(p("midnight") == midnight)
+    assert(AtTime.parse("midnight", RefTimes(nowSpring)) == 1711843200L)
+  }
 }
