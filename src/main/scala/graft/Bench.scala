@@ -177,7 +177,11 @@ object Bench {
     val health = results.map { case (k, (_, h, _)) => "\"" + k + "\":" + h.json }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, _, Some(e))) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // strip control chars (tabs are common in Spark messages) — raw
+      // < 0x20 bytes make the whole JSON line unparseable
+      val clean = e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .map(c => if (c < ' ') ' ' else c)
+      "\"" + k + "\":\"" + clean + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val jvm = s"""{"code_heap_max_mb":${reservedCode >> 20},""" +

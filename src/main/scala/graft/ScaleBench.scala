@@ -106,8 +106,14 @@ object ScaleBench {
 
     val emb = Tables.table(spark, base, "embeddings")
     reps(emb) { (d, i) =>
-      val signs = (0 until 64).map(j =>
-        if (i == 0 || ((i * 37 + j * 11) & 2) == 0) 1.0f else -1.0f)
+      // full dependence on (i, j): a linear form like (i*37 + j*11) & 2
+      // only sees i mod 4, so replicas {1,5,9} would share one sign
+      // pattern and collapse onto the same LSH/IVF cells, inflating
+      // candidate counts with cosine-1.0 cross-replica pairs
+      val signs = (0 until 64).map { j =>
+        val h = scala.util.hashing.MurmurHash3.productHash((i, j))
+        if (i == 0 || (h & 1) == 0) 1.0f else -1.0f
+      }
       d.select(
         (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
         zip_with(col("embedding"), array(signs.map(lit): _*),

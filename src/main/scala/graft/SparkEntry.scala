@@ -859,7 +859,10 @@ object SparkEntry {
       val db = ensureDerby(s, dir)
       sources.DefSource.resolve(s,
           s"sql//derby/dbname=$db//EVTS/UTS/VALUE/TAG=7")
-        .orderBy("ts_sec", "value")
+        // value is nullable: DuckDB sorts ASC NULLS LAST, Spark NULLS
+        // FIRST — pin the DuckDB order or a same-ts_sec tie with a null
+        // value hash-mismatches after a testdata regeneration
+        .orderBy(col("ts_sec"), col("value").asc_nulls_last)
     }),
 
     // §2.1 cb// callback DEF source (rrd_fetch_cb.c): the registered

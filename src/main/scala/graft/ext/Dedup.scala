@@ -231,12 +231,18 @@ object Dedup {
         val p = new org.apache.hadoop.fs.Path(d)
         val fs = p.getFileSystem(hconf)
         if (!fs.exists(p)) Set.empty
-        else fs.listStatus(p).iterator.flatMap { st =>
-          if (st.isDirectory) fs.listStatus(st.getPath).iterator
-          else Iterator(st)
-        }.map(_.getPath)
-          .filter(_.getName.startsWith("rdd-"))
-          .map(_.toString).toSet
+        else {
+          // getCheckpointDir already points INSIDE the per-context uuid
+          // subdir, so rdd-* checkpoint dirs are its direct children;
+          // keep the one-level-down scan too in case a caller handed
+          // setCheckpointDir's parent to a restarted context
+          val top = fs.listStatus(p).toSeq
+          (top ++ top.filter(_.isDirectory)
+              .flatMap(st => fs.listStatus(st.getPath).toSeq))
+            .map(_.getPath)
+            .filter(_.getName.startsWith("rdd-"))
+            .map(_.toString).toSet
+        }
       case _ => Set.empty
     }
     def rmCk(uri: String): Unit = {

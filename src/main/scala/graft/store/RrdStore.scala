@@ -262,21 +262,37 @@ object RrdStore extends Serializable {
         schema.stepSec, rra.pdpCnt, rra.cf, rra.xff)
       .withColumnRenamed("cdp_ts", "ts")
 
+  /** Per-target intra-JVM lock serializing the old-aside/move-in swap
+    * protocol against read-path crash recovery: without it a concurrent
+    * reader's [[recoverLeftovers]] can observe the transient
+    * dst-missing/old-present state of an in-flight swap and "recover"
+    * the .old dir back, making the writer's final move throw. Keyed by
+    * normalized absolute path. Cross-PROCESS exclusion is the
+    * deployment's single-writer contract (the reference holds the same
+    * contract via rrdcached owning the file). */
+  private val swapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private[store] def withSwapLock[T](target: String)(f: => T): T = {
+    val key = Paths.get(target).toAbsolutePath.normalize.toString
+    swapLocks.computeIfAbsent(key, _ => new Object).synchronized(f)
+  }
+
   /** Replace directory `target` with `tmp` in one rename pair (write the
     * final data ONCE, then swap — the round-2 write-read-rewrite dance
     * doubled the IO and had a crash window with no surviving copy). */
-  private[store] def swapInto(tmp: String, target: String): Unit = {
-    val (t, g) = (Paths.get(tmp), Paths.get(target))
-    val old = Paths.get(target + ".old")
-    // a leftover .old with no target is the sole copy from a crashed
-    // earlier swap — it is about to be replaced by `tmp` anyway, but
-    // never hard-delete it while it is the only copy standing
-    if (Files.exists(old) && !Files.exists(g)) Files.move(old, g)
-    deleteRecursively(old)
-    if (Files.exists(g)) Files.move(g, old)
-    Files.move(t, g)
-    deleteRecursively(old)
-  }
+  private[store] def swapInto(tmp: String, target: String): Unit =
+    withSwapLock(target) {
+      val (t, g) = (Paths.get(tmp), Paths.get(target))
+      val old = Paths.get(target + ".old")
+      // a leftover .old with no target is the sole copy from a crashed
+      // earlier swap — it is about to be replaced by `tmp` anyway, but
+      // never hard-delete it while it is the only copy standing
+      if (Files.exists(old) && !Files.exists(g)) Files.move(old, g)
+      deleteRecursively(old)
+      if (Files.exists(g)) Files.move(g, old)
+      Files.move(t, g)
+      deleteRecursively(old)
+    }
 
   /** Write `df` next to `target`, then atomically swap it in. Safe when
     * `df` READS from `target` (the write hits the sibling tmp dir). */
@@ -301,7 +317,8 @@ object RrdStore extends Serializable {
     * Must run BEFORE any read of `target` that feeds a rewrite, or the
     * rewrite is computed without the lost rows and recovery after the
     * fact would be overwritten. */
-  private[graft] def recoverLeftovers(target: String): Unit = {
+  private[graft] def recoverLeftovers(target: String): Unit =
+      withSwapLock(target) {
     val g = Paths.get(target)
     val parent = g.getParent
     val name = g.getFileName.toString
@@ -454,16 +471,18 @@ object RrdStore extends Serializable {
           // crash-leftover never pollutes partition discovery)
           val tmp = target + ".next"
           merged.write.mode("overwrite").partitionBy("__tb").parquet(tmp)
-          touched.foreach { b =>
-            val src = Paths.get(tmp, s"__tb=$b")
-            val dst = Paths.get(target, s"__tb=$b")
-            val old = Paths.get(target + s".old__tb=$b")
-            deleteRecursively(old)
-            if (Files.exists(dst)) Files.move(dst, old)
-            if (Files.exists(src)) Files.move(src, dst)
-            deleteRecursively(old)
+          withSwapLock(target) {
+            touched.foreach { b =>
+              val src = Paths.get(tmp, s"__tb=$b")
+              val dst = Paths.get(target, s"__tb=$b")
+              val old = Paths.get(target + s".old__tb=$b")
+              deleteRecursively(old)
+              if (Files.exists(dst)) Files.move(dst, old)
+              if (Files.exists(src)) Files.move(src, dst)
+              deleteRecursively(old)
+            }
+            deleteRecursively(Paths.get(tmp))
           }
-          deleteRecursively(Paths.get(tmp))
         } else {
           val merged = existing
             .join(fresh.select((series :+ "ts").map(col): _*),

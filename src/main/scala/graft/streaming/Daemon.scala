@@ -176,28 +176,40 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
         val skipPast = cmd.args.headOption
           .exists(a => a == "--skip-past-updates" || a == "-s")
         val vals = if (skipPast) cmd.args.tail else cmd.args
-        val last = lastStamps.computeIfAbsent(cmd.path, p =>
+        // keyed by the NORMALIZED store path: two spellings of the same
+        // store must share one stamp, or a stale sample accepted via the
+        // second spelling is silently dropped downstream instead of
+        // erroring here
+        val last = lastStamps.computeIfAbsent(storePath(cmd.path), p =>
           new AtomicLong(
-            try RrdStore.lastUpdateUs(spark, storePath(p))
+            try RrdStore.lastUpdateUs(spark, p)
             catch { case _: Exception => 0L }))
-        val (accepted, stale) = last.synchronized {
+        // the in-memory stamp advances only AFTER the spool write
+        // succeeds — advancing first would blackhole every retry of the
+        // same samples when the spool throws (disk full): the lock spans
+        // gate + spool so concurrent updates serialize per store, same
+        // as rrdcached's per-cache_item mutex
+        val (r, stale) = last.synchronized {
+          var cur = last.get
           val acc = Seq.newBuilder[String]
           var firstStale: Option[Long] = None
           vals.foreach { v =>
             val ts = graft.ingest.UpdateParser
               .parseTime(v.takeWhile(_ != ':'), nowSec)
-            if (ts > last.get) {
+            if (ts > cur) {
               // without -s the reference stops at the first stale sample
               // (rrd_daemon.c:1802 goto done) — later in-order samples
               // are NOT enqueued; with -s each is judged independently
-              if (skipPast || firstStale.isEmpty) { last.set(ts); acc += v }
+              if (skipPast || firstStale.isEmpty) { cur = ts; acc += v }
             } else if (firstStale.isEmpty) firstStale = Some(ts)
           }
-          (acc.result(), firstStale)
+          val accepted = acc.result()
+          val resp = if (accepted.nonEmpty)
+            spool((s"UPDATE ${cmd.path}" +: accepted).mkString(" "))
+          else Response(0, "errors, nothing new to enqueue")
+          last.set(cur) // spool succeeded (spool throws -> no advance)
+          (resp, firstStale)
         }
-        val r = if (accepted.nonEmpty)
-          spool((s"UPDATE ${cmd.path}" +: accepted).mkString(" "))
-        else Response(0, "errors, nothing new to enqueue")
         stale match {
           case Some(ts) if !skipPast => Response(-1,
             s"illegal attempt to update using time ${ts / 1000000} when " +
@@ -317,6 +329,9 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
         RrdStore.create(storePath(cmd.path),
           graft.model.RrdSchema.parse(step, start, specs.result()),
           noOverwrite)
+        // a re-created store starts empty: drop the cached stamp or the
+        // old store's last-update time would reject valid new samples
+        lastStamps.remove(storePath(cmd.path))
         Response(0, s"RRD created OK (${cmd.path})")
       case "TUNE" =>
         // TUNE <file> --heartbeat ds:s | --minimum ds:v | ... —

@@ -24,8 +24,12 @@ object AtTime {
     * evaluated in wall-clock terms and converted to epoch once at the
     * end, so a `+1day` across a DST transition is 23 or 25 real hours —
     * exactly mktime's normalization. Gap times resolve forward by the
-    * gap length and ambiguous (fall-back) times take the earlier
-    * occurrence, matching glibc mktime with tm_isdst = -1. */
+    * gap length and ambiguous (fall-back) times take the LATER
+    * (standard-time) occurrence, matching glibc mktime with
+    * tm_isdst = -1. Offset-free instant anchors (`now`, `start`, `end`,
+    * `epoch`, numeric epochs) bypass the round trip entirely and are
+    * returned verbatim, like the reference's localtime→mktime identity
+    * (tm_isdst is filled in by localtime there). */
   final case class RefTimes(nowSec: Long,
       startSec: Option[Long] = None, endSec: Option[Long] = None,
       zone: ZoneId = ZoneOffset.UTC)
@@ -54,13 +58,29 @@ object AtTime {
     val spec = spec0.trim.toLowerCase.replace(" ", " ")
     // split base and offset chain at the first +/- that isn't leading
     val (baseStr, offsetStr) = splitOffset(spec)
-    val base: LocalDateTime = parseBase(baseStr, ref)
-    // one mktime at the end: spring-forward gap times shift forward by
-    // the gap length, and ambiguous fall-back times take the LATER
-    // (standard-time) occurrence — both measured against glibc mktime
-    // with tm_isdst = -1, which is what the reference calls
-    applyOffsets(base, offsetStr, ref).atZone(ref.zone)
-      .withLaterOffsetAtOverlap.toEpochSecond
+    // an offset-free instant anchor is the identity — never local-and-
+    // back, which would shift instants inside the repeated DST hour
+    val instantAnchor: Option[Long] = baseStr.trim match {
+      case "" | "now" | "n" | "today" => Some(ref.nowSec)
+      case "start" | "s" => ref.startSec
+      case "end" | "e" => ref.endSec
+      case "epoch" => Some(0L)
+      case t if t.forall(_.isDigit) && t.length >= 8 && t.length != 8 =>
+        Some(t.toLong)
+      case _ => None
+    }
+    (instantAnchor, offsetStr) match {
+      case (Some(sec), "") => sec
+      case _ =>
+        val base: LocalDateTime = parseBase(baseStr, ref)
+        // one mktime at the end: spring-forward gap times shift forward
+        // by the gap length, and ambiguous fall-back times take the
+        // LATER (standard-time) occurrence — both measured against
+        // glibc mktime with tm_isdst = -1, which is what the reference
+        // calls for wall-clock specs
+        applyOffsets(base, offsetStr, ref).atZone(ref.zone)
+          .withLaterOffsetAtOverlap.toEpochSecond
+    }
   }
 
   /** Scaled duration for CLI args like `1h30m` or plain seconds

@@ -140,6 +140,18 @@ class AtTimeSpec extends AnyFunSuite {
       pz("midnight", nowFall) == 26 * 3600)
   }
 
+  test("DST: offset-free instant anchors are the identity, even inside " +
+      "the repeated hour") {
+    // 1729989000 = 2024-10-27 02:30 CEST, the EARLIER occurrence of the
+    // ambiguous wall time: "now" must round-trip exactly, not jump to
+    // the 02:30 CET occurrence one real hour later
+    assert(pz("now", 1729989000L) == 1729989000L)
+    assert(AtTime.parse("1729989000", RefTimes(nowFall, zone = zrh)) ==
+      1729989000L)
+    assert(AtTime.parse("end", RefTimes(nowFall, endSec = Some(1729989000L),
+      zone = zrh)) == 1729989000L)
+  }
+
   test("DST: UTC default is unaffected by the zone parameter") {
     // the same specs through the default-zone path still evaluate in UTC
     assert(p("midnight") == midnight)

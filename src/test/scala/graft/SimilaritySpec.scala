@@ -205,10 +205,20 @@ class SimilaritySpec extends SparkSuite {
     assert(spark.sparkContext.getPersistentRDDs.keySet == before)
     def walk(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+        s.iterator().asScala.toSeq
+      }
     }
     assert(walk(java.nio.file.Paths.get(dir))
       .exists(java.nio.file.Files.isRegularFile(_)), "no checkpoint files")
+    // per-round cleanup must actually delete superseded checkpoints:
+    // only the FINAL labels checkpoint may survive (edges and every
+    // intermediate round are freed as soon as the next materializes)
+    val rddDirs = walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-"))
+    assert(rddDirs.size == 1,
+      s"leaked per-round checkpoints: ${rddDirs.map(_.getFileName)}")
   }
 
   test("ImageCodec: gray PNG round-trips pixel-exactly; RGB converts") {
