@@ -74,7 +74,7 @@ object ScaleBench {
   def ensureScaled(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
     val marker = java.nio.file.Paths.get(out, "_built")
-    val stamp = s"$base x$k v1"
+    val stamp = s"$base x$k v2" // v2: hash-mixed embedding sign flips
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp)
       return
