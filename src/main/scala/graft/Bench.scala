@@ -133,7 +133,7 @@ object Bench {
           val df = fn(spark, sfDir)
           // bit_xor, not sum: xxhash64 spans the full 64-bit range and a
           // long sum overflows (throws under ANSI mode)
-          df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
             .agg(expr("bit_xor(h)")).collect()
           None
         } catch {

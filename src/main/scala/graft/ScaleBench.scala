@@ -74,7 +74,7 @@ object ScaleBench {
   def ensureScaled(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
     val marker = java.nio.file.Paths.get(out, "_built")
-    val stamp = s"$base x$k v2" // v2: hash-mixed embedding sign flips
+    val stamp = s"$base x$k v3" // v3: splitmix64-mixed embedding signs
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp)
       return
@@ -109,10 +109,18 @@ object ScaleBench {
       // full dependence on (i, j): a linear form like (i*37 + j*11) & 2
       // only sees i mod 4, so replicas {1,5,9} would share one sign
       // pattern and collapse onto the same LSH/IVF cells, inflating
-      // candidate counts with cosine-1.0 cross-replica pairs
+      // candidate counts with cosine-1.0 cross-replica pairs. splitmix64
+      // finalizer, not a library hash: the dataset must be reproducible
+      // across Scala versions (MurmurHash3.productHash is deprecated
+      // with changed-semantics successors).
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
       val signs = (0 until 64).map { j =>
-        val h = scala.util.hashing.MurmurHash3.productHash((i, j))
-        if (i == 0 || (h & 1) == 0) 1.0f else -1.0f
+        if (i == 0 || (mix(i.toLong * 64 + j) & 1) == 0) 1.0f else -1.0f
       }
       d.select(
         (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
@@ -163,7 +171,7 @@ object ScaleBench {
       def once(): Double = {
         val t0 = System.nanoTime()
         val df = fn(spark, dir)
-        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
           .agg(expr("bit_xor(h)")).collect()
         (System.nanoTime() - t0) / 1e9
       }

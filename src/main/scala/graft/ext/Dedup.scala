@@ -256,9 +256,9 @@ object Dedup {
         val mine = ckFiles() -- before
         (out, () => mine.foreach(rmCk))
       } else {
-        val before = sc.getPersistentRDDs.keySet
+        val before = sc.getPersistentRDDs.keySet.toSet
         val out = df.localCheckpoint(true)
-        val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+        val ids = sc.getPersistentRDDs.keySet.toSet -- before
         (out, () => sc.getPersistentRDDs.collect {
           case (id, rdd) if ids(id) => rdd.unpersist(blocking = false)
         }: Unit)

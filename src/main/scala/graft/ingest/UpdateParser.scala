@@ -34,14 +34,14 @@ object UpdateParser {
     order.foreach(n => schema.dsByName(n)) // unknown DS name -> error
     require(parts.tail.length == order.length,
       s"expected ${order.length} data source readings, got ${parts.tail.length}")
-    val given = order.zip(parts.tail.map(parseValue)).toMap
+    val supplied = order.zip(parts.tail.map(parseValue)).toMap
     schema.ds.foreach { d =>
       if (d.dst == Dst.Compute)
-        require(given.get(d.name).forall(_.isEmpty),
+        require(supplied.get(d.name).forall(_.isEmpty),
           s"COMPUTE DS ${d.name} must be updated with 'U' (rrd_update.c:1348)")
     }
     Update(tsUs,
-      schema.ds.map(d => d.name -> given.getOrElse(d.name, None)).toMap)
+      schema.ds.map(d => d.name -> supplied.getOrElse(d.name, None)).toMap)
   }
 
   private def parseValue(s: String): Option[Double] =

@@ -38,14 +38,17 @@ import org.apache.spark.sql.functions._
   * aggregate jobs each) — the DataFrame program mirrors the gdes DAG
   * 1:1 and Catalyst is the optimizer (SURVEY §3.3).
   */
-final class GraphPlan(spark: SparkSession, startSec: Long, endSec: Long,
-    timeZone: String = "UTC", keyCols: Seq[String] = Nil) {
-
+object GraphPlan {
   /** One bound series: frame (keys…, ts, v) on the (startSec, endSec]
     * grid of `step`. */
   final case class Series(df: DataFrame, step: Long)
   /** A VDEF result: value + its timestamp (end-labeled slot). */
   final case class Scalar(value: Option[Double], tsSec: Option[Long])
+}
+
+final class GraphPlan(spark: SparkSession, startSec: Long, endSec: Long,
+    timeZone: String = "UTC", keyCols: Seq[String] = Nil) {
+  import GraphPlan.{Series, Scalar}
 
   private val series = mutable.LinkedHashMap.empty[String, Series]
   private val scalars = mutable.LinkedHashMap.empty[String, Scalar]

@@ -115,7 +115,7 @@ object RrdStore extends Serializable {
       if (series.contains(c)) df
       else if (c == tsUs) df.withColumn(c, lit(startUs))
       else df.withColumn(c, lit(null).cast(samples.schema(c).dataType))
-    }.select(samples.columns.map(col): _*)
+    }.select(samples.columns.toIndexedSeq.map(col): _*)
     live.unionByName(seed)
   }
 
@@ -458,7 +458,7 @@ object RrdStore extends Serializable {
           val touched = fresh.select(col("__tb").cast("long"))
             .distinct().collect().map(_.getLong(0))
           val exTouched = existing
-            .where(col("__tb").cast("long").isin(touched: _*))
+            .where(col("__tb").cast("long").isin(touched.toIndexedSeq: _*))
             .drop("__tb").withColumn("__tb", expr(s"ts div $span"))
           val merged = exTouched
             .join(fresh.select((series :+ "ts").map(col): _*),

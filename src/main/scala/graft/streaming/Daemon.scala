@@ -38,6 +38,7 @@ import org.apache.spark.sql.SparkSession
   */
 final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
     journalDir: Option[String] = None) {
+  import Daemon.{Response, BinResponse}
 
   // the journal lives OUTSIDE the served data tree, like the
   // reference's `rrdcached -j journal_dir` (doc/rrdcached.pod) — a
@@ -75,32 +76,6 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
   private def storePath(p: String): String = {
     require(!p.contains(".."), s"path '$p' escapes the root")
     s"$root/$p"
-  }
-
-  final case class Response(status: Int, text: String,
-      payload: Seq[String] = Nil) {
-    def render: String =
-      (s"$status $text" +: payload).mkString("", "\n", "\n")
-  }
-
-  /** FETCHBIN reply (rrd_daemon.c handle_request_fetchbin +
-    * add_binary_response_info): text header lines, then per-DS a
-    * `DSName-<ds>: BinaryData <records> <rsize> <endian>` line followed
-    * by the raw little-endian doubles and one `\n`. The status count is
-    * header + one line per binary part (the blob belongs to its header
-    * line), matching the reference's `field_cnt + 5`. */
-  final case class BinResponse(status: Int, text: String,
-      header: Seq[String], parts: Seq[(String, Array[Byte])]) {
-    def write(os: java.io.OutputStream): Unit = {
-      val head = (s"$status $text" +: header).mkString("", "\n", "\n")
-      os.write(head.getBytes(StandardCharsets.UTF_8))
-      parts.foreach { case (h, bytes) =>
-        os.write((h + "\n").getBytes(StandardCharsets.UTF_8))
-        os.write(bytes)
-        os.write('\n')
-      }
-      os.flush()
-    }
   }
 
   /** Shared FETCH/FETCHBIN argument parse + window fetch (the
@@ -441,4 +416,32 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
   }
 
   def stop(): Unit = { server.foreach(_.close()); server = None }
+}
+
+object Daemon {
+  final case class Response(status: Int, text: String,
+      payload: Seq[String] = Nil) {
+    def render: String =
+      (s"$status $text" +: payload).mkString("", "\n", "\n")
+  }
+
+  /** FETCHBIN reply (rrd_daemon.c handle_request_fetchbin +
+    * add_binary_response_info): text header lines, then per-DS a
+    * `DSName-<ds>: BinaryData <records> <rsize> <endian>` line followed
+    * by the raw little-endian doubles and one `\n`. The status count is
+    * header + one line per binary part (the blob belongs to its header
+    * line), matching the reference's `field_cnt + 5`. */
+  final case class BinResponse(status: Int, text: String,
+      header: Seq[String], parts: Seq[(String, Array[Byte])]) {
+    def write(os: java.io.OutputStream): Unit = {
+      val head = (s"$status $text" +: header).mkString("", "\n", "\n")
+      os.write(head.getBytes(StandardCharsets.UTF_8))
+      parts.foreach { case (h, bytes) =>
+        os.write((h + "\n").getBytes(StandardCharsets.UTF_8))
+        os.write(bytes)
+        os.write('\n')
+      }
+      os.flush()
+    }
+  }
 }

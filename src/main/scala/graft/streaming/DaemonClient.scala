@@ -15,10 +15,8 @@ import java.nio.charset.StandardCharsets
   * like the reference's per-connection state.
   */
 final class DaemonClient(host: String, port: Int) extends AutoCloseable {
+  import DaemonClient.{Reply, BinReply}
 
-  final case class Reply(status: Int, text: String, payload: Seq[String]) {
-    def isError: Boolean = status < 0
-  }
 
   private val sock = new Socket(host, port)
   private val out = new PrintWriter(sock.getOutputStream, true)
@@ -84,11 +82,6 @@ final class DaemonClient(host: String, port: Int) extends AutoCloseable {
       ds: Seq[String] = Nil): Reply =
     command((s"FETCH $path $cf $start $end" +: ds).mkString(" "))
 
-  final case class BinReply(status: Int, text: String,
-      header: Map[String, String], series: Seq[(String, Array[Double])]) {
-    def isError: Boolean = status < 0
-  }
-
   private val BinHeaderRe =
     """DSName-(.+): BinaryData (\d+) (\d+) (\w+)""".r
 
@@ -147,5 +140,16 @@ final class DaemonClient(host: String, port: Int) extends AutoCloseable {
 
   override def close(): Unit = {
     try out.println("QUIT") finally sock.close()
+  }
+}
+
+object DaemonClient {
+  final case class Reply(status: Int, text: String, payload: Seq[String]) {
+    def isError: Boolean = status < 0
+  }
+
+  final case class BinReply(status: Int, text: String,
+      header: Map[String, String], series: Seq[(String, Array[Double])]) {
+    def isError: Boolean = status < 0
   }
 }

@@ -78,9 +78,9 @@ class PlannerSpec extends SparkSuite {
       .vdef("mx", "a", "MAXIMUM")
       .vdef("fst", "a", "FIRST")
       .vdef("lst", "a", "LAST")
-    assert(p.scalarOf("mx") == p.Scalar(Some(9.0), Some(20L))) // first hit
-    assert(p.scalarOf("fst") == p.Scalar(Some(5.0), Some(0L))) // interval start
-    assert(p.scalarOf("lst") == p.Scalar(Some(1.0), Some(40L)))
+    assert(p.scalarOf("mx") == GraphPlan.Scalar(Some(9.0), Some(20L))) // first hit
+    assert(p.scalarOf("fst") == GraphPlan.Scalar(Some(5.0), Some(0L))) // interval start
+    assert(p.scalarOf("lst") == GraphPlan.Scalar(Some(1.0), Some(40L)))
   }
 
   test("keyed planner: per-series CDEF/VDEF/SHIFT/XPORT, partitioned windows") {

@@ -99,13 +99,13 @@ class SimilaritySpec extends SparkSuite {
 
   test("connectedComponents frees every intermediate checkpoint") {
     import spark.implicits._
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
     val cc = ext.Dedup.connectedComponents(pairs, "id1", "id2")
     assert(cc.as[(Long, Long)].collect().forall(_._2 == 1L))
     // a 40-node chain runs several pointer-jump rounds; only the FINAL
     // round's checkpoint may remain materialized (it backs the result)
-    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(added.size <= 1, s"lingering intermediate checkpoints: $added")
   }
 
@@ -172,7 +172,7 @@ class SimilaritySpec extends SparkSuite {
     // reuse), so they must add zero persistent RDDs. Compared as a diff:
     // an earlier connectedComponents result frame may legitimately hold
     // its final checkpoint until GC.
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val docs = (0 until 50).map(i =>
       (i.toLong, s"the quick brown fox ${i % 7} jumps over dog $i")).toDF("doc_id", "text")
     ext.Dedup.lshCandidates(docs, "doc_id", "text").count()
@@ -196,7 +196,7 @@ class SimilaritySpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val rel = ext.Dedup.connectedComponents(pairs, "id1", "id2")
       .as[(Long, Long)].collect().toSet
     assert(rel == local)
