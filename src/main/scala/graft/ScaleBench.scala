@@ -80,6 +80,10 @@ object ScaleBench {
       return
     store.RrdStore.deleteTree(out)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    // `ts` passes through verbatim, so the scaled copy keeps the source's
+    // physical encoding (timestamp[us] or nanos-as-long INT64) and
+    // Tables.events branches on whichever it finds. nanosAsLong only
+    // affects the legacy TIMESTAMP(NANOS) encoding; harmless otherwise.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def reps(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until k).map(i => f(df, i)).reduce(_ unionByName _)

@@ -2,19 +2,31 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided testdata tables (TESTDATA.md).
   *
-  * Time axis convention: `events.parquet` stores `ts` as parquet INT64
-  * TIMESTAMP(NANOS), which Spark 4 refuses to read natively
-  * (PARQUET_TYPE_ILLEGAL). We read it as raw nanoseconds via
-  * `spark.sql.legacy.parquet.nanosAsLong` and derive integer-exact epoch
-  * columns:
+  * Time axis convention: `events.parquet` stores `ts` in one of two
+  * physical parquet encodings depending on which writer produced the
+  * lake — a 100 TB lake has mixed writers, so the loader branches on the
+  * schema rather than assuming one:
+  *
+  *   - INT64 TIMESTAMP(NANOS): Spark 4 refuses to read it natively
+  *     (PARQUET_TYPE_ILLEGAL); we read raw nanoseconds via
+  *     `spark.sql.legacy.parquet.nanosAsLong` (→ LongType) and derive
+  *     `ts_us = ts div 1000`.
+  *   - TIMESTAMP(MICROS) (`timestamp[us]`, with or without UTC
+  *     adjustment → TimestampType / TimestampNTZType): `ts_us =
+  *     unix_micros(cast(ts as timestamp))`. The session TZ is pinned
+  *     UTC here so the NTZ wall-clock→instant cast is the identity on
+  *     the stored microsecond value.
+  *
+  * Either way the derived columns are identical:
   *
   *   - `ts_us`  epoch microseconds (bigint) — the canonical axis. DuckDB
   *              (the correctness oracle) truncates the same parquet column
   *              to microsecond precision on read, so `ts_us` is exactly
-  *              `epoch_us(ts)` there.
+  *              `epoch_us(ts)` there for both encodings.
   *   - `ts_sec` epoch seconds (bigint), `ts_us div 1_000_000`.
   *
   * Epoch integers must never round-trip through DoubleType: epoch-nanos
@@ -28,12 +40,23 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with integer-exact `ts_us` / `ts_sec` epoch columns. */
+  /** events with integer-exact `ts_us` / `ts_sec` epoch columns,
+    * tolerant of both physical `ts` encodings (see header).
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = table(spark, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000") // INT64 nanos read as raw long
+      case TimestampType | TimestampNTZType =>
+        expr("unix_micros(cast(ts as timestamp))")
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other " +
+          "(expected INT64 nanos-as-long or timestamp[us])")
+    }
+    raw.withColumn("ts_us", tsUs)
+      .withColumn("ts_sec", expr("ts_us div 1000000"))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =

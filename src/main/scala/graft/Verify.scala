@@ -19,13 +19,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A throwing query must stay visible in the ARTIFACT, not just the
+    // log tail: record per-query errors and dump them as _errors.json
+    // next to the parquet results, so absent-vs-errored is
+    // distinguishable driver-side (round-5 lesson: 38 silent absences
+    // read as a shrunken-but-green artifact).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg.take(2000)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +51,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (possibly {}), so "no _errors.json" is itself a
+    // signal that Verify did not complete.
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed; " +
+        s"see $outDir/_errors.json")
     spark.stop()
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Regression gate for the round-5 incident: the driver regenerated
+  * events.parquet with `ts: timestamp[us]` while the loader hard-coded
+  * the INT64 TIMESTAMP(NANOS) physical type, erroring 38/61 oracle
+  * queries. `Tables.events` must accept every physical `ts` encoding a
+  * mixed-writer lake can contain and produce identical integer epoch
+  * axes for all of them (reference semantics anchor: epoch axis per
+  * live_head_t, /root/reference/src/rrd_format.h:289-293).
+  *
+  * Encodings exercised:
+  *   - raw INT64 nanoseconds (what TIMESTAMP(NANOS) + nanosAsLong reads
+  *     as — Spark cannot WRITE nanos parquet, but the read path is
+  *     LongType either way, which is what the loader branches on)
+  *   - TIMESTAMP_NTZ micros (timestamp[us], isAdjustedToUTC=false — the
+  *     regenerated-testdata encoding)
+  *   - TIMESTAMP micros (instant-adjusted)
+  */
+class TablesEncodingSpec extends SparkSuite {
+
+  // Second-aligned + sub-second instants, pre/post-epoch-ish spread.
+  private val instantsUs: Seq[Long] = Seq(
+    0L, 1L, 999999L, 1000000L, 1700000000000000L, 1700000000123456L,
+    4102444800000000L)
+
+  private def writeFixtures(): (String, String, String) = {
+    val base = Files.createTempDirectory("graft-enc").toString
+    import spark.implicits._
+    val us = instantsUs.zipWithIndex
+      .toDF("us", "event_id")
+
+    val nanosDir = s"$base/nanos"
+    us.select((col("us") * 1000L).as("ts"), col("event_id"))
+      .write.parquet(s"$nanosDir/events.parquet")
+
+    val ntzDir = s"$base/ntz"
+    us.select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("event_id"))
+      .write.parquet(s"$ntzDir/events.parquet")
+
+    val tzDir = s"$base/tz"
+    us.select(timestamp_micros(col("us")).as("ts"), col("event_id"))
+      .write.parquet(s"$tzDir/events.parquet")
+
+    (nanosDir, ntzDir, tzDir)
+  }
+
+  test("events() yields identical ts_us/ts_sec for all ts encodings") {
+    val (nanosDir, ntzDir, tzDir) = writeFixtures()
+    def axis(dir: String): Seq[(Int, Long, Long)] =
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("ts_us"), col("ts_sec"))
+        .orderBy("event_id")
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+
+    val expected = instantsUs.zipWithIndex.map { case (us, i) =>
+      (i, us, us / 1000000L)
+    }
+    assert(axis(nanosDir) === expected)
+    assert(axis(ntzDir) === expected)
+    assert(axis(tzDir) === expected)
+  }
+
+  test("events() refuses an unreadable ts type loudly") {
+    val base = Files.createTempDirectory("graft-enc-bad").toString
+    import spark.implicits._
+    Seq(("not-a-time", 1)).toDF("ts", "event_id")
+      .write.parquet(s"$base/events.parquet")
+    val e = intercept[IllegalArgumentException](Tables.events(spark, base))
+    assert(e.getMessage.contains("unsupported physical type"))
+  }
+
+  test("current driver testdata loads through the micros branch") {
+    val df = Tables.events(spark, sf)
+    // ts values in the driver data are second-aligned epoch instants.
+    val row = df.select(min("ts_us"), max("ts_us"),
+      sum(expr("cast(ts_us % 1000000 != 0 as int)"))).first()
+    assert(row.getLong(0) > 0L)
+    assert(row.getLong(1) < 4102444800000000L) // < year 2100: sane axis
+    assert(df.select("ts_sec").schema.head.dataType.typeName === "long")
+  }
+}
