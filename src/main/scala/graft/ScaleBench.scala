@@ -71,10 +71,35 @@ object ScaleBench {
         .where(col("hamming") <= 3)
     }))
 
+  /** Content identity of the source tables a scaled replica derives
+    * from: sorted (relpath, size, mtime) over every data file. The
+    * driver regenerates testdata in place between rounds; a stamp
+    * keyed by directory name alone would silently serve replicas of
+    * the previous round's data (round-5 lesson, same failure class as
+    * the store markers in SparkEntry). */
+  private def sourceFingerprint(base: String): String = {
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    Tables.names.foreach { t =>
+      val root = java.nio.file.Paths.get(base, s"$t.parquet")
+      if (java.nio.file.Files.exists(root))
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { s =>
+          s.forEach { p =>
+            if (java.nio.file.Files.isRegularFile(p))
+              files += s"$t/${root.relativize(p)}:" +
+                s"${java.nio.file.Files.size(p)}:" +
+                s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+          }
+        }
+    }
+    java.util.UUID.nameUUIDFromBytes(
+      files.sorted.mkString("\n").getBytes("UTF-8")).toString
+  }
+
   def ensureScaled(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
     val marker = java.nio.file.Paths.get(out, "_built")
-    val stamp = s"$base x$k v3" // v3: splitmix64-mixed embedding signs
+    // v3: splitmix64-mixed embedding signs
+    val stamp = s"$base x$k v3 fp=${sourceFingerprint(base)}"
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp)
       return

@@ -226,6 +226,57 @@ class StreamingEndToEndSpec extends SparkSuite {
     } finally { client.close(); daemon.stop() }
   }
 
+  test("FETCHBIN wire framing is byte-identical to the reference layout") {
+    // Pins the documented rrd_daemon.c assembly, not just self-consistent
+    // client/server agreement:
+    //  - send_response(RESP_OK_BIN) writes "<field_cnt+5> Success\n" with
+    //    NO line-count prefix (rrd_daemon.c:851-860, 2273);
+    //  - then the buffered info lines: FlushVersion/Start/End/Step/DSCount
+    //    (handle_request_fetchbin, rrd_daemon.c:2248-2252);
+    //  - then per DS "DSName-<ds>: BinaryData <records> <rsize> <endian>\n"
+    //    followed by records*rsize raw native doubles and one '\n'
+    //    (add_binary_response_info, rrd_daemon.c:783-810).
+    // Values come from the independently golden-verified fetch; the
+    // assertion here is the byte-level FRAMING.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_fetchbin").toString
+    val store = s"$root/web.rrd"
+    createStore(store)
+    val samples = ts1.map(t =>
+      ("web.rrd", t * 1000000L, g(t), c(t))).toDF("k", "ts_us", "g", "c")
+    RrdStore.appendBatch(spark, store, samples, Seq("k"), "ts_us", "ts_us",
+      Map("g" -> "g", "c" -> "c"))
+    val daemon = new Daemon(spark, root, nowSec = 3010L)
+    try {
+      val bin = daemon.executeFetchBin("FETCHBIN web.rrd AVERAGE 0 900")
+        .fold(r => fail(s"FETCHBIN errored: ${r.text}"), identity)
+      val bos = new java.io.ByteArrayOutputStream()
+      bin.write(bos)
+
+      val rows = RrdStore.fetchAll(spark, store, Cf.Average, Seq("g", "c"),
+        Seq("k"), 0L, 900L, 300L).orderBy("ts").collect()
+      val step = rows(1).getLong(1) - rows(0).getLong(1)
+      val start = rows.head.getLong(1) - step
+      val end = rows.last.getLong(1)
+      val exp = new java.io.ByteArrayOutputStream()
+      def text(s: String): Unit =
+        exp.write(s.getBytes(StandardCharsets.UTF_8))
+      text("7 Success\n") // field_cnt(2) + 5 header lines
+      text(s"FlushVersion: 1\nStart: $start\nEnd: $end\n" +
+        s"Step: $step\nDSCount: 2\n")
+      Seq("g" -> 2, "c" -> 3).foreach { case (ds, idx) =>
+        text(s"DSName-$ds: BinaryData ${rows.length} 8 LITTLE\n")
+        val bb = java.nio.ByteBuffer.allocate(rows.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        rows.foreach(r => bb.putDouble(
+          if (r.isNullAt(idx)) Double.NaN else r.getDouble(idx)))
+        exp.write(bb.array()); text("\n")
+      }
+      assert(bos.toByteArray.toSeq == exp.toByteArray.toSeq,
+        "FETCHBIN byte stream diverges from the reference framing")
+    } finally daemon.stop()
+  }
+
   test("daemon serves FETCH/INFO/LAST/STATS and journals UPDATE to the spool") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_daemon").toString
