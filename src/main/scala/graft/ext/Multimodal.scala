@@ -52,6 +52,11 @@ object Multimodal {
     * container format, IDAT inflate, raster conversion — is the real
     * thing a production pipeline runs. */
   object ImageCodec {
+    // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+    // creates+deletes a temp file, which dominates runtime for small
+    // payloads (measured ~4x on 500 tiny PNGs). In-memory streams only.
+    javax.imageio.ImageIO.setUseCache(false)
+
     def encodeGrayPng(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
       require(px.length == w * h, s"expected ${w * h} pixels, got ${px.length}")
       val img = new java.awt.image.BufferedImage(w, h,
