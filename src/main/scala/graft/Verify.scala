@@ -4,26 +4,20 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
-    // Optional 3rd arg: comma-separated query names (local iteration only;
-    // the driver always passes two args and gets the full dump).
-    val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Dump every selected query result to `outDir/<name>` parquet, the
+    * oracle SQL to `oracle_sql.json`, and per-query failures to
+    * `_errors.json`. Returns the error map (name → message).
+    *
+    * A throwing query must stay visible in the ARTIFACT, not just the
+    * log tail: round-5 lesson — 38 silent absences read driver-side as
+    * a shrunken-but-green artifact. `_errors.json` is always written
+    * (possibly {}), so "no _errors.json" is itself a signal that the
+    * dump did not complete.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]] = None): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
-    // A throwing query must stay visible in the ARTIFACT, not just the
-    // log tail: record per-query errors and dump them as _errors.json
-    // next to the parquet results, so absent-vs-errored is
-    // distinguishable driver-side (round-5 lesson: 38 silent absences
-    // read as a shrunken-but-green artifact).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -51,14 +45,30 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Always written (possibly {}), so "no _errors.json" is itself a
-    // signal that Verify did not complete.
     Files.writeString(Paths.get(s"$outDir/_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries failed; " +
         s"see $outDir/_errors.json")
+    errors.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional 3rd arg: comma-separated query names (local iteration only;
+    // the driver always passes two args and gets the full dump).
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only)
     spark.stop()
   }
 }
