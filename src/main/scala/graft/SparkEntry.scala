@@ -1418,8 +1418,8 @@ object SparkEntry {
         |  click AS p_line,
         |  CASE WHEN view IS NULL THEN NULL
         |       ELSE COALESCE(click, 0.0) + view END AS p_area,
-        |  50.0 AS p_hrule,
-        |  60.0 AS p_hstack,
+        |  CAST(50.0 AS DOUBLE) AS p_hrule,
+        |  CAST(60.0 AS DOUBLE) AS p_hstack,
         |  error AS p_tick
         | FROM jo),
         |rng AS (

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided testdata tables (TESTDATA.md).
   *
@@ -76,7 +76,30 @@ object Tables {
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spread(table(spark, dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spread(table(spark, dir, "embeddings"))
+    spread(table(spark, dir, "documents")
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("n_chars", col("n_chars").cast("long")))
+
+  /** embeddings with the vector canonicalized to `array<double>` — the
+    * same mixed-writer-lake rule as [[events]]: a writer may emit
+    * float32 (the current testdata) or float64 vectors, and every
+    * downstream kernel is typed over `Array[Double]`. The float→double
+    * widening is exact per element, and the DuckDB oracle performs the
+    * identical widening when its `list_reduce` arithmetic touches a
+    * float32 list, so results are bit-identical for both encodings.
+    * Any other element type (a writer bug) fails loudly at load, not
+    * as an encoder error deep inside an ANN kernel.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding: unsupported element type $other " +
+          "(expected array<float> or array<double>)")
+    }
+    spread(raw
+      .withColumn("vec_id", col("vec_id").cast("long"))
+      .withColumn("embedding", col("embedding").cast("array<double>")))
+  }
 }

@@ -33,21 +33,21 @@ object Similarity {
     * JVM loop. Every ANN kernel uses THIS one definition — the
     * fused/indexed IVF paths are spec-asserted identical, and a single
     * shared fold is what keeps that (and the SQL oracles) from drifting. */
-  private def dotK(dim: Int)(a: Array[Float], b: Array[Float]): Double = {
+  private def dotK(dim: Int)(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
-    while (i < dim) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    while (i < dim) { s += a(i) * b(i); i += 1 }
     s
   }
 
   /** Collected (id, vec, norm) rows, sorted by id — the broadcastable
     * form of a by-contract-small frame (queries, centroids). */
   private def collectNormed(df: DataFrame, id: String, vec: String,
-      dim: Int): Array[(Long, Array[Float], Double)] = {
+      dim: Int): Array[(Long, Array[Double], Double)] = {
     val spark = df.sparkSession
     import spark.implicits._
     val d = dotK(dim) _
     df.select(col(id).cast("long"), col(vec))
-      .as[(Long, Array[Float])].collect()
+      .as[(Long, Array[Double])].collect()
       .map { case (i, v) => (i, v, math.sqrt(d(v, v))) }
       .sortBy(_._1)
   }
@@ -55,8 +55,8 @@ object Similarity {
   /** cell → the queries probing it: each query's `nprobe` max-cosine
     * centroids, ties to the lower centroid id. */
   private def probeMap(queries: DataFrame,
-      cent: Array[(Long, Array[Float], Double)], id: String, vec: String,
-      dim: Int, nprobe: Int): Map[Long, Array[(Long, Array[Float], Double)]] = {
+      cent: Array[(Long, Array[Double], Double)], id: String, vec: String,
+      dim: Int, nprobe: Int): Map[Long, Array[(Long, Array[Double], Double)]] = {
     val d = dotK(dim) _
     collectNormed(queries, id, vec, dim)
       .flatMap { case (qid, qv, qn) =>
@@ -95,7 +95,7 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(
       collectNormed(queries, id, vec, dim))
     val scored = corpus.select(col(id).cast("long"), col(vec))
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val qs = bc.value
         it.flatMap { case (nid, cv) =>
@@ -157,11 +157,11 @@ object Similarity {
     a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("v1"), col("v2"),
         col("n1"), col("n2"))
-      .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
+      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
       .mapPartitions { it =>
         it.flatMap { case (id1, id2, v1, v2, n1, n2) =>
           var s = 0.0; var i = 0
-          while (i < dim) { s += v1(i).toDouble * v2(i).toDouble; i += 1 }
+          while (i < dim) { s += v1(i) * v2(i); i += 1 }
           val c = s / (n1 * n2)
           if (c >= tau) Some((id1, id2, c)) else None
         }
@@ -205,7 +205,7 @@ object Similarity {
     val bcQ = spark.sparkContext.broadcast(
       probeMap(queries, cent, id, vec, dim, nprobe))
     val scored = corpus.select(col(id).cast("long"), col(vec))
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = bcC.value
         val qs = bcQ.value
@@ -216,7 +216,7 @@ object Similarity {
             val c = d(v, cv) / (n * cn)
             if (c > bestC) { bestC = c; best = cid }
           }
-          qs.getOrElse(best, Array.empty[(Long, Array[Float], Double)])
+          qs.getOrElse(best, Array.empty[(Long, Array[Double], Double)])
             .iterator.collect { case (qid, qv, qn) if qid != nid =>
               (qid, nid, d(qv, v) / (qn * n))
             }
@@ -240,7 +240,7 @@ object Similarity {
     val bcC = spark.sparkContext.broadcast(
       collectNormed(centroids, id, vec, dim))
     corpus.select(col(id).cast("long"), col(vec))
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = bcC.value
         it.map { case (nid, v) =>
@@ -273,11 +273,11 @@ object Similarity {
     val scored = index
       .where(col("cell").isin(probed.keys.toSeq: _*))
       .select(col("cell"), col(id).cast("long"), col(vec), col("norm"))
-      .as[(Long, Long, Array[Float], Double)]
+      .as[(Long, Long, Array[Double], Double)]
       .mapPartitions { it =>
         val qs = bcQ.value
         it.flatMap { case (cell, nid, v, n) =>
-          qs.getOrElse(cell, Array.empty[(Long, Array[Float], Double)])
+          qs.getOrElse(cell, Array.empty[(Long, Array[Double], Double)])
             .iterator.collect { case (qid, qv, qn) if qid != nid =>
               (qid, nid, d(qv, v) / (qn * n))
             }

@@ -74,6 +74,54 @@ class TablesEncodingSpec extends SparkSuite {
     assert(e.getMessage.contains("unsupported physical type"))
   }
 
+  // ---- embeddings: the same mixed-writer rule for the vector column ----
+
+  private def embRows: Seq[(Long, Seq[Float], Int)] = {
+    val rnd = new scala.util.Random(7)
+    (0L until 12L).map(i =>
+      (i, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat), (i % 3).toInt))
+  }
+
+  test("embeddings() canonicalizes float32 and float64 vectors identically") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-emb").toString
+    val f32 = s"$base/f32"; val f64 = s"$base/f64"
+    val df = embRows.toDF("vec_id", "embedding", "label")
+    df.write.parquet(s"$f32/embeddings.parquet")
+    // a float64 writer with int32 ids — each float widens exactly, so
+    // the canonical frame must be bit-identical
+    df.select(col("vec_id").cast("int").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+      .write.parquet(s"$f64/embeddings.parquet")
+
+    def canon(dir: String) = {
+      val e = Tables.embeddings(spark, dir)
+      assert(e.schema("vec_id").dataType.typeName === "long")
+      assert(e.schema("embedding").dataType.simpleString === "array<double>")
+      e
+    }
+    def ann(dir: String): Seq[(Long, Long, Double)] = {
+      val e = canon(dir)
+      ext.Similarity.bruteForceTopK(
+          e.where(col("vec_id") < 3), e, "vec_id", "embedding", 8, 3)
+        .select("query_id", "neighbor_id", "cosine")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    }
+    assert(ann(f32) === ann(f64))
+  }
+
+  test("embeddings() refuses a non-numeric vector type loudly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-emb-bad").toString
+    Seq((1L, Seq("a", "b"), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$base/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](Tables.embeddings(spark, base))
+    assert(e.getMessage.contains("unsupported element type"))
+  }
+
   test("current driver testdata loads through the micros branch") {
     val df = Tables.events(spark, sf)
     // ts values in the driver data are second-aligned epoch instants.
