@@ -28,10 +28,38 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     * reading). A bare NEGATIVE integer is now-relative seconds, like
     * rrd_parsetime's `--start -86400` idiom — reading it as a negative
     * epoch would silently produce a pre-1970 window. */
-  private def at(spec: String): Long =
+  private def at(spec: String): Long = at(spec, AtTime.RefTimes(nowSec))
+  private def at(spec: String, ref: AtTime.RefTimes): Long =
     if (spec.matches("\\d+")) spec.toLong
     else if (spec.matches("-\\d+")) nowSec + spec.toLong
-    else AtTime.parse(spec, AtTime.RefTimes(nowSec))
+    else AtTime.parse(spec, ref)
+
+  /** rrd_proc_start_end (rrd_fetch.c:154, rrd_parsetime.c): resolve the
+    * --start/--end pair where either spec may anchor on the OTHER
+    * ("--start end-1h", "--end start+1h"). The self-contained spec
+    * resolves first and seeds the other's reference times; mutual
+    * anchoring has no fixpoint and errors, like the reference. Defaults
+    * are the reference's: end = now, start = end - span. */
+  private def window(opts: Map[String, String],
+      span: Long): (Long, Long) = {
+    val sSpec = opts.get("start")
+    val eSpec = opts.get("end")
+    def standalone(spec: String): Option[Long] =
+      try Some(at(spec))
+      catch { case _: RuntimeException => None }
+    eSpec.map(standalone) match {
+      case Some(Some(e)) => // end stands alone; start may reference it
+        (sSpec.map(at(_, AtTime.RefTimes(nowSec, endSec = Some(e))))
+          .getOrElse(e - span), e)
+      case Some(None) => // end references start: start must stand alone
+        val s = sSpec.map(at(_)).getOrElse(nowSec - span)
+        (s, at(eSpec.get, AtTime.RefTimes(nowSec, startSec = Some(s))))
+      case None =>
+        val e = nowSec
+        (sSpec.map(at(_, AtTime.RefTimes(nowSec, endSec = Some(e))))
+          .getOrElse(e - span), e)
+    }
+  }
 
   /** create: "--start <at> --step <sec>" + DS:/RRA: specs
     * (rrd_create.c). Repeated `--source <store>` options prefill the
@@ -161,8 +189,7 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     val alignStart = args.contains("--align-start") || args.contains("-a")
     val (opts, _) = parseOpts(
       args.filterNot(a => a == "--align-start" || a == "-a"))
-    val end0 = opts.get("end").map(at).getOrElse(nowSec)
-    val start0 = opts.get("start").map(at).getOrElse(end0 - 86400)
+    val (start0, end0) = window(opts, 86400L)
     daemon match {
       case Some(c) =>
         // served remotely (rrdc_fetch): the reference aligns start/end
@@ -248,8 +275,7 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     val logarithmic = args0.contains("--logarithmic") || args0.contains("-o")
     val args = args0.filterNot(a => a == "--logarithmic" || a == "-o")
     val (opts, stmts) = parseOpts(args)
-    val end = opts.get("end").map(at).getOrElse(nowSec)
-    val start = opts.get("start").map(at).getOrElse(end - 86400)
+    val (start, end) = window(opts, 86400L)
     GraphScript.run(spark, GraphScript.parse(stmts), start, end,
       series, defaultKey, logarithmic = logarithmic)
   }

@@ -47,6 +47,17 @@ class CommandsSpec extends SparkSuite {
       // create-seeded first update already resolves slot 10)
       "0 seconds"))
 
+    // rrd_proc_start_end cross-anchoring (rrd_fetch.c:154): either end
+    // of the window may reference the other — "end-100s" against a
+    // fixed end, and "start+100s" against a fixed start, both resolve
+    // to the same (100, 200] window as the explicit pair above
+    val viaEnd = c.fetch(path, "AVERAGE",
+      Seq("--start", "end-100s", "--end", "200", "--resolution", "10"))
+    assert(viaEnd.orderBy("ts").select("ts").as[Long].collect().head == 110L)
+    val viaStart = c.fetch(path, "AVERAGE",
+      Seq("--start", "100", "--end", "start+100s", "--resolution", "10"))
+    assert(viaStart.orderBy("ts").select("ts").as[Long].collect().last == 200L)
+
     // --align-start (rrd_fetch.c:169-173): both ends shift down by
     // start % resolution, so the window KEEPS its length instead of
     // widening — start 105/end 185 at res 60 becomes (60, 140]

@@ -222,6 +222,72 @@ class CreateFromSourceSpec extends SparkSuite {
     assert(known(tsX.last + 60, tsY.head - 60) == 0, "gap not unknown")
   }
 
+  test("10s-sampled linear slopes land inside the sample-and-hold " +
+      "error band, singly and resampled (tests/create-with-source-5)") {
+    val c = new Commands(spark)
+    val (a1, b1, ab1, ab2) = (tmp("cs5a"), tmp("cs5b"), tmp("cs5ab"),
+      tmp("cs5ab2"))
+    // deliberately NOT minute-aligned (tests/create-with-source-5:36)
+    val startT = 1300000005L
+    val (stepA, stepB, stepAB) = (67L, 73L, 71L)
+    val (slopeA, slopeB) = (6000L, -12000L) // per minute
+    val tstep = 10L                         // sampling finer than any step
+    def rras(step: Long): Seq[String] =
+      Seq("AVERAGE", "MIN", "MAX", "LAST")
+        .map(cf => s"RRA:$cf:0.5:1:${7100 / step}") ++
+      Seq("AVERAGE", "MIN", "MAX", "LAST").map(cf => s"RRA:$cf:0.5:5:2")
+    c.create(a1, Seq("--start", s"${startT - 1}", "--step", s"$stepA",
+      "DS:a:GAUGE:142:U:U") ++ rras(stepA))
+    c.create(b1, Seq("--start", s"${startT - 1}", "--step", s"$stepB",
+      "DS:b:GAUGE:142:U:U") ++ rras(stepB))
+    c.create(ab1, Seq("--start", s"${startT - 1}", "--step", s"$stepAB",
+      "DS:a:GAUGE:142:U:U", "DS:b:GAUGE:142:U:U") ++ rras(stepAB))
+    val ts = (0 to (stepAB * 120 / tstep).toInt)
+      .map(i => startT + tstep * i)
+    val va = ts.indices.map(i => slopeA / 60 * tstep * i)
+    val vb = ts.indices.map(i => slopeB / 60 * tstep * i)
+    c.update(a1, ts.indices.map(i => s"${ts(i)}:${va(i)}"))
+    c.update(b1, ts.indices.map(i => s"${ts(i)}:${vb(i)}"))
+    c.update(ab1, ts.indices.map(i => s"${ts(i)}:${va(i)}:${vb(i)}"))
+    val end = ts.last
+
+    // the reference's error probe: t = midpoint of the true line over
+    // the slot (vl at slot start, vu at slot end), c = sampled - true;
+    // mean(c) printed via the full DEF/CDEF(TIME,POP)/VDEF/PRINT path
+    def meanErr(path: String, ds: String, step: Long,
+        slope: Long): Double = {
+      val g = c.graphv(Seq("--end", s"$end", "--start", "end-1h",
+        s"DEF:x=$path:$ds:AVERAGE",
+        s"CDEF:vl=x,POP,TIME,$startT,-,$step,-,$slope,60,/,*",
+        s"CDEF:vu=x,POP,TIME,$startT,-,$slope,60,/,*",
+        "CDEF:t=vu,vl,+,2,/",
+        "CDEF:c=x,t,-",
+        "VDEF:s=c,STDEV", "VDEF:cavg=c,AVERAGE",
+        "PRINT:s:%lg", "PRINT:cavg:%lg"))
+      g.prints(1).toDouble
+    }
+    // acceptance exactly as the reference computes it
+    // (tests/create-with-source-5:188-200): |1 - got/expected| below
+    // the band, expected = Tsample/2 * slope / 6.00
+    def accept(got: Double, slope: Long, band: Double, tag: String): Unit = {
+      val expected = tstep / 2.0 * slope / 6.00
+      assert(math.abs(1.0 - got / expected) < band,
+        s"$tag mean error $got vs band around $expected")
+    }
+    accept(meanErr(a1, "a", stepA, slopeA), slopeA, 1.0, "a1")
+    accept(meanErr(b1, "b", stepB, slopeB), slopeB, 1.0, "b1")
+    accept(meanErr(ab1, "a", stepAB, slopeA), slopeA, 1.0, "ab1:a")
+    accept(meanErr(ab1, "b", stepAB, slopeB), slopeB, 1.0, "ab1:b")
+
+    // two differently-stepped sources resampled into a 71 s target:
+    // same probe, the reference's wider 4x band
+    c.create(ab2, Seq("--start", s"$end", "--step", s"$stepAB",
+      "--source", a1, "--source", b1,
+      "DS:a:GAUGE:142:U:U", "DS:b:GAUGE:142:U:U") ++ rras(stepAB))
+    accept(meanErr(ab2, "a", stepAB, slopeA), slopeA, 4.0, "ab2:a")
+    accept(meanErr(ab2, "b", stepAB, slopeB), slopeB, 4.0, "ab2:b")
+  }
+
   test("DS:x=a[idx] maps across sources by 1-based index " +
       "(tests/create-with-source-and-mapping-1 grammar)") {
     val c = new Commands(spark)
