@@ -120,6 +120,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges.forall(_.contains("range")), exchanges.mkString(", "))
   }
 
+  test("no query plans a CartesianProduct") {
+    // The one join shape that cannot survive scale: both sides
+    // non-broadcast, no key — cost |L|·|R|. Scalar cross joins (VDEF
+    // constants, range rows) legitimately appear as
+    // BroadcastNestedLoopJoin with a 1-row broadcast side, which this
+    // deliberately does NOT flag. Swept over EVERY registered query so
+    // a new operator cannot quietly introduce one.
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
   test("q07: planner CDEF windows are partitioned by the series key") {
     val p = plan("q07_cdef_rpn")
     // round-2 flag: Window.orderBy without partitionBy serializes the
