@@ -136,11 +136,12 @@ object Similarity {
         math.max(df.count(), 1L).toDouble / targetOccupancy) /
         math.log(2)).toInt))
     // Cap check rides a window count over the bucket partition — one
-    // shuffle, no operator-internal persist (round-2 leak). The probe
-    // side re-derives keys/norms (cheap column math, no shuffle).
-    val keyed = df.select(col(id).as("doc_id"), col(vec).as("v"),
-        norm(col(vec), dim).as("n"),
-        hyperplaneKey(col(vec), dim, nPlanes).as("bucket"))
+    // shuffle, no operator-internal persist (round-2 leak). Keys and
+    // norms come from the one-pass typed kernel (same folds as the
+    // column forms, compiled).
+    val keyed = keyedNormed(df, id, vec, dim, nPlanes)
+      .select(col(id).as("doc_id"), col(vec).as("v"),
+        col("norm").as("n"), col("bucket"))
     val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
     val capped = keyed.withColumn("__bn", count(lit(1)).over(wb))
       .where(col("__bn") <= maxBucket).drop("__bn")
@@ -316,6 +317,41 @@ object Similarity {
     ((hex(0) >> 4) & 0xf) >= 8
   }
 
+  /** (id, vec, norm, bucket) in ONE typed pass. Per-row plane
+    * projections and the norm are the same strict left folds as the
+    * column forms ([[dot]], [[hyperplaneKey]]) — identical doubles,
+    * identical bucket bits — but compiled JVM loops instead of
+    * interpreted HOF expressions; the corpus-sized HOF evaluation was
+    * the expensive half of every LSH path (the q29 lesson, measured
+    * ~40× on the dot fold). */
+  private[graft] def keyedNormed(df: DataFrame, id: String, vec: String,
+      dim: Int, planes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val signs: Array[Array[Double]] = Array.tabulate(planes, dim)((p, d) =>
+      if (hyperplaneSign(p, d + 1)) 1.0 else -1.0)
+    df.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (i, v) =>
+          var bucket = 0L
+          var p = 0
+          while (p < planes) {
+            val s = signs(p)
+            var proj = 0.0
+            var j = 0
+            while (j < dim) { proj += v(j) * s(j); j += 1 }
+            if (proj > 0) bucket |= 1L << p
+            p += 1
+          }
+          var n = 0.0
+          var j = 0
+          while (j < dim) { n += v(j) * v(j); j += 1 }
+          (i, v, math.sqrt(n), bucket)
+        }
+      }.toDF(id, vec, "norm", "bucket")
+  }
+
   /** LSH-bucketed ANN: candidates share a hyperplane bucket; exact
     * cosine re-ranking inside the probed buckets. `multiProbe = true`
     * additionally probes every single-bit flip of the query's key —
@@ -329,25 +365,29 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, id: String,
       vec: String, dim: Int, k: Int, planes: Int = 8,
       multiProbe: Boolean = true): DataFrame = {
-    val keyed = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-      norm(col(vec), dim).as("cn"),
-      hyperplaneKey(col(vec), dim, planes).as("bucket"))
-    val qKey = hyperplaneKey(col(vec), dim, planes)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val keyed = keyedNormed(corpus, id, vec, dim, planes)
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"),
+        col("norm").as("cn"), col("bucket"))
     val probes =
-      if (!multiProbe) array(qKey)
-      else array(qKey +: (0 until planes).map(p =>
-        qKey.bitwiseXOR(lit(1L << p))): _*)
-    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      norm(col(vec), dim).as("qn"), explode(probes).as("bucket"))
+      if (!multiProbe) array(col("bucket"))
+      else array(col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val q = keyedNormed(queries, id, vec, dim, planes)
+      .select(col(id).as("query_id"), col(vec).as("qv"),
+        col("norm").as("qn"), explode(probes).as("bucket"))
     val scored = keyed.join(broadcast(q), Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv"), dim) / (col("qn") * col("cn")))
-          .as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
+        col("qn"), col("cn"))
+      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
+      .mapPartitions { it =>
+        it.map { case (qid, nid, qv, cv, qn, cn) =>
+          (qid, nid, d(qv, cv) / (qn * cn))
+        }
+      }.toDF("query_id", "neighbor_id", "cosine")
+    topK(scored, k)
   }
 }

@@ -165,6 +165,27 @@ class SimilaritySpec extends SparkSuite {
     assert(kernel.values.toSet.size > 1)
   }
 
+  test("keyedNormed kernel is bit-identical to the column forms") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 16
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val colForm = vecs.select(col("vec_id"),
+        ext.Similarity.norm(col("embedding"), dim).as("norm"),
+        ext.Similarity.hyperplaneKey(col("embedding"), dim, 6).as("bucket"))
+      .as[(Long, Double, Long)].collect()
+      .map { case (i, n, b) => (i, (n, b)) }.toMap
+    val kernel = ext.Similarity.keyedNormed(vecs, "vec_id", "embedding",
+        dim, 6)
+      .select(col("vec_id"), col("norm"), col("bucket"))
+      .as[(Long, Double, Long)].collect()
+      .map { case (i, n, b) => (i, (n, b)) }.toMap
+    assert(kernel == colForm) // doubles compared exactly: same fold order
+    assert(kernel.values.map(_._2).toSet.size > 1)
+  }
+
   test("candidate operators leave no lingering cached RDDs") {
     import spark.implicits._
     // Round-2 defect: operator-internal persist() accreted cached blocks
