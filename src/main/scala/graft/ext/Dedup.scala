@@ -57,6 +57,80 @@ object Dedup {
         (m, j) => least(m, p("h0") + j.cast("long") * p("h1"))))
   }
 
+  /** MinHash signatures as a typed primitive kernel — the q26/q27 hot
+    * path, the same split as [[simhashSignatures]]: shingling stays in
+    * Catalyst (identical to [[minhashSignature]] and the SQL oracle),
+    * while the md5 + Kirsch–Mitzenmacher min-fold runs as one
+    * `mapPartitions` over primitive arrays. Slot arithmetic matches the
+    * column form exactly — h0 = digest nibbles 1..15 (a 60-bit long),
+    * h1 = nibbles 17..30 (56 bits), slot j = min(h0 + j·h1) in signed
+    * 64-bit — so kernel, column form, and oracle are bit-identical
+    * (spec-asserted). The column form folds an h-wide Catalyst array
+    * per shingle interpretively; this loop removes that cost without
+    * touching the plan shape (per-row map, no shuffle). */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+      k: Int = 3, h: Int = 16): DataFrame = {
+    require(h <= 16, "h0+j*h1 is overflow-free only for j <= 15")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // tokenization stays in Catalyst: lower/trim/split are codegen'd
+    // string functions AND the exact derivation the SQL oracle replays.
+    // Everything downstream of the token array — shingle assembly
+    // (which the column form does through interpreted HOFs), md5, and
+    // the min-fold — runs in the kernel. Shingle strings are built
+    // exactly as `concat_ws(" ", slice(ws, i+1, k))` does (consecutive
+    // delimiters in the source text yield empty tokens, which survive
+    // into the joined shingle), and the distinct-set semantics of
+    // `array_distinct` come from the seen-set (min is commutative, so
+    // shingle order cannot matter).
+    df.select(col(id).cast("long"), TextAnalysis.words(col(text)))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, ws0) =>
+          if (ws0 == null) (docId, null.asInstanceOf[Seq[Long]])
+          else {
+            val ws = ws0.toIndexedSeq
+            val n = ws.length
+            val mins = Array.fill(h)(Long.MaxValue)
+            val seen = new java.util.HashSet[String]()
+            def fold(s: String): Unit = if (seen.add(s)) {
+              md.reset()
+              val b = md.digest(s.getBytes("UTF-8"))
+              var u0 = 0L
+              var i = 0
+              while (i < 8) { u0 = (u0 << 8) | (b(i) & 0xffL); i += 1 }
+              var u1 = 0L
+              i = 8
+              while (i < 16) { u1 = (u1 << 8) | (b(i) & 0xffL); i += 1 }
+              // nibbles 1..15 / 17..30 of the hex digest, as the conv()
+              // calls in the column form read them
+              val h0 = u0 >>> 4
+              val h1 = u1 >>> 8
+              var j = 0
+              while (j < h) {
+                val v = h0 + j * h1
+                if (v < mins(j)) mins(j) = v
+                j += 1
+              }
+            }
+            if (n < k) fold(ws.mkString(" "))
+            else {
+              var i = 0
+              while (i <= n - k) {
+                val sb = new java.lang.StringBuilder(ws(i))
+                var j = i + 1
+                while (j < i + k) { sb.append(' ').append(ws(j)); j += 1 }
+                fold(sb.toString)
+                i += 1
+              }
+            }
+            (docId, mins.toSeq)
+          }
+        }
+      }.toDF(id, "sig")
+  }
+
   /** LSH band keys: split the signature into bands of `r` rows; band key
     * = md5 of the joined band slice. A shared band key ⇒ candidate pair. */
   def bandKeys(sig: Column, h: Int, r: Int): Column =
@@ -93,8 +167,8 @@ object Dedup {
   def lshCandidates(df: DataFrame, id: String, text: String,
       k: Int = 3, h: Int = 16, r: Int = 4,
       maxBand: Int = 100): DataFrame = {
-    val base = df.select(col(id).as("doc_id"),
-        minhashSignature(shingles(col(text), k), h).as("sig"))
+    val base = minhashSignatures(df, id, text, k, h)
+      .select(col(id).as("doc_id"), col("sig"))
     val banded = base.select(col("doc_id"), col("sig"),
         explode(bandKeys(col("sig"), h, r)).as("band"))
     val capped = capBands(banded, "band", maxBand)
@@ -116,8 +190,8 @@ object Dedup {
     * re-mining the corpus per batch. */
   def lshIndex(df: DataFrame, id: String, text: String,
       k: Int = 3, h: Int = 16, r: Int = 4): DataFrame = {
-    val base = df.select(col(id).as("doc_id"),
-      minhashSignature(shingles(col(text), k), h).as("sig"))
+    val base = minhashSignatures(df, id, text, k, h)
+      .select(col(id).as("doc_id"), col("sig"))
     base.select(col("doc_id"), col("sig"),
       explode(bandKeys(col("sig"), h, r)).as("band"))
   }

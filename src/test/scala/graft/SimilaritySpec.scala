@@ -165,6 +165,20 @@ class SimilaritySpec extends SparkSuite {
     assert(kernel.values.toSet.size > 1)
   }
 
+  test("minhashSignatures kernel is bit-identical to the column form") {
+    import spark.implicits._
+    val docs = (0 until 80).map(i =>
+      (i.toLong, s"The Quick  brown fox ${i % 7} jumps over the lazy dog " +
+        s"${i % 3} and token$i")).toDF("doc_id", "text")
+    val colForm = docs.select(col("doc_id"), ext.Dedup.minhashSignature(
+        ext.Dedup.shingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val kernel = ext.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(kernel == colForm) // 60/56-bit integer arithmetic: exact
+    assert(kernel.values.flatten.toSet.size > 16)
+  }
+
   test("keyedNormed kernel is bit-identical to the column forms") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
