@@ -44,12 +44,25 @@ object Tables {
     * tolerant of both physical `ts` encodings (see header).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // a read-path format flag (Spark 4 refuses TIMESTAMP(NANOS) parquet
+    // without it); it does not change the semantics of any expression
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     val tsUs = raw.schema("ts").dataType match {
       case LongType => expr("ts div 1000") // INT64 nanos read as raw long
-      case TimestampType | TimestampNTZType =>
+      case TimestampType => // instant-typed: unix_micros is TZ-independent
+        expr("unix_micros(ts)")
+      case TimestampNTZType =>
+        // the NTZ wall-clock→instant cast reads the SESSION time zone;
+        // this loader must not silently mutate session state (a hidden
+        // conf.set here would flip the semantics of unrelated timestamp
+        // expressions), so a non-UTC session fails loudly instead
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        val rules = java.time.ZoneId.of(tz).getRules
+        require(rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+          s"events.ts is TIMESTAMP_NTZ: epoch derivation requires " +
+            s"spark.sql.session.timeZone=UTC (session has '$tz')")
         expr("unix_micros(cast(ts as timestamp))")
       case other => throw new IllegalArgumentException(
         s"events.ts: unsupported physical type $other " +

@@ -37,28 +37,48 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
   /** rrd_proc_start_end (rrd_fetch.c:154, rrd_parsetime.c): resolve the
     * --start/--end pair where either spec may anchor on the OTHER
     * ("--start end-1h", "--end start+1h"). The self-contained spec
-    * resolves first and seeds the other's reference times; mutual
-    * anchoring has no fixpoint and errors, like the reference. Defaults
-    * are the reference's: end = now, start = end - span. */
+    * resolves first and seeds the other's reference times. Mutual
+    * anchoring (--end start+… with no explicit, self-contained --start)
+    * errors exactly like the reference, a malformed spec surfaces its
+    * OWN parse error (never misread as cross-anchoring), and the
+    * resolved window must satisfy start < end (rrd_fetch_fn's check).
+    * Defaults are the reference's: end = now, start = end - span. */
   private def window(opts: Map[String, String],
       span: Long): (Long, Long) = {
     val sSpec = opts.get("start")
     val eSpec = opts.get("end")
-    def standalone(spec: String): Option[Long] =
-      try Some(at(spec))
-      catch { case _: RuntimeException => None }
-    eSpec.map(standalone) match {
-      case Some(Some(e)) => // end stands alone; start may reference it
-        (sSpec.map(at(_, AtTime.RefTimes(nowSec, endSec = Some(e))))
-          .getOrElse(e - span), e)
-      case Some(None) => // end references start: start must stand alone
-        val s = sSpec.map(at(_)).getOrElse(nowSec - span)
-        (s, at(eSpec.get, AtTime.RefTimes(nowSec, startSec = Some(s))))
+    // Which other-end anchor does a spec need? Detected by the parser's
+    // precise "start undefined"/"end undefined" signals — any OTHER
+    // failure is a genuine parse error and rethrows here, attributed to
+    // the spec that actually failed.
+    def anchorOf(spec: String): Option[String] =
+      try { at(spec); None }
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage == "start undefined" => Some("start")
+        case e: IllegalArgumentException
+            if e.getMessage == "end undefined" => Some("end")
+      }
+    def mutual() = throw new IllegalArgumentException(
+      "the start and end times cannot be specified relative to each other")
+    val (s, e) = eSpec.flatMap(anchorOf) match {
+      case Some("start") =>
+        // reference semantics: the DEFAULT start is itself end-relative
+        // (end - span), so an absent or end-anchored start is circular
+        val sRaw = sSpec.getOrElse(mutual())
+        if (anchorOf(sRaw).isDefined) mutual()
+        val s0 = at(sRaw)
+        (s0, at(eSpec.get, AtTime.RefTimes(nowSec, startSec = Some(s0))))
+      case Some(_) => // "--end end-…": self-reference
+        throw new IllegalArgumentException(
+          s"end time '${eSpec.get}' cannot reference itself")
       case None =>
-        val e = nowSec
-        (sSpec.map(at(_, AtTime.RefTimes(nowSec, endSec = Some(e))))
-          .getOrElse(e - span), e)
+        val e0 = eSpec.map(at(_)).getOrElse(nowSec)
+        (sSpec.map(at(_, AtTime.RefTimes(nowSec, endSec = Some(e0))))
+          .getOrElse(e0 - span), e0)
     }
+    require(s < e, s"start ($s) should be less than end ($e)")
+    (s, e)
   }
 
   /** create: "--start <at> --step <sec>" + DS:/RRA: specs

@@ -48,7 +48,11 @@ object Similarity {
     val d = dotK(dim) _
     df.select(col(id).cast("long"), col(vec))
       .as[(Long, Array[Double])].collect()
-      .map { case (i, v) => (i, v, math.sqrt(d(v, v))) }
+      .map { case (i, v) =>
+        require(v != null && v.length >= dim,
+          s"vector $i is null or shorter than dim=$dim")
+        (i, v, math.sqrt(d(v, v)))
+      }
       .sortBy(_._1)
   }
 
@@ -99,10 +103,11 @@ object Similarity {
       .mapPartitions { it =>
         val qs = bc.value
         it.flatMap { case (nid, cv) =>
+          if (cv == null || cv.length < dim) Iterator.empty else {
           val cn = math.sqrt(d(cv, cv))
           qs.iterator.collect { case (qid, qv, qn) if qid != nid =>
             (qid, nid, d(qv, cv) / (qn * cn))
-          }
+          } }
         }
       }.toDF("query_id", "neighbor_id", "cosine")
     topK(scored, k)
@@ -211,6 +216,7 @@ object Similarity {
         val cs = bcC.value
         val qs = bcQ.value
         it.flatMap { case (nid, v) =>
+          if (v == null || v.length < dim) Iterator.empty else {
           val n = math.sqrt(d(v, v))
           var best = -1L; var bestC = Double.NegativeInfinity
           cs.foreach { case (cid, cv, cn) =>
@@ -220,7 +226,7 @@ object Similarity {
           qs.getOrElse(best, Array.empty[(Long, Array[Double], Double)])
             .iterator.collect { case (qid, qv, qn) if qid != nid =>
               (qid, nid, d(qv, v) / (qn * n))
-            }
+            } }
         }
       }.toDF("query_id", "neighbor_id", "cosine")
     topK(scored, k)
@@ -244,7 +250,8 @@ object Similarity {
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = bcC.value
-        it.map { case (nid, v) =>
+        it.flatMap { case (nid, v) =>
+          if (v == null || v.length < dim) None else Some {
           val n = math.sqrt(d(v, v))
           var best = -1L; var bestC = Double.NegativeInfinity
           cs.foreach { case (cid, cv, cn) =>
@@ -252,7 +259,7 @@ object Similarity {
             if (c > bestC) { bestC = c; best = cid }
           }
           (best, nid, v, n)
-        }
+        } }
       }.toDF("cell", id, vec, "norm")
   }
 
@@ -278,6 +285,7 @@ object Similarity {
       .mapPartitions { it =>
         val qs = bcQ.value
         it.flatMap { case (cell, nid, v, n) =>
+          if (v == null || v.length < dim) Iterator.empty else
           qs.getOrElse(cell, Array.empty[(Long, Array[Double], Double)])
             .iterator.collect { case (qid, qv, qn) if qid != nid =>
               (qid, nid, d(qv, v) / (qn * n))
@@ -333,7 +341,11 @@ object Similarity {
     df.select(col(id).cast("long"), col(vec))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        it.map { case (i, v) =>
+        // a null or short vector null-propagated through the column
+        // forms (null bucket never equi-joins, null cosine never ranks)
+        // — the kernel drops such rows outright, same visible behavior
+        it.flatMap { case (i, v) =>
+          if (v == null || v.length < dim) None else Some {
           var bucket = 0L
           var p = 0
           while (p < planes) {
@@ -348,7 +360,7 @@ object Similarity {
           var j = 0
           while (j < dim) { n += v(j) * v(j); j += 1 }
           (i, v, math.sqrt(n), bucket)
-        }
+        } }
       }.toDF(id, vec, "norm", "bucket")
   }
 

@@ -58,6 +58,20 @@ class CommandsSpec extends SparkSuite {
       Seq("--start", "100", "--end", "start+100s", "--resolution", "10"))
     assert(viaStart.orderBy("ts").select("ts").as[Long].collect().last == 200L)
 
+    // mutual anchoring has no fixpoint — the reference errors, so do we
+    intercept[IllegalArgumentException](c.fetch(path, "AVERAGE",
+      Seq("--end", "start+100s", "--resolution", "10")))
+    intercept[IllegalArgumentException](c.fetch(path, "AVERAGE",
+      Seq("--start", "end-1h", "--end", "start+100s")))
+    // a malformed spec surfaces its OWN parse error, never a
+    // misattributed cross-anchoring fallback
+    val bad = intercept[IllegalArgumentException](c.fetch(path, "AVERAGE",
+      Seq("--end", "garbag%e", "--start", "end-1h")))
+    assert(!bad.getMessage.contains("start undefined"), bad.getMessage)
+    // inverted windows fail fast (rrd_fetch_fn's start < end check)
+    intercept[IllegalArgumentException](c.fetch(path, "AVERAGE",
+      Seq("--start", "200", "--end", "100")))
+
     // --align-start (rrd_fetch.c:169-173): both ends shift down by
     // start % resolution, so the window KEEPS its length instead of
     // widening — start 105/end 185 at res 60 becomes (60, 140]

@@ -125,8 +125,11 @@ class PlanAuditSpec extends SparkSuite {
     // non-broadcast, no key — cost |L|·|R|. Scalar cross joins (VDEF
     // constants, range rows) legitimately appear as
     // BroadcastNestedLoopJoin with a 1-row broadcast side, which this
-    // deliberately does NOT flag. Swept over EVERY registered query so
-    // a new operator cannot quietly introduce one.
+    // deliberately does NOT flag. Swept over every registered query's
+    // RETURNED plan — queries that materialize internally (q43's
+    // checkpointed CC rounds, the store builders) expose only their
+    // final scan here; their internal join shapes are pinned by the
+    // operator specs instead (SimilaritySpec, StoreStreamingSpec).
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution
         .explainString(ExplainMode.fromString("formatted"))

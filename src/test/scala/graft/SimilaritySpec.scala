@@ -200,6 +200,35 @@ class SimilaritySpec extends SparkSuite {
     assert(kernel.values.map(_._2).toSet.size > 1)
   }
 
+  test("null and short corpus vectors are dropped, not fatal") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(5)
+    val good = (0L until 20L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val dirty = good.toDF("vec_id", "embedding")
+      .unionByName(Seq((98L, Seq(0.5, 0.5)), (99L, null))
+        .toDF("vec_id", "embedding"))
+    // the column forms null-propagated such rows out of every result;
+    // the typed kernels must drop them the same way instead of NPEing
+    val bf = Similarity.bruteForceTopK(dirty.where(col("vec_id") < 3),
+      dirty, "vec_id", "embedding", dim, 3)
+    assert(!bf.select("neighbor_id").as[Long].collect().exists(_ >= 98))
+    val nd = Similarity.cosineNearDupPairs(dirty, "vec_id", "embedding",
+      dim, tau = 0.0, planes = 3)
+    assert(!nd.select("id1", "id2").as[(Long, Long)].collect()
+      .exists { case (a, b) => a >= 98 || b >= 98 })
+    val cent = dirty.where(col("vec_id") < 4)
+    val ivf = Similarity.ivfTopK(dirty.where(col("vec_id") < 3), dirty,
+      cent, "vec_id", "embedding", dim, 3, nprobe = 4)
+    assert(!ivf.select("neighbor_id").as[Long].collect().exists(_ >= 98))
+    // contract-small frames (queries/centroids) fail LOUDLY instead
+    val e = intercept[Exception](Similarity.bruteForceTopK(
+      dirty.where(col("vec_id") >= 98), dirty, "vec_id", "embedding",
+      dim, 3))
+    assert(e.getMessage.contains("null or shorter"), e.getMessage)
+  }
+
   test("candidate operators leave no lingering cached RDDs") {
     import spark.implicits._
     // Round-2 defect: operator-internal persist() accreted cached blocks

@@ -124,11 +124,14 @@ class TablesEncodingSpec extends SparkSuite {
 
   test("current driver testdata loads through the micros branch") {
     val df = Tables.events(spark, sf)
-    // ts values in the driver data are second-aligned epoch instants.
     val row = df.select(min("ts_us"), max("ts_us"),
-      sum(expr("cast(ts_us % 1000000 != 0 as int)"))).first()
+      sum(expr("cast(ts_sec != ts_us div 1000000 as int)"))).first()
     assert(row.getLong(0) > 0L)
     assert(row.getLong(1) < 4102444800000000L) // < year 2100: sane axis
+    // the driver data carries SUB-SECOND instants (live_head_t keeps
+    // microseconds, rrd_format.h:289-293) — ts_sec must be the exact
+    // integer truncation of the preserved µs axis, never a rounding
+    assert(row.getLong(2) == 0L, "ts_sec must truncate ts_us exactly")
     assert(df.select("ts_sec").schema.head.dataType.typeName === "long")
   }
 }
