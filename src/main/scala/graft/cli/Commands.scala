@@ -40,8 +40,8 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     * resolves first and seeds the other's reference times. Mutual
     * anchoring (--end start+… with no explicit, self-contained --start)
     * errors exactly like the reference, a malformed spec surfaces its
-    * OWN parse error (never misread as cross-anchoring), and the
-    * resolved window must satisfy start < end (rrd_fetch_fn's check).
+    * OWN parse error (never misread as cross-anchoring), and an
+    * inverted window (end < start) fails fast like rrd_fetch.c:175.
     * Defaults are the reference's: end = now, start = end - span. */
   private def window(opts: Map[String, String],
       span: Long): (Long, Long) = {
@@ -61,23 +61,35 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
       }
     def mutual() = throw new IllegalArgumentException(
       "the start and end times cannot be specified relative to each other")
+    def selfRef(which: String) = throw new IllegalArgumentException(
+      s"the $which time cannot be specified relative to itself")
     val (s, e) = eSpec.flatMap(anchorOf) match {
       case Some("start") =>
         // reference semantics: the DEFAULT start is itself end-relative
         // (end - span), so an absent or end-anchored start is circular
         val sRaw = sSpec.getOrElse(mutual())
-        if (anchorOf(sRaw).isDefined) mutual()
+        anchorOf(sRaw) match {
+          case Some("start") => selfRef("start")
+          case Some(_) => mutual()
+          case None => ()
+        }
         val s0 = at(sRaw)
         (s0, at(eSpec.get, AtTime.RefTimes(nowSec, startSec = Some(s0))))
-      case Some(_) => // "--end end-…": self-reference
-        throw new IllegalArgumentException(
-          s"end time '${eSpec.get}' cannot reference itself")
+      case Some(_) => selfRef("end") // "--end end-…"
       case None =>
         val e0 = eSpec.map(at(_)).getOrElse(nowSec)
-        (sSpec.map(at(_, AtTime.RefTimes(nowSec, endSec = Some(e0))))
-          .getOrElse(e0 - span), e0)
+        val s0 = sSpec match {
+          case None => e0 - span
+          case Some(sp) => anchorOf(sp) match {
+            case Some("start") => selfRef("start") // "--start start+…"
+            case _ => at(sp, AtTime.RefTimes(nowSec, endSec = Some(e0)))
+          }
+        }
+        (s0, e0)
     }
-    require(s < e, s"start ($s) should be less than end ($e)")
+    // rrd_fetch.c:175 errors only on an INVERTED window; an equal pair
+    // (a zero-length window) is accepted like the reference accepts it
+    require(s <= e, s"start ($s) should be less than end ($e)")
     (s, e)
   }
 

@@ -83,7 +83,11 @@ object Dedup {
     // into the joined shingle), and the distinct-set semantics of
     // `array_distinct` come from the seen-set (min is commutative, so
     // shingle order cannot matter).
-    df.select(col(id).cast("long"), TextAnalysis.words(col(text)))
+    // no explicit cast on the id: the Long encoder upcasts integral ids
+    // and REFUSES non-numeric ones at analysis time — an explicit
+    // cast("long") would instead null a string id silently and the
+    // band join would return an empty frame with no error
+    df.select(col(id), TextAnalysis.words(col(text)))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -169,6 +173,10 @@ object Dedup {
       maxBand: Int = 100): DataFrame = {
     val base = minhashSignatures(df, id, text, k, h)
       .select(col(id).as("doc_id"), col("sig"))
+      // a null signature (null text) must not band: concat_ws SKIPS a
+      // null array, so every null-sig doc would share identical band
+      // keys and pair up as spurious candidates
+      .where(col("sig").isNotNull)
     val banded = base.select(col("doc_id"), col("sig"),
         explode(bandKeys(col("sig"), h, r)).as("band"))
     val capped = capBands(banded, "band", maxBand)
@@ -192,6 +200,7 @@ object Dedup {
       k: Int = 3, h: Int = 16, r: Int = 4): DataFrame = {
     val base = minhashSignatures(df, id, text, k, h)
       .select(col(id).as("doc_id"), col("sig"))
+      .where(col("sig").isNotNull) // see lshCandidates
     base.select(col("doc_id"), col("sig"),
       explode(bandKeys(col("sig"), h, r)).as("band"))
   }
@@ -429,13 +438,17 @@ object Dedup {
     require(bits <= 64, "two md5 digests supply at most 64 vote bits")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(id).cast("long"),
-        array_distinct(TextAnalysis.words(col(text))))
+    df.select(col(id), array_distinct(TextAnalysis.words(col(text))))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val votes = new Array[Int](bits)
         it.map { case (docId, toks) =>
+          // null text → null signature, matching the column form's
+          // null propagation (its band keys then null out through
+          // `concat`, so null-sig docs never band-join)
+          if (toks == null) (docId, None: Option[Long])
+          else {
           java.util.Arrays.fill(votes, 0)
           toks.foreach { w =>
             md.reset()
@@ -457,7 +470,8 @@ object Dedup {
           var sig = 0L
           var i = 0
           while (i < bits) { if (votes(i) > 0) sig |= 1L << i; i += 1 }
-          (docId, sig)
+          (docId, Some(sig): Option[Long])
+          }
         }
       }.toDF(id, "sig")
   }

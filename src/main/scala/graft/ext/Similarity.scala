@@ -333,7 +333,7 @@ object Similarity {
     * the expensive half of every LSH path (the q29 lesson, measured
     * ~40× on the dot fold). */
   private[graft] def keyedNormed(df: DataFrame, id: String, vec: String,
-      dim: Int, planes: Int): DataFrame = {
+      dim: Int, planes: Int, strict: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val signs: Array[Array[Double]] = Array.tabulate(planes, dim)((p, d) =>
@@ -343,9 +343,15 @@ object Similarity {
       .mapPartitions { it =>
         // a null or short vector null-propagated through the column
         // forms (null bucket never equi-joins, null cosine never ranks)
-        // — the kernel drops such rows outright, same visible behavior
+        // — the kernel drops such corpus rows outright, same visible
+        // behavior; strict mode (contract-small frames: the query side)
+        // fails loudly instead, matching collectNormed
         it.flatMap { case (i, v) =>
-          if (v == null || v.length < dim) None else Some {
+          if (v == null || v.length < dim) {
+            if (strict) throw new IllegalArgumentException(
+              s"vector $i is null or shorter than dim=$dim")
+            None
+          } else Some {
           var bucket = 0L
           var p = 0
           while (p < planes) {
@@ -387,7 +393,7 @@ object Similarity {
       if (!multiProbe) array(col("bucket"))
       else array(col("bucket") +: (0 until planes).map(p =>
         col("bucket").bitwiseXOR(lit(1L << p))): _*)
-    val q = keyedNormed(queries, id, vec, dim, planes)
+    val q = keyedNormed(queries, id, vec, dim, planes, strict = true)
       .select(col(id).as("query_id"), col(vec).as("qv"),
         col("norm").as("qn"), explode(probes).as("bucket"))
     val scored = keyed.join(broadcast(q), Seq("bucket"))

@@ -70,8 +70,12 @@ class RatesLawSpec extends SparkSuite {
           // gaps straddle the 300 s heartbeat so the gate fires
           t += (20 + rnd.nextInt(400)) * 1000000L + rnd.nextInt(1000000)
           val v = spec.dst match {
-            case Dst.Counter => // mostly increasing, wrapping at 2^32
-              (rnd.nextDouble() * 4294967295.0).floor
+            case Dst.Counter =>
+              // mix 32-bit and 64-bit counter magnitudes: a drop from a
+              // 64-bit value leaves d + (2^32-1) still negative, so the
+              // SECOND wrap correction (2^64-2^32) genuinely fires too
+              if (rnd.nextBoolean()) (rnd.nextDouble() * 4294967295.0).floor
+              else (rnd.nextDouble() * 1.8446744073e19).floor
             case Dst.DCounter => rnd.nextDouble() * 200 - 100
             case _ => rnd.nextDouble() * 100 - 30
           }

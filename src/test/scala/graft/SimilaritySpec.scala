@@ -200,6 +200,27 @@ class SimilaritySpec extends SparkSuite {
     assert(kernel.values.map(_._2).toSet.size > 1)
   }
 
+  test("null-text docs never become LSH candidates in either family") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (3L, null), (4L, null))
+      .toDF("doc_id", "text")
+    // minhash: a null signature must not band — concat_ws would give
+    // every null-sig doc IDENTICAL keys and pair 3-4 spuriously
+    val cand = ext.Dedup.lshCandidates(docs, "doc_id", "text")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L)), cand.toString)
+    // simhash kernel: null text → null signature (the column form's
+    // null propagation), whose band keys null out and never join
+    val sigs = ext.Dedup.simhashSignatures(docs, "doc_id", "text", 16)
+    assert(sigs.where(col("doc_id") >= 3)
+      .where(col("sig").isNotNull).count() == 0)
+    val sc = ext.Dedup.simhashCandidates(sigs, "doc_id", "sig", 16, 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(sc == Set((1L, 2L)), sc.toString)
+  }
+
   test("null and short corpus vectors are dropped, not fatal") {
     import spark.implicits._
     val dim = 8
@@ -222,11 +243,19 @@ class SimilaritySpec extends SparkSuite {
     val ivf = Similarity.ivfTopK(dirty.where(col("vec_id") < 3), dirty,
       cent, "vec_id", "embedding", dim, 3, nprobe = 4)
     assert(!ivf.select("neighbor_id").as[Long].collect().exists(_ >= 98))
-    // contract-small frames (queries/centroids) fail LOUDLY instead
+    // contract-small frames (queries/centroids) fail LOUDLY instead —
+    // on the collected paths AND on lshTopK's distributed query side
     val e = intercept[Exception](Similarity.bruteForceTopK(
       dirty.where(col("vec_id") >= 98), dirty, "vec_id", "embedding",
       dim, 3))
     assert(e.getMessage.contains("null or shorter"), e.getMessage)
+    val e2 = intercept[Exception](Similarity.lshTopK(
+      dirty.where(col("vec_id") >= 98), dirty, "vec_id", "embedding",
+      dim, 3).count())
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e2).exists(c => Option(c.getMessage)
+      .exists(_.contains("null or shorter"))), e2.toString)
   }
 
   test("candidate operators leave no lingering cached RDDs") {
