@@ -1110,6 +1110,62 @@ object SparkEntry {
           size(ext.Multimodal.sampleFrames(col("bytes"), 256, 4))
             .cast("int").as("kept_frames"))
         .orderBy("doc_id")
+    }),
+
+    // ---- corpus curation: decontamination / sampling / selection
+
+    // Benchmark decontamination: corpus docs sharing >= 2 distinct
+    // 3-shingles with the (doc_id % 20 == 0) eval slice. The eval
+    // shingle set broadcasts (an eval suite is tiny next to a 100 TB
+    // corpus); the corpus side is one scan + broadcast probe + one
+    // partial-aggregated groupBy on doc_id.
+    "q62_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      ext.Curation.decontaminate(
+          d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", k = 3, minHits = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling: per-language keep rates over an
+    // md5-derived uniform — replayable by the oracle and independent of
+    // partitioning/retries, unlike DataFrame.sample's seeded RNG.
+    // Shuffle-free per-row filter.
+    "q63_stratified_sample" -> ((s, dir) => {
+      ext.Curation.stratifiedSample(Tables.documents(s, dir), "doc_id",
+          "lang", Seq("en" -> 0.05, "fr" -> 0.15, "es" -> 0.25,
+            "de" -> 0.5), defaultRate = 0.75)
+        .select(col("doc_id"), col("lang"), col("u"))
+        .orderBy("doc_id")
+    }),
+
+    // Group-wise top-k selection by quality score: a typed bounded-heap
+    // Aggregator (k rows per group per map task) instead of a window
+    // row_number that would funnel the corpus through #langs reducers.
+    "q64_topk_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val q = ext.TextAnalysis.qualityExprs(col("text"))
+      ext.Curation.topKPerGroup(
+          d.withColumn("score", q("distinct_ratio")),
+          "lang", "doc_id", col("score"), k = 5)
+        .orderBy("lang", "rank")
+    }),
+
+    // Corpus rollup: per-(lang, source) doc/char/token totals plus
+    // subtotals and the grand total in one pass (grouping-sets partial
+    // aggregation — no second scan for the totals).
+    "q65_corpus_rollup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = ext.TextAnalysis.tokenExprs(col("text"))
+      d.select(col("lang"), col("source"), col("n_chars"),
+          t("ws_tokens").as("ws_tokens"))
+        .rollup("lang", "source")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("ws_tokens")).as("sum_tokens"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
     })
   )
 
@@ -1950,7 +2006,63 @@ object SparkEntry {
         | md5(text) AS checksum,
         | CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 256) AS INT) AS n_frames,
         | CAST((CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 256) AS INT) + 3) // 4 AS INT) AS kept_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ---- corpus curation
+
+    "q62_decontaminate" ->
+      s"""$sqlShingles,
+        |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+        |        WHERE doc_id % 20 = 0),
+        |csh AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh
+        |        WHERE doc_id % 20 <> 0)
+        |SELECT c.doc_id, c.n_sh, COUNT(*) AS hits,
+        | CAST(COUNT(*) AS DOUBLE) / CAST(c.n_sh AS DOUBLE) AS overlap
+        |FROM csh c JOIN bsh ON c.s = bsh.s
+        |GROUP BY c.doc_id, c.n_sh
+        |HAVING COUNT(*) >= 2
+        |ORDER BY c.doc_id""".stripMargin,
+
+    // the same md5-top-60-bits uniform the operator derives; exact
+    // integer build-up, one exact fp divide by 2^60
+    "q63_stratified_sample" ->
+      s"""WITH su AS (
+        | SELECT doc_id, lang,
+        |  CAST(${sqlHexToLong("substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")} AS DOUBLE)
+        |   / CAST(1152921504606846976 AS DOUBLE) AS u
+        | FROM documents)
+        |SELECT doc_id, lang, u FROM su
+        |WHERE u < CASE lang WHEN 'en' THEN 0.05 WHEN 'fr' THEN 0.15
+        |  WHEN 'es' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 0.75 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // the window form of the bounded-heap operator: identical rows by
+    // construction (score desc, doc_id asc tie-break)
+    "q64_topk_quality" ->
+      s"""$sqlDocWords,
+        |sc AS (SELECT doc_id, lang,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS score
+        | FROM d),
+        |r AS (SELECT lang, doc_id, score,
+        |  row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rank
+        | FROM sc)
+        |SELECT lang, rank, doc_id, score FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+
+    // GROUPING_ID bitmask convention matches Spark's (first rollup
+    // column = most significant bit); DuckDB's SUM(BIGINT) widens to
+    // HUGEINT, so both sums cast back to BIGINT
+    "q65_corpus_rollup" ->
+      """WITH t AS (
+        | SELECT lang, source, n_chars,
+        |  len(string_split(lower(trim(text)), ' ')) AS ws_tokens
+        | FROM documents)
+        |SELECT lang, source, CAST(GROUPING_ID(lang, source) AS BIGINT) AS gid,
+        | COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(SUM(ws_tokens) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
   )
 
   /** Shared docs CTE: `d(doc_id, lang, norm, ws)`. */

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines, beyond the
+  * dedup/similarity families: benchmark decontamination, deterministic
+  * stratified sampling, and bounded group-wise top-k selection.
+  *
+  * Scale design:
+  *   - decontamination: the benchmark/eval set is tiny relative to the
+  *     corpus (an eval suite vs a 100 TB lake), so its distinct shingle
+  *     set broadcasts; the corpus side is ONE scan + an exploded
+  *     broadcast-hash probe + a partial-aggregated groupBy on doc_id.
+  *     No shuffle ever carries corpus shingles.
+  *   - sampling: a pure per-row filter on an md5-derived uniform — no
+  *     shuffle, no RNG state, reproducible across engines, retries, and
+  *     partitionings (Spark's `sample()` is seed+partition dependent and
+  *     cannot be replayed by an oracle).
+  *   - top-k per group: a typed [[Aggregator]] holding at most k rows
+  *     per group per map task, so the shuffle carries k·groups rows
+  *     instead of the whole corpus. A window `row_number` over a
+  *     low-cardinality partition key would funnel the full corpus
+  *     through #groups reducers — the classic skew trap at scale.
+  */
+object Curation {
+
+  // ------------------------------------------------------- decontamination
+
+  /** Shingle-overlap decontamination report: for every corpus document
+    * sharing at least `minHits` distinct k-shingles with any benchmark
+    * document, the absolute and relative overlap.
+    *
+    * Output: (id, n_sh, hits, overlap) where `n_sh` is the doc's
+    * distinct-shingle count, `hits` how many of those appear anywhere in
+    * the benchmark set, `overlap` = hits / n_sh. Clean documents do not
+    * appear (the report is the contaminated set, not a corpus-sized
+    * left join).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, k: Int = 3, minHits: Int = 2): DataFrame = {
+    val bsh = benchmark
+      .select(explode(Dedup.shingles(col(text), k)).as("s"))
+      .distinct()
+    val csh = corpus.select(col(id),
+        Dedup.shingles(col(text), k).as("sh"))
+      // long, not Spark size()'s int — the oracle's len() is BIGINT
+      .select(col(id), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("s"))
+    csh.join(broadcast(bsh), "s")
+      .groupBy(col(id), col("n_sh"))
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minHits)
+      .select(col(id), col("n_sh"), col("hits"),
+        (col("hits").cast("double") / col("n_sh").cast("double")).as("overlap"))
+  }
+
+  // ------------------------------------------------------- sampling
+
+  /** Deterministic uniform in [0,1) from an id column: the top 60 bits
+    * of md5(id) over 2^60. Engine-portable (the DuckDB oracle replays
+    * the same digest arithmetic — exact integer, one exact fp divide)
+    * and partitioning-independent, unlike `DataFrame.sample`. */
+  def hashUniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+      .cast("double") / lit((1L << 60).toDouble)
+
+  /** Stratified sample: keep a row iff its hash-uniform falls below its
+    * stratum's rate. `rates` maps stratum value → rate; strata absent
+    * from the map use `defaultRate`. Pure per-row filter — shuffle-free
+    * at any scale. */
+  def stratifiedSample(df: DataFrame, id: String, stratum: String,
+      rates: Seq[(String, Double)], defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratum) === s, lit(r)).otherwise(acc)
+    }
+    df.withColumn("u", hashUniform(col(id)))
+      .where(col("u") < rate)
+  }
+
+  // ------------------------------------------------------- top-k per group
+
+  /** One scored row inside the top-k buffer. */
+  final case class Scored(score: Double, id: Long)
+
+  /** Bounded top-k aggregator: keeps the k largest by (score desc, id
+    * asc on ties — fully deterministic). The buffer never exceeds k
+    * entries, so map-side partial aggregation bounds both memory and
+    * shuffle volume at k rows per group per task. */
+  final class TopKAggregator(k: Int)
+      extends Aggregator[(String, Long, Double), Seq[Scored], Seq[Scored]] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def trim(s: Seq[Scored]): Seq[Scored] = s.sortWith(better).take(k)
+    def zero: Seq[Scored] = Vector.empty
+    def reduce(buf: Seq[Scored], in: (String, Long, Double)): Seq[Scored] = {
+      val cand = Scored(in._3, in._2)
+      // common case: buffer full and the candidate loses to its floor
+      if (buf.length >= k && better(buf.last, cand)) buf
+      else trim(buf :+ cand)
+    }
+    def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = trim(a ++ b)
+    def finish(buf: Seq[Scored]): Seq[Scored] = buf
+    def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  }
+
+  /** Group-wise top-k rows: for each value of `group`, the k rows with
+    * the largest `score` (ties to the smaller `id`), ranked 1..k.
+    * Output: (group, rank, id, score) — the exploded, ranked form a
+    * window `row_number() <= k` query would produce, computed with
+    * bounded state instead of a full-corpus sort per group.
+    */
+  def topKPerGroup(df: DataFrame, group: String, id: String,
+      score: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(group).cast("string"), col(id).cast("long"),
+        score.cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator(k).toColumn.name("top"))
+      .flatMap { case (g, top) =>
+        top.zipWithIndex.map { case (r, i) => (g, (i + 1).toLong, r.id, r.score) }
+      }
+      .toDF(group, "rank", id, "score")
+  }
+}

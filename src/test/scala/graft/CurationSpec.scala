@@ -1,0 +1,112 @@
+package graft
+
+import graft.ext.Curation
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curation operators: decontamination, deterministic sampling, bounded
+  * top-k. Each is pinned against an independent form — closed-form
+  * expectations, a from-scratch digest computation, or the window-
+  * function equivalent the bounded aggregator replaces.
+  */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("decontaminate flags planted shingle overlaps and nothing else") {
+    val df = Seq(
+      // bench slice (doc_id % 20 == 0)
+      (0L, "alpha beta gamma delta"),
+      (20L, "zz yy xx ww vv"),
+      // shares 2 of its 4 shingles with bench doc 0 -> flagged
+      (1L, "pre alpha beta gamma delta post"),
+      // shares exactly 1 shingle -> below minHits, excluded
+      (2L, "alpha beta gamma unrelated tail here"),
+      // disjoint -> excluded
+      (3L, "totally different words entirely")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(
+        df.where($"doc_id" % 20 =!= 0), df.where($"doc_id" % 20 === 0),
+        "doc_id", "text", k = 3, minHits = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = out.head
+    assert(r.getLong(1) == 4, "doc 1 has 4 distinct 3-shingles")
+    assert(r.getLong(2) == 2, "2 of them appear in the bench set")
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  /** The operator's uniform, recomputed from scratch (MessageDigest → top
+    * 15 hex nibbles → /2^60), must match the Catalyst expression. */
+  private def uniformOf(id: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
+      (1L << 60).toDouble
+  }
+
+  test("hashUniform matches an independent digest computation") {
+    val got = spark.range(0, 200)
+      .select($"id", Curation.hashUniform($"id").as("u"))
+      .as[(Long, Double)].collect().toMap
+    (0L until 200L).foreach { id =>
+      assert(got(id) == uniformOf(id), s"id $id")
+      assert(got(id) >= 0.0 && got(id) < 1.0)
+    }
+  }
+
+  test("stratifiedSample keeps exactly the rows clearing their stratum rate") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val rates = Seq("en" -> 0.1, "fr" -> 0.3, "es" -> 0.6)
+    val kept = Curation.stratifiedSample(
+        Tables.documents(spark, sf), "doc_id", "lang", rates, 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = docs.as[(Long, String)].collect().collect {
+      case (id, lang)
+          if uniformOf(id) < rates.toMap.getOrElse(lang, 0.9) => id
+    }.toSet
+    assert(expected.nonEmpty && expected.size < 500)
+    assert(kept == expected)
+  }
+
+  test("topKPerGroup equals the window row_number form, ties included") {
+    // deliberate score collisions: 13 distinct scores over 500 rows
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 7}", i.toLong, (i * 37 % 13) / 13.0)
+    }
+    val df = rows.toDF("lang", "doc_id", "score")
+    val got = Curation.topKPerGroup(df, "lang", "doc_id", $"score", k = 5)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy("lang").orderBy(desc("score"), asc("doc_id"))
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 5)
+      .select($"lang", $"rank", $"doc_id", $"score")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("topKPerGroup on real documents matches the window form") {
+    val d = Tables.documents(spark, sf)
+    val q = ext.TextAnalysis.qualityExprs(col("text"))
+    val scored = d.select($"lang", $"doc_id", q("distinct_ratio").as("score"))
+    val got = Curation.topKPerGroup(scored, "lang", "doc_id", $"score", 5)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy("lang").orderBy(desc("score"), asc("doc_id"))
+    val want = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 5).select($"lang", $"rank", $"doc_id", $"score")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("topKPerGroup aggregates partially before the shuffle") {
+    val df = (0 until 100).map(i => (s"g${i % 3}", i.toLong, i / 100.0))
+      .toDF("lang", "doc_id", "score")
+    val plan = Curation.topKPerGroup(df, "lang", "doc_id", $"score", 5)
+      .queryExecution.executedPlan.toString
+    // typed Aggregator lowers to a two-phase ObjectHashAggregate: a
+    // partial stage before the exchange keeps ≤ k rows per group per
+    // task, so the shuffle is bounded regardless of corpus size
+    assert(plan.toLowerCase.contains("partial_topkaggregator"),
+      s"expected partial aggregation before the shuffle:\n$plan")
+  }
+}
