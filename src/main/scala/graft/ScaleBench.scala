@@ -49,7 +49,9 @@ object ScaleBench {
     "q46_incremental_lsh", // batch-vs-index join
     "q29_ann_bruteforce",  // broadcast queries + top-k
     "q44_ann_ivf",         // centroid probe + cell join
-    "q45_embed_neardup")   // bucket + bit-flip probe pairs, FIXED planes
+    "q45_embed_neardup",   // bucket + bit-flip probe pairs, FIXED planes
+    "q62_decontaminate",   // broadcast eval-shingle probe + bounded agg
+    "q64_topk_quality")    // bounded-heap top-k: shuffle stays k·groups
 
   /** Variants that exist only for the scale comparison (not oracle
     * queries): q45 with corpus-sized hyperplane count — the fix for the
