@@ -41,14 +41,12 @@ object Curation {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       id: String, text: String, k: Int = 3, minHits: Int = 2): DataFrame = {
-    val bsh = benchmark
-      .select(explode(Dedup.shingles(col(text), k)).as("s"))
-      .distinct()
-    val csh = corpus.select(col(id),
-        Dedup.shingles(col(text), k).as("sh"))
-      // long, not Spark size()'s int — the oracle's len() is BIGINT
-      .select(col(id), size(col("sh")).cast("long").as("n_sh"),
-        explode(col("sh")).as("s"))
+    // both sides shingle through the typed kernel (the column-form
+    // explode pays interpreted HOFs per shingle on the corpus scan —
+    // the hot path at scale); strings are kernel≡column spec-pinned
+    val bsh = Dedup.shingleRows(benchmark, id, text, k)
+      .select(col("s")).distinct()
+    val csh = Dedup.shingleRows(corpus, id, text, k)
     csh.join(broadcast(bsh), "s")
       .groupBy(col(id), col("n_sh"))
       .agg(count(lit(1)).as("hits"))

@@ -135,6 +135,48 @@ object Dedup {
       }.toDF(id, "sig")
   }
 
+  /** Distinct k-shingles as ROWS — `explode(shingles(text, k))` plus the
+    * per-doc distinct-shingle count, as one typed kernel. The same split
+    * as [[minhashSignatures]]: tokenization stays in Catalyst (codegen'd
+    * and identical to the SQL oracle's derivation), while shingle
+    * assembly and the distinct set run on primitives (the column form
+    * pays interpreted higher-order functions per shingle — measured 4.2 s
+    * vs 1.5 s on the q62 corpus scan at sf0.1). Shingle strings are
+    * bit-identical to the column form (spec-asserted); a null token
+    * array yields no rows, exactly as `explode` drops a null array.
+    * Output: (id, n_sh, s). */
+  def shingleRows(df: DataFrame, id: String, text: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id), TextAnalysis.words(col(text)))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, ws0) =>
+          if (ws0 == null) Iterator.empty
+          else {
+            val ws = ws0.toIndexedSeq
+            val n = ws.length
+            val out = new java.util.LinkedHashSet[String]()
+            if (n < k) out.add(ws.mkString(" "))
+            else {
+              var i = 0
+              while (i <= n - k) {
+                val sb = new java.lang.StringBuilder(ws(i))
+                var j = i + 1
+                while (j < i + k) { sb.append(' ').append(ws(j)); j += 1 }
+                out.add(sb.toString)
+                i += 1
+              }
+            }
+            val nSh = out.size.toLong
+            scala.jdk.CollectionConverters.IteratorHasAsScala(out.iterator)
+              .asScala.map(s => (docId, nSh, s))
+          }
+        }
+      }.toDF(id, "n_sh", "s")
+  }
+
   /** LSH band keys: split the signature into bands of `r` rows; band key
     * = md5 of the joined band slice. A shared band key ⇒ candidate pair. */
   def bandKeys(sig: Column, h: Int, r: Int): Column =

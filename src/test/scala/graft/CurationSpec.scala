@@ -35,6 +35,24 @@ class CurationSpec extends SparkSuite {
     assert(r.getDouble(3) == 0.5)
   }
 
+  test("shingleRows kernel is bit-identical to the column-form explode") {
+    val edge = Seq(
+      (1L, "a b c d e"), (2L, "a"), (3L, ""), (4L, null),
+      (5L, "x y x y x y"), // repeats collapse via the distinct set
+      (6L, "a  b c")       // double space -> empty token inside shingles
+    ).toDF("doc_id", "text")
+    Seq(edge, Tables.documents(spark, sf)).foreach { df =>
+      val got = ext.Dedup.shingleRows(df, "doc_id", "text", 3)
+        .as[(Long, Long, String)].collect().toSet
+      val want = df.select($"doc_id",
+          ext.Dedup.shingles($"text", 3).as("sh"))
+        .select($"doc_id", size($"sh").cast("long").as("n_sh"),
+          explode($"sh").as("s"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == want && want.nonEmpty)
+    }
+  }
+
   /** The operator's uniform, recomputed from scratch (MessageDigest → top
     * 15 hex nibbles → /2^60), must match the Catalyst expression. */
   private def uniformOf(id: Long): Double = {
