@@ -86,15 +86,25 @@ object Curation {
   /** Bounded top-k aggregator: keeps the k largest by (score desc, id
     * asc on ties — fully deterministic). The buffer never exceeds k
     * entries, so map-side partial aggregation bounds both memory and
-    * shuffle volume at k rows per group per task. */
+    * shuffle volume at k rows per group per task.
+    *
+    * Score ordering is SQL's: comparisons go through
+    * `java.lang.Double.compare` (NaN greatest, NaN equal to itself) and
+    * -0.0 normalizes to 0.0 on entry, so the result is identical to a
+    * `row_number() OVER (ORDER BY score DESC, id)` window for every
+    * representable score (spec-asserted including NaN/±0 collisions). */
   final class TopKAggregator(k: Int)
       extends Aggregator[(String, Long, Double), Seq[Scored], Seq[Scored]] {
-    private def better(a: Scored, b: Scored): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+    require(k > 0, s"top-k needs k > 0 (got $k)")
+    private def better(a: Scored, b: Scored): Boolean = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
     private def trim(s: Seq[Scored]): Seq[Scored] = s.sortWith(better).take(k)
     def zero: Seq[Scored] = Vector.empty
     def reduce(buf: Seq[Scored], in: (String, Long, Double)): Seq[Scored] = {
-      val cand = Scored(in._3, in._2)
+      // -0.0 -> 0.0: SQL ordering treats them equal; Double.compare not
+      val cand = Scored(if (in._3 == 0.0) 0.0 else in._3, in._2)
       // common case: buffer full and the candidate loses to its floor
       if (buf.length >= k && better(buf.last, cand)) buf
       else trim(buf :+ cand)
@@ -110,12 +120,21 @@ object Curation {
     * Output: (group, rank, id, score) — the exploded, ranked form a
     * window `row_number() <= k` query would produce, computed with
     * bounded state instead of a full-corpus sort per group.
+    *
+    * Null scores are dropped (a row with no score is never "top" — and
+    * under `row_number ... ORDER BY score DESC` both engines sort nulls
+    * last, where k < group size never reaches them). `id` must be
+    * integral: the Long encoder upcasts integral ids and refuses
+    * non-numeric ones loudly at analysis time (same contract as the
+    * dedup kernels).
     */
   def topKPerGroup(df: DataFrame, group: String, id: String,
       score: Column, k: Int): DataFrame = {
+    require(k > 0, s"top-k needs k > 0 (got $k)")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(group).cast("string"), col(id).cast("long"),
+    df.where(score.isNotNull)
+      .select(col(group).cast("string"), col(id).cast("long"),
         score.cast("double"))
       .as[(String, Long, Double)]
       .groupByKey(_._1)

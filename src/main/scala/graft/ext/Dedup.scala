@@ -144,7 +144,9 @@ object Dedup {
     * vs 1.5 s on the q62 corpus scan at sf0.1). Shingle strings are
     * bit-identical to the column form (spec-asserted); a null token
     * array yields no rows, exactly as `explode` drops a null array.
-    * Output: (id, n_sh, s). */
+    * `id` must be integral — the Long encoder upcasts integral ids and
+    * refuses non-numeric ones loudly at analysis time (the same
+    * contract as [[minhashSignatures]]). Output: (id, n_sh, s). */
   def shingleRows(df: DataFrame, id: String, text: String,
       k: Int): DataFrame = {
     val spark = df.sparkSession

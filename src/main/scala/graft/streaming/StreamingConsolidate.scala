@@ -49,7 +49,14 @@ object StreamingConsolidate {
     // (start, end]-aligned: a PDP labeled exactly at a boundary belongs
     // to the bucket ENDING there, so shift 1 µs before the [start, end)
     // window; the label column is derived from the window end.
+    // Domain: positive timestamps only, like the reference ("illegal
+    // attempt to update using time 0" — update times must advance past
+    // a positive last_up). Batch cdp's end-label expression and the
+    // shifted window disagree below epoch 0 (div truncates toward zero),
+    // so nonpositive labels are dropped here rather than emitted with
+    // either convention.
     val evt = samples
+      .where(col(tsUsCol) > 0)
       .withColumn("__evt", timestamp_micros(col(tsUsCol) - 1))
       .withWatermark("__evt", s"$latenessSec seconds")
     evt

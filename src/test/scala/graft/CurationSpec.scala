@@ -116,6 +116,37 @@ class CurationSpec extends SparkSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("topKPerGroup handles NaN/±0/null scores like the window form") {
+    // NaN sorts greatest (SQL ordering), -0.0 ties 0.0, nulls drop
+    val rows = Seq(
+      ("g", 1L, Some(Double.NaN)), ("g", 2L, Some(1.0)),
+      ("g", 3L, Some(-0.0)), ("g", 4L, Some(0.0)),
+      ("g", 5L, Some(Double.NaN)), ("g", 6L, None),
+      ("g", 7L, Some(0.5)), ("g", 8L, Some(-1.0)))
+    val df = rows.toDF("lang", "doc_id", "score")
+    val got = Curation.topKPerGroup(df, "lang", "doc_id", $"score", k = 5)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy("lang").orderBy(desc("score"), asc("doc_id"))
+    val want = df.where($"score".isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 5).select($"lang", $"rank", $"doc_id", $"score")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // NaN != NaN under ==; compare via bit-exact rendering
+    def key(t: (String, Long, Long, Double)) =
+      (t._1, t._2, t._3, java.lang.Double.doubleToLongBits(
+        if (t._4 == 0.0) 0.0 else t._4))
+    assert(got.map(key) == want.map(key), s"\n got=$got\n want=$want")
+    assert(got.map(_._3).intersect(Set(1L, 5L)).size == 2,
+      "NaN rows must rank at the top, not vanish")
+  }
+
+  test("topKPerGroup refuses k <= 0 at call time") {
+    val df = Seq(("g", 1L, 1.0)).toDF("lang", "doc_id", "score")
+    intercept[IllegalArgumentException] {
+      Curation.topKPerGroup(df, "lang", "doc_id", $"score", 0)
+    }
+  }
+
   test("topKPerGroup aggregates partially before the shuffle") {
     val df = (0 until 100).map(i => (s"g${i % 3}", i.toLong, i / 100.0))
       .toDF("lang", "doc_id", "score")

@@ -35,6 +35,10 @@ class StreamingConsolidateSpec extends SparkSuite {
       CSample("b", us(300), None), CSample("b", us(600), None),
       CSample("b", us(900), None), CSample("b", us(1200), None),
       CSample("b", us(1500), Some(9.0)), CSample("b", us(1800), Some(11.0)))
+    // outside the reference's time domain (update times are positive):
+    // must be DROPPED, not emitted under either bucketing convention
+    val nonPositive = Seq(CSample("a", 0L, Some(999.0)),
+      CSample("b", us(-600), Some(999.0)))
 
     val input = MemoryStream[CSample]
     val out = StreamingConsolidate.cdpStream(input.toDF(), Seq("series"),
@@ -42,7 +46,7 @@ class StreamingConsolidateSpec extends SparkSuite {
     val q = out.writeStream.format("memory").queryName("cdp_stream")
       .outputMode("append").start()
     try {
-      input.addData(onTime: _*)
+      input.addData(onTime ++ nonPositive: _*)
       q.processAllAvailable()
       // advance the watermark far past every real window...
       input.addData(CSample("a", us(100000), Some(0.0)))
