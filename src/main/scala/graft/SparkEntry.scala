@@ -1071,6 +1071,34 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // IVF with a TRAINED coarse quantizer — the offline half the other
+    // IVF queries take as given: deterministic k-means (md5-uniform
+    // sample → driver-local Lloyd iterations → broadcast centroids),
+    // then the standard recall@5 harness against brute force. The
+    // oracle replays the training itself (unrolled per-iteration CTEs),
+    // so the hash certifies the learned centroids, not just the search.
+    "q66_ann_ivf_trained" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 20)
+      val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        64, c = 16, iters = 2, sampleRate = 0.2)
+      val bf = ext.Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+          64, 5).select(col("query_id"), col("neighbor_id"))
+      val ivf = ext.Similarity.ivfTopK(q, e, cent, "vec_id", "embedding",
+          64, 5, nprobe = 4).select(col("query_id"), col("neighbor_id"))
+      val agg = ivf.join(bf.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("ivf_n"), count(col("hit")).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(agg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("ivf_n"), lit(0L)).as("ivf_n"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) / 5.0).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     // leg): hyperplane buckets + single-bit-flip probes propose
     // candidates, a typed kernel verifies exact cosine >= tau. tau=0.40
@@ -1965,6 +1993,13 @@ object SparkEntry {
     // fold), so the fused-path recall oracle applies unchanged
     "q55_ann_ivf_indexed" -> sqlIvfRecall,
 
+    // same recall harness over TRAINED centroids: the oracle replays
+    // the k-means itself (sample, init, 2 Lloyd iterations) in
+    // unrolled CTEs, so a hash match certifies training end-to-end
+    "q66_ann_ivf_trained" ->
+      sqlIvfRecallWith(sqlKmeansCentChain(c = 16, iters = 2,
+        rate = 0.2, dim = 64)),
+
     "q45_embed_neardup" -> {
       // same md5-derived hyperplane buckets as the operator (and q39)
       def proj(p: Int) =
@@ -2533,12 +2568,70 @@ object SparkEntry {
   /** IVF recall@5 vs brute force — shared by q44 (fused assign+probe)
     * and q55 (materialized index): both score with the same strict fold
     * over the same centroids, so one oracle covers both paths. */
-  private val sqlIvfRecall: String = {
-    def cos(a: String, b: String) =
-      s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
-    s"""WITH cent AS (
-      | SELECT vec_id AS cid, embedding AS cv FROM embeddings
-      | WHERE vec_id < 16),
+  /** Shared cosine expression for the ANN oracles. */
+  private def sqlCos(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  /** Unrolled k-means training CTEs ending in `cent(cid, cv)` — replays
+    * Similarity.kmeansCentroids step for step: the md5-uniform sample
+    * (null/short/zero-norm vectors dropped), init = the `c` smallest
+    * (u, vec_id) with cid 1..c, per-iteration cosine-argmax assignment
+    * (ties to the lowest cid), and per-dimension means folding members
+    * in ascending vec_id order (list_reduce of an id-ordered list — the
+    * same strict-fold determinism contract as sqlDot); an empty cell
+    * carries its previous centroid. */
+  private def sqlKmeansCentChain(c: Int, iters: Int, rate: Double,
+      dim: Int): String = {
+    val u = s"CAST(${sqlHexToLong("substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)")} AS DOUBLE)" +
+      " / CAST(1152921504606846976 AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++=
+      s"""s0 AS (
+        | SELECT vec_id, embedding, $u AS u FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= $dim),
+        |samp AS (
+        | SELECT vec_id, embedding, u FROM s0
+        | WHERE u < $rate AND ${sqlDot("embedding", "embedding")} > 0),
+        |c0 AS (
+        | SELECT cid, cv FROM (
+        |  SELECT row_number() OVER (ORDER BY u, vec_id) AS cid,
+        |   embedding AS cv
+        |  FROM samp) WHERE cid <= $c),
+        |""".stripMargin
+    (1 to iters).foreach { t =>
+      sb ++=
+        s"""a$t AS (
+          | SELECT vec_id, embedding, cell FROM (
+          |  SELECT sm.vec_id, sm.embedding, ct.cid AS cell,
+          |   row_number() OVER (PARTITION BY sm.vec_id ORDER BY
+          |     ${sqlCos("sm.embedding", "ct.cv")} DESC, ct.cid) AS rn
+          |  FROM samp sm CROSS JOIN c${t - 1} ct) WHERE rn = 1),
+          |m$t AS (
+          | SELECT cell, dim,
+          |  list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
+          |    / COUNT(*) AS mv
+          | FROM (SELECT a.cell, a.vec_id, dd.dim,
+          |         CAST(a.embedding[dd.dim] AS DOUBLE) AS val
+          |       FROM a$t a CROSS JOIN
+          |        (SELECT unnest(generate_series(1, $dim)) AS dim) dd)
+          | GROUP BY cell, dim),
+          |c$t AS (
+          | SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+          | FROM c${t - 1} p LEFT JOIN
+          |  (SELECT cell AS cid, list(mv ORDER BY dim) AS cv
+          |   FROM m$t GROUP BY cell) m
+          | USING (cid)),
+          |""".stripMargin
+    }
+    sb ++= s"cent AS (SELECT cid, cv FROM c$iters)"
+    sb.toString
+  }
+
+  /** recall@5 harness over a caller-supplied `cent(cid, cv)` CTE chain
+    * (everything between WITH and the asg CTE). */
+  private def sqlIvfRecallWith(centChain: String): String = {
+    def cos(a: String, b: String) = sqlCos(a, b)
+    s"""WITH $centChain,
       |asg AS (
       | SELECT vec_id, embedding, cell FROM (
       |  SELECT c.vec_id, c.embedding, ct.cid AS cell,
@@ -2577,6 +2670,11 @@ object SparkEntry {
       |FROM q LEFT JOIN ag ON ag.query_id = q.vec_id
       |ORDER BY 1""".stripMargin
   }
+
+  private val sqlIvfRecall: String = sqlIvfRecallWith(
+    """cent AS (
+      | SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      | WHERE vec_id < 16)""".stripMargin)
 
   private def sqlStoreCdp(cf: String): String = {
     val (agg, rowCnt) =

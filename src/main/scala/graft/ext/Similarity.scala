@@ -295,6 +295,86 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Deterministic k-means training for the IVF coarse quantizer — the
+    * offline half [[ivfTopK]] leaves to the caller, as a first-class
+    * operator.
+    *
+    * Shape at scale (the faiss design): ONE distributed pass
+    * hash-samples the corpus (`sampleRate` is the caller's contract
+    * that the sample fits one node, exactly like a broadcast side —
+    * size it as C·occupancy, not as a corpus fraction, when the corpus
+    * is 100 TB), the sample is collected, Lloyd iterations run
+    * driver-local (zero per-iteration cluster jobs, no cached
+    * intermediate frames), and the resulting centroid frame broadcasts
+    * into [[ivfTopK]]/[[ivfIndex]].
+    *
+    * Every step is engine-portable, so a SQL oracle replays TRAINING
+    * bit-exactly with unrolled per-iteration CTEs:
+    *   - sampling: the md5-top-60-bit uniform ([[Curation.hashUniform]])
+    *     < `sampleRate`, plus null/short/zero-norm vector drops;
+    *   - init: the `c` sample vectors with the smallest (u, id), cid =
+    *     1..c in that order;
+    *   - assignment: argmax cosine over the centroids via the shared
+    *     strict fold, ties to the LOWEST cid (strict > over ascending
+    *     cid — the same rule as every IVF path here);
+    *   - update: per-dimension mean folding members in ascending id
+    *     order (plain double, fixed order — the [[dot]] determinism
+    *     pattern); an empty cell keeps its previous centroid.
+    *
+    * Output: (`id`, `vec`) centroid frame, cid 1..c, directly usable as
+    * the `centroids` argument of the IVF operators. */
+  def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
+      dim: Int, c: Int, iters: Int, sampleRate: Double): DataFrame = {
+    require(c > 0 && iters >= 0, s"need c > 0, iters >= 0 (got $c, $iters)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val samp: Array[(Long, Array[Double], Double)] = corpus
+      .select(col(id).cast("long").as("vid"), col(vec).as("v"),
+        Curation.hashUniform(col(id)).as("u"))
+      .where(col("u") < sampleRate && col("v").isNotNull &&
+        size(col("v")) >= dim)
+      .as[(Long, Array[Double], Double)]
+      .collect()
+      .filter { case (_, v, _) => d(v, v) > 0 } // zero-norm: cosine undefined
+    require(samp.length >= c,
+      s"sample of ${samp.length} vectors < c=$c centroids " +
+        s"(raise sampleRate=$sampleRate)")
+    var cents: Array[Array[Double]] =
+      samp.sortBy { case (vid, _, u) => (u, vid) }.take(c).map(_._2)
+    val members = samp.sortBy(_._1) // ascending id: the mean fold order
+    for (_ <- 1 to iters) {
+      val cn = cents.map(cv => math.sqrt(d(cv, cv)))
+      val sums = Array.fill(c)(new Array[Double](dim))
+      val cnts = new Array[Long](c)
+      members.foreach { case (_, v, _) =>
+        val n = math.sqrt(d(v, v))
+        var best = 0
+        var bestC = Double.NegativeInfinity
+        var ci = 0
+        while (ci < c) {
+          val cos = d(v, cents(ci)) / (n * cn(ci))
+          if (cos > bestC) { bestC = cos; best = ci }
+          ci += 1
+        }
+        cnts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(c)(ci =>
+        if (cnts(ci) == 0) cents(ci)
+        else {
+          val m = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { m(j) = sums(ci)(j) / cnts(ci); j += 1 }
+          m
+        })
+    }
+    cents.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v.toSeq) }.toSeq
+      .toDF(id, vec)
+  }
+
   /** Random-hyperplane LSH bucket key: `planes` sign bits, plane p's
     * component d = ±1 from md5(p:d) (deterministic, no RNG state).
     * Vectors sharing a bucket are near in angle with high probability;

@@ -346,4 +346,45 @@ class SimilaritySpec extends SparkSuite {
       exp.zipWithIndex.map { case (v, k) => v.toLong * (k + 1) }.sum
         % 1000000007L)
   }
+
+  test("kmeansCentroids: shape, determinism, and Lloyd improvement") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    def train(iters: Int) = Similarity.kmeansCentroids(
+      e, "vec_id", "embedding", 64, c = 16, iters = iters,
+      sampleRate = 0.2)
+    val c2 = train(2).as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(c2.map(_._1).toSeq == (1L to 16L) &&
+      c2.forall(_._2.length == 64))
+    // deterministic: a second training run is bit-identical
+    val again = train(2).as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(c2.toSeq == again.toSeq)
+    // Lloyd improvement: mean best-cosine of the corpus to its centroid
+    // must not decrease vs the un-iterated init (k-means monotonicity,
+    // here measured through the cosine assignment the IVF path uses)
+    val c0 = train(0).as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(c0.toSeq != c2.toSeq, "iterations must move the centroids")
+    val corpus = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Double])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def meanBest(cents: Array[(Long, Seq[Double])]) = corpus.map {
+      case (_, v) =>
+        val n = math.sqrt(dot(v, v))
+        cents.map { case (_, cv) =>
+          dot(v, cv) / (n * math.sqrt(dot(cv, cv))) }.max
+    }.sum / corpus.length
+    assert(meanBest(c2) >= meanBest(c0),
+      s"training worsened the quantizer: ${meanBest(c2)} < ${meanBest(c0)}")
+  }
+
+  test("kmeansCentroids refuses a sample smaller than c") {
+    import spark.implicits._
+    val tiny = (0L until 10L)
+      .map(i => (i, Seq.fill(64)(1.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(tiny, "vec_id", "embedding", 64,
+        c = 16, iters = 1, sampleRate = 1.0)
+    }
+  }
 }
