@@ -263,6 +263,22 @@ object Similarity {
       }.toDF("cell", id, vec, "norm")
   }
 
+  /** Persist an [[ivfIndex]] partitioned by `cell` — the on-disk form a
+    * production deployment reuses across query batches. Each cell is
+    * its own partition directory, so [[ivfTopKIndexed]]'s
+    * `cell IN (probed…)` filter becomes a PARTITION filter on read:
+    * only the probed cells' files are listed and scanned, never the
+    * full index (spec-asserted against the physical plan). */
+  def writeIvfIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read back a [[writeIvfIndex]] store. The partition column comes
+    * back integer-typed from directory inference; downstream encoders
+    * upcast it, so the frame drops into [[ivfTopKIndexed]] unchanged. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** ANN over a materialized [[ivfIndex]]: each query probes its
     * `nprobe` max-cosine cells, the index is FILTERED to the union of
     * probed cells (partition pruning when stored partitioned by cell),

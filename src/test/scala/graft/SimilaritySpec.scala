@@ -347,6 +347,37 @@ class SimilaritySpec extends SparkSuite {
         % 1000000007L)
   }
 
+  test("persisted IVF index: probes prune to the probed cells' partitions") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rnd.nextDouble() * 2 - 1).toSeq))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cent = corpus.where($"vec_id" < 8)
+    val q = corpus.where($"vec_id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      Similarity.writeIvfIndex(
+        Similarity.ivfIndex(corpus, cent, "vec_id", "embedding", dim), dir)
+      val stored = Similarity.readIvfIndex(spark, dir)
+      val viaStore = Similarity.ivfTopKIndexed(q, stored, cent,
+        "vec_id", "embedding", dim, k = 3, nprobe = 2)
+      val fused = Similarity.ivfTopK(q, corpus, cent,
+        "vec_id", "embedding", dim, k = 3, nprobe = 2)
+      // identical rows through the disk round trip
+      assert(viaStore.orderBy("query_id", "rank").collect().toSeq ==
+        fused.orderBy("query_id", "rank").collect().toSeq)
+      // and the probe is a PARTITION filter: the scan lists only the
+      // probed cells' directories, never the whole index
+      val scan = viaStore.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") &&
+        scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("cell"),
+        s"probe filter did not reach the partition level:\n$scan")
+    } finally store.RrdStore.deleteTree(dir)
+  }
+
   test("kmeansCentroids: shape, determinism, and Lloyd improvement") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)
