@@ -621,8 +621,10 @@ object SparkEntry {
       // candidate subplan and re-mines it — 3-4x SLOWER even with the
       // candidate frame checkpointed. Exchange reuse does not cover a
       // subplan referenced from two different join trees.)
-      val sh = d.select(col("doc_id"),
-        ext.Dedup.shingles(col("text"), 3).as("sh"))
+      // typed kernel for the verify-side shingle arrays (array-equal to
+      // the column form by parity spec; assembling them through
+      // interpreted HOFs was the scan's dominant cost)
+      val sh = ext.Dedup.shingleArrays(d, "doc_id", "text", 3)
       val cand = ext.Dedup.lshCandidates(d, "doc_id", "text", 3, 16, 4)
         .select("id1", "id2")
       val joined = cand

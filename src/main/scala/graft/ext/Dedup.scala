@@ -179,6 +179,45 @@ object Dedup {
       }.toDF(id, "n_sh", "s")
   }
 
+  /** [[shingles]] as a typed kernel: (id, sh array) with the SAME
+    * first-occurrence element order as `array_distinct` (LinkedHashSet
+    * insertion order), so the output is array-equal to the column form
+    * (spec-asserted), null text → null array likewise. The q26 verify
+    * side joins whole shingle arrays for `array_intersect`; assembling
+    * them interpretively was its dominant cost. Integral-id contract as
+    * [[shingleRows]]. */
+  def shingleArrays(df: DataFrame, id: String, text: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id), TextAnalysis.words(col(text)))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.map { case (docId, ws0) =>
+          if (ws0 == null) (docId, null.asInstanceOf[Seq[String]])
+          else {
+            val ws = ws0.toIndexedSeq
+            val n = ws.length
+            val out = new java.util.LinkedHashSet[String]()
+            if (n < k) out.add(ws.mkString(" "))
+            else {
+              var i = 0
+              while (i <= n - k) {
+                val sb = new java.lang.StringBuilder(ws(i))
+                var j = i + 1
+                while (j < i + k) { sb.append(' ').append(ws(j)); j += 1 }
+                out.add(sb.toString)
+                i += 1
+              }
+            }
+            val b = Vector.newBuilder[String]
+            out.forEach(s => b += s)
+            (docId, b.result(): Seq[String])
+          }
+        }
+      }.toDF(id, "sh")
+  }
+
   /** LSH band keys: split the signature into bands of `r` rows; band key
     * = md5 of the joined band slice. A shared band key ⇒ candidate pair. */
   def bandKeys(sig: Column, h: Int, r: Int): Column =

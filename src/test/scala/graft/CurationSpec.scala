@@ -50,6 +50,13 @@ class CurationSpec extends SparkSuite {
           explode($"sh").as("s"))
         .as[(Long, Long, String)].collect().toSet
       assert(got == want && want.nonEmpty)
+      // the array kernel must match element-for-element IN ORDER
+      // (array_distinct's first-occurrence order), nulls included
+      val gotA = ext.Dedup.shingleArrays(df, "doc_id", "text", 3)
+        .as[(Long, Option[Seq[String]])].collect().toMap
+      val wantA = df.select($"doc_id", ext.Dedup.shingles($"text", 3))
+        .as[(Long, Option[Seq[String]])].collect().toMap
+      assert(gotA == wantA)
     }
   }
 
