@@ -990,6 +990,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Image resize — the normalization step of a multimodal pipeline,
+    // through the REAL codec twice: synthesize PNGs (q61's generator),
+    // decode → nearest-neighbor resample to 16×8 → re-encode → decode →
+    // features, hashed against closed-form integer pixel math (the
+    // oracle computes each resized pixel straight from the generator).
+    "q67_image_resize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val paySchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val pngs = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 16 + (id % 17).toInt
+          val h = 8 + (id % 9).toInt
+          val px = Array.tabulate(w * h)(k =>
+            ((id * 31 + 7L * k) % 256).toByte)
+          Row(id, ext.Multimodal.ImageCodec.encodeGrayPng(w, h, px))
+        }
+      }(Encoders.row(paySchema))
+      val media = ext.Multimodal.asMedia(pngs, "doc_id", "payload", "image/png")
+      val resized = ext.Multimodal.resizeImages(media, "doc_id", 16, 8)
+      ext.Multimodal.decodeImageFeatures(resized, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Brute-force cosine top-k (the ANN exactness baseline).
     "q29_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1925,6 +1952,27 @@ object SparkEntry {
         |   k -> ((doc_id*31 + 7*k) % 256) * (k+1))) % 1000000007
         |  AS BIGINT) AS px_checksum
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // resized pixel (x, y) of the 16×8 target samples source pixel
+    // (x*w//16, y*h//8) — nearest-neighbor floor mapping; the source
+    // pixel value comes straight from the q61 generator, so the whole
+    // decode→resize→encode→decode chain hashes against integer math
+    "q67_image_resize" ->
+      """WITH d AS (
+        | SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 9 AS h
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id,
+        |  list_transform(range(0, 128), k ->
+        |   (doc_id*31 + 7*( ((k // 16) * h // 8) * w
+        |                    + ((k % 16) * w // 16) )) % 256) AS px
+        | FROM d)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS width,
+        | CAST(8 AS INTEGER) AS height,
+        | CAST(list_sum(px) AS DOUBLE) / 128 AS mean_px,
+        | CAST(list_sum(list_transform(range(0, 128),
+        |   k -> px[k + 1] * (k+1))) % 1000000007 AS BIGINT) AS px_checksum
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q29_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -90,6 +90,49 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor grayscale resize: out(x, y) = in(x·w/ow, y·h/oh)
+    * with integer floor division — fully closed-form, so a resized
+    * image's features replay in SQL integer math (the q67 oracle). */
+  def resizeGrayNearest(w: Int, h: Int, px: Array[Int],
+      ow: Int, oh: Int): Array[Int] = {
+    require(px.length == w * h, s"expected ${w * h} pixels, got ${px.length}")
+    require(ow > 0 && oh > 0, s"target dims must be positive ($ow x $oh)")
+    val out = new Array[Int](ow * oh)
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        out(y * ow + x) = px(sy * w + x * w / ow)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize every media payload to `ow`×`oh` through the REAL codec:
+    * decode → nearest-neighbor resample → re-encode PNG. Pure per-row
+    * map (no shuffle); output is a media frame again, so resize chains
+    * with [[decodeImageFeatures]]/[[sampleFrames]] — the standard
+    * image-normalization step of a multimodal training pipeline. */
+  def resizeImages(media: DataFrame, id: String, ow: Int,
+      oh: Int): DataFrame = {
+    val idIdx = media.schema.fieldIndex(id)
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      media.schema(id),
+      StructField("bytes", BinaryType)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = ImageCodec.decodeGray(r.getAs[Array[Byte]](bytesIdx))
+        val res = resizeGrayNearest(w, h, px, ow, oh)
+        Row(r.get(idIdx),
+          ImageCodec.encodeGrayPng(ow, oh, res.map(_.toByte)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Real pixel features from the real decoder: width/height, mean
     * pixel, and an order-sensitive checksum Σ px(k)·(k+1) mod 1e9+7 —
     * any decode bug (wrong raster order, off-by-one, lossy transcode)

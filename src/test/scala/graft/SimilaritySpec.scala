@@ -347,6 +347,27 @@ class SimilaritySpec extends SparkSuite {
         % 1000000007L)
   }
 
+  test("nearest-neighbor resize: exact floor mapping, identity at 1:1") {
+    import spark.implicits._
+    // 4x2 source, distinct values: downscale to 2x1 picks (0,0) and (2,0)
+    val px = Array(10, 20, 30, 40, 50, 60, 70, 80)
+    assert(ext.Multimodal.resizeGrayNearest(4, 2, px, 2, 1).toSeq ==
+      Seq(10, 30))
+    // upscale 2x1 -> 4x2 replicates each source pixel 2x2
+    assert(ext.Multimodal.resizeGrayNearest(2, 1, Array(1, 2), 4, 2).toSeq ==
+      Seq(1, 1, 2, 2, 1, 1, 2, 2))
+    // identity resize is the identity
+    assert(ext.Multimodal.resizeGrayNearest(4, 2, px, 4, 2).toSeq == px.toSeq)
+    // end-to-end through the REAL codec: encode -> resize op -> decode
+    val df = Seq((1L, ext.Multimodal.ImageCodec
+      .encodeGrayPng(4, 2, px.map(_.toByte)))).toDF("id", "payload")
+    val media = ext.Multimodal.asMedia(df, "id", "payload", "image/png")
+    val out = ext.Multimodal.resizeImages(media, "id", 2, 1).collect().head
+    val (w2, h2, px2) = ext.Multimodal.ImageCodec.decodeGray(
+      out.getAs[Array[Byte]](1))
+    assert(w2 == 2 && h2 == 1 && px2.toSeq == Seq(10, 30))
+  }
+
   test("persisted IVF index: probes prune to the probed cells' partitions") {
     import spark.implicits._
     val dim = 8
