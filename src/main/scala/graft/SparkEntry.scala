@@ -1017,6 +1017,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Audio decode — the audio leg de-stubbed: synthesize 16-bit PCM
+    // WAVs (RIFF containers, real encoder), decode through the
+    // chunk-walking parser, and hash sample-exact features against
+    // closed-form integer math, like the image legs.
+    "q68_audio_decode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val paySchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val wavs = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = 64 + (id % 97).toInt
+          val rate = 8000 + (id % 5).toInt * 2000
+          val samples = Array.tabulate(n)(k =>
+            (((id * 13 + 5L * k) % 4096) - 2048).toShort)
+          Row(id, ext.Multimodal.WavCodec.encodePcm16(rate, samples))
+        }
+      }(Encoders.row(paySchema))
+      val media = ext.Multimodal.asMedia(wavs, "doc_id", "payload", "audio/wav")
+      ext.Multimodal.decodeAudioFeatures(media, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Brute-force cosine top-k (the ANN exactness baseline).
     "q29_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1973,6 +1998,30 @@ object SparkEntry {
         | CAST(list_sum(list_transform(range(0, 128),
         |   k -> px[k + 1] * (k+1))) % 1000000007 AS BIGINT) AS px_checksum
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // sample k of doc id: ((id*13 + 5k) % 4096) - 2048 — replayed as
+    // integer math; the checksum normalizes to [0, p) since samples are
+    // signed (DuckDB's % keeps the dividend's sign, like the JVM's)
+    "q68_audio_decode" ->
+      """WITH d AS (
+        | SELECT doc_id, 64 + doc_id % 97 AS n,
+        |  8000 + (doc_id % 5) * 2000 AS rate
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, n, rate,
+        |  list_transform(range(0, n),
+        |   k -> (doc_id*13 + 5*k) % 4096 - 2048) AS sm
+        | FROM d)
+        |SELECT doc_id, CAST(rate AS INTEGER) AS sample_rate,
+        | CAST(n AS BIGINT) AS n_samples,
+        | CAST(list_sum(sm) AS DOUBLE) / n AS mean_amp,
+        | sqrt(CAST(list_sum(list_transform(sm, v -> v * v)) AS DOUBLE) / n) AS rms,
+        | CAST(list_sum(list_transform(range(1, n), k ->
+        |   CASE WHEN (sm[k] >= 0) <> (sm[k + 1] >= 0) THEN 1 ELSE 0 END))
+        |  AS BIGINT) AS zero_crossings,
+        | CAST((list_sum(list_transform(range(0, n), k -> sm[k + 1] * (k+1)))
+        |   % 1000000007 + 1000000007) % 1000000007 AS BIGINT) AS amp_checksum
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q29_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -163,8 +163,113 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL audio codec: RIFF/WAVE with 16-bit little-endian PCM — the
+    * container needs no external library, and the decode path walks
+    * chunks like a production parser (fmt/data located by id, unknown
+    * chunks skipped), not a fixed 44-byte offset assumption. Lossless,
+    * so samples round-trip bit-exactly and features stay closed-form
+    * for the oracle. */
+  object WavCodec {
+    def encodePcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                       // PCM
+        .putShort(1)                       // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2)            // byte rate
+        .putShort(2)                       // block align
+        .putShort(16)                      // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Decode a PCM16 mono WAV: (sampleRate, samples). Chunk-walking:
+      * fmt and data are found wherever they sit (a LIST or fact chunk
+      * in between — common in real files — is skipped, odd sizes padded
+      * per RIFF). */
+    def decodePcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      require(tag4() == "RIFF", "not a RIFF container")
+      bb.getInt // riff size
+      require(tag4() == "WAVE", "not a WAVE file")
+      var sampleRate = -1
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8 && (sampleRate < 0 || samples == null)) {
+        val id = tag4()
+        val size = bb.getInt
+        id match {
+          case "fmt " =>
+            val fmt = bb.getShort
+            val ch = bb.getShort
+            require(fmt == 1 && ch == 1,
+              s"only PCM mono supported (fmt=$fmt channels=$ch)")
+            sampleRate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            val bits = bb.getShort
+            require(bits == 16, s"only 16-bit PCM supported (bits=$bits)")
+            bb.position(bb.position() + (size - 16 + (size & 1)))
+          case "data" =>
+            val n = size / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) { out(i) = bb.getShort; i += 1 }
+            samples = out
+          case _ => // LIST, fact, ... — skip with RIFF odd-size padding
+            bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      require(sampleRate > 0 && samples != null, "missing fmt or data chunk")
+      (sampleRate, samples)
+    }
+  }
+
+  /** Real audio features from the real WAV decoder: sample count, mean
+    * amplitude, RMS, zero crossings (sign changes over s >= 0), and the
+    * same order-sensitive Σ s(k)·(k+1) checksum discipline as the image
+    * leg — a wrong sample order, endianness, or chunk offset changes it. */
+  def decodeAudioFeatures(media: DataFrame, id: String): DataFrame = {
+    val idIdx = media.schema.fieldIndex(id)
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      media.schema(id),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("mean_amp", DoubleType),
+      StructField("rms", DoubleType),
+      StructField("zero_crossings", LongType),
+      StructField("amp_checksum", LongType)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, s) = WavCodec.decodePcm16(r.getAs[Array[Byte]](bytesIdx))
+        var sum = 0L; var sq = 0L; var zc = 0L; var chk = 0L
+        var k = 0
+        while (k < s.length) {
+          val v = s(k).toLong
+          sum += v
+          sq += v * v
+          chk += v * (k + 1)
+          if (k > 0 && (s(k) >= 0) != (s(k - 1) >= 0)) zc += 1
+          k += 1
+        }
+        val n = s.length
+        Row(r.get(idIdx), rate, n.toLong,
+          sum.toDouble / n, math.sqrt(sq.toDouble / n), zc,
+          ((chk % 1000000007L) + 1000000007L) % 1000000007L)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** STUB decoder — deterministic fake features standing in for a real
-    * codec (audio/video legs). Signature and batching are
+    * codec (the remaining VIDEO leg). Signature and batching are
     * production-shaped: one call per partition iterator (so a real
     * implementation can amortize codec init per task), rows streamed,
     * never materialized. */

@@ -368,6 +368,40 @@ class SimilaritySpec extends SparkSuite {
     assert(w2 == 2 && h2 == 1 && px2.toSeq == Seq(10, 30))
   }
 
+  test("WAV codec: PCM16 round trip, chunk walking, feature math") {
+    import spark.implicits._
+    val samples = Array[Short](0, 100, -200, 300, -32768, 32767, -1, 0)
+    val wav = ext.Multimodal.WavCodec.encodePcm16(16000, samples)
+    val (rate, back) = ext.Multimodal.WavCodec.decodePcm16(wav)
+    assert(rate == 16000 && back.toSeq == samples.toSeq)
+    // a real-world container with a LIST chunk between fmt and data
+    // (odd-sized, exercising RIFF padding) must decode identically
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++
+      Array[Byte](0) // pad to even
+    val spliced = wav.slice(0, 36) ++ listChunk ++ wav.slice(36, wav.length)
+    // fix the RIFF size field for the inserted bytes
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + listChunk.length)
+    val (rate2, back2) = ext.Multimodal.WavCodec.decodePcm16(spliced)
+    assert(rate2 == 16000 && back2.toSeq == samples.toSeq)
+    // features end-to-end: mean/rms/zc/checksum over a known signal
+    val df = Seq((7L, wav)).toDF("id", "payload")
+    val media = ext.Multimodal.asMedia(df, "id", "payload", "audio/wav")
+    val r = ext.Multimodal.decodeAudioFeatures(media, "id").collect().head
+    assert(r.getInt(1) == 16000 && r.getLong(2) == 8L)
+    assert(r.getDouble(3) == samples.map(_.toLong).sum.toDouble / 8)
+    assert(r.getDouble(4) ==
+      math.sqrt(samples.map(v => v.toDouble * v).sum / 8))
+    // sign flips over >= 0: 100->-200, -200->300, 300->-32768,
+    // -32768->32767, 32767->-1, -1->0
+    assert(r.getLong(5) == 6L)
+    val chk = samples.zipWithIndex.map { case (v, k) =>
+      v.toLong * (k + 1) }.sum
+    assert(r.getLong(6) == ((chk % 1000000007L) + 1000000007L) % 1000000007L)
+  }
+
   test("persisted IVF index: probes prune to the probed cells' partitions") {
     import spark.implicits._
     val dim = 8
