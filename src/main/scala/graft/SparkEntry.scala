@@ -1042,6 +1042,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Video frame extraction — the video leg over a REAL container:
+    // synthesize AVIs (RIFF hdrl/strl/movi, uncompressed bottom-up
+    // padded 8-bit DIB frames), walk the container, keep every 2nd
+    // frame, and hash per-frame pixel features against closed-form
+    // integer math. Frame widths deliberately include non-multiples of
+    // 4 so the row-padding path is always exercised.
+    "q69_video_frames" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val paySchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val avis = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 8 + (id % 9).toInt
+          val h = 4 + (id % 5).toInt
+          val nf = 3 + (id % 4).toInt
+          val frames = (0 until nf).map(f =>
+            Array.tabulate(w * h)(k =>
+              ((id * 37 + 11L * f + 3L * k) % 256).toByte))
+          Row(id, ext.Multimodal.AviCodec.encodeGrayAvi(w, h, 10, frames))
+        }
+      }(Encoders.row(paySchema))
+      val media = ext.Multimodal.asMedia(avis, "doc_id", "payload", "video/avi")
+      ext.Multimodal.videoFrameFeatures(media, "doc_id", stride = 2)
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // Brute-force cosine top-k (the ANN exactness baseline).
     "q29_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2022,6 +2051,26 @@ object SparkEntry {
         | CAST((list_sum(list_transform(range(0, n), k -> sm[k + 1] * (k+1)))
         |   % 1000000007 + 1000000007) % 1000000007 AS BIGINT) AS amp_checksum
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // frame f, pixel k of doc id: (id*37 + 11f + 3k) % 256; sampled
+    // frames are f % 2 = 0 of nf = 3 + id % 4
+    "q69_video_frames" ->
+      """WITH d AS (
+        | SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h,
+        |  3 + doc_id % 4 AS nf
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id, w, h, unnest(range(0, nf)) AS frame_no FROM d),
+        |kept AS (SELECT * FROM f WHERE frame_no % 2 = 0)
+        |SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+        | CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        | CAST(list_sum(list_transform(range(0, w*h),
+        |   k -> (doc_id*37 + 11*frame_no + 3*k) % 256)) AS DOUBLE) / (w*h)
+        |  AS mean_px,
+        | CAST(list_sum(list_transform(range(0, w*h),
+        |   k -> ((doc_id*37 + 11*frame_no + 3*k) % 256) * (k+1)))
+        |  % 1000000007 AS BIGINT) AS px_checksum
+        |FROM kept ORDER BY doc_id, frame_no""".stripMargin,
 
     "q29_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

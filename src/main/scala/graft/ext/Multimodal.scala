@@ -268,11 +268,167 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** STUB decoder — deterministic fake features standing in for a real
-    * codec (the remaining VIDEO leg). Signature and batching are
-    * production-shaped: one call per partition iterator (so a real
-    * implementation can amortize codec init per task), rows streamed,
-    * never materialized. */
+  /** REAL video container: AVI (RIFF) with uncompressed 8-bit DIB
+    * frames — the one video form that is both a genuine wire format
+    * (RIFF lists, avih/strh/strf headers, BITMAPINFOHEADER + gray
+    * palette, '00db' frame chunks) and lossless, so frame pixels stay
+    * closed-form for the oracle. The parser honors the two classic DIB
+    * gotchas — rows stored BOTTOM-UP and padded to 4 bytes — which the
+    * per-frame order-sensitive checksum would expose if mishandled.
+    * Lossy codecs (H.264/MJPEG) stay out by declaration: this container
+    * has no ffmpeg; [[StubCodec]] marks where such a decoder plugs in. */
+  object AviCodec {
+    private def fourcc(bb: java.nio.ByteBuffer, s: String): Unit =
+      { bb.put(s.getBytes("US-ASCII")); () }
+    private def rowBytes(w: Int): Int = (w + 3) & ~3
+
+    /** Encode gray frames (`w`×`h` row-major, top-down) as a minimal
+      * but structurally complete AVI. */
+    def encodeGrayAvi(w: Int, h: Int, fps: Int,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.nonEmpty && frames.forall(_.length == w * h),
+        s"every frame must be ${w * h} gray pixels")
+      val rb = rowBytes(w)
+      val frameSize = rb * h
+      val moviSize = 4 + frames.length * (8 + frameSize)
+      val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40 + 1024))
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fourcc(bb, "RIFF"); bb.putInt(riffSize); fourcc(bb, "AVI ")
+      fourcc(bb, "LIST"); bb.putInt(hdrlSize); fourcc(bb, "hdrl")
+      fourcc(bb, "avih"); bb.putInt(56)
+      bb.putInt(1000000 / fps).putInt(frameSize * fps).putInt(0)
+        .putInt(0x10) // AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish flags
+        .putInt(frames.length).putInt(0).putInt(1).putInt(frameSize)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc(bb, "LIST"); bb.putInt(4 + (8 + 56) + (8 + 40 + 1024))
+      fourcc(bb, "strl")
+      fourcc(bb, "strh"); bb.putInt(56)
+      fourcc(bb, "vids"); fourcc(bb, "DIB ")
+      bb.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(fps) // scale/rate
+        .putInt(0).putInt(frames.length).putInt(frameSize).putInt(-1)
+        .putInt(0)
+        .putShort(0).putShort(0).putShort(0).putShort(0) // rcFrame
+      fourcc(bb, "strf"); bb.putInt(40 + 1024)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(8)
+        .putInt(0) // BI_RGB: uncompressed
+        .putInt(frameSize).putInt(0).putInt(0).putInt(256).putInt(256)
+      var i = 0
+      while (i < 256) { // gray RGBQUAD palette
+        bb.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
+      }
+      fourcc(bb, "LIST"); bb.putInt(moviSize); fourcc(bb, "movi")
+      frames.foreach { f =>
+        fourcc(bb, "00db"); bb.putInt(frameSize)
+        var y = 0
+        while (y < h) { // DIB rows are bottom-up, padded to 4 bytes
+          val src = (h - 1 - y) * w
+          bb.put(f, src, w)
+          var p = w
+          while (p < rb) { bb.put(0.toByte); p += 1 }
+          y += 1
+        }
+      }
+      bb.array()
+    }
+
+    /** Decode to (w, h, frames) with frames as top-down row-major gray
+      * samples. Chunk-walking like [[WavCodec]]: headers located by id,
+      * unknown chunks (idx1, JUNK, INFO lists) skipped. */
+    def decodeGrayFrames(bytes: Array[Byte])
+        : (Int, Int, Seq[Array[Int]]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      require(tag4() == "RIFF", "not a RIFF container")
+      bb.getInt
+      require(tag4() == "AVI ", "not an AVI file")
+      var w = -1; var h = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = tag4()
+          val size = bb.getInt
+          val next = bb.position() + size + (size & 1)
+          id match {
+            case "LIST" =>
+              tag4() // hdrl / strl / movi / INFO — recurse into all
+              walk(bb.position() + size - 4)
+            case "strf" =>
+              bb.getInt // biSize
+              w = bb.getInt; h = bb.getInt
+              bb.getShort
+              val bits = bb.getShort
+              val comp = bb.getInt
+              require(bits == 8 && comp == 0,
+                s"only uncompressed 8-bit DIB supported (bits=$bits comp=$comp)")
+            case "00db" =>
+              require(w > 0 && h > 0, "frame chunk before strf header")
+              val rb = rowBytes(w)
+              val base = bb.position()
+              val px = new Array[Int](w * h)
+              var y = 0
+              while (y < h) { // un-flip bottom-up rows, drop padding
+                val rowOff = base + (h - 1 - y) * rb
+                var x = 0
+                while (x < w) {
+                  px(y * w + x) = bytes(rowOff + x) & 0xff; x += 1
+                }
+                y += 1
+              }
+              frames += px
+            case _ => // avih, strh, idx1, JUNK, ...
+          }
+          bb.position(next)
+        }
+      }
+      walk(bytes.length)
+      require(w > 0 && frames.nonEmpty, "missing strf or frame chunks")
+      (w, h, frames.toSeq)
+    }
+  }
+
+  /** Frame-sampled features from the real AVI decoder: every `stride`-th
+    * frame's mean pixel and order checksum — one output row per KEPT
+    * frame (the keyframe-extraction shape of a video pipeline), still a
+    * per-row flatMap with no shuffle. */
+  def videoFrameFeatures(media: DataFrame, id: String,
+      stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive (got $stride)")
+    val idIdx = media.schema.fieldIndex(id)
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      media.schema(id),
+      StructField("frame_no", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_px", DoubleType),
+      StructField("px_checksum", LongType)))
+    media.flatMap { r =>
+      val (w, h, frames) = AviCodec.decodeGrayFrames(
+        r.getAs[Array[Byte]](bytesIdx))
+      frames.iterator.zipWithIndex.collect {
+        case (px, f) if f % stride == 0 =>
+          var sum = 0L; var chk = 0L; var k = 0
+          while (k < px.length) {
+            sum += px(k); chk += px(k).toLong * (k + 1); k += 1
+          }
+          Row(r.get(idIdx), f, w, h,
+            sum.toDouble / (w * h), chk % 1000000007L)
+      }.toSeq
+    }(Encoders.row(outSchema))
+  }
+
+  /** STUB decoder — deterministic fake features standing in for a LOSSY
+    * codec (H.264/MJPEG — no ffmpeg in this container; the lossless
+    * image/audio/video container paths above are real). Signature and
+    * batching are production-shaped: one call per partition iterator
+    * (so a real implementation can amortize codec init per task), rows
+    * streamed, never materialized. */
   object StubCodec {
     /** ??? in spirit: a real build would JNI into a codec here. The fake
       * "embedding" is the first `dim` bytes scaled to [0,1) — enough to

@@ -402,6 +402,32 @@ class SimilaritySpec extends SparkSuite {
     assert(r.getLong(6) == ((chk % 1000000007L) + 1000000007L) % 1000000007L)
   }
 
+  test("AVI codec: DIB round trip with bottom-up rows and padding") {
+    import spark.implicits._
+    // w=5 forces 3 bytes of row padding; distinct values per pixel
+    val (w, h) = (5, 3)
+    val f0 = Array.tabulate(w * h)(k => (k + 1).toByte)
+    val f1 = Array.tabulate(w * h)(k => (100 + k).toByte)
+    val avi = ext.Multimodal.AviCodec.encodeGrayAvi(w, h, 10, Seq(f0, f1))
+    val (w2, h2, frames) = ext.Multimodal.AviCodec.decodeGrayFrames(avi)
+    assert(w2 == w && h2 == h && frames.length == 2)
+    assert(frames(0).toSeq == f0.map(_ & 0xff).toSeq,
+      "bottom-up un-flip or padding strip is wrong")
+    assert(frames(1).toSeq == f1.map(_ & 0xff).toSeq)
+    // frame sampling end-to-end: stride 2 keeps frames 0 and 2 of 3
+    val avi3 = ext.Multimodal.AviCodec.encodeGrayAvi(w, h, 10,
+      Seq(f0, f1, f0))
+    val df = Seq((9L, avi3)).toDF("id", "payload")
+    val media = ext.Multimodal.asMedia(df, "id", "payload", "video/avi")
+    val out = ext.Multimodal.videoFrameFeatures(media, "id", 2)
+      .orderBy("frame_no").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2))
+    val mean0 = f0.map(_ & 0xff).map(_.toLong).sum.toDouble / (w * h)
+    assert(out.head.getDouble(4) == mean0)
+    assert(out.head.getLong(5) == f0.map(_ & 0xff).zipWithIndex
+      .map { case (v, k) => v.toLong * (k + 1) }.sum % 1000000007L)
+  }
+
   test("persisted IVF index: probes prune to the probed cells' partitions") {
     import spark.implicits._
     val dim = 8
