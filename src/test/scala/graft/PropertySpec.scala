@@ -181,4 +181,46 @@ class PropertySpec extends AnyFunSuite {
           sec * 1000000L)
     }
   }
+
+  // ---- media codec round trips: arbitrary dims/content survive the
+  // real containers bit-exactly (PNG is lossless 8-bit; WAV/AVI are PCM
+  // /uncompressed — any padding, row-order, endianness, or header-size
+  // bug shows up as a pixel/sample mismatch)
+
+  test("PNG gray round trip is lossless for arbitrary dims and pixels") {
+    forAll(Gen.choose(1, 40), Gen.choose(1, 40), Gen.choose(0L, Long.MaxValue)) {
+      (w, h, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+        val (w2, h2, back) = graft.ext.Multimodal.ImageCodec.decodeGray(
+          graft.ext.Multimodal.ImageCodec.encodeGrayPng(w, h, px))
+        assert(w2 == w && h2 == h)
+        assert(back.toSeq == px.map(_ & 0xff).toSeq)
+    }
+  }
+
+  test("WAV PCM16 round trip is lossless for arbitrary signals") {
+    forAll(Gen.choose(1, 500), Gen.choose(0L, Long.MaxValue)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val s = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val rate = 4000 + rnd.nextInt(44100)
+      val (r2, back) = graft.ext.Multimodal.WavCodec.decodePcm16(
+        graft.ext.Multimodal.WavCodec.encodePcm16(rate, s))
+      assert(r2 == rate && back.toSeq == s.toSeq)
+    }
+  }
+
+  test("AVI DIB round trip is lossless for arbitrary dims/frame counts") {
+    forAll(Gen.choose(1, 24), Gen.choose(1, 12), Gen.choose(1, 6)) {
+      (w, h, nf) =>
+        val rnd = new scala.util.Random(w * 1000003L + h * 1009L + nf)
+        val frames = Seq.fill(nf)(Array.fill(w * h)(rnd.nextInt(256).toByte))
+        val (w2, h2, back) = graft.ext.Multimodal.AviCodec.decodeGrayFrames(
+          graft.ext.Multimodal.AviCodec.encodeGrayAvi(w, h, 10, frames))
+        assert(w2 == w && h2 == h && back.length == nf)
+        frames.zip(back).foreach { case (f, b) =>
+          assert(b.toSeq == f.map(_ & 0xff).toSeq)
+        }
+    }
+  }
 }
