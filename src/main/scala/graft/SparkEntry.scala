@@ -116,6 +116,25 @@ object SparkEntry {
        | FROM grid LEFT JOIN b ON b.event_type = grid.event_type AND b.bts = grid.ts)""".stripMargin
 
   /** One per implemented operator from SURVEY.md §2. */
+  /** recall@5 harness shared by the ANN queries (q39/q44/q55/q66): per
+    * query vector, the ANN candidate count, brute-force hits, and
+    * recall. `nCol` names the count column (lsh_n / ivf_n) so each
+    * query keeps its established output schema. */
+  private def annRecall(q: DataFrame, ann: DataFrame, bf: DataFrame,
+      nCol: String): DataFrame = {
+    val agg = ann.join(bf.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as(nCol), count(col("hit")).as("hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col(nCol), lit(0L)).as(nCol),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) / 5.0).as("recall"))
+      .orderBy("query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.3 / TPC-H-style baseline: grouped CF aggregation over a fact table.
@@ -1090,17 +1109,7 @@ object SparkEntry {
           64, 5).select(col("query_id"), col("neighbor_id"))
       val lsh = ext.Similarity.lshTopK(q, e, "vec_id", "embedding",
           64, 5, planes = 4).select(col("query_id"), col("neighbor_id"))
-      val agg = lsh.join(bf.withColumn("hit", lit(1)),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("lsh_n"), count(col("hit")).as("hits"))
-      q.select(col("vec_id").as("query_id"))
-        .join(agg, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("lsh_n"), lit(0L)).as("lsh_n"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          (coalesce(col("hits"), lit(0L)) / 5.0).as("recall"))
-        .orderBy("query_id")
+      annRecall(q, lsh, bf, "lsh_n")
     }),
 
     // IVF coarse-quantizer ANN (the second scale path next to q39's
@@ -1114,17 +1123,7 @@ object SparkEntry {
           64, 5).select(col("query_id"), col("neighbor_id"))
       val ivf = ext.Similarity.ivfTopK(q, e, cent, "vec_id", "embedding",
           64, 5, nprobe = 4).select(col("query_id"), col("neighbor_id"))
-      val agg = ivf.join(bf.withColumn("hit", lit(1)),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("ivf_n"), count(col("hit")).as("hits"))
-      q.select(col("vec_id").as("query_id"))
-        .join(agg, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("ivf_n"), lit(0L)).as("ivf_n"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          (coalesce(col("hits"), lit(0L)) / 5.0).as("recall"))
-        .orderBy("query_id")
+      annRecall(q, ivf, bf, "ivf_n")
     }),
 
     // The 100 TB IVF shape: materialize the cell index ONCE (one
@@ -1141,17 +1140,7 @@ object SparkEntry {
       val ivf = ext.Similarity.ivfTopKIndexed(q, idx, cent, "vec_id",
           "embedding", 64, 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"))
-      val agg = ivf.join(bf.withColumn("hit", lit(1)),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("ivf_n"), count(col("hit")).as("hits"))
-      q.select(col("vec_id").as("query_id"))
-        .join(agg, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("ivf_n"), lit(0L)).as("ivf_n"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          (coalesce(col("hits"), lit(0L)) / 5.0).as("recall"))
-        .orderBy("query_id")
+      annRecall(q, ivf, bf, "ivf_n")
     }),
 
     // IVF with a TRAINED coarse quantizer — the offline half the other
@@ -1169,17 +1158,7 @@ object SparkEntry {
           64, 5).select(col("query_id"), col("neighbor_id"))
       val ivf = ext.Similarity.ivfTopK(q, e, cent, "vec_id", "embedding",
           64, 5, nprobe = 4).select(col("query_id"), col("neighbor_id"))
-      val agg = ivf.join(bf.withColumn("hit", lit(1)),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("ivf_n"), count(col("hit")).as("hits"))
-      q.select(col("vec_id").as("query_id"))
-        .join(agg, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("ivf_n"), lit(0L)).as("ivf_n"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          (coalesce(col("hits"), lit(0L)) / 5.0).as("recall"))
-        .orderBy("query_id")
+      annRecall(q, ivf, bf, "ivf_n")
     }),
 
     // Embedding-cosine near-duplicate pairs (the dedup-by-embedding
@@ -2778,33 +2757,32 @@ object SparkEntry {
   /** recall@5 harness over a caller-supplied `cent(cid, cv)` CTE chain
     * (everything between WITH and the asg CTE). */
   private def sqlIvfRecallWith(centChain: String): String = {
-    def cos(a: String, b: String) = sqlCos(a, b)
     s"""WITH $centChain,
       |asg AS (
       | SELECT vec_id, embedding, cell FROM (
       |  SELECT c.vec_id, c.embedding, ct.cid AS cell,
       |   row_number() OVER (PARTITION BY c.vec_id ORDER BY
-      |     ${cos("c.embedding", "ct.cv")} DESC, ct.cid) AS rn
+      |     ${sqlCos("c.embedding", "ct.cv")} DESC, ct.cid) AS rn
       |  FROM embeddings c CROSS JOIN cent ct) WHERE rn = 1),
       |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
       |probes AS (
       | SELECT vec_id, embedding, cell FROM (
       |  SELECT q.vec_id, q.embedding, ct.cid AS cell,
       |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
-      |     ${cos("q.embedding", "ct.cv")} DESC, ct.cid) AS rn
+      |     ${sqlCos("q.embedding", "ct.cv")} DESC, ct.cid) AS rn
       |  FROM q CROSS JOIN cent ct) WHERE rn <= 4),
       |ivf AS (
       | SELECT query_id, neighbor_id FROM (
       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
       |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
-      |     ${cos("p.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+      |     ${sqlCos("p.embedding", "c.embedding")} DESC, c.vec_id) AS rank
       |  FROM asg c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.vec_id)
       | WHERE rank <= 5),
       |bf AS (
       | SELECT query_id, neighbor_id FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
-      |     ${cos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+      |     ${sqlCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
       |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.vec_id)
       | WHERE rank <= 5),
       |ag AS (

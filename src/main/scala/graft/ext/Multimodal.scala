@@ -5,14 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (BASELINE.json north-star): image/audio/
-  * video as opaque `binary` columns with typed metadata. The Spark-side
-  * plumbing — schema, partition-friendly batch iteration, frame
-  * sampling — is real. The IMAGE leg is a REAL codec: [[ImageCodec]]
-  * encodes/decodes PNG through `javax.imageio` (in the JDK — no external
-  * library), and [[decodeImageFeatures]] extracts true pixel features.
-  * Audio/video remain STUBBED ([[StubCodec.decode]] — this container has
-  * no ffmpeg), with the exact signature a real decoder (JNI or a Python
-  * worker) would plug into.
+  * video as opaque `binary` columns with typed metadata. All three
+  * LOSSLESS container paths are real codecs: [[ImageCodec]] PNG via JDK
+  * `javax.imageio` (+ [[resizeGrayNearest]]), [[WavCodec]] RIFF/WAV
+  * PCM16, and [[AviCodec]] AVI with uncompressed DIB frames — each with
+  * exact pixel/sample/frame feature extraction. Only LOSSY codecs
+  * (H.264/MJPEG — no ffmpeg in this container) remain stubbed
+  * ([[StubCodec.decode]]), with the exact signature a real decoder
+  * (JNI or a Python worker) would plug into.
   */
 object Multimodal {
 
@@ -261,8 +261,10 @@ object Multimodal {
           k += 1
         }
         val n = s.length
+        // a 0-byte data chunk is a VALID WAV: zero features, not NaN
         Row(r.get(idIdx), rate, n.toLong,
-          sum.toDouble / n, math.sqrt(sq.toDouble / n), zc,
+          if (n == 0) 0.0 else sum.toDouble / n,
+          if (n == 0) 0.0 else math.sqrt(sq.toDouble / n), zc,
           ((chk % 1000000007L) + 1000000007L) % 1000000007L)
       }
     }(Encoders.row(outSchema))
@@ -299,7 +301,7 @@ object Multimodal {
       fourcc(bb, "LIST"); bb.putInt(hdrlSize); fourcc(bb, "hdrl")
       fourcc(bb, "avih"); bb.putInt(56)
       bb.putInt(1000000 / fps).putInt(frameSize * fps).putInt(0)
-        .putInt(0x10) // AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish flags
+        .putInt(0) // no flags: AVIF_HASINDEX must stay off (no idx1 here)
         .putInt(frames.length).putInt(0).putInt(1).putInt(frameSize)
         .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
       fourcc(bb, "LIST"); bb.putInt(4 + (8 + 56) + (8 + 40 + 1024))

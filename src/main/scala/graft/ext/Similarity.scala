@@ -358,13 +358,15 @@ object Similarity {
         s"(raise sampleRate=$sampleRate)")
     var cents: Array[Array[Double]] =
       samp.sortBy { case (vid, _, u) => (u, vid) }.take(c).map(_._2)
-    val members = samp.sortBy(_._1) // ascending id: the mean fold order
+    // ascending id: the mean fold order; norms hoisted — members never
+    // change across iterations
+    val members = samp.sortBy(_._1)
+      .map { case (_, v, _) => (v, math.sqrt(d(v, v))) }
     for (_ <- 1 to iters) {
       val cn = cents.map(cv => math.sqrt(d(cv, cv)))
       val sums = Array.fill(c)(new Array[Double](dim))
       val cnts = new Array[Long](c)
-      members.foreach { case (_, v, _) =>
-        val n = math.sqrt(d(v, v))
+      members.foreach { case (v, n) =>
         var best = 0
         var bestC = Double.NegativeInfinity
         var ci = 0
