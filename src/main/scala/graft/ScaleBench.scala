@@ -51,7 +51,9 @@ object ScaleBench {
     "q44_ann_ivf",         // centroid probe + cell join
     "q45_embed_neardup",   // bucket + bit-flip probe pairs, FIXED planes
     "q62_decontaminate",   // broadcast eval-shingle probe + bounded agg
-    "q64_topk_quality")    // bounded-heap top-k: shuffle stays k·groups
+    "q64_topk_quality",    // bounded-heap top-k: shuffle stays k·groups
+    "q66_ann_ivf_trained", // k-means sample collect + broadcast centroids
+    "q69_video_frames")    // per-row container decode, no shuffle
 
   /** Variants that exist only for the scale comparison (not oracle
     * queries): q45 with corpus-sized hyperplane count — the fix for the

@@ -475,6 +475,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Canonical selection — the row a dedup pipeline actually ships:
+    // near-dup components (q43's operator) joined with quality scores,
+    // keep the best-scoring doc per component (ties to the smaller id);
+    // docs in no dup group are their own component. The final window
+    // partitions on the component key — corpus-cardinality, so no
+    // skewed reducer — and emits one row per group.
+    "q70_canonical_select" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cand = ext.Dedup.lshCandidates(d, "doc_id", "text", 3, 16, 4)
+        .where(col("sig_agreement") >= 0.25)
+      val cc = ext.Dedup.connectedComponents(cand, "id1", "id2")
+        .select(col("node").as("doc_id"), col("component"))
+      val q = ext.TextAnalysis.qualityExprs(col("text"))
+      val comp = d.select(col("doc_id"), q("distinct_ratio").as("score"))
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      comp
+        .withColumn("rn",
+          row_number().over(w.orderBy(desc("score"), asc("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .where(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("keep_id"),
+          col("score"), col("n_members"))
+        .orderBy("component")
+    }),
+
     // §2.1/2.2 materialized write path + §2.3 RRA best-match selection:
     // the store persists three RRAs (AVG 300s×4000, AVG 3600s×800,
     // MAX 3600s×400); a step-300 AVERAGE fetch must pick the 3600s RRA —
@@ -1652,6 +1679,35 @@ object SparkEntry {
         | SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other)
         |SELECT node AS doc_id, LEAST(node, MIN(other)) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // canonical selection: q43's recursive component chain + the q21
+    // quality score + one argmax window per component
+    "q70_canonical_select" ->
+      s"""WITH RECURSIVE ${sqlLshCand.stripPrefix("WITH ")},
+        |fcand AS (SELECT id1, id2 FROM cand WHERE sig_agreement >= 0.25),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM fcand
+        |          UNION SELECT id2, id1 FROM fcand),
+        |reach AS (
+        | SELECT a AS node, b AS other FROM edges
+        | UNION
+        | SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other),
+        |ccm AS (SELECT node AS doc_id, LEAST(node, MIN(other)) AS component
+        |        FROM reach GROUP BY node),
+        |scq AS (SELECT doc_id,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS score
+        | FROM d),
+        |comp AS (
+        | SELECT scq.doc_id, COALESCE(ccm.component, scq.doc_id) AS component,
+        |  scq.score
+        | FROM scq LEFT JOIN ccm USING (doc_id)),
+        |rk AS (
+        | SELECT component, doc_id, score,
+        |  row_number() OVER (PARTITION BY component
+        |    ORDER BY score DESC, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY component) AS n_members
+        | FROM comp)
+        |SELECT component, doc_id AS keep_id, score, n_members
+        |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin,
 
     // Store fetch oracles: the SQL hard-codes the RRA the selection rule
     // MUST pick — a different selection changes step/coverage and fails
