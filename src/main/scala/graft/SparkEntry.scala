@@ -475,6 +475,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII scrubbing — detection counts + redaction, the safety pass of
+    // a training-data pipeline. The corpus text gets deterministic PII
+    // planted (id-derived email + IP, identically in both engines) so
+    // the operator is exercised on every row; the hash covers both the
+    // counts and the md5 of the redacted text.
+    "q71_pii_scrub" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val planted = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"))
+      val counts = ext.Curation.piiCounts(planted)
+      d.select(col("doc_id"),
+          counts("n_emails").as("n_emails"),
+          counts("n_ips").as("n_ips"),
+          md5(ext.Curation.piiRedact(planted)).as("redacted_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Canonical selection — the row a dedup pipeline actually ships:
     // near-dup components (q43's operator) joined with quality scores,
     // keep the best-scoring doc per component (ties to the smaller id);
@@ -1679,6 +1698,26 @@ object SparkEntry {
         | SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other)
         |SELECT node AS doc_id, LEAST(node, MIN(other)) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // same planted PII, same RE2-compatible patterns; DuckDB's
+    // regexp_replace needs the 'g' flag to replace all like Spark's
+    "q71_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH p AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |   || '@example.com from 10.0.'
+        |   || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |   || CAST(doc_id % 100 AS VARCHAR) AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+        | md5(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+        |   '$ip', '<IP>', 'g')) AS redacted_fp
+        |FROM p ORDER BY doc_id""".stripMargin
+    },
 
     // canonical selection: q43's recursive component chain + the q21
     // quality score + one argmax window per component

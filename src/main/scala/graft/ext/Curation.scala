@@ -78,6 +78,32 @@ object Curation {
       .where(col("u") < rate)
   }
 
+  // ------------------------------------------------------- PII scrubbing
+
+  /** Conservative PII patterns chosen to parse AND match identically in
+    * Java regex (Spark's codegen'd regexp functions) and RE2 (the
+    * DuckDB oracle): character classes, bounded quantifiers, and ASCII
+    * `\b` only — no backrefs or lookaround (which RE2 lacks). */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection counts per row — group 0 extraction (the patterns
+    * deliberately have no capture groups), pure column expressions. */
+  def piiCounts(text: Column): Map[String, Column] = Map(
+    "n_emails" ->
+      size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long"),
+    "n_ips" ->
+      size(regexp_extract_all(text, lit(ipv4Pattern), lit(0))).cast("long"))
+
+  /** PII redaction: every email → `<EMAIL>`, then every IPv4 → `<IP>`
+    * (fixed order; both engines replace ALL occurrences). Shuffle-free
+    * per-row rewrite — the scrubbing pass of a training-data pipeline. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
+
   // ------------------------------------------------------- top-k per group
 
   /** One scored row inside the top-k buffer. */

@@ -123,6 +123,28 @@ class CurationSpec extends SparkSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("PII scrubbing: counts and redaction on planted and clean text") {
+    val df = Seq(
+      (1L, "mail a.b+c@x-y.org and 10.0.0.1 then d@e.io end"),
+      (2L, "no pii here at all"),
+      (3L, "999.999.999.999 1.2.3.4.5 not@tld a@b.c")
+    ).toDF("doc_id", "text")
+    val c = Curation.piiCounts($"text")
+    val out = df.select($"doc_id", c("n_emails").as("e"), c("n_ips").as("i"),
+        Curation.piiRedact($"text").as("r"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0)._2 == 2 && out(0)._3 == 1)
+    assert(out(0)._4 == "mail <EMAIL> and <IP> then <EMAIL> end")
+    // clean text: zero counts, redaction is the identity
+    assert(out(1)._2 == 0 && out(1)._3 == 0 &&
+      out(1)._4 == "no pii here at all")
+    // conservative-by-design edges: 999.999.999.999 still matches the
+    // \d{1,3} shape (flagging over-broad beats missing); a 5-octet run
+    // matches on its first 4; 'not@tld' has no dot-TLD so no email;
+    // 'a@b.c' has a 1-char TLD so no email
+    assert(out(2)._2 == 0 && out(2)._3 == 2)
+  }
+
   test("topKPerGroup handles NaN/±0/null scores like the window form") {
     // NaN sorts greatest (SQL ordering), -0.0 ties 0.0, nulls drop
     val rows = Seq(
