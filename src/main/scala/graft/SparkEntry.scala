@@ -510,11 +510,14 @@ object SparkEntry {
       val comp = d.select(col("doc_id"), q("distinct_ratio").as("score"))
         .join(cc, Seq("doc_id"), "left")
         .withColumn("component", coalesce(col("component"), col("doc_id")))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      // ONE ordered window spec for both rank and count (a second
+      // unordered spec would plan an extra WindowExec + sort)
+      val w = Window.partitionBy("component")
+        .orderBy(desc("score"), asc("doc_id"))
       comp
-        .withColumn("rn",
-          row_number().over(w.orderBy(desc("score"), asc("doc_id"))))
-        .withColumn("n_members", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .where(col("rn") === 1)
         .select(col("component"), col("doc_id").as("keep_id"),
           col("score"), col("n_members"))
@@ -1702,8 +1705,9 @@ object SparkEntry {
     // same planted PII, same RE2-compatible patterns; DuckDB's
     // regexp_replace needs the 'g' flag to replace all like Spark's
     "q71_pii_scrub" -> {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      // the operator's own patterns, interpolated — one source of truth
+      val email = ext.Curation.emailPattern
+      val ip = ext.Curation.ipv4Pattern
       s"""WITH p AS (
         | SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
