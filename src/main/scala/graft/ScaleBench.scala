@@ -53,7 +53,9 @@ object ScaleBench {
     "q62_decontaminate",   // broadcast eval-shingle probe + bounded agg
     "q64_topk_quality",    // bounded-heap top-k: shuffle stays k·groups
     "q66_ann_ivf_trained", // k-means sample collect + broadcast centroids
-    "q69_video_frames")    // per-row container decode, no shuffle
+    "q69_video_frames",    // per-row container decode, no shuffle
+    "q70_canonical_select", // CC + quality argmax window per component
+    "q71_pii_scrub")       // per-row regex detect/redact, no shuffle
 
   /** Variants that exist only for the scale comparison (not oracle
     * queries): q45 with corpus-sized hyperplane count — the fix for the
