@@ -122,6 +122,28 @@ class TablesEncodingSpec extends SparkSuite {
     assert(e.getMessage.contains("unsupported element type"))
   }
 
+  // ---- documents: integral ids from any integer-width writer ----
+
+  test("documents() canonicalizes int32 and int64 ids identically") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-doc").toString
+    val rows = (0 until 8).map(i =>
+      (i.toLong, s"some text $i words", "en", "src0", (10 + i).toLong))
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.write.parquet(s"$base/i64/documents.parquet")
+    df.select(col("doc_id").cast("int").as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars").cast("int").as("n_chars"))
+      .write.parquet(s"$base/i32/documents.parquet")
+    def canon(dir: String): Seq[(Long, String, Long)] = {
+      val d = Tables.documents(spark, dir)
+      assert(d.schema("doc_id").dataType.typeName === "long")
+      assert(d.schema("n_chars").dataType.typeName === "long")
+      d.select("doc_id", "text", "n_chars").as[(Long, String, Long)]
+        .collect().sortBy(_._1).toSeq
+    }
+    assert(canon(s"$base/i64") === canon(s"$base/i32"))
+  }
+
   test("current driver testdata loads through the micros branch") {
     val df = Tables.events(spark, sf)
     val row = df.select(min("ts_us"), max("ts_us"),
