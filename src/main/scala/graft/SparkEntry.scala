@@ -494,6 +494,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.2 CDP consolidation executed as a REAL micro-batch Structured
+    // Streaming query: file source → watermark-windowed cdpStream →
+    // parquet sink (StreamingConsolidate.cdpStreamFileRun). Same math
+    // as q17 on a user_id<30 slice; a far-future sentinel advances the
+    // watermark so every real window closes and emits — the reference
+    // likewise never re-opens a closed CDP and rejects late updates
+    // (/root/reference/src/rrd_update.c:1416-1423).
+    "q72_streaming_cdp" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id") < 30)
+      val rated = Rates.withRate(ev, Seq("user_id"), "ts_us", "event_id",
+        "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
+      val pdp = ingest.Normalize.pdp(rated, Seq("user_id"), "ts_us",
+          "rate", 300L, rateScale = Some(2))
+        .select(col("user_id"), (col("pdp_ts") * 1000000L).as("ts_us"),
+          col("pdp"))
+      val sentinel = s.range(1).select(
+        lit(-1L).as("user_id"),
+        lit(4102444800000000L).as("ts_us"), // 2100-01-01, past all data
+        lit(null).cast("double").as("pdp"))
+      graft.streaming.StreamingConsolidate.cdpStreamFileRun(s, pdp,
+          sentinel, Seq("user_id"), "ts_us", "pdp", 300L, 12L,
+          graft.model.Cf.Average, 0.5, latenessSec = 0)
+        .where(col("user_id") >= 0) // sentinel never emits; defensive
+        .orderBy("user_id", "cdp_ts")
+    }),
+
     // Canonical selection — the row a dedup pipeline actually ships:
     // near-dup components (q43's operator) joined with quality scores,
     // keep the best-scoring doc per component (ties to the smaller id);
@@ -1722,6 +1748,20 @@ object SparkEntry {
         |   '$ip', '<IP>', 'g')) AS redacted_fp
         |FROM p ORDER BY doc_id""".stripMargin
     },
+
+    // streaming CDP = batch CDP math once every window closes: the
+    // oracle is exactly q17's consolidation on the same events slice
+    "q72_streaming_cdp" -> (sqlPdpWhere("WHERE user_id < 30") +
+      """,pdp AS (
+        | SELECT user_id, k * 300 AS pdp_ts,
+        |  CASE WHEN COALESCE(known_us, 0) < 150000000 THEN NULL
+        |       ELSE rate_sum / known_us END AS pdp
+        | FROM ag)
+        |SELECT user_id, ((pdp_ts - 1)//3600 + 1) * 3600 AS cdp_ts,
+        | CASE WHEN 12 - COUNT(pdp) > 6.0 THEN NULL
+        |      ELSE CAST(CAST(SUM(CAST(pdp AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(pdp) END AS cdp,
+        | COUNT(pdp) AS known_cnt
+        |FROM pdp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // canonical selection: q43's recursive component chain + the q21
     // quality score + one argmax window per component
@@ -2962,13 +3002,16 @@ object SparkEntry {
       | FROM ov GROUP BY 1, 2)
       |""".stripMargin
 
-  private val sqlPdp: String =
-    """WITH r AS (
+  /** q16/q17 PDP pipeline as a DuckDB CTE prefix; `where` scopes the
+    * events scan (e.g. "WHERE user_id < 30" for q72's streaming slice).
+    */
+  private def sqlPdpWhere(where: String): String =
+    s"""WITH r AS (
       | SELECT user_id, epoch_us(ts) AS t1,
       |        lag(epoch_us(ts)) OVER w AS t0,
       |        CASE WHEN (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 > 7200.0
       |             THEN NULL ELSE value END AS rate
-      | FROM events
+      | FROM events $where
       | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
       |iv AS (SELECT * FROM r WHERE t0 IS NOT NULL AND t1 > t0),
       |ex AS (
@@ -2985,4 +3028,6 @@ object SparkEntry {
       |        CAST(CAST(SUM(CAST(rate AS DECIMAL(18,2)) * overlap) AS VARCHAR) AS DOUBLE) AS rate_sum
       | FROM ov GROUP BY 1, 2)
       |""".stripMargin
+
+  private val sqlPdp: String = sqlPdpWhere("")
 }

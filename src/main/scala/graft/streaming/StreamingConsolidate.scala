@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.ingest.Consolidate
 import graft.model.Cf
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming CDP consolidation: the PDP→CDP step
@@ -70,5 +70,65 @@ object StreamingConsolidate {
         when(lit(pdpCnt) - col("known_cnt") > lit(xff * pdpCnt), lit(null))
           .otherwise(col("cf_val")).as("cdp") :+
         col("known_cnt"): _*)
+  }
+
+  /** Execute [[cdpStream]] as a REAL micro-batch streaming query —
+    * file source → stateful windowed aggregation → parquet sink — and
+    * return the emitted CDP rows as a batch frame.
+    *
+    * This is the production shape end-to-end: the input lands as
+    * parquet files in a monitored directory, Structured Streaming
+    * ingests them as micro-batches, windows close when the watermark
+    * passes their end, and closed CDPs append to a parquet sink (never
+    * the driver — no memory sink, no collect; state and output both
+    * scale with open windows × series, not event volume).
+    *
+    * Watermark mechanics force the batch cadence: the watermark used by
+    * micro-batch N is computed from data seen through batch N−1, so
+    * after the input batch the `advance` frame (a sentinel past every
+    * real window, e.g. series=-1 far in the future) is appended TWICE —
+    * once to raise the watermark, once more to run the batch that
+    * evicts/emits the now-closed windows. The sentinel's own window
+    * never closes, so it is absent from the output (callers typically
+    * still filter it defensively).
+    *
+    * @param input  batch frame of end-labeled PDPs: exactly
+    *   `series + tsUsCol + valueCol` columns
+    * @param advance single-row sentinel frame, same schema, event time
+    *   beyond `max(input ts) + latenessSec + cdpStep`
+    * @return batch frame over the sink's parquet output: series +
+    *   `cdp_ts` + `cdp` + `known_cnt` (unordered — caller sorts)
+    */
+  def cdpStreamFileRun(spark: SparkSession, input: DataFrame,
+      advance: DataFrame, series: Seq[String], tsUsCol: String,
+      valueCol: String, stepSec: Long, pdpCnt: Long, cf: Cf, xff: Double,
+      latenessSec: Long): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdpstream-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
+    val inDir = root.resolve("in").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val cols = series.map(col) :+ col(tsUsCol) :+ col(valueCol)
+    input.select(cols: _*).write.parquet(inDir)
+    val src = spark.readStream.schema(input.select(cols: _*).schema)
+      .parquet(inDir)
+    val q = cdpStream(src, series, tsUsCol, valueCol, stepSec, pdpCnt,
+        cf, xff, latenessSec)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: all input files; sets watermark
+      advance.select(cols: _*).write.mode("append").parquet(inDir)
+      q.processAllAvailable() // batch 2: sentinel raises the watermark
+      advance.select(cols: _*).write.mode("append").parquet(inDir)
+      q.processAllAvailable() // batch 3: closed windows evict + emit
+    } finally q.stop()
+    spark.read.parquet(outDir)
   }
 }
