@@ -119,14 +119,15 @@ object SparkEntry {
   /** recall@5 harness shared by the ANN queries (q39/q44/q55/q66): per
     * query vector, the ANN candidate count, brute-force hits, and
     * recall. `nCol` names the count column (lsh_n / ivf_n) so each
-    * query keeps its established output schema. */
+    * query keeps its established output schema; `queryIdCol` names the
+    * id column of `q` (the embeddings frames use `vec_id`). */
   private def annRecall(q: DataFrame, ann: DataFrame, bf: DataFrame,
-      nCol: String): DataFrame = {
+      nCol: String, queryIdCol: String = "vec_id"): DataFrame = {
     val agg = ann.join(bf.withColumn("hit", lit(1)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as(nCol), count(col("hit")).as("hits"))
-    q.select(col("vec_id").as("query_id"))
+    q.select(col(queryIdCol).as("query_id"))
       .join(agg, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col(nCol), lit(0L)).as(nCol),
@@ -1301,7 +1302,10 @@ object SparkEntry {
       ext.Curation.stratifiedSample(Tables.documents(s, dir), "doc_id",
           "lang", Seq("en" -> 0.05, "fr" -> 0.15, "es" -> 0.25,
             "de" -> 0.5), defaultRate = 0.75)
-        .select(col("doc_id"), col("lang"), col("u"))
+        .select(col("doc_id"), col("lang"),
+          // the sampler keeps its input schema; re-derive the uniform
+          // for the output (same md5 arithmetic the oracle replays)
+          ext.Curation.hashUniform(col("doc_id")).as("u"))
         .orderBy("doc_id")
     }),
 

@@ -68,14 +68,17 @@ object Curation {
   /** Stratified sample: keep a row iff its hash-uniform falls below its
     * stratum's rate. `rates` maps stratum value → rate; strata absent
     * from the map use `defaultRate`. Pure per-row filter — shuffle-free
-    * at any scale. */
+    * at any scale. Returns the input schema unchanged (the uniform is
+    * internal — callers wanting it re-derive via [[hashUniform]]). */
   def stratifiedSample(df: DataFrame, id: String, stratum: String,
       rates: Seq[(String, Double)], defaultRate: Double): DataFrame = {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
       when(col(stratum) === s, lit(r)).otherwise(acc)
     }
-    df.withColumn("u", hashUniform(col(id)))
-      .where(col("u") < rate)
+    // reserved name so an input column `u` can't be shadowed/collided
+    df.withColumn("__u", hashUniform(col(id)))
+      .where(col("__u") < rate)
+      .drop("__u")
   }
 
   // ------------------------------------------------------- PII scrubbing

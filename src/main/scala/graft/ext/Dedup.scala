@@ -86,7 +86,12 @@ object Dedup {
     // no explicit cast on the id: the Long encoder upcasts integral ids
     // and REFUSES non-numeric ones at analysis time — an explicit
     // cast("long") would instead null a string id silently and the
-    // band join would return an empty frame with no error
+    // band join would return an empty frame with no error.
+    // Contract (all typed kernels in this file): ids must be NON-NULL —
+    // a null id value throws NullPointerException in the Long encoder
+    // at runtime (the Catalyst column form would instead carry the null
+    // row to a band join that can never match it; filter null ids out
+    // upstream if the corpus can contain them)
     df.select(col(id), TextAnalysis.words(col(text)))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>

@@ -218,11 +218,16 @@ object Multimodal {
             require(bits == 16, s"only 16-bit PCM supported (bits=$bits)")
             bb.position(bb.position() + (size - 16 + (size & 1)))
           case "data" =>
+            // like every other branch, leave the cursor at the PADDED
+            // chunk end — an odd-sized data chunk before fmt would
+            // otherwise misalign the rest of the walk by 1-2 bytes
+            val end = bb.position() + size + (size & 1)
             val n = size / 2
             val out = new Array[Short](n)
             var i = 0
             while (i < n) { out(i) = bb.getShort; i += 1 }
             samples = out
+            bb.position(end)
           case _ => // LIST, fact, ... — skip with RIFF odd-size padding
             bb.position(bb.position() + size + (size & 1))
         }

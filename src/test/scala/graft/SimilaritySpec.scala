@@ -402,6 +402,26 @@ class SimilaritySpec extends SparkSuite {
     assert(r.getLong(6) == ((chk % 1000000007L) + 1000000007L) % 1000000007L)
   }
 
+  test("WAV codec: odd-sized data chunk BEFORE fmt keeps the walk aligned") {
+    // RIFF allows any chunk order; an odd-sized data chunk must leave
+    // the cursor at the padded end or fmt parsing misaligns by 1-2 bytes
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0) // size fixed below
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("data".getBytes("US-ASCII")).putInt(7) // 3 samples + stray byte
+      .putShort(10).putShort(-20).putShort(30).put(9.toByte)
+      .put(0.toByte)                              // RIFF odd-size pad
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(32000)
+      .putShort(2).putShort(16)
+    val arr = java.util.Arrays.copyOf(bb.array(), bb.position())
+    java.nio.ByteBuffer.wrap(arr)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, arr.length - 8)
+    val (rate, back) = ext.Multimodal.WavCodec.decodePcm16(arr)
+    assert(rate == 16000 && back.toSeq == Seq[Short](10, -20, 30))
+  }
+
   test("AVI codec: DIB round trip with bottom-up rows and padding") {
     import spark.implicits._
     // w=5 forces 3 bytes of row padding; distinct values per pixel
