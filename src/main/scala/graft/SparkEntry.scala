@@ -1166,6 +1166,39 @@ object SparkEntry {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // MJPEG leg of the video path: frames JPEG-encoded through the JDK
+    // codec inside the AVI container ('00dc' chunks, biCompression
+    // MJPG) and decoded back via ImageIO — a REAL lossy-codec pipeline.
+    // DC-only frames (every 8×8 block solid) at quality 1.0 round-trip
+    // bit-exactly, so the DuckDB oracle replays the pixels in closed
+    // form (ImageCodec.encodeGrayJpeg scaladoc; spec-pinned).
+    "q73_mjpeg_frames" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val paySchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val avis = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = (16, 16) // multiples of 8: whole JPEG blocks
+          val nf = 2 + (id % 3).toInt
+          val frames = (0 until nf).map(f =>
+            // block-solid: value depends only on the 8×8 block index
+            // b = (k div 128)*2 + (k mod 16) div 8 at w = h = 16
+            Array.tabulate(w * h)(k =>
+              ((id * 31 + 17L * f +
+                53L * ((k / 128) * 2 + (k % 16) / 8)) % 256).toByte))
+          Row(id,
+            ext.Multimodal.AviCodec.encodeGrayMjpegAvi(w, h, 10, frames))
+        }
+      }(Encoders.row(paySchema))
+      val media = ext.Multimodal.asMedia(avis, "doc_id", "payload",
+        "video/x-mjpeg")
+      ext.Multimodal.videoFrameFeatures(media, "doc_id", stride = 2)
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // Brute-force cosine top-k (the ANN exactness baseline).
     "q29_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2191,6 +2224,22 @@ object SparkEntry {
         |  AS mean_px,
         | CAST(list_sum(list_transform(range(0, w*h),
         |   k -> ((doc_id*37 + 11*frame_no + 3*k) % 256) * (k+1)))
+        |  % 1000000007 AS BIGINT) AS px_checksum
+        |FROM kept ORDER BY doc_id, frame_no""".stripMargin,
+
+    // MJPEG decode is exact for DC-only frames, so the oracle replays
+    // the planted block values directly (16x16, four 8x8 blocks)
+    "q73_mjpeg_frames" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, nf)) AS frame_no FROM d),
+        |kept AS (SELECT * FROM f WHERE frame_no % 2 = 0)
+        |SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+        | CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        | CAST(list_sum(list_transform(range(0, 256),
+        |   k -> (doc_id*31 + 17*frame_no + 53*((k//128)*2 + (k%16)//8)) % 256))
+        |  AS DOUBLE) / 256 AS mean_px,
+        | CAST(list_sum(list_transform(range(0, 256),
+        |   k -> ((doc_id*31 + 17*frame_no + 53*((k//128)*2 + (k%16)//8)) % 256) * (k+1)))
         |  % 1000000007 AS BIGINT) AS px_checksum
         |FROM kept ORDER BY doc_id, frame_no""".stripMargin,
 

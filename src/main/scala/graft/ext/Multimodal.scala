@@ -5,14 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (BASELINE.json north-star): image/audio/
-  * video as opaque `binary` columns with typed metadata. All three
-  * LOSSLESS container paths are real codecs: [[ImageCodec]] PNG via JDK
+  * video as opaque `binary` columns with typed metadata. The codec
+  * paths are real: [[ImageCodec]] PNG and baseline JPEG via JDK
   * `javax.imageio` (+ [[resizeGrayNearest]]), [[WavCodec]] RIFF/WAV
-  * PCM16, and [[AviCodec]] AVI with uncompressed DIB frames — each with
-  * exact pixel/sample/frame feature extraction. Only LOSSY codecs
-  * (H.264/MJPEG — no ffmpeg in this container) remain stubbed
-  * ([[StubCodec.decode]]), with the exact signature a real decoder
-  * (JNI or a Python worker) would plug into.
+  * PCM16, and [[AviCodec]] AVI carrying either uncompressed DIB frames
+  * or MJPEG (one JDK-decoded JPEG per frame chunk) — each with exact
+  * pixel/sample/frame feature extraction. Only H.264 (no ffmpeg in
+  * this container) remains stubbed ([[StubCodec.decode]]), with the
+  * exact signature a real decoder (JNI or a Python worker) would plug
+  * into.
   */
 object Multimodal {
 
@@ -64,6 +65,32 @@ object Multimodal {
       img.getRaster.setDataElements(0, 0, w, h, px)
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Encode gray pixels as baseline JPEG via the JDK's own codec.
+      *
+      * At `quality = 1.0f` the scaled quantization tables degenerate to
+      * all-ones, so any frame whose 8×8 blocks are each SOLID (DC-only:
+      * every AC coefficient is exactly zero) round-trips bit-exactly —
+      * the property the MJPEG correctness leg (q73) builds on, pinned
+      * by spec. General frames are lossy, as JPEG is. */
+    def encodeGrayJpeg(w: Int, h: Int, px: Array[Byte],
+        quality: Float = 1.0f): Array[Byte] = {
+      require(px.length == w * h, s"expected ${w * h} pixels, got ${px.length}")
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, px)
+      val bos = new java.io.ByteArrayOutputStream()
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        wr.setOutput(ios)
+        val p = wr.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { wr.dispose(); ios.close() }
       bos.toByteArray
     }
 
@@ -275,16 +302,20 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** REAL video container: AVI (RIFF) with uncompressed 8-bit DIB
-    * frames — the one video form that is both a genuine wire format
-    * (RIFF lists, avih/strh/strf headers, BITMAPINFOHEADER + gray
-    * palette, '00db' frame chunks) and lossless, so frame pixels stay
-    * closed-form for the oracle. The parser honors the two classic DIB
-    * gotchas — rows stored BOTTOM-UP and padded to 4 bytes — which the
-    * per-frame order-sensitive checksum would expose if mishandled.
-    * Lossy codecs (H.264/MJPEG) stay out by declaration: this container
-    * has no ffmpeg; [[StubCodec]] marks where such a decoder plugs in. */
+  /** REAL video container: AVI (RIFF) with two REAL codecs —
+    * uncompressed 8-bit DIB frames ('00db', lossless) and MJPEG frames
+    * ('00dc', each frame a baseline JPEG through the JDK's own codec,
+    * [[ImageCodec.encodeGrayJpeg]]). Genuine wire format either way:
+    * RIFF lists, avih/strh/strf headers, BITMAPINFOHEADER (+ gray
+    * palette for DIB), per-frame chunks. The DIB parser honors the two
+    * classic gotchas — rows stored BOTTOM-UP and padded to 4 bytes —
+    * and the MJPEG path keeps oracle-exact pixels by construction when
+    * frames are DC-only (solid 8×8 blocks at quality 1.0; see
+    * encodeGrayJpeg). Only H.264 remains out — no ffmpeg in this
+    * container; [[StubCodec]] marks where such a decoder plugs in. */
   object AviCodec {
+    /** biCompression for MJPEG streams: 'MJPG' as a little-endian int. */
+    val MJPG: Int = 0x47504A4D
     private def fourcc(bb: java.nio.ByteBuffer, s: String): Unit =
       { bb.put(s.getBytes("US-ASCII")); () }
     private def rowBytes(w: Int): Int = (w + 3) & ~3
@@ -341,9 +372,56 @@ object Multimodal {
       bb.array()
     }
 
+    /** Encode gray frames (`w`×`h` row-major, top-down) as an MJPEG
+      * AVI: same container skeleton as [[encodeGrayAvi]], but the
+      * stream is fccHandler/biCompression 'MJPG' and each '00dc' chunk
+      * is one whole baseline JPEG (the MJPEG wire convention — every
+      * frame an independent keyframe, which is also why the format
+      * splits cleanly across Spark rows with no inter-frame state). */
+    def encodeGrayMjpegAvi(w: Int, h: Int, fps: Int,
+        frames: Seq[Array[Byte]], quality: Float = 1.0f): Array[Byte] = {
+      require(frames.nonEmpty && frames.forall(_.length == w * h),
+        s"every frame must be ${w * h} gray pixels")
+      val jpegs = frames.map(f => ImageCodec.encodeGrayJpeg(w, h, f, quality))
+      val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+      val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40))
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val maxFrame = jpegs.map(_.length).max
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fourcc(bb, "RIFF"); bb.putInt(riffSize); fourcc(bb, "AVI ")
+      fourcc(bb, "LIST"); bb.putInt(hdrlSize); fourcc(bb, "hdrl")
+      fourcc(bb, "avih"); bb.putInt(56)
+      bb.putInt(1000000 / fps).putInt(maxFrame * fps).putInt(0)
+        .putInt(0) // no AVIF_HASINDEX: no idx1 chunk here
+        .putInt(jpegs.length).putInt(0).putInt(1).putInt(maxFrame)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc(bb, "LIST"); bb.putInt(4 + (8 + 56) + (8 + 40))
+      fourcc(bb, "strl")
+      fourcc(bb, "strh"); bb.putInt(56)
+      fourcc(bb, "vids"); fourcc(bb, "MJPG")
+      bb.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(fps) // scale/rate
+        .putInt(0).putInt(jpegs.length).putInt(maxFrame).putInt(-1)
+        .putInt(0)
+        .putShort(0).putShort(0).putShort(0).putShort(0) // rcFrame
+      fourcc(bb, "strf"); bb.putInt(40)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(8)
+        .putInt(MJPG)
+        .putInt(maxFrame).putInt(0).putInt(0).putInt(0).putInt(0)
+      jpegs.foreach { j =>
+        fourcc(bb, "00dc"); bb.putInt(j.length)
+        bb.put(j)
+        if ((j.length & 1) == 1) bb.put(0.toByte) // RIFF odd-size pad
+      }
+      bb.array()
+    }
+
     /** Decode to (w, h, frames) with frames as top-down row-major gray
-      * samples. Chunk-walking like [[WavCodec]]: headers located by id,
-      * unknown chunks (idx1, JUNK, INFO lists) skipped. */
+      * samples — BOTH stream codecs: uncompressed DIB (biCompression 0)
+      * and MJPEG (biCompression 'MJPG', frames decoded per chunk through
+      * the JDK JPEG reader). Chunk-walking like [[WavCodec]]: headers
+      * located by id, unknown chunks (idx1, JUNK, INFO lists) skipped. */
     def decodeGrayFrames(bytes: Array[Byte])
         : (Int, Int, Seq[Array[Int]]) = {
       val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -354,7 +432,7 @@ object Multimodal {
       require(tag4() == "RIFF", "not a RIFF container")
       bb.getInt
       require(tag4() == "AVI ", "not an AVI file")
-      var w = -1; var h = -1
+      var w = -1; var h = -1; var comp = 0
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
       def walk(end: Int): Unit = {
         while (bb.position() + 8 <= end) {
@@ -370,24 +448,35 @@ object Multimodal {
               w = bb.getInt; h = bb.getInt
               bb.getShort
               val bits = bb.getShort
-              val comp = bb.getInt
-              require(bits == 8 && comp == 0,
-                s"only uncompressed 8-bit DIB supported (bits=$bits comp=$comp)")
-            case "00db" =>
+              comp = bb.getInt
+              require(comp == MJPG || (bits == 8 && comp == 0),
+                s"only uncompressed 8-bit DIB or MJPG supported " +
+                  s"(bits=$bits comp=$comp)")
+            case "00db" | "00dc" =>
               require(w > 0 && h > 0, "frame chunk before strf header")
-              val rb = rowBytes(w)
-              val base = bb.position()
-              val px = new Array[Int](w * h)
-              var y = 0
-              while (y < h) { // un-flip bottom-up rows, drop padding
-                val rowOff = base + (h - 1 - y) * rb
-                var x = 0
-                while (x < w) {
-                  px(y * w + x) = bytes(rowOff + x) & 0xff; x += 1
+              if (comp == MJPG) {
+                // one whole baseline JPEG per chunk (MJPEG convention)
+                val (fw, fh, px) = ImageCodec.decodeGray(
+                  java.util.Arrays.copyOfRange(bytes, bb.position(),
+                    bb.position() + size))
+                require(fw == w && fh == h,
+                  s"MJPEG frame ${fw}x$fh disagrees with strf ${w}x$h")
+                frames += px
+              } else {
+                val rb = rowBytes(w)
+                val base = bb.position()
+                val px = new Array[Int](w * h)
+                var y = 0
+                while (y < h) { // un-flip bottom-up rows, drop padding
+                  val rowOff = base + (h - 1 - y) * rb
+                  var x = 0
+                  while (x < w) {
+                    px(y * w + x) = bytes(rowOff + x) & 0xff; x += 1
+                  }
+                  y += 1
                 }
-                y += 1
+                frames += px
               }
-              frames += px
             case _ => // avih, strh, idx1, JUNK, ...
           }
           bb.position(next)
@@ -430,9 +519,9 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** STUB decoder — deterministic fake features standing in for a LOSSY
-    * codec (H.264/MJPEG — no ffmpeg in this container; the lossless
-    * image/audio/video container paths above are real). Signature and
+  /** STUB decoder — deterministic fake features standing in for the one
+    * codec this container cannot host: H.264 (needs ffmpeg/JNI; the
+    * PNG/JPEG/WAV/DIB/MJPEG paths above are all real). Signature and
     * batching are production-shaped: one call per partition iterator
     * (so a real implementation can amortize codec init per task), rows
     * streamed, never materialized. */

@@ -422,6 +422,35 @@ class SimilaritySpec extends SparkSuite {
     assert(rate == 16000 && back.toSeq == Seq[Short](10, -20, 30))
   }
 
+  test("MJPEG AVI: DC-only frames round-trip bit-exactly; lossy otherwise") {
+    // block-solid 16x16 frames: the q73 exactness contract — at
+    // quality 1.0 the quant tables are all-ones, so frames whose 8x8
+    // blocks are each solid (AC coefficients exactly zero) decode back
+    // to the planted pixels
+    val (w, h) = (16, 16)
+    val mk = (seed: Int) => Array.tabulate(w * h) { k =>
+      val b = (k / 128) * 2 + (k % 16) / 8
+      ((seed + 53 * b) % 256).toByte
+    }
+    val frames = Seq(mk(7), mk(131), mk(250))
+    val avi = ext.Multimodal.AviCodec.encodeGrayMjpegAvi(w, h, 10, frames)
+    val (w2, h2, got) = ext.Multimodal.AviCodec.decodeGrayFrames(avi)
+    assert(w2 == w && h2 == h && got.length == 3)
+    frames.zip(got).foreach { case (want, px) =>
+      assert(px.toSeq == want.map(_ & 0xff).toSeq,
+        "DC-only MJPEG frame must decode exactly")
+    }
+    // sanity that this is a REAL lossy codec, not a disguised bitmap:
+    // a non-block-constant frame generally does NOT round-trip
+    val noisy = Array.tabulate(w * h)(k => (k * 37 % 256).toByte)
+    val avi2 = ext.Multimodal.AviCodec.encodeGrayMjpegAvi(w, h, 10, Seq(noisy))
+    val (_, _, got2) = ext.Multimodal.AviCodec.decodeGrayFrames(avi2)
+    assert(got2.head.toSeq != noisy.map(_ & 0xff).toSeq,
+      "expected JPEG loss on a high-frequency frame")
+    // odd-sized JPEG chunks must keep the walk aligned (RIFF padding):
+    // decodeGrayFrames found all 3 frames above regardless of parity
+  }
+
   test("AVI codec: DIB round trip with bottom-up rows and padding") {
     import spark.implicits._
     // w=5 forces 3 bytes of row padding; distinct values per pixel
