@@ -36,10 +36,23 @@ object Consolidate {
       t: DecimalType = DecimalType(28, 10)): Column =
     sum(c.cast(t)).cast("double")
 
-  /** Apply `cf` over known values of `v`; `ord` breaks LAST ties. */
+  /** Apply `cf` over known values of `v`; `ord` breaks LAST ties.
+    *
+    * `exactSums = false` is the opt-in DOUBLE-sum fast path for
+    * non-oracle pipelines: it skips the decimal round-trip entirely,
+    * which makes AVERAGE partial-aggregation-order-DEPENDENT in the
+    * last ulps (a repartition or AQE re-plan can change the final bits).
+    * Every oracle-anchored query stays on the exact route — the
+    * cross-engine hash gate is the whole point of the decimal contract.
+    * Prefer shrinking `sumType` to precision ≤ 18 first (compact-long
+    * decimals, no BigDecimal allocation) when the value range allows;
+    * it keeps exactness and captures most of the win (see SCALE.md).
+    */
   def cfAgg(cf: Cf, v: Column, ord: Column,
-      sumType: DecimalType = DecimalType(28, 10)): Column = cf match {
-    case Cf.Average => dsum(v, sumType) / count(v)
+      sumType: DecimalType = DecimalType(28, 10),
+      exactSums: Boolean = true): Column = cf match {
+    case Cf.Average if exactSums => dsum(v, sumType) / count(v)
+    case Cf.Average => sum(v) / count(v)
     case Cf.Min => min(v)
     case Cf.Max => max(v)
     case Cf.Last => max_by(v, when(v.isNotNull, struct(ord))) // last known
@@ -54,12 +67,13 @@ object Consolidate {
     */
   def cdp(df: DataFrame, series: Seq[String], pdpTs: String, pdp: String,
       stepSec: Long, pdpCnt: Long, cf: Cf, xff: Double,
-      sumType: DecimalType = DecimalType(28, 10)): DataFrame = {
+      sumType: DecimalType = DecimalType(28, 10),
+      exactSums: Boolean = true): DataFrame = {
     val cdpStep = stepSec * pdpCnt
     val bucket = (expr(s"($pdpTs - 1) div $cdpStep") + 1) * cdpStep
     df.groupBy(series.map(col) :+ bucket.as("cdp_ts"): _*)
       .agg(
-        cfAgg(cf, col(pdp), col(pdpTs), sumType).as("cf_val"),
+        cfAgg(cf, col(pdp), col(pdpTs), sumType, exactSums).as("cf_val"),
         count(col(pdp)).as("known_cnt"))
       .select(series.map(col) :+ col("cdp_ts") :+
         // xff: unknown PDPs (incl. grid slots with no row at all) vs budget
