@@ -469,14 +469,36 @@ final class Commands(spark: SparkSession, nowSec: Long = 0L,
     }
   }
 
-  /** resize <rra#> GROW|SHRINK <rows> (rrd_resize.c:40-45). */
-  def resize(path: String, rraIdx: Int, mode: String, rows: Long): Unit =
-    mode.toUpperCase match {
-      case "GROW" => Modify.resize(spark, path, rraIdx, rows, series)
-      case "SHRINK" => Modify.resize(spark, path, rraIdx, -rows, series)
-      case other => throw new IllegalArgumentException(
-        s"I can only GROW or SHRINK (got $other)")
-    }
+  /** resize <rra#> GROW|SHRINK <rows> with the reference verb's own
+    * diagnostics (rrd_resize.c:40-81): rows must be >= 1, the RRA must
+    * exist, and a SHRINK must leave at least one row. Unlike the
+    * reference (which writes a new `resize.rrd`), the store resizes in
+    * place — the sidecar swap in Modify.resize is already atomic. */
+  def resize(path: String, rraIdx: Int, mode: String, rows: Long): Unit = {
+    if (mode.toUpperCase != "GROW" && mode.toUpperCase != "SHRINK")
+      throw new IllegalArgumentException("I can only GROW or SHRINK")
+    if (rows < 1) throw new IllegalArgumentException(
+      "Please grow or shrink with at least 1 row")
+    val schema = graft.store.RrdStore.readSchema(path)
+    if (rraIdx < 0 || rraIdx >= schema.rras.length)
+      throw new IllegalArgumentException("no such RRA in this RRD")
+    if (mode.toUpperCase == "SHRINK" && schema.rras(rraIdx).rowCnt <= rows)
+      throw new IllegalArgumentException("This RRA is not that big")
+    val delta = if (mode.toUpperCase == "GROW") rows else -rows
+    Modify.resize(spark, path, rraIdx, delta, series)
+  }
+
+  /** The reference CLI argv form: `resize <file> <rra#> GROW|SHRINK
+    * <rows>` (rrd_resize.c:33-49 — argc check, strtol parses). */
+  def resize(path: String, args: Seq[String]): Unit = {
+    if (args.length != 3)
+      throw new IllegalArgumentException("wrong number of parameters")
+    val rraIdx = try args(0).toInt catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"bad RRA index ${args(0)}") }
+    val rows = try args(2).toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"bad row count ${args(2)}") }
+    resize(path, rraIdx, args(1), rows)
+  }
 
   /** "--opt value" pairs split from positional args. */
   private def parseOpts(args: Seq[String]): (Map[String, String], Seq[String]) = {

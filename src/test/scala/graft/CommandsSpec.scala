@@ -94,6 +94,32 @@ class CommandsSpec extends SparkSuite {
     c.flushcached(Seq(path)) // parity no-op
   }
 
+  test("resize verb: argv form, GROW/SHRINK, reference diagnostics") {
+    val c = new Commands(spark, nowSec = 1000L)
+    val path = java.nio.file.Files.createTempDirectory("graft_rsz").toString
+    c.create(path, Seq("--start", "0", "--step", "10",
+      "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100", "RRA:MAX:0.5:6:50"))
+    c.update(path, (1 to 20).map(i => s"${i * 10}:7.5"))
+    // the reference CLI argv shape: resize <file> <rra#> GROW <rows>
+    c.resize(path, Seq("0", "GROW", "40"))
+    assert(graft.store.RrdStore.readSchema(path).rras(0).rowCnt == 140L)
+    c.resize(path, Seq("0", "SHRINK", "100"))
+    assert(graft.store.RrdStore.readSchema(path).rras(0).rowCnt == 40L)
+    // diagnostics, verbatim from rrd_resize.c:33-81
+    def msg(f: => Unit): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(c.resize(path, Seq("0", "GROW"))) ==
+      "wrong number of parameters")
+    assert(msg(c.resize(path, Seq("0", "WIDEN", "5"))) ==
+      "I can only GROW or SHRINK")
+    assert(msg(c.resize(path, Seq("0", "GROW", "0"))) ==
+      "Please grow or shrink with at least 1 row")
+    assert(msg(c.resize(path, Seq("7", "GROW", "5"))) ==
+      "no such RRA in this RRD")
+    assert(msg(c.resize(path, Seq("0", "SHRINK", "40"))) ==
+      "This RRA is not that big")
+  }
+
   test("first on a data-less store is the reference's geometric value") {
     // create-from-template-1: create --start 1299999999 --step 60
     // RRA:AVERAGE:0.5:1:100 -> `rrdtool first` == 1299994020 (#1140)
