@@ -285,8 +285,8 @@ object SparkEntry {
         .agg(
           steps.as("steps"),
           count(col("v")).as("known"),
-          query.Vdef.percent(col("v"), steps, 50.0).as("pct50"),
-          query.Vdef.percent(col("v"), steps, 95.0).as("pct95"),
+          query.Vdef.percent(col("v"), 50.0).as("pct50"),
+          query.Vdef.percent(col("v"), 95.0).as("pct95"),
           query.Vdef.percentNan(col("v"), 95.0).as("pctnan95"))
         .orderBy("event_type")
     }),

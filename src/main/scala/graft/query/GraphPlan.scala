@@ -176,7 +176,7 @@ final class GraphPlan(spark: SparkSession, startSec: Long, endSec: Long,
         case "TOTAL" => Vdef.total(v, s.step)
         case "FIRST" => min_by(v, when(v.isNotNull, col("ts")))
         case "LAST" => max_by(v, when(v.isNotNull, col("ts")))
-        case "PERCENT" => Vdef.percent(v, count(lit(1)), param)
+        case "PERCENT" => Vdef.percent(v, param)
         case "PERCENTNAN" => Vdef.percentNan(v, param)
         case "LSLSLOPE" | "LSLINT" | "LSLCORREL" =>
           Vdef.lslExprs(x, v)(op.toLowerCase)
@@ -215,7 +215,7 @@ final class GraphPlan(spark: SparkSession, startSec: Long, endSec: Long,
           .select(v, col("ts")).collect().headOption
         Scalar(r.map(_.getDouble(0)), r.map(_.getLong(1)))
       case "PERCENT" =>
-        Scalar(one(Vdef.percent(v, count(lit(1)), param)), None)
+        Scalar(one(Vdef.percent(v, param)), None)
       case "PERCENTNAN" => Scalar(one(Vdef.percentNan(v, param)), None)
       case "LSLSLOPE" | "LSLINT" | "LSLCORREL" =>
         val x = ((col("ts") - startSec) / s.step - 1).cast("long")

@@ -55,23 +55,78 @@ object Vdef {
     Map("lslslope" -> slope, "lslint" -> intercept, "lslcorrel" -> correl)
   }
 
-  /** PERCENT (NaN-in-population, NaN sorts lowest) and PERCENTNAN
-    * (known-only): 0-based index round(p·(n-1)/100) into the sorted
-    * series (rrd_graph.c:5882-5939). Aggregate-expression forms:
-    * `steps` must be the total-slot count expression, e.g. count(lit(1)).
+  /** Buffer of the exact-percentile aggregate: total slots seen (nulls
+    * included) + the known values. Known values dominate the footprint,
+    * and [[PercentAggregator]] enforces `total <= maxSlots`, so memory
+    * is STRUCTURALLY bounded by the fetch window — a keyed 100 TB plan
+    * cannot silently collect a corpus-sized group (the prior
+    * `collect_list` form bounded memory only by the caller's contract).
     */
-  def percent(v: Column, steps: Column, p: Double): Column = {
-    val nulls = steps - count(v)
-    val field = round(lit(p) * (steps.cast("double") - 1) / 100.0, 0)
-      .cast("long")
-    val kth = (field - nulls + 1).cast("int") // 1-based among known
-    when(field < nulls, lit(null))
-      .otherwise(element_at(array_sort(collect_list(v)), kth))
+  final case class PctBuf(total: Long, known: Vector[Double])
+
+  /** Exact RRD percentile as a bounded typed aggregate (SURVEY §4 item
+    * 3). `popIncludesUnknown = true` is PERCENT — unknown slots are in
+    * the population and sort below every known value, so a rank that
+    * falls inside the unknown prefix yields unknown; `false` is
+    * PERCENTNAN (known-only population). Selection is the reference's
+    * 0-based `round(p·(n-1)/100)` into the sorted series
+    * (rrd_graph.c:5882-5939); known values sort by
+    * `java.lang.Double.compare` (NaN greatest) exactly like the
+    * previous `array_sort` form, so results are bit-identical
+    * (spec-pinned). Partial aggregation works map-side; the buffer
+    * rides the shuffle as (long, double[]).
+    */
+  final class PercentAggregator(p: Double, popIncludesUnknown: Boolean,
+      maxSlots: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Double, PctBuf, java.lang.Double] {
+    require(maxSlots > 0, s"maxSlots must be positive (got $maxSlots)")
+    def zero: PctBuf = PctBuf(0L, Vector.empty)
+    def reduce(b: PctBuf, in: java.lang.Double): PctBuf = {
+      require(b.total < maxSlots,
+        s"PERCENT window exceeded maxSlots=$maxSlots slots — this " +
+          "aggregate is for fetch-window frames, not corpus groups")
+      if (in == null) PctBuf(b.total + 1, b.known)
+      else PctBuf(b.total + 1, b.known :+ in.doubleValue)
+    }
+    def merge(a: PctBuf, b: PctBuf): PctBuf = {
+      require(a.total + b.total <= maxSlots,
+        s"PERCENT window exceeded maxSlots=$maxSlots slots")
+      PctBuf(a.total + b.total, a.known ++ b.known)
+    }
+    def finish(b: PctBuf): java.lang.Double = {
+      val arr = b.known.toArray
+      java.util.Arrays.sort(arr) // Double.compare order, like array_sort
+      if (popIncludesUnknown) {
+        val field = math.round(p * (b.total - 1) / 100.0)
+        val nulls = b.total - arr.length
+        if (field < nulls) null else arr((field - nulls).toInt)
+      } else {
+        if (arr.isEmpty) null
+        else arr(math.round(p * (arr.length - 1) / 100.0).toInt)
+      }
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[PctBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[java.lang.Double] =
+      org.apache.spark.sql.Encoders.DOUBLE
   }
-  def percentNan(v: Column, p: Double): Column = {
-    val field = round(lit(p) * (count(v).cast("double") - 1) / 100.0, 0)
-      .cast("int")
-    when(count(v) === 0, lit(null))
-      .otherwise(element_at(array_sort(collect_list(v)), field + 1))
-  }
+
+  /** Largest window the percentile aggregates accept: a year of 1-second
+    * slots. Fetch frames are orders of magnitude smaller. */
+  val MaxPercentSlots: Int = 366 * 24 * 3600
+
+  /** PERCENT (unknowns in population, sorting lowest) and PERCENTNAN
+    * (known-only): 0-based index round(p·(n-1)/100) into the sorted
+    * series (rrd_graph.c:5882-5939), as aggregate Columns for
+    * `groupBy(...).agg(...)`. Memory per group is bounded by `maxSlots`
+    * (loud failure beyond it), not by group cardinality. */
+  def percent(v: Column, p: Double,
+      maxSlots: Int = MaxPercentSlots): Column =
+    udaf(new PercentAggregator(p, popIncludesUnknown = true, maxSlots),
+      org.apache.spark.sql.Encoders.DOUBLE)(v)
+  def percentNan(v: Column, p: Double,
+      maxSlots: Int = MaxPercentSlots): Column =
+    udaf(new PercentAggregator(p, popIncludesUnknown = false, maxSlots),
+      org.apache.spark.sql.Encoders.DOUBLE)(v)
 }
