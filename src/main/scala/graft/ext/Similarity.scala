@@ -140,38 +140,67 @@ object Similarity {
       math.min(20, math.max(4, math.ceil(math.log(
         math.max(df.count(), 1L).toDouble / targetOccupancy) /
         math.log(2)).toInt))
-    // Cap check rides a window count over the bucket partition — one
-    // shuffle, no operator-internal persist (round-2 leak). Keys and
-    // norms come from the one-pass typed kernel (same folds as the
-    // column forms, compiled).
+    // Cap check: per-bucket counts aggregate map-side to ~n/occupancy
+    // tiny rows and broadcast back — the corpus itself is never
+    // sort-shuffled for the cap (the previous window-count form paid a
+    // full hash exchange + sort of every (vector, norm) row; measured
+    // 6.3×→4.4× at the 100× replica, SCALE.md). No operator-internal
+    // persist (round-2 leak). Keys and norms come from the one-pass
+    // typed kernel (same folds as the column forms, compiled).
     val keyed = keyedNormed(df, id, vec, dim, nPlanes)
       .select(col(id).as("doc_id"), col(vec).as("v"),
         col("norm").as("n"), col("bucket"))
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-    val capped = keyed.withColumn("__bn", count(lit(1)).over(wb))
-      .where(col("__bn") <= maxBucket).drop("__bn")
+    val oversized = keyed.groupBy("bucket")
+      .agg(count(lit(1)).as("__bn")).where(col("__bn") > maxBucket)
+      .select(col("bucket"))
+    val capped = keyed.join(broadcast(oversized), Seq("bucket"),
+      "left_anti")
+    // Zero-bit probing: a pair whose buckets differ in exactly bit p has
+    // ONE member with bit p clear — only that member probes the flip, so
+    // the pair still meets exactly once while the exploded a-side
+    // carries ~(1 + planes/2) rows per doc instead of (1 + planes). The
+    // covered pair set is IDENTICAL to all-flips probing (hamming <= 1),
+    // so the oracle needs no change; orientation is normalized with
+    // least/greatest before the final distinct (same-bucket pairs meet
+    // in both orders; the dot product and n1·n2 are symmetric, so both
+    // orders produce the bit-identical cosine and dedup exactly).
     val probes = array(col("bucket") +: (0 until nPlanes).map(p =>
-      col("bucket").bitwiseXOR(lit(1L << p))): _*)
+      when(col("bucket").bitwiseAND(lit(1L << p)) === 0,
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*)
     val a = capped.select(explode(probes).as("bucket"),
       col("doc_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
+      .where(col("bucket").isNotNull) // suppressed (set-bit) probes
+      .as[(Long, Long, Array[Double], Double)]
     val b = capped.select(col("bucket"), col("doc_id").as("id2"),
       col("v").as("v2"), col("n").as("n2"))
-    // exact-cosine verify as a typed primitive-array kernel (the q29
-    // lesson: the `aggregate` HOF evaluates interpretively, ~40× the
-    // cost of this loop on a corpus-sized candidate set); identical
-    // left-fold order, so DuckDB's list_reduce oracle stays bit-exact
-    a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2"),
-        col("n1"), col("n2"))
-      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
-      .mapPartitions { it =>
-        it.flatMap { case (id1, id2, v1, v2, n1, n2) =>
-          var s = 0.0; var i = 0
-          while (i < dim) { s += v1(i) * v2(i); i += 1 }
-          val c = s / (n1 * n2)
-          if (c >= tau) Some((id1, id2, c)) else None
+      .as[(Long, Long, Array[Double], Double)]
+    // Verify via COGROUP per bucket, not a row-producing join: an SMJ
+    // would materialize BOTH 512-byte vectors into every candidate row
+    // (≈occupancy² rows per bucket — measured as the dominant 100× cost,
+    // SCALE.md), where the cogroup deserializes each vector once per
+    // bucket and runs the occupancy² dot products over in-memory
+    // primitive arrays. Memory per task ∝ maxBucket (only the exact
+    // side materializes; the probe side streams). The dot is the same
+    // strict left-fold as before, so DuckDB's list_reduce oracle stays
+    // bit-exact; the q29 lesson still applies (typed loop, not the
+    // interpreted `aggregate` HOF).
+    a.groupByKey(_._1).cogroup(b.groupByKey(_._1)) { (_, as, bs) =>
+      val hits = bs.toArray // bounded by maxBucket
+      if (hits.isEmpty) Iterator.empty
+      else as.flatMap { case (_, id1, v1, n1) =>
+        hits.iterator.flatMap { case (_, id2, v2, n2) =>
+          if (id1 == id2) None
+          else {
+            var s = 0.0; var i = 0
+            while (i < dim) { s += v1(i) * v2(i); i += 1 }
+            val c = s / (n1 * n2)
+            if (c >= tau)
+              Some((math.min(id1, id2), math.max(id1, id2), c))
+            else None
+          }
         }
-      }.toDF("id1", "id2", "cosine")
+      }
+    }.toDF("id1", "id2", "cosine")
       .distinct()
   }
 
