@@ -527,6 +527,36 @@ object SparkEntry {
         .orderBy("user_id", "cdp_ts")
     }),
 
+    // §2.2 streaming INGEST gate executed as a real micro-batch query:
+    // the flatMapGroupsWithState monotonicity gate (the reference's
+    // per-file last_up reject, rrd_update.c:1416-1423) faces a second
+    // micro-batch of poisoned STALE rows (one day older, values shifted
+    // +1000 so any leak breaks the hash) which must all be rejected;
+    // the accepted stream then feeds the batch rate chain — the
+    // production wiring of StreamingIngest.runUpdates.
+    "q74_streaming_gate" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).where(col("user_id") < 30)
+        .select(col("user_id").cast("string").as("k"),
+          col("ts_us").as("tsUs"), col("event_id").as("eventId"),
+          col("value"))
+        .as[graft.streaming.StreamingIngest.GateRow]
+      val stale = ev.toDF()
+        .select(col("k"), (col("tsUs") - lit(86400000000L)).as("tsUs"),
+          (col("eventId") + lit(1000000000L)).as("eventId"),
+          (col("value") + lit(1000.0)).as("value"))
+        .as[graft.streaming.StreamingIngest.GateRow]
+      val accepted = graft.streaming.StreamingIngest
+        .gateFileRun(s, ev, stale).toDF()
+        .select(col("k").cast("long").as("user_id"),
+          col("tsUs").as("ts_us"), col("eventId").as("event_id"),
+          col("value"))
+      Rates.withRate(accepted, Seq("user_id"), "ts_us", "event_id",
+          "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("rate"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // Canonical selection — the row a dedup pipeline actually ships:
     // near-dup components (q43's operator) joined with quality scores,
     // keep the best-scoring doc per component (ties to the smaller id);
@@ -1794,6 +1824,21 @@ object SparkEntry {
 
     // streaming CDP = batch CDP math once every window closes: the
     // oracle is exactly q17's consolidation on the same events slice
+    // the stale micro-batch is rejected wholesale by the streaming
+    // gate, so the oracle is the clean slice through the GAUGE rate
+    // (first sample unknown, heartbeat 7200)
+    "q74_streaming_gate" ->
+      """WITH r AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |        lag(epoch_us(ts)) OVER w AS pt
+        | FROM events WHERE user_id < 30
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, event_id, ts_us,
+        | CASE WHEN pt IS NULL
+        |       OR CAST(ts_us - pt AS DOUBLE) / 1000000.0 > 7200.0
+        |      THEN NULL ELSE value END AS rate
+        |FROM r ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     "q72_streaming_cdp" -> (sqlPdpWhere("WHERE user_id < 30") +
       """,pdp AS (
         | SELECT user_id, k * 300 AS pdp_ts,

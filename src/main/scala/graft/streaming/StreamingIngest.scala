@@ -80,6 +80,52 @@ object StreamingIngest {
     gate(ds)(_.series, _.tsUs)
   }
 
+  /** One gated row for [[gateFileRun]]: series key, event time, a
+    * deterministic tiebreak id, and the sampled value. */
+  final case class GateRow(k: String, tsUs: Long, eventId: Long,
+      value: Double)
+
+  /** Execute [[gate]] as a REAL micro-batch streaming query — file
+    * source → `flatMapGroupsWithState` monotonic gate → parquet sink —
+    * and return the ACCEPTED rows as a batch frame (q72's
+    * `cdpStreamFileRun` pattern; same production shape, nothing
+    * touches the driver).
+    *
+    * `input` lands as micro-batch 1; `late` as micro-batch 2 — by then
+    * every series' state holds its batch-1 `last_up`, so a late row is
+    * accepted only if its event time still advances past it (the
+    * reference's "illegal attempt to update using time X when last
+    * update time is Y", rrd_update.c:1416-1423). Columns: exactly
+    * [[GateRow]]'s.
+    */
+  def gateFileRun(spark: SparkSession, input: Dataset[GateRow],
+      late: Dataset[GateRow]): Dataset[GateRow] = {
+    implicit val enc: Encoder[GateRow] = Encoders.product[GateRow]
+    val root = java.nio.file.Files.createTempDirectory("graft-gate-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
+    val inDir = root.resolve("in").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    input.write.parquet(inDir)
+    val src = spark.readStream.schema(input.schema).parquet(inDir)
+      .as[GateRow]
+    val q = gate(src)(_.k, _.tsUs)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: seeds per-series last_up state
+      late.write.mode("append").parquet(inDir)
+      q.processAllAvailable() // batch 2: late rows face batch-1 state
+    } finally q.stop()
+    spark.read.parquet(outDir).as[GateRow]
+  }
+
   /** Wire a stream of rrdcached protocol lines into a store: UPDATE
     * lines parse against the store's schema, pass the per-file
     * monotonic gate, and each micro-batch merges into the RRA tables

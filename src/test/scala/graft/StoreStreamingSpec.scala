@@ -252,4 +252,19 @@ class StoreStreamingSpec extends SparkSuite {
         Sample("b", 100, 9.0), Sample("a", 250, 4.0)))
     } finally q.stop()
   }
+
+  test("gateFileRun: file-source micro-batches, partial late acceptance") {
+    import spark.implicits._
+    import StreamingIngest.GateRow
+    val input = Seq(GateRow("a", 100, 1, 1.0), GateRow("a", 200, 2, 2.0),
+      GateRow("b", 100, 3, 9.0)).toDS()
+    // late batch: a@150 stale (rejected), a@250 advances (accepted),
+    // b@100 ties last_up (rejected — strictly greater required)
+    val late = Seq(GateRow("a", 150, 4, 3.0), GateRow("a", 250, 5, 4.0),
+      GateRow("b", 100, 6, 8.0)).toDS()
+    val got = StreamingIngest.gateFileRun(spark, input, late)
+      .collect().toSet
+    assert(got == Set(GateRow("a", 100, 1, 1.0), GateRow("a", 200, 2, 2.0),
+      GateRow("b", 100, 3, 9.0), GateRow("a", 250, 5, 4.0)))
+  }
 }
