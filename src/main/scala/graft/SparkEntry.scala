@@ -536,10 +536,19 @@ object SparkEntry {
     // production wiring of StreamingIngest.runUpdates.
     "q74_streaming_gate" -> ((s, dir) => {
       import s.implicits._
+      // deterministic tie pre-dedup (min event_id per (series, ts)):
+      // the gate accepts strictly-increasing ts, so WHICH of two tied
+      // rows survives would otherwise be shuffle-order-dependent and
+      // diverge from the oracle the first time regenerated testdata
+      // carries a tie (review finding; current data has none)
+      val tw = Window.partitionBy(col("k"), col("tsUs"))
+        .orderBy(col("eventId"))
       val ev = Tables.events(s, dir).where(col("user_id") < 30)
         .select(col("user_id").cast("string").as("k"),
           col("ts_us").as("tsUs"), col("event_id").as("eventId"),
           col("value"))
+        .withColumn("__rn", row_number().over(tw))
+        .where(col("__rn") === 1).drop("__rn")
         .as[graft.streaming.StreamingIngest.GateRow]
       val stale = ev.toDF()
         .select(col("k"), (col("tsUs") - lit(86400000000L)).as("tsUs"),
@@ -1825,14 +1834,20 @@ object SparkEntry {
     // streaming CDP = batch CDP math once every window closes: the
     // oracle is exactly q17's consolidation on the same events slice
     // the stale micro-batch is rejected wholesale by the streaming
-    // gate, so the oracle is the clean slice through the GAUGE rate
-    // (first sample unknown, heartbeat 7200)
+    // gate, so the oracle is the clean slice — same deterministic tie
+    // pre-dedup as the Spark side (min event_id per (user, ts)) —
+    // through the GAUGE rate (first sample unknown, heartbeat 7200)
     "q74_streaming_gate" ->
-      """WITH r AS (
+      """WITH e AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
-        |        lag(epoch_us(ts)) OVER w AS pt
-        | FROM events WHERE user_id < 30
-        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |        row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+        |          ORDER BY event_id) AS rn
+        | FROM events WHERE user_id < 30),
+        |r AS (
+        | SELECT user_id, event_id, ts_us, value,
+        |        lag(ts_us) OVER w AS pt
+        | FROM e WHERE rn = 1
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
         |SELECT user_id, event_id, ts_us,
         | CASE WHEN pt IS NULL
         |       OR CAST(ts_us - pt AS DOUBLE) / 1000000.0 > 7200.0

@@ -409,11 +409,14 @@ object Multimodal {
       bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(8)
         .putInt(MJPG)
         .putInt(maxFrame).putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc(bb, "LIST"); bb.putInt(moviSize); fourcc(bb, "movi")
       jpegs.foreach { j =>
         fourcc(bb, "00dc"); bb.putInt(j.length)
         bb.put(j)
         if ((j.length & 1) == 1) bb.put(0.toByte) // RIFF odd-size pad
       }
+      require(!bb.hasRemaining, // every declared byte written
+        s"AVI size bookkeeping drifted: ${bb.remaining()} bytes unwritten")
       bb.array()
     }
 

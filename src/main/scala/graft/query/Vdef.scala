@@ -56,13 +56,16 @@ object Vdef {
   }
 
   /** Buffer of the exact-percentile aggregate: total slots seen (nulls
-    * included) + the known values. Known values dominate the footprint,
+    * included) + the known values in a PRIMITIVE growable array (first
+    * `n` slots of `arr` are live; doubling growth). Known values
+    * dominate the footprint at 8 bytes each — a boxed Vector[Double]
+    * would cost ~4-10× that and make the maxSlots bound toothless —
     * and [[PercentAggregator]] enforces `total <= maxSlots`, so memory
-    * is STRUCTURALLY bounded by the fetch window — a keyed 100 TB plan
+    * is STRUCTURALLY bounded by the fetch window: a keyed 100 TB plan
     * cannot silently collect a corpus-sized group (the prior
     * `collect_list` form bounded memory only by the caller's contract).
     */
-  final case class PctBuf(total: Long, known: Vector[Double])
+  final case class PctBuf(total: Long, n: Int, arr: Array[Double])
 
   /** Exact RRD percentile as a bounded typed aggregate (SURVEY §4 item
     * 3). `popIncludesUnknown = true` is PERCENT — unknown slots are in
@@ -81,21 +84,31 @@ object Vdef {
       extends org.apache.spark.sql.expressions.Aggregator[
         java.lang.Double, PctBuf, java.lang.Double] {
     require(maxSlots > 0, s"maxSlots must be positive (got $maxSlots)")
-    def zero: PctBuf = PctBuf(0L, Vector.empty)
+    private def grown(arr: Array[Double], need: Int): Array[Double] =
+      if (need <= arr.length) arr
+      else java.util.Arrays.copyOf(arr,
+        math.max(need, math.max(8, arr.length * 2)))
+    def zero: PctBuf = PctBuf(0L, 0, Array.emptyDoubleArray)
     def reduce(b: PctBuf, in: java.lang.Double): PctBuf = {
       require(b.total < maxSlots,
         s"PERCENT window exceeded maxSlots=$maxSlots slots — this " +
           "aggregate is for fetch-window frames, not corpus groups")
-      if (in == null) PctBuf(b.total + 1, b.known)
-      else PctBuf(b.total + 1, b.known :+ in.doubleValue)
+      if (in == null) PctBuf(b.total + 1, b.n, b.arr)
+      else {
+        val a = grown(b.arr, b.n + 1)
+        a(b.n) = in.doubleValue
+        PctBuf(b.total + 1, b.n + 1, a)
+      }
     }
     def merge(a: PctBuf, b: PctBuf): PctBuf = {
       require(a.total + b.total <= maxSlots,
         s"PERCENT window exceeded maxSlots=$maxSlots slots")
-      PctBuf(a.total + b.total, a.known ++ b.known)
+      val m = grown(a.arr, a.n + b.n)
+      System.arraycopy(b.arr, 0, m, a.n, b.n)
+      PctBuf(a.total + b.total, a.n + b.n, m)
     }
     def finish(b: PctBuf): java.lang.Double = {
-      val arr = b.known.toArray
+      val arr = java.util.Arrays.copyOf(b.arr, b.n)
       java.util.Arrays.sort(arr) // Double.compare order, like array_sort
       if (popIncludesUnknown) {
         val field = math.round(p * (b.total - 1) / 100.0)
@@ -113,7 +126,9 @@ object Vdef {
   }
 
   /** Largest window the percentile aggregates accept: a year of 1-second
-    * slots. Fetch frames are orders of magnitude smaller. */
+    * slots (≈254 MB of primitive doubles per group at the limit — the
+    * loud ceiling, not a working size). Fetch frames are orders of
+    * magnitude smaller; tighten per call for adversarial inputs. */
   val MaxPercentSlots: Int = 366 * 24 * 3600
 
   /** PERCENT (unknowns in population, sorting lowest) and PERCENTNAN

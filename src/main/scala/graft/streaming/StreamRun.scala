@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared scaffolding for "execute a streaming transform for real and
+  * hand back the sink as a batch frame" (q72's cdpStreamFileRun, q74's
+  * gateFileRun): temp dirs, the file source → parquet sink wiring, the
+  * micro-batch cadence, and cleanup.
+  *
+  * Cleanup discipline: the input and checkpoint dirs are dead the
+  * moment the query stops and are deleted EAGERLY; only the sink dir
+  * backs the returned frame and lives until JVM exit. All roots
+  * register in one shared list drained by a SINGLE shutdown hook —
+  * per-call `addShutdownHook` would accumulate one thread per run for
+  * the life of the JVM (bench re-runs, test suites).
+  */
+object StreamRun {
+
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = tracked.poll()
+      while (p != null) { deleteTree(p); p = tracked.poll() }
+    }))
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Exception => () }
+
+  /** Run `transform` over a file-source stream of `input` as a REAL
+    * micro-batch query with an append-mode parquet sink.
+    *
+    * `extraBatches` land as one micro-batch each, in order, AFTER the
+    * input batch — the lever for watermark/state cadence (a watermark
+    * computed from batch N's data only takes effect in batch N+1, so
+    * sentinel-driven eviction needs two appends; a late-data test needs
+    * one).
+    *
+    * @return batch frame over the sink's parquet output (unordered)
+    */
+  def toParquet(spark: SparkSession, input: DataFrame,
+      transform: DataFrame => DataFrame,
+      extraBatches: Seq[DataFrame]): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-")
+    hookInstalled
+    tracked.add(root)
+    val inDir = root.resolve("in")
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt")
+    input.write.parquet(inDir.toString)
+    val src = spark.readStream.schema(input.schema).parquet(inDir.toString)
+    val q = transform(src)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: all input files
+      extraBatches.foreach { b =>
+        b.write.mode("append").parquet(inDir.toString)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // input + checkpoint are dead once the query stops; only the sink
+    // backs the returned frame
+    deleteTree(inDir)
+    deleteTree(ckpt)
+    spark.read.parquet(outDir)
+  }
+}

@@ -103,32 +103,12 @@ object StreamingConsolidate {
       advance: DataFrame, series: Seq[String], tsUsCol: String,
       valueCol: String, stepSec: Long, pdpCnt: Long, cf: Cf, xff: Double,
       latenessSec: Long): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-cdpstream-")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }))
-    val inDir = root.resolve("in").toString
-    val outDir = root.resolve("out").toString
-    val ckpt = root.resolve("ckpt").toString
     val cols = series.map(col) :+ col(tsUsCol) :+ col(valueCol)
-    input.select(cols: _*).write.parquet(inDir)
-    val src = spark.readStream.schema(input.select(cols: _*).schema)
-      .parquet(inDir)
-    val q = cdpStream(src, series, tsUsCol, valueCol, stepSec, pdpCnt,
-        cf, xff, latenessSec)
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable() // batch 1: all input files; sets watermark
-      advance.select(cols: _*).write.mode("append").parquet(inDir)
-      q.processAllAvailable() // batch 2: sentinel raises the watermark
-      advance.select(cols: _*).write.mode("append").parquet(inDir)
-      q.processAllAvailable() // batch 3: closed windows evict + emit
-    } finally q.stop()
-    spark.read.parquet(outDir)
+    // the sentinel appends TWICE: batch 2 raises the watermark, batch 3
+    // evicts + emits the windows that watermark closed
+    StreamRun.toParquet(spark, input.select(cols: _*),
+      src => cdpStream(src, series, tsUsCol, valueCol, stepSec, pdpCnt,
+        cf, xff, latenessSec),
+      Seq(advance.select(cols: _*), advance.select(cols: _*)))
   }
 }

@@ -101,29 +101,12 @@ object StreamingIngest {
   def gateFileRun(spark: SparkSession, input: Dataset[GateRow],
       late: Dataset[GateRow]): Dataset[GateRow] = {
     implicit val enc: Encoder[GateRow] = Encoders.product[GateRow]
-    val root = java.nio.file.Files.createTempDirectory("graft-gate-")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }))
-    val inDir = root.resolve("in").toString
-    val outDir = root.resolve("out").toString
-    val ckpt = root.resolve("ckpt").toString
-    input.write.parquet(inDir)
-    val src = spark.readStream.schema(input.schema).parquet(inDir)
+    // batch 1 seeds per-series last_up state; the late batch then faces
+    // it (the shared scaffolding owns dirs/cadence/cleanup)
+    StreamRun.toParquet(spark, input.toDF(),
+      src => gate(src.as[GateRow])(_.k, _.tsUs).toDF(),
+      Seq(late.toDF()))
       .as[GateRow]
-    val q = gate(src)(_.k, _.tsUs)
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable() // batch 1: seeds per-series last_up state
-      late.write.mode("append").parquet(inDir)
-      q.processAllAvailable() // batch 2: late rows face batch-1 state
-    } finally q.stop()
-    spark.read.parquet(outDir).as[GateRow]
   }
 
   /** Wire a stream of rrdcached protocol lines into a store: UPDATE

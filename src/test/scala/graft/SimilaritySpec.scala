@@ -434,6 +434,12 @@ class SimilaritySpec extends SparkSuite {
     }
     val frames = Seq(mk(7), mk(131), mk(250))
     val avi = ext.Multimodal.AviCodec.encodeGrayMjpegAvi(w, h, 10, frames)
+    // structural validity a conforming consumer needs: the frame chunks
+    // must sit inside a 'LIST'+size+'movi' chunk, not at RIFF top level
+    val s = new String(avi, "ISO-8859-1")
+    val movi = s.indexOf("movi")
+    assert(movi >= 8 && s.substring(movi - 8, movi - 4) == "LIST",
+      "frames must live inside a LIST movi chunk")
     val (w2, h2, got) = ext.Multimodal.AviCodec.decodeGrayFrames(avi)
     assert(w2 == w && h2 == h && got.length == 3)
     frames.zip(got).foreach { case (want, px) =>
