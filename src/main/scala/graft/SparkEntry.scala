@@ -566,6 +566,22 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // Gopher-style repetition filter (Rae et al. 2021 §A1.1): the
+    // duplicate word/bigram mass per document plus a policy pass flag —
+    // the repetition leg of a training-data quality pipeline.
+    // Shuffle-free per-row column expressions over the corpus scan.
+    "q75_repetition" -> ((s, dir) => {
+      val m = ext.TextAnalysis.repetitionExprs(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          m("top_word_frac").as("top_word_frac"),
+          m("top_bigram_frac").as("top_bigram_frac"),
+          m("dup_bigram_frac").as("dup_bigram_frac"),
+          (m("top_word_frac") < 0.2 && m("dup_bigram_frac") < 0.5)
+            .as("pass"))
+        .orderBy("doc_id")
+    }),
+
     // Canonical selection — the row a dedup pipeline actually ships:
     // near-dup components (q43's operator) joined with quality scores,
     // keep the best-scoring doc per component (ties to the smaller id);
@@ -1853,6 +1869,36 @@ object SparkEntry {
         |       OR CAST(ts_us - pt AS DOUBLE) / 1000000.0 > 7200.0
         |      THEN NULL ELSE value END AS rate
         |FROM r ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // same tokenization CTE as q21; counts are exact integers, so the
+    // final one-divide doubles agree bit-for-bit across engines
+    "q75_repetition" ->
+      s"""$sqlDocWords,
+        |m AS (
+        | SELECT doc_id, ws, len(ws) AS n,
+        |  CASE WHEN len(ws) >= 2
+        |   THEN list_transform(generate_series(1, len(ws) - 1),
+        |     i -> ws[i] || ' ' || ws[i+1])
+        |   ELSE [] END AS bg
+        | FROM d),
+        |c AS (
+        | SELECT doc_id, n, len(bg) AS nbg,
+        |  list_transform(list_distinct(ws),
+        |    w -> len(list_filter(ws, x -> x = w))) AS wc,
+        |  list_transform(list_distinct(bg),
+        |    b -> len(list_filter(bg, x -> x = b))) AS bc
+        | FROM m),
+        |f AS (
+        | SELECT doc_id,
+        |  CAST(list_max(wc) AS DOUBLE) / n AS top_word_frac,
+        |  CASE WHEN nbg = 0 THEN NULL
+        |       ELSE CAST(list_max(bc) AS DOUBLE) / nbg END AS top_bigram_frac,
+        |  CASE WHEN nbg = 0 THEN NULL
+        |       ELSE CAST(COALESCE(list_sum(list_filter(bc, x -> x >= 2)), 0) AS DOUBLE) / nbg END AS dup_bigram_frac
+        | FROM c)
+        |SELECT doc_id, top_word_frac, top_bigram_frac, dup_bigram_frac,
+        | (top_word_frac < 0.2 AND dup_bigram_frac < 0.5) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q72_streaming_cdp" -> (sqlPdpWhere("WHERE user_id < 30") +
       """,pdp AS (

@@ -38,6 +38,44 @@ object TextAnalysis {
       "distinct_ratio" -> size(array_distinct(ws)).cast("double") / n)
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1's
+    * duplicate-n-gram family, on the whitespace tokens of
+    * [[normalize]]): the fraction of tokens taken by the single most
+    * frequent word, the fraction of bigram instances taken by the most
+    * frequent bigram, and the fraction of bigram instances whose bigram
+    * occurs more than once. Repetitious machine-generated text scores
+    * high; the `pass` thresholds are the caller's policy.
+    *
+    * Per-row column expressions, shuffle-free. Cost is O(distinct·n)
+    * interpreted-HOF work per DOCUMENT (bounded by doc length, not
+    * corpus size) — at 100 TB this is a per-row map over the scan like
+    * the other text metrics. Single-word docs have no bigrams: the
+    * bigram fractions are null there (never a 0/0).
+    */
+  def repetitionExprs(text: Column): Map[String, Column] = {
+    val ws = words(text)
+    val n = size(ws)
+    val wCounts = transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w)))
+    // sequence(1, 0) would COUNT DOWN in Spark — guard the 1-word case
+    val bg = when(n >= 2, transform(sequence(lit(1), n - 1), i =>
+      concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nbg = size(bg)
+    val bgCounts = transform(array_distinct(bg),
+      b => size(filter(bg, x => x === b)))
+    val topWord = array_max(wCounts).cast("double") / n.cast("double")
+    val topBigram = when(nbg === 0, lit(null)).otherwise(
+      array_max(bgCounts).cast("double") / nbg.cast("double"))
+    val dupBigram = when(nbg === 0, lit(null)).otherwise(
+      aggregate(filter(bgCounts, c => c >= 2), lit(0), (acc, c) => acc + c)
+        .cast("double") / nbg.cast("double"))
+    Map(
+      "top_word_frac" -> topWord,
+      "top_bigram_frac" -> topBigram,
+      "dup_bigram_frac" -> dupBigram)
+  }
+
   /** Per-language marker vocabularies for the n-gram/stopword language
     * heuristic. Deterministic scoring: hits per marker list; argmax with
     * fixed tie order (en, fr, es, de, zh). */

@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSuite {
   import spark.implicits._
 
+  test("repetition metrics: closed-form cases incl. the 1-word doc") {
+    val docs = Seq(
+      (1L, "a a a a"),          // one word: top_word 1.0; bigrams all "a a"
+      (2L, "w x y z"),          // all distinct: top_word .25, no dup bigrams
+      (3L, "solo"),             // no bigrams -> null fractions, null pass
+      (4L, "p q p q p")         // bigrams: p q (x2), q p (x2) -> all dup
+    ).toDF("doc_id", "text")
+    val m = graft.ext.TextAnalysis.repetitionExprs(col("text"))
+    val got = docs.select(col("doc_id"), m("top_word_frac"),
+        m("top_bigram_frac"), m("dup_bigram_frac")).orderBy("doc_id")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, Some(1.0), Some(1.0), Some(1.0)),
+      (2L, Some(0.25), Some(1.0 / 3), Some(0.0)),
+      (3L, Some(1.0), None, None),
+      (4L, Some(3.0 / 5), Some(0.5), Some(1.0))))
+  }
+
   test("decontaminate flags planted shingle overlaps and nothing else") {
     val df = Seq(
       // bench slice (doc_id % 20 == 0)
