@@ -582,6 +582,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Domain-level corpus filtering (the C4/RefinedWeb curation step):
+    // deterministic id-derived URLs planted per doc (both engines plant
+    // identically), host extracted by the shared RE2-compatible
+    // pattern, per-domain doc counts + blocklist flag. One partial-
+    // aggregated shuffle over ~#domains rows.
+    "q76_url_domains" -> ((s, dir) => {
+      val planted = concat(col("text"), lit(" see https://site"),
+        (col("doc_id") % 50).cast("string"), lit(".example.org/page/"),
+        col("doc_id").cast("string"), lit(" end"))
+      val blocked = Seq("site13.example.org", "site37.example.org")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ext.Curation.urlDomain(planted).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .withColumn("blocked", col("domain").isin(blocked.map(lit): _*))
+        .orderBy("domain")
+    }),
+
+    // Image dedup by perceptual hash: planted PNGs whose CONTENT is
+    // keyed by doc_id % 40 (so each content group spans ~12 docs and
+    // dims vary per group) go through the REAL decode → exact 8×8
+    // nearest resize → integer aHash, then a hash groupBy yields the
+    // duplicate groups — the image-side analog of q25's exact text
+    // dedup, with a closed-form oracle replaying the pixel math.
+    "q77_image_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val paySchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val pngs = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val g = id % 40
+          val w = 16 + (g % 5).toInt * 4
+          val h = 8 + (g % 3).toInt * 4
+          val px = Array.tabulate(w * h)(k => ((g * 37 + 11L * k) % 256).toByte)
+          Row(id, ext.Multimodal.ImageCodec.encodeGrayPng(w, h, px))
+        }
+      }(Encoders.row(paySchema))
+      val media = ext.Multimodal.asMedia(pngs, "doc_id", "payload", "image/png")
+      ext.Multimodal.imageAHash(media, "doc_id")
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_imgs"), min("doc_id").as("min_doc"))
+        .where(col("n_imgs") >= 2)
+        .orderBy("ahash", "min_doc")
+    }),
+
     // Canonical selection — the row a dedup pipeline actually ships:
     // near-dup components (q43's operator) joined with quality scores,
     // keep the best-scoring doc per component (ties to the smaller id);
@@ -1899,6 +1947,43 @@ object SparkEntry {
         |SELECT doc_id, top_word_frac, top_bigram_frac, dup_bigram_frac,
         | (top_word_frac < 0.2 AND dup_bigram_frac < 0.5) AS pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // same planted URLs, same extraction pattern
+    "q76_url_domains" -> {
+      val host = ext.Curation.urlHostPattern
+      s"""WITH p AS (
+        | SELECT doc_id,
+        |  text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+        |   || '.example.org/page/' || CAST(doc_id AS VARCHAR) || ' end' AS t
+        | FROM documents),
+        |x AS (SELECT doc_id, regexp_extract(t, '$host', 1) AS domain FROM p)
+        |SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+        | domain IN ('site13.example.org', 'site37.example.org') AS blocked
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // aHash replay: same planted pixels, same exact nearest-neighbor
+    // 8x8 index map (sy = y*h//8, sx = x*w//8), same integer
+    // px*64 > sum threshold, hash as the 64-char bit string
+    "q77_image_neardup" ->
+      """WITH d AS (
+        | SELECT doc_id, doc_id % 40 AS g,
+        |  16 + (doc_id % 40 % 5) * 4 AS w,
+        |  8 + (doc_id % 40 % 3) * 4 AS h
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id,
+        |  list_transform(range(0, 64),
+        |    i -> (g*37 + 11*(((i//8) * h // 8) * w + ((i%8) * w // 8))) % 256) AS p8
+        | FROM d),
+        |s AS (SELECT doc_id, p8, list_sum(p8) AS tot FROM p),
+        |hs AS (
+        | SELECT doc_id,
+        |  array_to_string(list_transform(p8,
+        |    v -> CASE WHEN v * 64 > tot THEN '1' ELSE '0' END), '') AS ahash
+        | FROM s)
+        |SELECT ahash, COUNT(*) AS n_imgs, MIN(doc_id) AS min_doc
+        |FROM hs GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1, 3""".stripMargin,
 
     "q72_streaming_cdp" -> (sqlPdpWhere("WHERE user_id < 30") +
       """,pdp AS (

@@ -107,6 +107,16 @@ object Curation {
     regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
       ipv4Pattern, "<IP>")
 
+  // ------------------------------------------------------- URL filtering
+
+  /** Host of the FIRST http(s) URL in the text (empty string when none)
+    * — the key of domain-level corpus filtering (blocklists, per-domain
+    * caps, the C4/RefinedWeb curation step). Same Java-regex/RE2
+    * compatibility constraints as the PII patterns. */
+  val urlHostPattern: String = "https?://([A-Za-z0-9.-]+)"
+  def urlDomain(text: Column): Column =
+    regexp_extract(text, urlHostPattern, 1)
+
   // ------------------------------------------------------- top-k per group
 
   /** One scored row inside the top-k buffer. */

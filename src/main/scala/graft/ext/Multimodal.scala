@@ -491,6 +491,41 @@ object Multimodal {
     }
   }
 
+  /** Average-hash (aHash) image fingerprints — the standard perceptual
+    * dedup key of large image pipelines: decode (REAL codec), resize to
+    * 8×8 via the exact nearest-neighbor map, then one bit per cell set
+    * iff the cell exceeds the image mean. All integer arithmetic
+    * (`px·64 > Σpx` instead of a floating mean), so the hash replays in
+    * closed form for the SQL oracle on planted images. Emitted as a
+    * 64-char bit STRING rather than an int64: bit 63 would make the key
+    * sign-wrap differently across engines' shift semantics, while the
+    * string is exact everywhere and groups identically.
+    *
+    * Per-row map, no shuffle; dedup is then a groupBy on the hash (or a
+    * banded Hamming join for near-dups, same machinery as SimHash). */
+  def imageAHash(media: DataFrame, id: String): DataFrame = {
+    val idIdx = media.schema.fieldIndex(id)
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      media.schema(id),
+      StructField("ahash", StringType)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = ImageCodec.decodeGray(r.getAs[Array[Byte]](bytesIdx))
+        val p8 = resizeGrayNearest(w, h, px, 8, 8)
+        var sum = 0
+        var i = 0
+        while (i < 64) { sum += p8(i); i += 1 }
+        val bits = new java.lang.StringBuilder(64)
+        i = 0
+        while (i < 64) {
+          bits.append(if (p8(i) * 64 > sum) '1' else '0'); i += 1
+        }
+        Row(r.get(idIdx), bits.toString)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame-sampled features from the real AVI decoder: every `stride`-th
     * frame's mean pixel and order checksum — one output row per KEPT
     * frame (the keyframe-extraction shape of a video pipeline), still a

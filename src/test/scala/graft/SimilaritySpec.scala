@@ -368,6 +368,25 @@ class SimilaritySpec extends SparkSuite {
     assert(w2 == 2 && h2 == 1 && px2.toSeq == Seq(10, 30))
   }
 
+  test("imageAHash: known bit pattern, scale invariance through the codec") {
+    import spark.implicits._
+    // 8x8: top half 10, bottom half 200 -> mean 105 -> bits 0^32 1^32
+    val small = Array.tabulate(64)(k => (if (k < 32) 10 else 200).toByte)
+    // same image upscaled 2x: nearest-resize back to 8x8 is the identity
+    // on the block structure, so the perceptual hash must not change
+    val big = Array.tabulate(16 * 16)(k =>
+      (if (k / 16 < 8) 10 else 200).toByte)
+    val df = Seq(
+      (1L, ext.Multimodal.ImageCodec.encodeGrayPng(8, 8, small)),
+      (2L, ext.Multimodal.ImageCodec.encodeGrayPng(16, 16, big))
+    ).toDF("id", "payload")
+    val media = ext.Multimodal.asMedia(df, "id", "payload", "image/png")
+    val got = ext.Multimodal.imageAHash(media, "id")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "0" * 32 + "1" * 32)
+    assert(got(2L) == got(1L), "aHash must be scale-invariant here")
+  }
+
   test("WAV codec: PCM16 round trip, chunk walking, feature math") {
     import spark.implicits._
     val samples = Array[Short](0, 100, -200, 300, -32768, 32767, -1, 0)
