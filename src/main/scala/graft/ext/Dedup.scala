@@ -237,11 +237,18 @@ object Dedup {
     * aggregation pass over the signatures, and no cache: the self-join's
     * two sides are the identical subplan, so Spark's exchange reuse
     * materializes this shuffle once). */
+  /** Drop rows of over-cap band buckets. Per-band counts aggregate
+    * map-side to ~#buckets tiny rows and broadcast back as an
+    * anti-join — the banded rows (which carry the signature arrays)
+    * are never sort-shuffled just to learn their bucket size (the
+    * previous window-count form paid that full exchange+sort; same
+    * rework as cosineNearDupPairs' cap, SCALE.md round 7). */
   private def capBands(banded: DataFrame, band: String,
       maxBand: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(band))
-    banded.withColumn("__bn", count(lit(1)).over(w))
-      .where(col("__bn") <= maxBand).drop("__bn")
+    val oversized = banded.groupBy(col(band))
+      .agg(count(lit(1)).as("__bn")).where(col("__bn") > maxBand)
+      .select(col(band))
+    banded.join(broadcast(oversized), Seq(band), "left_anti")
   }
 
   /** Candidate near-dup pairs via LSH: docs sharing ≥1 band key.
