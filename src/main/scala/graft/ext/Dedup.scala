@@ -377,9 +377,16 @@ object Dedup {
     * real cluster a lost executor loses localCheckpoint blocks
     * unrecoverably — for 100-TB runs swap in reliable `checkpoint`
     * (HDFS-backed) via the same structure.
+    *
+    * Size-adaptive execution: candidate graphs with at most
+    * `maxDriverEdges` directed edges (counted on the materialized edge
+    * checkpoint — mining is never repeated) resolve by exact driver
+    * union-find instead of the iterative loop; identical labels, none
+    * of the per-round shuffle/checkpoint overhead. Pass 0 to force the
+    * distributed loop (the checkpoint specs do).
     */
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, maxDriverEdges: Long = 4L << 20): DataFrame = {
     // every iteration is eagerly local-checkpointed: the per-round plan
     // would otherwise reference the previous round's plan (and Catalyst
     // re-analyzes the whole growing chain on the driver every round —
@@ -445,6 +452,47 @@ object Dedup {
     val (edges, edgeIds) = ckpt(pairs.select(col(id1).as("a"), col(id2).as("b"))
       .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
       .distinct())
+    // Size-adaptive: near-dup candidate graphs are usually TINY next to
+    // the corpus that produced them (the mining is the expensive part —
+    // thousands of pairs from 10^5-10^6 docs here). Below the edge
+    // threshold, exact union-find on the driver replaces O(log diameter)
+    // rounds of (2 shuffles + checkpoint) each; the count scans the
+    // just-materialized checkpoint, never re-mines. Labels are
+    // identical by construction (min reachable id). Above the
+    // threshold — the 100 TB path, where candidate graphs can carry
+    // billions of edges — the distributed pointer-jumping loop below
+    // runs unchanged.
+    val nDirectedEdges = edges.count()
+    if (nDirectedEdges > 0 && nDirectedEdges <= maxDriverEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          parent.put(x, parent.get(parent.get(x))) // path halving
+          x = parent.get(x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union toward the SMALLER root: the root then IS the min id
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new Array[(Long, Long)](parent.size)
+      val it0 = parent.keySet().iterator()
+      var i = 0
+      while (it0.hasNext) {
+        val n = it0.next(); out(i) = (n, find(n)); i += 1
+      }
+      free(edgeIds)
+      return spark.createDataset(out.toIndexedSeq)
+        .toDF("node", "component")
+    }
     var (labels, labelIds) = ckpt(edges.select(col("a").as("node")).distinct()
       .withColumn("component", col("node")))
     // labels are non-increasing per node, so Σ component strictly

@@ -38,7 +38,11 @@ class DedupCheckpointSpec extends SparkSuite {
       val chain1 = (0L until 63L).map(i => (i, i + 1))
       val chain2 = (100L until 110L).map(i => (i, i + 1))
       val pairs = (chain1 ++ chain2).toDF("id1", "id2")
-      val cc = ext.Dedup.connectedComponents(pairs, "id1", "id2")
+      // maxDriverEdges = 0 forces the DISTRIBUTED branch — the one this
+      // spec exists to exercise (the driver union-find path would
+      // otherwise absorb a graph this small)
+      val cc = ext.Dedup.connectedComponents(pairs, "id1", "id2",
+        maxDriverEdges = 0L)
       val got = cc.as[(Long, Long)].collect().toMap
       assert(got.size == 64 + 11)
       assert((0L to 63L).forall(n => got(n) == 0L), s"chain1 labels: $got")

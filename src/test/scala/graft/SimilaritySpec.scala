@@ -91,17 +91,26 @@ class SimilaritySpec extends SparkSuite {
     // only reachable through 3 -> same component as 1
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 5L), (8L, 9L))
       .toDF("id1", "id2")
-    val cc = ext.Dedup.connectedComponents(pairs, "id1", "id2")
-    val got = cc.as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
-      8L -> 8L, 9L -> 8L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      8L -> 8L, 9L -> 8L)
+    // both branches must agree: driver union-find (small graphs) and
+    // the distributed pointer-jumping loop (forced via the threshold)
+    val viaDriver = ext.Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = ext.Dedup.connectedComponents(pairs, "id1", "id2",
+        maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == want)
+    assert(viaLoop == want)
   }
 
   test("connectedComponents frees every intermediate checkpoint") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val cc = ext.Dedup.connectedComponents(pairs, "id1", "id2")
+    // force the distributed loop — this spec is about ITS checkpoints
+    val cc = ext.Dedup.connectedComponents(pairs, "id1", "id2",
+      maxDriverEdges = 0L)
     assert(cc.as[(Long, Long)].collect().forall(_._2 == 1L))
     // a 40-node chain runs several pointer-jump rounds; only the FINAL
     // round's checkpoint may remain materialized (it backs the result)
@@ -285,12 +294,16 @@ class SimilaritySpec extends SparkSuite {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
       .toDF("id1", "id2")
-    val local = ext.Dedup.connectedComponents(pairs, "id1", "id2")
+    // force the distributed loop throughout — this spec is about the
+    // reliable-checkpoint ROUNDS, which the driver path has none of
+    val local = ext.Dedup.connectedComponents(pairs, "id1", "id2",
+        maxDriverEdges = 0L)
       .as[(Long, Long)].collect().toSet
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    val rel = ext.Dedup.connectedComponents(pairs, "id1", "id2")
+    val rel = ext.Dedup.connectedComponents(pairs, "id1", "id2",
+        maxDriverEdges = 0L)
       .as[(Long, Long)].collect().toSet
     assert(rel == local)
     assert(rel == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
