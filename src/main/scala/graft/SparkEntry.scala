@@ -576,9 +576,12 @@ object SparkEntry {
         .select(col("doc_id"),
           m("top_word_frac").as("top_word_frac"),
           m("top_bigram_frac").as("top_bigram_frac"),
-          m("dup_bigram_frac").as("dup_bigram_frac"),
-          (m("top_word_frac") < 0.2 && m("dup_bigram_frac") < 0.5)
-            .as("pass"))
+          m("dup_bigram_frac").as("dup_bigram_frac"))
+        // pass in a SECOND projection over the aliased columns: the
+        // HOF trees are excluded from subexpression elimination, so
+        // inlining the metrics again would evaluate them twice per row
+        .withColumn("pass",
+          col("top_word_frac") < 0.2 && col("dup_bigram_frac") < 0.5)
         .orderBy("doc_id")
     }),
 
@@ -597,7 +600,9 @@ object SparkEntry {
         .groupBy("domain")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
         .withColumn("blocked", col("domain").isin(blocked.map(lit): _*))
-        .orderBy("domain")
+        // nulls_last: a NULL text ⇒ NULL domain group, and Spark sorts
+        // nulls FIRST by default where DuckDB sorts them LAST
+        .orderBy(asc_nulls_last("domain"))
     }),
 
     // Image dedup by perceptual hash: planted PNGs whose CONTENT is

@@ -236,19 +236,17 @@ object Dedup {
     * the SAME band-key shuffle the candidate self-join needs (no second
     * aggregation pass over the signatures, and no cache: the self-join's
     * two sides are the identical subplan, so Spark's exchange reuse
-    * materializes this shuffle once). */
-  /** Drop rows of over-cap band buckets. Per-band counts aggregate
-    * map-side to ~#buckets tiny rows and broadcast back as an
-    * anti-join — the banded rows (which carry the signature arrays)
-    * are never sort-shuffled just to learn their bucket size (the
-    * previous window-count form paid that full exchange+sort; same
-    * rework as cosineNearDupPairs' cap, SCALE.md round 7). */
+    * materializes this shuffle once). A broadcast-anti-join cap (the
+    * cosineNearDupPairs shape) was tried in round 7 and REVERTED: here
+    * the banded rows are small (h longs) and the band-key exchange is
+    * needed by the join anyway, while the separate count aggregate
+    * consumes the signature pipeline a second time with no exchange to
+    * reuse — a net extra corpus pass, measured no faster at 100×. */
   private def capBands(banded: DataFrame, band: String,
       maxBand: Int): DataFrame = {
-    val oversized = banded.groupBy(col(band))
-      .agg(count(lit(1)).as("__bn")).where(col("__bn") > maxBand)
-      .select(col(band))
-    banded.join(broadcast(oversized), Seq(band), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(band))
+    banded.withColumn("__bn", count(lit(1)).over(w))
+      .where(col("__bn") <= maxBand).drop("__bn")
   }
 
   /** Candidate near-dup pairs via LSH: docs sharing ≥1 band key.
@@ -380,13 +378,16 @@ object Dedup {
     *
     * Size-adaptive execution: candidate graphs with at most
     * `maxDriverEdges` directed edges (counted on the materialized edge
-    * checkpoint — mining is never repeated) resolve by exact driver
-    * union-find instead of the iterative loop; identical labels, none
-    * of the per-round shuffle/checkpoint overhead. Pass 0 to force the
-    * distributed loop (the checkpoint specs do).
+    * checkpoint — mining is never repeated) AND integral ids resolve by
+    * exact driver union-find instead of the iterative loop; identical
+    * labels, and the output schema is cast to the input id type either
+    * way. The default 2^20 edges costs at most ~100-200 MB of transient
+    * driver heap (boxed map + collected tuples) — raise only with
+    * driver memory to match; pass 0 to force the distributed loop (the
+    * checkpoint specs do).
     */
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
-      maxIter: Int = 30, maxDriverEdges: Long = 4L << 20): DataFrame = {
+      maxIter: Int = 30, maxDriverEdges: Long = 1L << 20): DataFrame = {
     // every iteration is eagerly local-checkpointed: the per-round plan
     // would otherwise reference the previous round's plan (and Catalyst
     // re-analyzes the whole growing chain on the driver every round —
@@ -462,11 +463,25 @@ object Dedup {
     // threshold — the 100 TB path, where candidate graphs can carry
     // billions of edges — the distributed pointer-jumping loop below
     // runs unchanged.
+    // driver branch only for integral ids (the Long encoder below would
+    // refuse string ids that the column-based loop handles fine), and
+    // the output is cast back to the INPUT id type so the schema never
+    // depends on which branch ran
+    val idType = pairs.schema(id1).dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val nDirectedEdges = edges.count()
-    if (nDirectedEdges > 0 && nDirectedEdges <= maxDriverEdges) {
+    if (integralIds && nDirectedEdges > 0 &&
+        nDirectedEdges <= maxDriverEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = edges.as[(Long, Long)].collect()
+      val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -492,6 +507,8 @@ object Dedup {
       free(edgeIds)
       return spark.createDataset(out.toIndexedSeq)
         .toDF("node", "component")
+        .select(col("node").cast(idType).as("node"),
+          col("component").cast(idType).as("component"))
     }
     var (labels, labelIds) = ckpt(edges.select(col("a").as("node")).distinct()
       .withColumn("component", col("node")))

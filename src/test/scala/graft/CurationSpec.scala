@@ -16,7 +16,10 @@ class CurationSpec extends SparkSuite {
     val docs = Seq(
       (1L, "a a a a"),          // one word: top_word 1.0; bigrams all "a a"
       (2L, "w x y z"),          // all distinct: top_word .25, no dup bigrams
-      (3L, "solo"),             // no bigrams -> null fractions, null pass
+      (3L, "solo"),             // no bigrams -> null bigram fractions
+                                // (pass would be FALSE, not null:
+                                // top_word 1.0 < 0.2 is false, and
+                                // FALSE AND NULL = FALSE in both engines)
       (4L, "p q p q p")         // bigrams: p q (x2), q p (x2) -> all dup
     ).toDF("doc_id", "text")
     val m = graft.ext.TextAnalysis.repetitionExprs(col("text"))
