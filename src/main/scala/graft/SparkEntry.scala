@@ -571,15 +571,10 @@ object SparkEntry {
     // the repetition leg of a training-data quality pipeline.
     // Shuffle-free per-row column expressions over the corpus scan.
     "q75_repetition" -> ((s, dir) => {
-      val m = ext.TextAnalysis.repetitionExprs(col("text"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          m("top_word_frac").as("top_word_frac"),
-          m("top_bigram_frac").as("top_bigram_frac"),
-          m("dup_bigram_frac").as("dup_bigram_frac"))
-        // pass in a SECOND projection over the aliased columns: the
-        // HOF trees are excluded from subexpression elimination, so
-        // inlining the metrics again would evaluate them twice per row
+      // typed kernel, parity-pinned to the repetitionExprs column form
+      // (the interpreted-HOF column path measured 24 s in-sweep)
+      ext.TextAnalysis.repetitionFrame(
+          Tables.documents(s, dir), "doc_id", "text")
         .withColumn("pass",
           col("top_word_frac") < 0.2 && col("dup_bigram_frac") < 0.5)
         .orderBy("doc_id")

@@ -76,6 +76,58 @@ object TextAnalysis {
       "dup_bigram_frac" -> dupBigram)
   }
 
+  /** [[repetitionExprs]] as a typed primitive kernel — the corpus-scan
+    * hot path (the q26 lesson yet again: the column form's
+    * O(distinct·n) per-doc work runs through interpreted lambda HOFs,
+    * measured 24 s for the sf0.1 sweep vs ~1 s here). Tokenization
+    * stays in Catalyst ([[words]] — identical to the SQL oracle);
+    * everything downstream (count maps, max, dup mass, the final one
+    * IEEE divide each) is plain integer arithmetic, so the doubles are
+    * bit-identical to the column form (parity-spec-pinned, which keeps
+    * the column form as the documented oracle anchor).
+    *
+    * Output: `id`, top_word_frac, top_bigram_frac, dup_bigram_frac
+    * (nulls for a null text; bigram fractions null for 1-word docs,
+    * exactly like the column form).
+    */
+  def repetitionFrame(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id), words(col(text)))
+      .as[(Long, Seq[String])]
+      .map { case (docId, ws) =>
+        if (ws == null) (docId, None: Option[Double], None: Option[Double],
+          None: Option[Double])
+        else {
+          val n = ws.length
+          val wc = new java.util.HashMap[String, Int]()
+          ws.foreach(w => wc.merge(w, 1, _ + _))
+          var topW = 0
+          wc.values.forEach(c => if (c > topW) topW = c)
+          val topWord = Some(topW.toDouble / n)
+          if (n < 2) (docId, topWord, None, None)
+          else {
+            val nbg = n - 1
+            val bc = new java.util.HashMap[String, Int]()
+            var i = 0
+            while (i < nbg) {
+              bc.merge(ws(i) + " " + ws(i + 1), 1, _ + _); i += 1
+            }
+            var topB = 0
+            var dup = 0
+            bc.values.forEach { c =>
+              if (c > topB) topB = c
+              if (c >= 2) dup += c
+            }
+            (docId, topWord, Some(topB.toDouble / nbg),
+              Some(dup.toDouble / nbg))
+          }
+        }
+      }
+      .toDF(id, "top_word_frac", "top_bigram_frac", "dup_bigram_frac")
+  }
+
   /** Per-language marker vocabularies for the n-gram/stopword language
     * heuristic. Deterministic scoring: hits per marker list; argmax with
     * fixed tie order (en, fr, es, de, zh). */

@@ -34,6 +34,34 @@ class CurationSpec extends SparkSuite {
       (4L, Some(3.0 / 5), Some(0.5), Some(1.0))))
   }
 
+  test("repetition kernel is bit-identical to the column form") {
+    // the typed kernel is the hot path; the column form remains the
+    // documented oracle anchor — they must agree on every double,
+    // including the real corpus and the degenerate shapes
+    val crafted = Seq((9001L, "a a a a"), (9002L, "w x y z"),
+      (9003L, "solo"), (9004L, "p q p q p")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(crafted)
+    val m = graft.ext.TextAnalysis.repetitionExprs(col("text"))
+    val viaCols = docs.select(col("doc_id"),
+        m("top_word_frac").as("top_word_frac"),
+        m("top_bigram_frac").as("top_bigram_frac"),
+        m("dup_bigram_frac").as("dup_bigram_frac"))
+      .orderBy("doc_id")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    val viaKernel = graft.ext.TextAnalysis
+      .repetitionFrame(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    def bits(r: (Long, Option[Double], Option[Double], Option[Double])) =
+      (r._1, r._2.map(java.lang.Double.doubleToLongBits),
+        r._3.map(java.lang.Double.doubleToLongBits),
+        r._4.map(java.lang.Double.doubleToLongBits))
+    assert(viaKernel.map(bits) == viaCols.map(bits))
+  }
+
   test("decontaminate flags planted shingle overlaps and nothing else") {
     val df = Seq(
       // bench slice (doc_id % 20 == 0)
