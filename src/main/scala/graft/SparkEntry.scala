@@ -570,6 +570,26 @@ object SparkEntry {
     // duplicate word/bigram mass per document plus a policy pass flag —
     // the repetition leg of a training-data quality pipeline.
     // Shuffle-free per-row column expressions over the corpus scan.
+    // Token-budget sequence packing — the sharding step between
+    // curation and training: documents pack greedily (in deterministic
+    // doc_id order, per language) into fixed token-budget bins via a
+    // running-sum window; a doc whose cumulative sum crosses a boundary
+    // opens the next pack. Scale shape: the window partitions by lang
+    // (at corpus scale, by shard key) — never one global reducer.
+    "q78_token_packing" -> ((s, dir) => {
+      val budget = 2000L
+      val tokens = ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), tokens.as("n_tokens"))
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        // integer div (Spark's `/` on longs is DOUBLE division)
+        .withColumn("pack_id", expr(s"(__cum - 1) div $budget"))
+        .drop("__cum")
+        .orderBy("lang", "doc_id")
+    }),
+
     "q75_repetition" -> ((s, dir) => {
       // typed kernel, parity-pinned to the repetitionExprs column form
       // (the interpreted-HOF column path measured 24 s in-sweep)
@@ -1917,6 +1937,15 @@ object SparkEntry {
         |       OR CAST(ts_us - pt AS DOUBLE) / 1000000.0 > 7200.0
         |      THEN NULL ELSE value END AS rate
         |FROM r ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // greedy packing = integer window cumsum; all-integer math
+    "q78_token_packing" ->
+      s"""$sqlDocWords
+        |SELECT doc_id, lang, len(ws) AS n_tokens,
+        | (SUM(len(ws)) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 2000
+        |   AS pack_id
+        |FROM d ORDER BY lang, doc_id""".stripMargin,
 
     // same tokenization CTE as q21; counts are exact integers, so the
     // final one-divide doubles agree bit-for-bit across engines
