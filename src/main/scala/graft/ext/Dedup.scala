@@ -505,7 +505,8 @@ object Dedup {
         val n = it0.next(); out(i) = (n, find(n)); i += 1
       }
       free(edgeIds)
-      return spark.createDataset(out.toIndexedSeq)
+      return spark.createDataset( // wrap, don't copy, the result array
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
         .toDF("node", "component")
         .select(col("node").cast(idType).as("node"),
           col("component").cast(idType).as("component"))

@@ -58,13 +58,18 @@ object Multimodal {
     // payloads (measured ~4x on 500 tiny PNGs). In-memory streams only.
     javax.imageio.ImageIO.setUseCache(false)
 
-    def encodeGrayPng(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    private def grayImage(w: Int, h: Int,
+        px: Array[Byte]): java.awt.image.BufferedImage = {
       require(px.length == w * h, s"expected ${w * h} pixels, got ${px.length}")
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       img.getRaster.setDataElements(0, 0, w, h, px)
+      img
+    }
+
+    def encodeGrayPng(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      javax.imageio.ImageIO.write(grayImage(w, h, px), "png", bos)
       bos.toByteArray
     }
 
@@ -77,10 +82,7 @@ object Multimodal {
       * by spec. General frames are lossy, as JPEG is. */
     def encodeGrayJpeg(w: Int, h: Int, px: Array[Byte],
         quality: Float = 1.0f): Array[Byte] = {
-      require(px.length == w * h, s"expected ${w * h} pixels, got ${px.length}")
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      img.getRaster.setDataElements(0, 0, w, h, px)
+      val img = grayImage(w, h, px)
       val bos = new java.io.ByteArrayOutputStream()
       val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
