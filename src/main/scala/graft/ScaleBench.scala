@@ -55,7 +55,10 @@ object ScaleBench {
     "q66_ann_ivf_trained", // k-means sample collect + broadcast centroids
     "q69_video_frames",    // per-row container decode, no shuffle
     "q70_canonical_select", // CC + quality argmax window per component
-    "q71_pii_scrub")       // per-row regex detect/redact, no shuffle
+    "q71_pii_scrub",       // per-row regex detect/redact, no shuffle
+    "q75_repetition",      // typed repetition kernel, no shuffle
+    "q77_image_neardup",   // decode + aHash kernel + hash groupBy
+    "q78_token_packing")   // per-lang window cumsum packing
 
   /** Variants that exist only for the scale comparison (not oracle
     * queries): q45 with corpus-sized hyperplane count — the fix for the
