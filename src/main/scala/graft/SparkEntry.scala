@@ -650,6 +650,37 @@ object SparkEntry {
         .orderBy("ahash", "min_doc")
     }),
 
+    // Perceptual image NEAR-dup pairs: 8×8 planted images (identity
+    // resize) where every 5th group member carries a one-cell nudge —
+    // a realistic near-variant whose aHash sits a few bits from its
+    // base. Banded Hamming join over the hash strings (recall exact
+    // for hamming < bands by pigeonhole), exact Hamming verify. The
+    // oracle replays pixels, hash, bands, and verify in closed form.
+    "q79_image_neardup_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val paySchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val pngs = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val g = id % 40
+          val variant = (id / 40) % 5 == 4
+          val c = (id % 64).toInt
+          val px = Array.tabulate(64) { k =>
+            val base = (g * 31 + 23L * k) % 256
+            (if (variant && k == c) (base + 128) % 256 else base).toByte
+          }
+          Row(id, ext.Multimodal.ImageCodec.encodeGrayPng(8, 8, px))
+        }
+      }(Encoders.row(paySchema))
+      val media = ext.Multimodal.asMedia(pngs, "doc_id", "payload", "image/png")
+      val hashes = ext.Multimodal.imageAHash(media, "doc_id")
+      ext.Multimodal.aHashNearDupPairs(hashes, "doc_id", "ahash")
+        .orderBy("id1", "id2")
+    }),
+
     // Canonical selection — the row a dedup pipeline actually ships:
     // near-dup components (q43's operator) joined with quality scores,
     // keep the best-scoring doc per component (ties to the smaller id);
@@ -2013,6 +2044,47 @@ object SparkEntry {
         | FROM s)
         |SELECT ahash, COUNT(*) AS n_imgs, MIN(doc_id) AS min_doc
         |FROM hs GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1, 3""".stripMargin,
+
+    // same planted pixels (8x8 identity resize, one-cell nudge on every
+    // 5th group member), same integer aHash, same 4x16 bands, same
+    // Hamming verify
+    "q79_image_neardup_pairs" ->
+      """WITH d AS (
+        | SELECT doc_id, doc_id % 40 AS g,
+        |  (doc_id // 40) % 5 = 4 AS variant, doc_id % 64 AS c
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id,
+        |  list_transform(range(0, 64), k ->
+        |    CASE WHEN variant AND k = c
+        |         THEN ((g*31 + 23*k) % 256 + 128) % 256
+        |         ELSE (g*31 + 23*k) % 256 END) AS p8
+        | FROM d),
+        |s AS (SELECT doc_id, p8, list_sum(p8) AS tot FROM p),
+        |hs AS (
+        | SELECT doc_id,
+        |  array_to_string(list_transform(p8,
+        |    v -> CASE WHEN v * 64 > tot THEN '1' ELSE '0' END), '') AS ahash
+        | FROM s),
+        |bd AS (
+        | SELECT doc_id, ahash, unnest(range(0, 4)) AS bi FROM hs),
+        |bd2 AS (
+        | SELECT doc_id, ahash, bi, substr(ahash, 1 + bi*16, 16) AS bv
+        | FROM bd),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |  a.ahash AS h1, b.ahash AS h2
+        | FROM bd2 a JOIN bd2 b ON a.bi = b.bi AND a.bv = b.bv
+        |  AND a.doc_id < b.doc_id)
+        |SELECT id1, id2,
+        | CAST(list_sum(list_transform(range(1, 65), i ->
+        |   CASE WHEN substr(h1, i, 1) <> substr(h2, i, 1)
+        |        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE list_sum(list_transform(range(1, 65), i ->
+        |   CASE WHEN substr(h1, i, 1) <> substr(h2, i, 1)
+        |        THEN 1 ELSE 0 END)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
 
     "q72_streaming_cdp" -> (sqlPdpWhere("WHERE user_id < 30") +
       """,pdp AS (

@@ -528,6 +528,47 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Near-duplicate image PAIRS by banded Hamming over [[imageAHash]]
+    * bit strings — the LSH step of perceptual image dedup: the 64-bit
+    * hash splits into `bands` contiguous substrings, images sharing any
+    * band meet in an equi-join, and the exact Hamming distance verifies.
+    * Pigeonhole guarantee: a pair within `maxHamming < bands` differing
+    * bits has at least one untouched band, so candidate recall is exact
+    * (the same argument as SimHash banding).
+    *
+    * Scale shape: the only shuffle is the band equi-join (candidates,
+    * never all pairs); the Hamming verify is per-candidate column work
+    * bounded by bucket occupancy. Output: (id1 < id2, hamming),
+    * distinct.
+    */
+  def aHashNearDupPairs(hashes: DataFrame, id: String, hash: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64 (got $bands)")
+    require(maxHamming < bands,
+      s"recall is exact only for maxHamming < bands ($maxHamming/$bands)")
+    val bl = 64 / bands
+    val banded = hashes.select(col(id).as("doc_id"), col(hash).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(array((0 until bands).map(b => struct(
+          lit(b).as("bi"),
+          substring(col("h"), b * bl + 1, bl).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("h"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = banded.select(col("bi"), col("bv"),
+      col("doc_id").as("id1"), col("h").as("h1"))
+    val b = banded.select(col("bi"), col("bv"),
+      col("doc_id").as("id2"), col("h").as("h2"))
+    val hamming = size(filter(
+      zip_with(split(col("h1"), ""), split(col("h2"), ""),
+        (x, y) => when(x =!= y, lit(1)).otherwise(lit(null))),
+      _.isNotNull))
+    a.join(b, Seq("bi", "bv")).where(col("id1") < col("id2"))
+      .withColumn("hamming", hamming.cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .distinct()
+  }
+
   /** Frame-sampled features from the real AVI decoder: every `stride`-th
     * frame's mean pixel and order checksum — one output row per KEPT
     * frame (the keyframe-extraction shape of a video pipeline), still a

@@ -400,6 +400,34 @@ class SimilaritySpec extends SparkSuite {
     assert(got(2L) == got(1L), "aHash must be scale-invariant here")
   }
 
+  test("aHashNearDupPairs: banding finds hamming<=3, verify gates the rest") {
+    import spark.implicits._
+    val base = "0" * 64
+    def flip(s: String, is: Int*): String = {
+      val a = s.toCharArray
+      is.foreach(i => a(i) = if (a(i) == '0') '1' else '0')
+      new String(a)
+    }
+    val hashes = Seq(
+      1L -> base,
+      2L -> flip(base, 0, 20, 40),          // 3 bits, 3 bands -> pair
+      3L -> flip(base, 5),                  // 1 bit -> pair with 1 (and 2: 4 bits but bands 1..3 of doc 3 match base... doc2 vs doc3 share band 3)
+      4L -> flip(base, 1, 17, 33, 49)       // 1 bit per band: candidate of nobody except via... shares NO band with base
+    ).toDF("doc_id", "ahash")
+    val got = ext.Multimodal.aHashNearDupPairs(hashes, "doc_id", "ahash")
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2): hamming 3, bands 4 untouched for band 3 -> found
+    assert(got.contains((1L, 2L, 3L)))
+    // (1,3): hamming 1 -> found
+    assert(got.contains((1L, 3L, 1L)))
+    // (1,4): hamming 4 with every band touched -> no shared band, and
+    // over maxHamming anyway -> absent
+    assert(!got.exists(p => p._1 == 1L && p._2 == 4L))
+    // (2,3): hamming 4 -> candidates share untouched band 4 but the
+    // exact verify rejects them
+    assert(!got.exists(p => p._1 == 2L && p._2 == 3L))
+  }
+
   test("WAV codec: PCM16 round trip, chunk walking, feature math") {
     import spark.implicits._
     val samples = Array[Short](0, 100, -200, 300, -32768, 32767, -1, 0)
