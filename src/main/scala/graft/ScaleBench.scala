@@ -58,7 +58,8 @@ object ScaleBench {
     "q71_pii_scrub",       // per-row regex detect/redact, no shuffle
     "q75_repetition",      // typed repetition kernel, no shuffle
     "q77_image_neardup",   // decode + aHash kernel + hash groupBy
-    "q78_token_packing")   // per-lang window cumsum packing
+    "q78_token_packing",   // per-lang window cumsum packing
+    "q79_image_neardup_pairs") // banded Hamming join + kernel verify
 
   /** Variants that exist only for the scale comparison (not oracle
     * queries): q45 with corpus-sized hyperplane count — the fix for the

@@ -651,11 +651,20 @@ object SparkEntry {
     }),
 
     // Perceptual image NEAR-dup pairs: 8×8 planted images (identity
-    // resize) where every 5th group member carries a one-cell nudge —
-    // a realistic near-variant whose aHash sits a few bits from its
-    // base. Banded Hamming join over the hash strings (recall exact
+    // resize) where two members of each dup group carry a one-cell
+    // nudge — realistic near-variants whose aHash sits a few bits from
+    // the base. Banded Hamming join over the hash strings (recall exact
     // for hamming < bands by pigeonhole), exact Hamming verify. The
     // oracle replays pixels, hash, bands, and verify in closed form.
+    // Group key is doc_id div 12: group SIZE is fixed and group COUNT
+    // grows with the corpus — duplicate-pair output stays linear at
+    // scale (a modular key like doc_id % 40 collapses replicas onto the
+    // same groups and the identical-pair output goes quadratic — caught
+    // at the 100× replica). Pixels derive from a 60-bit md5 seed per
+    // group, not a linear byte formula: a formula like (g·31 + 23k)%256
+    // has only 256 distinct images, so distant groups collide into
+    // identical images and pair output goes quadratic AGAIN past ~3k
+    // groups (also caught at the replica; same md5-seed idiom as q63).
     "q79_image_neardup_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"))
@@ -663,13 +672,20 @@ object SparkEntry {
         StructField("doc_id", LongType),
         StructField("payload", BinaryType)))
       val pngs = docs.mapPartitions { rows =>
+        val mdd = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val id = r.getLong(0)
-          val g = id % 40
-          val variant = (id / 40) % 5 == 4
+          val g = id / 12
+          mdd.reset()
+          val hex = mdd.digest(g.toString.getBytes("US-ASCII"))
+            .map(b => f"$b%02x").mkString.take(15)
+          val seed = java.lang.Long.parseLong(hex, 16) // 60-bit, positive
+          val variant = id % 12 >= 10
           val c = (id % 64).toInt
           val px = Array.tabulate(64) { k =>
-            val base = (g * 31 + 23L * k) % 256
+            // cycle the seed's 7 low bytes across cells (+23k mixing);
+            // division form so the SQL replay is literally identical
+            val base = ((seed / (1L << (8 * (k % 7)))) % 256 + 23L * k) % 256
             (if (variant && k == c) (base + 128) % 256 else base).toByte
           }
           Row(id, ext.Multimodal.ImageCodec.encodeGrayPng(8, 8, px))
@@ -2049,17 +2065,21 @@ object SparkEntry {
     // 5th group member), same integer aHash, same 4x16 bands, same
     // Hamming verify
     "q79_image_neardup_pairs" ->
-      """WITH d AS (
-        | SELECT doc_id, doc_id % 40 AS g,
-        |  (doc_id // 40) % 5 = 4 AS variant, doc_id % 64 AS c
+      s"""WITH d AS (
+        | SELECT doc_id, doc_id // 12 AS g,
+        |  doc_id % 12 >= 10 AS variant, doc_id % 64 AS c
         | FROM documents),
+        |sd AS (
+        | SELECT doc_id, variant, c,
+        |  ${sqlHexToLong("substr(md5(CAST(g AS VARCHAR)), 1, 15)")} AS seed
+        | FROM d),
         |p AS (
         | SELECT doc_id,
         |  list_transform(range(0, 64), k ->
         |    CASE WHEN variant AND k = c
-        |         THEN ((g*31 + 23*k) % 256 + 128) % 256
-        |         ELSE (g*31 + 23*k) % 256 END) AS p8
-        | FROM d),
+        |         THEN (((seed // (CAST(1 AS BIGINT) << (8*(k%7)))) % 256 + 23*k) % 256 + 128) % 256
+        |         ELSE ((seed // (CAST(1 AS BIGINT) << (8*(k%7)))) % 256 + 23*k) % 256 END) AS p8
+        | FROM sd),
         |s AS (SELECT doc_id, p8, list_sum(p8) AS tot FROM p),
         |hs AS (
         | SELECT doc_id,
