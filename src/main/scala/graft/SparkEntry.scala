@@ -566,10 +566,6 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
-    // Gopher-style repetition filter (Rae et al. 2021 §A1.1): the
-    // duplicate word/bigram mass per document plus a policy pass flag —
-    // the repetition leg of a training-data quality pipeline.
-    // Shuffle-free per-row column expressions over the corpus scan.
     // Token-budget sequence packing — the sharding step between
     // curation and training: documents pack greedily (in deterministic
     // doc_id order, per language) into fixed token-budget bins via a
@@ -590,6 +586,9 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Gopher-style repetition filter (Rae et al. 2021 §A1.1): the
+    // duplicate word/bigram mass per document plus a policy pass flag —
+    // the repetition leg of a training-data quality pipeline.
     "q75_repetition" -> ((s, dir) => {
       // typed kernel, parity-pinned to the repetitionExprs column form
       // (the interpreted-HOF column path measured 24 s in-sweep)
@@ -666,20 +665,21 @@ object SparkEntry {
     // identical images and pair output goes quadratic AGAIN past ~3k
     // groups (also caught at the replica; same md5-seed idiom as q63).
     "q79_image_neardup_pairs" -> ((s, dir) => {
+      // the 60-bit md5 seed comes from the SAME Catalyst idiom as
+      // Curation.hashUniform (conv/substring/md5), so Scala and the
+      // DuckDB sqlHexToLong replay agree by construction — no parallel
+      // hand-rolled digest to keep bit-compatible
       val docs = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long").as("doc_id"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          conv(substring(md5(expr("doc_id div 12").cast("string")), 1, 15),
+            16, 10).cast("long").as("seed"))
       val paySchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("payload", BinaryType)))
       val pngs = docs.mapPartitions { rows =>
-        val mdd = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val id = r.getLong(0)
-          val g = id / 12
-          mdd.reset()
-          val hex = mdd.digest(g.toString.getBytes("US-ASCII"))
-            .map(b => f"$b%02x").mkString.take(15)
-          val seed = java.lang.Long.parseLong(hex, 16) // 60-bit, positive
+          val seed = r.getLong(1) // 60-bit, positive
           val variant = id % 12 >= 10
           val c = (id % 64).toInt
           val px = Array.tabulate(64) { k =>
@@ -2061,9 +2061,9 @@ object SparkEntry {
         |SELECT ahash, COUNT(*) AS n_imgs, MIN(doc_id) AS min_doc
         |FROM hs GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1, 3""".stripMargin,
 
-    // same planted pixels (8x8 identity resize, one-cell nudge on every
-    // 5th group member), same integer aHash, same 4x16 bands, same
-    // Hamming verify
+    // same planted pixels (8x8 identity resize; members 10-11 of each
+    // 12-member group carry the one-cell nudge), same md5 seed, same
+    // integer aHash, same 4x16 bands, same Hamming verify
     "q79_image_neardup_pairs" ->
       s"""WITH d AS (
         | SELECT doc_id, doc_id // 12 AS g,

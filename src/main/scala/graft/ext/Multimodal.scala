@@ -546,6 +546,10 @@ object Multimodal {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64 (got $bands)")
     require(maxHamming < bands,
       s"recall is exact only for maxHamming < bands ($maxHamming/$bands)")
+    // contract: 64-char bit strings ([[imageAHash]]'s output). A shorter
+    // hash would make the tail bands all-empty-string and the equi-join
+    // silently quadratic; the verify kernel re-checks per row (loudly,
+    // before any quadratic work completes) since plan-time cannot.
     val bl = 64 / bands
     val banded = hashes.select(col(id).as("doc_id"), col(hash).as("h"))
       .select(col("doc_id"), col("h"),
@@ -563,22 +567,28 @@ object Multimodal {
     // Hamming verify as a typed kernel: identical-image groups make the
     // candidate set quadratic in group size, and an interpreted
     // zip_with per candidate measured ~5 s at sf0.1 — the same hot-path
-    // split as the dedup kernels (the banding-recall spec pins outputs)
+    // split as the dedup kernels (the banding-recall spec pins outputs).
+    // Candidates dedup BEFORE the verify (a pair sharing m bands would
+    // otherwise be verified m times — up to 4× on the dominant
+    // identical-image term); pairs are then unique, so no distinct
+    // afterwards.
     a.join(b, Seq("bi", "bv")).where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("h1"), col("h2"))
+      .distinct()
       .as[(Long, Long, String, String)]
       .mapPartitions(_.flatMap { case (id1, id2, h1, h2) =>
+        require(h1.length == 64 && h2.length == 64,
+          s"aHashNearDupPairs needs 64-char bit strings (got " +
+            s"${h1.length}/${h2.length})")
         var d = 0
         var i = 0
-        val n = h1.length
-        while (i < n && d <= maxHamming) {
+        while (i < 64 && d <= maxHamming) {
           if (h1.charAt(i) != h2.charAt(i)) d += 1
           i += 1
         }
         if (d <= maxHamming) Some((id1, id2, d.toLong)) else None
       })
       .toDF("id1", "id2", "hamming")
-      .distinct()
   }
 
   /** Frame-sampled features from the real AVI decoder: every `stride`-th
