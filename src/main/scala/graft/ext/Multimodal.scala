@@ -568,13 +568,14 @@ object Multimodal {
     // candidate set quadratic in group size, and an interpreted
     // zip_with per candidate measured ~5 s at sf0.1 — the same hot-path
     // split as the dedup kernels (the banding-recall spec pins outputs).
-    // Candidates dedup BEFORE the verify (a pair sharing m bands would
-    // otherwise be verified m times — up to 4× on the dominant
-    // identical-image term); pairs are then unique, so no distinct
-    // afterwards.
+    // The verify runs STREAMING off the join before any dedup: a pair
+    // sharing m bands is verified m times (≤4×, early-exit char
+    // compares), but deduping candidates first would instead push the
+    // whole quadratic candidate set — both 64-char hashes per row —
+    // through a full exchange (tried in round 7: 4.8 s → 26.4 s at the
+    // 100× replica, reverted). Only survivors reach the final distinct.
     a.join(b, Seq("bi", "bv")).where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("h1"), col("h2"))
-      .distinct()
       .as[(Long, Long, String, String)]
       .mapPartitions(_.flatMap { case (id1, id2, h1, h2) =>
         require(h1.length == 64 && h2.length == 64,
@@ -589,6 +590,7 @@ object Multimodal {
         if (d <= maxHamming) Some((id1, id2, d.toLong)) else None
       })
       .toDF("id1", "id2", "hamming")
+      .distinct()
   }
 
   /** Frame-sampled features from the real AVI decoder: every `stride`-th
