@@ -256,6 +256,15 @@ class StoreStreamingSpec extends SparkSuite {
   test("gateFileRun: file-source micro-batches, partial late acceptance") {
     import spark.implicits._
     import StreamingIngest.GateRow
+    def streamRoots(): Set[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      scala.util.Using.resource(java.nio.file.Files.list(tmp)) { s =>
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("graft-stream-")).toSet
+      }
+    }
+    val rootsBefore = streamRoots()
     val input = Seq(GateRow("a", 100, 1, 1.0), GateRow("a", 200, 2, 2.0),
       GateRow("b", 100, 3, 9.0)).toDS()
     // late batch: a@150 stale (rejected), a@250 advances (accepted),
@@ -266,5 +275,16 @@ class StoreStreamingSpec extends SparkSuite {
       .collect().toSet
     assert(got == Set(GateRow("a", 100, 1, 1.0), GateRow("a", 200, 2, 2.0),
       GateRow("b", 100, 3, 9.0), GateRow("a", 250, 5, 4.0)))
+    // eager cleanup: the run's temp root keeps ONLY the sink dir — the
+    // input and checkpoint trees are deleted the moment the query stops
+    val added = streamRoots() -- rootsBefore
+    assert(added.size == 1, s"expected one new stream root, got $added")
+    import scala.jdk.CollectionConverters._
+    val children = scala.util.Using.resource(
+      java.nio.file.Files.list(added.head)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString).toSet
+    }
+    assert(children == Set("out"),
+      s"input/checkpoint must be deleted eagerly, found $children")
   }
 }
