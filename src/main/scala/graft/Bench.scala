@@ -69,6 +69,17 @@ object Bench {
     * `bench_last.json`). */
   private def shortKey(name: String): String = name.takeWhile(_ != '_')
 
+  /** Short-key function for a concrete query set: any qNN prefix shared
+    * by two selected names would emit duplicate JSON keys (and alias
+    * their prior-round timings), so colliding names keep their FULL
+    * name in the stdout line and opt out of the prior-time lookup. */
+  private def keyFor(names: Iterable[String]): String => String = {
+    val dup = names.groupBy(shortKey).collect {
+      case (k, vs) if vs.size > 1 => k
+    }.toSet
+    n => { val k = shortKey(n); if (dup(k)) n else k }
+  }
+
   /** Previous-round per-query seconds, scraped from the newest
     * BENCH_r*.json in the working directory and keyed by [[shortKey]]
     * (older artifacts carried full `qNN_*` names, newer ones short
@@ -165,6 +176,7 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     val results = selected.map { case (name, fn) => name -> run1(name, fn) }
+    val skey = keyFor(selected.keys)
 
     // Anomaly pass: any query >5x its previous-round time (and >5 s
     // absolute) re-runs once, solo, same JVM. A real plan regression
@@ -173,9 +185,9 @@ object Bench {
     val prior = priorTimes()
     val reruns = results.collect {
       case (name, (sec, _, _)) if sec > 5.0 &&
-          prior.get(shortKey(name)).exists(p => p > 0 && sec > 5 * p) =>
+          prior.get(skey(name)).exists(p => p > 0 && sec > 5 * p) =>
         System.err.println(f"[bench] $name%s took $sec%.1f s vs " +
-          f"${prior(shortKey(name))}%.1f s last round — re-running solo")
+          f"${prior(skey(name))}%.1f s last round — re-running solo")
         name -> run1(name, selected(name))
     }
 
@@ -217,9 +229,9 @@ object Bench {
       (math.round(d * 100) / 100.0).toString
     def short2(m: Iterable[(String, (Double, Health, Option[String]))]) =
       m.map { case (k, (sec, _, _)) =>
-        "\"" + shortKey(k) + "\":" + r2(sec) }.mkString("{", ",", "}")
+        "\"" + skey(k) + "\":" + r2(sec) }.mkString("{", ",", "}")
     val errsShort = errPairs.map { case (k, e) =>
-      "\"" + shortKey(k) + "\":\"" + escape(e.take(80)) + "\"" }
+      "\"" + skey(k) + "\":\"" + escape(e.take(80)) + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
       s""""queries":${short2(results)},"reruns":${short2(reruns)},""" +

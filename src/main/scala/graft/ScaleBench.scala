@@ -79,7 +79,18 @@ object ScaleBench {
         Tables.documents(s, dir), "doc_id", "text", 64)
       ext.Dedup.simhashCandidates(d, "doc_id", "sig", bits = 64, bands = 4)
         .where(col("hamming") <= 3)
-    }))
+    }),
+    // Streaming pair at scale: replica user ids shift by 1e6, so the
+    // modulo slice carries 30 series PER REPLICA (K× keys through the
+    // state store) where the oracle's `user_id < 30` would pin the
+    // workload to replica 0. State rows/bytes land in the JSON via
+    // StreamRun.lastStateMetrics.
+    "q72_stream_scale" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.streamingCdpQuery(s, dir,
+        col("user_id") % 1000000L < 30)),
+    "q74_stream_scale" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.streamingGateQuery(s, dir,
+        col("user_id") % 1000000L < 30)))
 
   /** Content identity of the source tables a scaled replica derives
     * from: sorted (relpath, size, mtime) over every data file. The
@@ -220,17 +231,36 @@ object ScaleBench {
     // args(1): comma-separated skip list (e.g. the known-quadratic
     // fixed-planes q45 at factors where it would run for an hour)
     val skip = args.lift(1).map(_.split(",").toSet).getOrElse(Set.empty)
+    def stateAfter(): Option[(Long, Long)] = {
+      val m = graft.streaming.StreamRun.lastStateMetrics.get()
+      graft.streaming.StreamRun.lastStateMetrics.set(None)
+      m
+    }
     val results = (Selected.map(n => n -> SparkEntry.queries(n)) ++ Extra)
       .filterNot { case (name, _) => skip(name) }
       .map { case (name, fn) =>
+        stateAfter(): Unit // clear leftovers from a prior query
         val b = time(fn, base)
+        val stB = stateAfter()
         val s = time(fn, out)
+        val stS = stateAfter()
+        val stateNote = (stB, stS) match {
+          case (Some((rb, bb)), Some((rs, bs))) =>
+            f"  state rows $rb%d -> $rs%d  bytes $bb%d -> $bs%d"
+          case _ => ""
+        }
         System.err.println(f"[scale] $name%s base $b%.2f s  x$k $s%.2f s  " +
-          f"ratio ${s / b}%.2f")
-        name -> (b, s)
+          f"ratio ${s / b}%.2f$stateNote")
+        (name, b, s, stB, stS)
       }
-    val qs = results.map { case (n, (b, s)) =>
-      f""""$n":{"base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":${s / b}%.2f}"""
+    val qs = results.map { case (n, b, s, stB, stS) =>
+      val st = (stB, stS) match {
+        case (Some((rb, bb)), Some((rs, bs))) =>
+          s""","state_rows_base":$rb,"state_rows_scaled":$rs,""" +
+            s""""state_bytes_base":$bb,"state_bytes_scaled":$bs"""
+        case _ => ""
+      }
+      f""""$n":{"base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":${s / b}%.2f$st}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale","factor":$k,"cpus":$cpus,""" +
       s""""queries":$qs,"base":"$base","scaled":"$out"}""")

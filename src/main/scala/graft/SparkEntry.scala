@@ -493,11 +493,12 @@ object SparkEntry {
         col("doc_id").cast("string"), lit("@example.com from 10.0."),
         (col("doc_id") % 256).cast("string"), lit("."),
         (col("doc_id") % 100).cast("string"))
-      val counts = ext.Curation.piiCounts(planted)
-      d.select(col("doc_id"),
-          counts("n_emails").as("n_emails"),
-          counts("n_ips").as("n_ips"),
-          md5(ext.Curation.piiRedact(planted)).as("redacted_fp"))
+      // fused typed kernel (3 regex scans/row, per-partition compiled
+      // patterns) — parity-pinned to the piiCounts/piiRedact column
+      // form in CurationSpec, which stays the documented oracle anchor
+      ext.Curation.piiScrubFrame(d, "doc_id", planted)
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          md5(col("redacted")).as("redacted_fp"))
         .orderBy("doc_id")
     }),
 
@@ -508,24 +509,8 @@ object SparkEntry {
     // watermark so every real window closes and emits — the reference
     // likewise never re-opens a closed CDP and rejects late updates
     // (/root/reference/src/rrd_update.c:1416-1423).
-    "q72_streaming_cdp" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).where(col("user_id") < 30)
-      val rated = Rates.withRate(ev, Seq("user_id"), "ts_us", "event_id",
-        "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
-      val pdp = ingest.Normalize.pdp(rated, Seq("user_id"), "ts_us",
-          "rate", 300L, rateScale = Some(2))
-        .select(col("user_id"), (col("pdp_ts") * 1000000L).as("ts_us"),
-          col("pdp"))
-      val sentinel = s.range(1).select(
-        lit(-1L).as("user_id"),
-        lit(4102444800000000L).as("ts_us"), // 2100-01-01, past all data
-        lit(null).cast("double").as("pdp"))
-      graft.streaming.StreamingConsolidate.cdpStreamFileRun(s, pdp,
-          sentinel, Seq("user_id"), "ts_us", "pdp", 300L, 12L,
-          graft.model.Cf.Average, 0.5, latenessSec = 0)
-        .where(col("user_id") >= 0) // sentinel never emits; defensive
-        .orderBy("user_id", "cdp_ts")
-    }),
+    "q72_streaming_cdp" -> ((s, dir) =>
+      streamingCdpQuery(s, dir, col("user_id") < 30)),
 
     // §2.2 streaming INGEST gate executed as a real micro-batch query:
     // the flatMapGroupsWithState monotonicity gate (the reference's
@@ -534,37 +519,8 @@ object SparkEntry {
     // +1000 so any leak breaks the hash) which must all be rejected;
     // the accepted stream then feeds the batch rate chain — the
     // production wiring of StreamingIngest.runUpdates.
-    "q74_streaming_gate" -> ((s, dir) => {
-      import s.implicits._
-      // deterministic tie pre-dedup (min event_id per (series, ts)):
-      // the gate accepts strictly-increasing ts, so WHICH of two tied
-      // rows survives would otherwise be shuffle-order-dependent and
-      // diverge from the oracle the first time regenerated testdata
-      // carries a tie (review finding; current data has none)
-      val tw = Window.partitionBy(col("k"), col("tsUs"))
-        .orderBy(col("eventId"))
-      val ev = Tables.events(s, dir).where(col("user_id") < 30)
-        .select(col("user_id").cast("string").as("k"),
-          col("ts_us").as("tsUs"), col("event_id").as("eventId"),
-          col("value"))
-        .withColumn("__rn", row_number().over(tw))
-        .where(col("__rn") === 1).drop("__rn")
-        .as[graft.streaming.StreamingIngest.GateRow]
-      val stale = ev.toDF()
-        .select(col("k"), (col("tsUs") - lit(86400000000L)).as("tsUs"),
-          (col("eventId") + lit(1000000000L)).as("eventId"),
-          (col("value") + lit(1000.0)).as("value"))
-        .as[graft.streaming.StreamingIngest.GateRow]
-      val accepted = graft.streaming.StreamingIngest
-        .gateFileRun(s, ev, stale).toDF()
-        .select(col("k").cast("long").as("user_id"),
-          col("tsUs").as("ts_us"), col("eventId").as("event_id"),
-          col("value"))
-      Rates.withRate(accepted, Seq("user_id"), "ts_us", "event_id",
-          "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
-        .select(col("user_id"), col("event_id"), col("ts_us"), col("rate"))
-        .orderBy("user_id", "ts_us", "event_id")
-    }),
+    "q74_streaming_gate" -> ((s, dir) =>
+      streamingGateQuery(s, dir, col("user_id") < 30)),
 
     // Token-budget sequence packing — the sharding step between
     // curation and training: documents pack greedily (in deterministic
@@ -1989,9 +1945,9 @@ object SparkEntry {
     "q78_token_packing" ->
       s"""$sqlDocWords
         |SELECT doc_id, lang, len(ws) AS n_tokens,
-        | (SUM(len(ws)) OVER (PARTITION BY lang ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 2000
-        |   AS pack_id
+        | (CAST(SUM(len(ws)) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
+        |   // 2000 AS pack_id
         |FROM d ORDER BY lang, doc_id""".stripMargin,
 
     // same tokenization CTE as q21; counts are exact integers, so the
@@ -2897,6 +2853,66 @@ object SparkEntry {
     * path carries a version tag so semantics changes invalidate it, and
     * the marker stores the source-data fingerprint so regenerated
     * testdata forces a rebuild). */
+  /** q72's body with the series slice as a parameter: the oracle query
+    * uses `user_id < 30`; ScaleBench runs `user_id % 1000000 < 30` so a
+    * K× replica set (user ids shifted by 1e6 per replica) carries K×
+    * the SERIES through the streaming state store — the axis a stateful
+    * job actually scales on. */
+  private[graft] def streamingCdpQuery(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val ev = Tables.events(s, dir).where(pred)
+    val rated = Rates.withRate(ev, Seq("user_id"), "ts_us", "event_id",
+      "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
+    val pdp = ingest.Normalize.pdp(rated, Seq("user_id"), "ts_us",
+        "rate", 300L, rateScale = Some(2))
+      .select(col("user_id"), (col("pdp_ts") * 1000000L).as("ts_us"),
+        col("pdp"))
+    val sentinel = s.range(1).select(
+      lit(-1L).as("user_id"),
+      lit(4102444800000000L).as("ts_us"), // 2100-01-01, past all data
+      lit(null).cast("double").as("pdp"))
+    graft.streaming.StreamingConsolidate.cdpStreamFileRun(s, pdp,
+        sentinel, Seq("user_id"), "ts_us", "pdp", 300L, 12L,
+        graft.model.Cf.Average, 0.5, latenessSec = 0)
+      .where(col("user_id") >= 0) // sentinel never emits; defensive
+      .orderBy("user_id", "cdp_ts")
+  }
+
+  /** q74's body with the series slice as a parameter (see
+    * [[streamingCdpQuery]] for why ScaleBench needs one). */
+  private[graft] def streamingGateQuery(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    import s.implicits._
+    // deterministic tie pre-dedup (min event_id per (series, ts)):
+    // the gate accepts strictly-increasing ts, so WHICH of two tied
+    // rows survives would otherwise be shuffle-order-dependent and
+    // diverge from the oracle the first time regenerated testdata
+    // carries a tie (review finding; current data has none)
+    val tw = Window.partitionBy(col("k"), col("tsUs"))
+      .orderBy(col("eventId"))
+    val ev = Tables.events(s, dir).where(pred)
+      .select(col("user_id").cast("string").as("k"),
+        col("ts_us").as("tsUs"), col("event_id").as("eventId"),
+        col("value"))
+      .withColumn("__rn", row_number().over(tw))
+      .where(col("__rn") === 1).drop("__rn")
+      .as[graft.streaming.StreamingIngest.GateRow]
+    val stale = ev.toDF()
+      .select(col("k"), (col("tsUs") - lit(86400000000L)).as("tsUs"),
+        (col("eventId") + lit(1000000000L)).as("eventId"),
+        (col("value") + lit(1000.0)).as("value"))
+      .as[graft.streaming.StreamingIngest.GateRow]
+    val accepted = graft.streaming.StreamingIngest
+      .gateFileRun(s, ev, stale).toDF()
+      .select(col("k").cast("long").as("user_id"),
+        col("tsUs").as("ts_us"), col("eventId").as("event_id"),
+        col("value"))
+    Rates.withRate(accepted, Seq("user_id"), "ts_us", "event_id",
+        "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("rate"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** Derby in-memory database for q57's sql// source (Derby ships on the
     * Spark classpath, standing in for a libdbi client library): table
     * EVTS(UTS, VALUE, TAG) loaded from a deterministic 1-in-20 slice of
@@ -2910,28 +2926,19 @@ object SparkEntry {
     val db = s"memory:graftq57_${name}_${eventsFingerprint(dir).take(8)}"
     derbyBuilt.compute(name, (_, prev) => {
       if (prev != db) {
-        val rows = Tables.events(s, dir)
+        // executor-side load — the shape a real warehouse-to-RRD
+        // pipeline uses: each input partition opens its own connection
+        // and batch-inserts (Spark's JDBC writer), no driver collect.
+        // Derby `memory:` is per-JVM, which local mode shares; a real
+        // cluster points the same code at a networked DSN.
+        Tables.events(s, dir)
           .where(col("event_id") % 20 === 3)
-          .select(col("ts_sec"), col("value").cast("double"),
-            (col("user_id") % 10).cast("int"))
-          .collect()
-        val conn = java.sql.DriverManager
-          .getConnection(s"jdbc:derby:$db;create=true")
-        try {
-          val st = conn.createStatement()
-          st.execute("CREATE TABLE EVTS (UTS BIGINT, VALUE DOUBLE, TAG INT)")
-          st.close()
-          val ps = conn.prepareStatement("INSERT INTO EVTS VALUES (?,?,?)")
-          rows.foreach { r =>
-            ps.setLong(1, r.getLong(0))
-            if (r.isNullAt(1)) ps.setNull(2, java.sql.Types.DOUBLE)
-            else ps.setDouble(2, r.getDouble(1))
-            ps.setInt(3, r.getInt(2))
-            ps.addBatch()
-          }
-          ps.executeBatch()
-          ps.close()
-        } finally conn.close()
+          .select(col("ts_sec").as("UTS"),
+            col("value").cast("double").as("VALUE"),
+            (col("user_id") % 10).cast("int").as("TAG"))
+          .write.mode("overwrite")
+          .jdbc(s"jdbc:derby:$db;create=true", "EVTS",
+            new java.util.Properties)
       }
       db
     })

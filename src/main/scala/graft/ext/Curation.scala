@@ -107,6 +107,62 @@ object Curation {
     regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
       ipv4Pattern, "<IP>")
 
+  /** [[piiCounts]] + [[piiRedact]] fused into one typed kernel — the
+    * corpus-scan hot path (the q75 idiom). The column form runs FOUR
+    * regex passes per row (two `regexp_extract_all` counts + two
+    * `regexp_replace` rewrites); here the email pass counts and
+    * rewrites in a single matcher walk, so each row costs three scans,
+    * with both patterns compiled once per partition. Semantics are
+    * replicated exactly (parity-spec-pinned): emails are counted and
+    * replaced on the input text, IPs are COUNTED on the input text but
+    * REPLACED on the email-redacted text (an IP inside an email's local
+    * part counts but never survives redaction), and Java's
+    * `Matcher.appendReplacement` is the same engine and replacement
+    * path Spark's codegen'd `regexp_replace` uses — the literal
+    * replacements carry no `$`/`\` so the escape handling never
+    * diverges. A null text yields null counts and a null redaction,
+    * like the column form under `sizeOfNull=null` semantics.
+    *
+    * Output: `id`, n_emails, n_ips, redacted (the md5 fingerprint the
+    * callers want stays a codegen'd column over this frame).
+    */
+  def piiScrubFrame(df: org.apache.spark.sql.DataFrame, id: String,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id), text.cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val email = java.util.regex.Pattern.compile(emailPattern)
+        val ip = java.util.regex.Pattern.compile(ipv4Pattern)
+        it.map { case (docId, t) =>
+          if (t == null)
+            (docId, None: Option[Long], None: Option[Long],
+              None: Option[String])
+          else {
+            // email pass: count + rewrite in one walk
+            val em = email.matcher(t)
+            val sb = new java.lang.StringBuilder(t.length)
+            var nEmails = 0L
+            while (em.find()) { nEmails += 1; em.appendReplacement(sb, "<EMAIL>") }
+            em.appendTail(sb)
+            val s1 = sb.toString
+            // IP count on the ORIGINAL text (column form counts there)
+            val ic = ip.matcher(t)
+            var nIps = 0L
+            while (ic.find()) nIps += 1
+            // IP rewrite on the email-redacted text (column form nests)
+            val ir = ip.matcher(s1)
+            val sb2 = new java.lang.StringBuilder(s1.length)
+            while (ir.find()) ir.appendReplacement(sb2, "<IP>")
+            ir.appendTail(sb2)
+            (docId, Some(nEmails), Some(nIps), Some(sb2.toString))
+          }
+        }
+      }
+      .toDF(id, "n_emails", "n_ips", "redacted")
+  }
+
   // ------------------------------------------------------- URL filtering
 
   /** Host of the FIRST http(s) URL in the text (empty string when none)

@@ -465,9 +465,10 @@ object Dedup {
     // runs unchanged.
     // driver branch only for integral ids (the Long encoder below would
     // refuse string ids that the column-based loop handles fine), and
-    // the output is cast back to the INPUT id type so the schema never
-    // depends on which branch ran
-    val idType = pairs.schema(id1).dataType
+    // the output is cast back to the union-coerced edge type — the type
+    // the distributed branch emits — so the schema never depends on
+    // which branch ran, even for mixed-width id1/id2 columns
+    val idType = edges.schema("a").dataType
     val integralIds = idType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |

@@ -27,9 +27,21 @@ object StreamRun {
   private def deleteTree(root: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { s =>
+        s.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     } catch { case _: Exception => () }
+
+  /** State-store footprint of the most recent [[toParquet]] run in this
+    * thread: (max state rows, max state bytes) across the run's
+    * micro-batches, summed over stateful operators per batch. The
+    * 100 TB question for any stateful streaming job is "how does state
+    * grow with keys×windows" — ScaleBench reads this after timing
+    * q72/q74 at a scale factor and SCALE.md records it. Thread-local:
+    * concurrent test suites each see their own run. */
+  val lastStateMetrics: ThreadLocal[Option[(Long, Long)]] =
+    ThreadLocal.withInitial(() => None)
 
   /** Run `transform` over a file-source stream of `input` as a REAL
     * micro-batch query with an append-mode parquet sink.
@@ -63,6 +75,15 @@ object StreamRun {
         b.write.mode("append").parquet(inDir.toString)
         q.processAllAvailable()
       }
+      // per-batch state footprint (rows, bytes) summed over stateful
+      // operators; keep the run's maximum of each
+      val perBatch = q.recentProgress.toSeq.map { p =>
+        val ops = p.stateOperators.toSeq
+        (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
+      }
+      lastStateMetrics.set(
+        if (perBatch.isEmpty) None
+        else Some((perBatch.map(_._1).max, perBatch.map(_._2).max)))
     } finally q.stop()
     // input + checkpoint are dead once the query stops; only the sink
     // backs the returned frame

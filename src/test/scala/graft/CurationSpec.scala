@@ -195,6 +195,44 @@ class CurationSpec extends SparkSuite {
     assert(out(2)._2 == 0 && out(2)._3 == 2)
   }
 
+  test("PII kernel is identical to the piiCounts/piiRedact column form") {
+    // piiScrubFrame is the hot path; the column form stays the oracle
+    // anchor — they must agree on every row, including nulls, the IP
+    // inside an email's local part (counted, but consumed by the email
+    // redaction), and the real corpus with planted PII
+    val crafted = Seq(
+      (9001L, Some("mail a.b+c@x-y.org and 10.0.0.1 then d@e.io end")),
+      (9002L, Some("no pii here at all")),
+      (9003L, Some("999.999.999.999 1.2.3.4.5 not@tld a@b.c")),
+      (9004L, Some("ip-in-email 1.2.3.4@example.com and bare 5.6.7.8")),
+      (9005L, None)
+    ).toDF("doc_id", "text")
+    val planted = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com from 10.0."),
+      (col("doc_id") % 256).cast("string"), lit("."),
+      (col("doc_id") % 100).cast("string"))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(crafted)
+    val c = Curation.piiCounts(planted)
+    val viaCols = docs.select(col("doc_id"),
+        c("n_emails").as("n_emails"), c("n_ips").as("n_ips"),
+        Curation.piiRedact(planted).as("redacted"))
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+    val viaKernel = Curation.piiScrubFrame(docs, "doc_id", planted)
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+    assert(viaKernel.size == viaCols.size && viaKernel.nonEmpty)
+    viaKernel.zip(viaCols).foreach { case (k, cform) =>
+      assert(k == cform, s"\n kernel=$k\n column=$cform")
+    }
+    // the null-text row must yield null counts and a null redaction
+    val nullRow = viaKernel.find(_._1 == 9005L).get
+    assert(nullRow == ((9005L, None, None, None)))
+  }
+
   test("topKPerGroup handles NaN/±0/null scores like the window form") {
     // NaN sorts greatest (SQL ordering), -0.0 ties 0.0, nulls drop
     val rows = Seq(

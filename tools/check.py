@@ -40,6 +40,12 @@ def main():
         for c in got.columns:
             a = got[c].reset_index(drop=True)
             b = exp[c].reset_index(drop=True)
+            # Physical-type gate: the driver hashes physical types, so a
+            # DuckDB widening (e.g. window SUM(BIGINT) -> HUGEINT ->
+            # float64) must fail here even when the values agree.
+            if str(a.dtype) != str(b.dtype):
+                notes.append(f"{c}: dtype {a.dtype} vs {b.dtype}")
+                ok = False
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 an, bn = a.isna(), b.isna()
                 if not an.equals(bn):
