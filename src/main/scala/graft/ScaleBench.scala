@@ -80,16 +80,42 @@ object ScaleBench {
       ext.Dedup.simhashCandidates(d, "doc_id", "sig", bits = 64, bands = 4)
         .where(col("hamming") <= 3)
     }),
-    // Streaming pair at scale: replica user ids shift by 1e6, so the
-    // modulo slice carries 30 series PER REPLICA (K× keys through the
-    // state store) where the oracle's `user_id < 30` would pin the
-    // workload to replica 0. State rows/bytes land in the JSON via
-    // StreamRun.lastStateMetrics.
+    // q46's oracle form splits index/batch at `doc_id < count*4/5` —
+    // correct on any single-SF dir (ids are dense from 0), DEGENERATE on
+    // K× replicas (ids shift by 1e8 per replica, so the value threshold
+    // puts replica 0 alone in the index and 99% of the corpus in the
+    // "batch": the measurement collapses to a near-full new×new mine —
+    // the round-5/6 superlinear-looking q46 rows). This variant splits
+    // 80/20 WITHIN each replica (the q72_stream_scale idiom), so K×
+    // scales index and batch together — the axis an incremental
+    // pipeline actually grows on.
+    "q46_incr_scale" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val rep = col("doc_id") % 100000000L
+      // per-replica ids are dense from 0, so replica-0's count is every
+      // replica's count (and on an unscaled dir this IS the q46 split)
+      val thr = docs.where(col("doc_id") < 100000000L).count() * 4 / 5
+      val index = ext.Dedup.lshIndex(
+        docs.where(rep < thr), "doc_id", "text")
+      ext.Dedup.incrementalLshCandidates(
+          docs.where(rep >= thr), index, "doc_id", "text")
+        .where(col("sig_agreement") >= 0.25)
+    }),
+    )
+
+  /** Streaming pair at scale: replica user ids shift by 1e6, so the
+    * modulo slice carries 30 series PER REPLICA (K× keys through the
+    * state store) where the oracle's `user_id < 30` would pin the
+    * workload to replica 0. These return the run's state rows/bytes
+    * alongside the frame — the number a 100 TB stateful job lives or
+    * dies on. */
+  val Streaming: Seq[(String, (SparkSession, String) =>
+      (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]))] = Seq(
     "q72_stream_scale" -> ((s: SparkSession, dir: String) =>
-      SparkEntry.streamingCdpQuery(s, dir,
+      SparkEntry.streamingCdpQueryWithState(s, dir,
         col("user_id") % 1000000L < 30)),
     "q74_stream_scale" -> ((s: SparkSession, dir: String) =>
-      SparkEntry.streamingGateQuery(s, dir,
+      SparkEntry.streamingGateQueryWithState(s, dir,
         col("user_id") % 1000000L < 30)))
 
   /** Content identity of the source tables a scaled replica derives
@@ -215,15 +241,17 @@ object ScaleBench {
       .agg(expr("bit_xor(xxhash64(id))")).collect()
     Tables.table(spark, base, "region").collect()
 
-    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+    type St = Option[graft.streaming.StreamRun.StateMetrics]
+    def time(fn: (SparkSession, String) => (DataFrame, St),
+        dir: String): (Double, St) = {
       // run twice, report the warm pass: the cold pass pays plan-shape
       // JIT/codegen that would otherwise bias whichever dir runs first
-      def once(): Double = {
+      def once(): (Double, St) = {
         val t0 = System.nanoTime()
-        val df = fn(spark, dir)
+        val (df, st) = fn(spark, dir)
         df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
           .agg(expr("bit_xor(h)")).collect()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, st)
       }
       once(); once()
     }
@@ -231,22 +259,19 @@ object ScaleBench {
     // args(1): comma-separated skip list (e.g. the known-quadratic
     // fixed-planes q45 at factors where it would run for an hour)
     val skip = args.lift(1).map(_.split(",").toSet).getOrElse(Set.empty)
-    def stateAfter(): Option[(Long, Long)] = {
-      val m = graft.streaming.StreamRun.lastStateMetrics.get()
-      graft.streaming.StreamRun.lastStateMetrics.set(None)
-      m
-    }
-    val results = (Selected.map(n => n -> SparkEntry.queries(n)) ++ Extra)
+    val batch = (Selected.map(n => n -> SparkEntry.queries(n)) ++ Extra)
+      .map { case (n, fn) =>
+        n -> ((s: SparkSession, d: String) => (fn(s, d), None: St))
+      }
+    val results = (batch ++ Streaming)
       .filterNot { case (name, _) => skip(name) }
       .map { case (name, fn) =>
-        stateAfter(): Unit // clear leftovers from a prior query
-        val b = time(fn, base)
-        val stB = stateAfter()
-        val s = time(fn, out)
-        val stS = stateAfter()
+        val (b, stB) = time(fn, base)
+        val (s, stS) = time(fn, out)
         val stateNote = (stB, stS) match {
-          case (Some((rb, bb)), Some((rs, bs))) =>
-            f"  state rows $rb%d -> $rs%d  bytes $bb%d -> $bs%d"
+          case (Some(mb), Some(ms)) =>
+            f"  state rows ${mb.maxRows}%d -> ${ms.maxRows}%d" +
+              f"  bytes ${mb.maxBytes}%d -> ${ms.maxBytes}%d"
           case _ => ""
         }
         System.err.println(f"[scale] $name%s base $b%.2f s  x$k $s%.2f s  " +
@@ -255,9 +280,11 @@ object ScaleBench {
       }
     val qs = results.map { case (n, b, s, stB, stS) =>
       val st = (stB, stS) match {
-        case (Some((rb, bb)), Some((rs, bs))) =>
-          s""","state_rows_base":$rb,"state_rows_scaled":$rs,""" +
-            s""""state_bytes_base":$bb,"state_bytes_scaled":$bs"""
+        case (Some(mb), Some(ms)) =>
+          s""","state_rows_base":${mb.maxRows}""" +
+            s""","state_rows_scaled":${ms.maxRows}""" +
+            s""","state_bytes_base":${mb.maxBytes}""" +
+            s""","state_bytes_scaled":${ms.maxBytes}"""
         case _ => ""
       }
       f""""$n":{"base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":${s / b}%.2f$st}"""

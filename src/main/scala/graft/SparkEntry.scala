@@ -536,8 +536,11 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), tokens.as("n_tokens"))
         .withColumn("__cum", sum(col("n_tokens")).over(w))
-        // integer div (Spark's `/` on longs is DOUBLE division)
-        .withColumn("pack_id", expr(s"(__cum - 1) div $budget"))
+        // integer div (Spark's `/` on longs is DOUBLE division); the
+        // greatest(...,0) clamp pins the zero-token-first-doc edge:
+        // __cum-1 = -1 would floor to -1 in DuckDB but truncate to 0
+        // in Spark's `div`
+        .withColumn("pack_id", expr(s"greatest(__cum - 1, 0L) div $budget"))
         .drop("__cum")
         .orderBy("lang", "doc_id")
     }),
@@ -1941,13 +1944,16 @@ object SparkEntry {
         |      THEN NULL ELSE value END AS rate
         |FROM r ORDER BY user_id, ts_us, event_id""".stripMargin,
 
-    // greedy packing = integer window cumsum; all-integer math
+    // greedy packing = integer window cumsum; all-integer math. The
+    // GREATEST clamp matches the Spark side: without it a zero-token
+    // first doc gives cum-1 = -1, which DuckDB's // floors to -1 while
+    // Spark's div truncates to 0.
     "q78_token_packing" ->
       s"""$sqlDocWords
         |SELECT doc_id, lang, len(ws) AS n_tokens,
-        | (CAST(SUM(len(ws)) OVER (PARTITION BY lang ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
-        |   // 2000 AS pack_id
+        | GREATEST(CAST(SUM(len(ws)) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1,
+        |   0) // 2000 AS pack_id
         |FROM d ORDER BY lang, doc_id""".stripMargin,
 
     // same tokenization CTE as q21; counts are exact integers, so the
@@ -2859,7 +2865,14 @@ object SparkEntry {
     * the SERIES through the streaming state store — the axis a stateful
     * job actually scales on. */
   private[graft] def streamingCdpQuery(s: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column): DataFrame = {
+      pred: org.apache.spark.sql.Column): DataFrame =
+    streamingCdpQueryWithState(s, dir, pred)._1
+
+  /** [[streamingCdpQuery]] plus the run's state-store footprint —
+    * ScaleBench's handle on "does state grow ∝ series". */
+  private[graft] def streamingCdpQueryWithState(s: SparkSession,
+      dir: String, pred: org.apache.spark.sql.Column)
+      : (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]) = {
     val ev = Tables.events(s, dir).where(pred)
     val rated = Rates.withRate(ev, Seq("user_id"), "ts_us", "event_id",
       "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
@@ -2871,17 +2884,23 @@ object SparkEntry {
       lit(-1L).as("user_id"),
       lit(4102444800000000L).as("ts_us"), // 2100-01-01, past all data
       lit(null).cast("double").as("pdp"))
-    graft.streaming.StreamingConsolidate.cdpStreamFileRun(s, pdp,
+    val (out, st) = graft.streaming.StreamingConsolidate
+      .cdpStreamFileRunWithState(s, pdp,
         sentinel, Seq("user_id"), "ts_us", "pdp", 300L, 12L,
         graft.model.Cf.Average, 0.5, latenessSec = 0)
-      .where(col("user_id") >= 0) // sentinel never emits; defensive
-      .orderBy("user_id", "cdp_ts")
+    (out.where(col("user_id") >= 0) // sentinel never emits; defensive
+      .orderBy("user_id", "cdp_ts"), st)
   }
 
   /** q74's body with the series slice as a parameter (see
     * [[streamingCdpQuery]] for why ScaleBench needs one). */
   private[graft] def streamingGateQuery(s: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column): DataFrame = {
+      pred: org.apache.spark.sql.Column): DataFrame =
+    streamingGateQueryWithState(s, dir, pred)._1
+
+  private[graft] def streamingGateQueryWithState(s: SparkSession,
+      dir: String, pred: org.apache.spark.sql.Column)
+      : (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]) = {
     import s.implicits._
     // deterministic tie pre-dedup (min event_id per (series, ts)):
     // the gate accepts strictly-increasing ts, so WHICH of two tied
@@ -2902,15 +2921,16 @@ object SparkEntry {
         (col("eventId") + lit(1000000000L)).as("eventId"),
         (col("value") + lit(1000.0)).as("value"))
       .as[graft.streaming.StreamingIngest.GateRow]
-    val accepted = graft.streaming.StreamingIngest
-      .gateFileRun(s, ev, stale).toDF()
+    val (gated, st) = graft.streaming.StreamingIngest
+      .gateFileRunWithState(s, ev, stale)
+    val accepted = gated.toDF()
       .select(col("k").cast("long").as("user_id"),
         col("tsUs").as("ts_us"), col("eventId").as("event_id"),
         col("value"))
-    Rates.withRate(accepted, Seq("user_id"), "ts_us", "event_id",
+    (Rates.withRate(accepted, Seq("user_id"), "ts_us", "event_id",
         "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
       .select(col("user_id"), col("event_id"), col("ts_us"), col("rate"))
-      .orderBy("user_id", "ts_us", "event_id")
+      .orderBy("user_id", "ts_us", "event_id"), st)
   }
 
   /** Derby in-memory database for q57's sql// source (Derby ships on the

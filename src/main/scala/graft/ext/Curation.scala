@@ -125,6 +125,12 @@ object Curation {
     *
     * Output: `id`, n_emails, n_ips, redacted (the md5 fingerprint the
     * callers want stays a codegen'd column over this frame).
+    *
+    * `id` must be a NON-NULL integral column: the kernel's tuple
+    * encoder is primitive-`Long`-backed, so a null id NPEs at runtime
+    * and narrower integral ids come back widened to `LongType`. Callers
+    * with string/nullable ids should scrub a projection keyed by a
+    * synthetic `monotonically_increasing_id` and join back.
     */
   def piiScrubFrame(df: org.apache.spark.sql.DataFrame, id: String,
       text: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {

@@ -33,15 +33,20 @@ object StreamRun {
       }
     } catch { case _: Exception => () }
 
-  /** State-store footprint of the most recent [[toParquet]] run in this
-    * thread: (max state rows, max state bytes) across the run's
-    * micro-batches, summed over stateful operators per batch. The
-    * 100 TB question for any stateful streaming job is "how does state
-    * grow with keys×windows" — ScaleBench reads this after timing
-    * q72/q74 at a scale factor and SCALE.md records it. Thread-local:
-    * concurrent test suites each see their own run. */
-  val lastStateMetrics: ThreadLocal[Option[(Long, Long)]] =
-    ThreadLocal.withInitial(() => None)
+  /** State-store footprint of one [[run]]: maximum state rows and bytes
+    * across the run's micro-batches, summed over stateful operators per
+    * batch. The 100 TB question for any stateful streaming job is "how
+    * does state grow with keys×windows" — ScaleBench records these for
+    * q72/q74 at each scale factor and SCALE.md keeps the rows. `None`
+    * means the query had no stateful operator (or no progress events). */
+  final case class StateMetrics(maxRows: Long, maxBytes: Long)
+
+  /** [[run]] discarding the state metrics — for callers that only want
+    * the sink frame (the oracle queries, specs). */
+  def toParquet(spark: SparkSession, input: DataFrame,
+      transform: DataFrame => DataFrame,
+      extraBatches: Seq[DataFrame]): DataFrame =
+    run(spark, input, transform, extraBatches)._1
 
   /** Run `transform` over a file-source stream of `input` as a REAL
     * micro-batch query with an append-mode parquet sink.
@@ -52,11 +57,21 @@ object StreamRun {
     * sentinel-driven eviction needs two appends; a late-data test needs
     * one).
     *
-    * @return batch frame over the sink's parquet output (unordered)
+    * State metrics come from the query's progress buffer, which Spark
+    * caps at `spark.sql.streaming.numRecentProgressUpdates` most-recent
+    * batches; [[run]] raises the session's cap to ≥1000 so the max is
+    * exact for any run under 1000 micro-batches (ours have ≤5 — a run
+    * past the cap would report a tail-only max).
+    *
+    * @return (batch frame over the sink's parquet output (unordered),
+    *         state footprint of the run)
     */
-  def toParquet(spark: SparkSession, input: DataFrame,
+  def run(spark: SparkSession, input: DataFrame,
       transform: DataFrame => DataFrame,
-      extraBatches: Seq[DataFrame]): DataFrame = {
+      extraBatches: Seq[DataFrame]): (DataFrame, Option[StateMetrics]) = {
+    val capKey = "spark.sql.streaming.numRecentProgressUpdates"
+    if (spark.conf.get(capKey, "100").toInt < 1000)
+      spark.conf.set(capKey, "1000")
     val root = java.nio.file.Files.createTempDirectory("graft-stream-")
     hookInstalled
     tracked.add(root)
@@ -69,26 +84,28 @@ object StreamRun {
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt.toString)
       .outputMode("append").start()
-    try {
-      q.processAllAvailable() // batch 1: all input files
-      extraBatches.foreach { b =>
-        b.write.mode("append").parquet(inDir.toString)
-        q.processAllAvailable()
-      }
-      // per-batch state footprint (rows, bytes) summed over stateful
-      // operators; keep the run's maximum of each
-      val perBatch = q.recentProgress.toSeq.map { p =>
-        val ops = p.stateOperators.toSeq
-        (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
-      }
-      lastStateMetrics.set(
+    val metrics =
+      try {
+        q.processAllAvailable() // batch 1: all input files
+        extraBatches.foreach { b =>
+          b.write.mode("append").parquet(inDir.toString)
+          q.processAllAvailable()
+        }
+        // per-batch state footprint (rows, bytes) summed over stateful
+        // operators; keep the run's maximum of each
+        val perBatch = q.recentProgress.toSeq
+          .map(_.stateOperators.toSeq)
+          .filter(_.nonEmpty)
+          .map(ops =>
+            (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum))
         if (perBatch.isEmpty) None
-        else Some((perBatch.map(_._1).max, perBatch.map(_._2).max)))
-    } finally q.stop()
+        else Some(StateMetrics(
+          perBatch.map(_._1).max, perBatch.map(_._2).max))
+      } finally q.stop()
     // input + checkpoint are dead once the query stops; only the sink
     // backs the returned frame
     deleteTree(inDir)
     deleteTree(ckpt)
-    spark.read.parquet(outDir)
+    (spark.read.parquet(outDir), metrics)
   }
 }

@@ -102,11 +102,20 @@ object StreamingConsolidate {
   def cdpStreamFileRun(spark: SparkSession, input: DataFrame,
       advance: DataFrame, series: Seq[String], tsUsCol: String,
       valueCol: String, stepSec: Long, pdpCnt: Long, cf: Cf, xff: Double,
-      latenessSec: Long): DataFrame = {
+      latenessSec: Long): DataFrame =
+    cdpStreamFileRunWithState(spark, input, advance, series, tsUsCol,
+      valueCol, stepSec, pdpCnt, cf, xff, latenessSec)._1
+
+  /** [[cdpStreamFileRun]] plus the run's state-store footprint (the
+    * ScaleBench path — state growth IS the scale question here). */
+  def cdpStreamFileRunWithState(spark: SparkSession, input: DataFrame,
+      advance: DataFrame, series: Seq[String], tsUsCol: String,
+      valueCol: String, stepSec: Long, pdpCnt: Long, cf: Cf, xff: Double,
+      latenessSec: Long): (DataFrame, Option[StreamRun.StateMetrics]) = {
     val cols = series.map(col) :+ col(tsUsCol) :+ col(valueCol)
     // the sentinel appends TWICE: batch 2 raises the watermark, batch 3
     // evicts + emits the windows that watermark closed
-    StreamRun.toParquet(spark, input.select(cols: _*),
+    StreamRun.run(spark, input.select(cols: _*),
       src => cdpStream(src, series, tsUsCol, valueCol, stepSec, pdpCnt,
         cf, xff, latenessSec),
       Seq(advance.select(cols: _*), advance.select(cols: _*)))

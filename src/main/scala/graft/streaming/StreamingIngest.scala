@@ -99,14 +99,21 @@ object StreamingIngest {
     * [[GateRow]]'s.
     */
   def gateFileRun(spark: SparkSession, input: Dataset[GateRow],
-      late: Dataset[GateRow]): Dataset[GateRow] = {
+      late: Dataset[GateRow]): Dataset[GateRow] =
+    gateFileRunWithState(spark, input, late)._1
+
+  /** [[gateFileRun]] plus the run's state-store footprint (the
+    * ScaleBench path: per-series `last_up` state should grow ∝ series). */
+  def gateFileRunWithState(spark: SparkSession, input: Dataset[GateRow],
+      late: Dataset[GateRow])
+      : (Dataset[GateRow], Option[StreamRun.StateMetrics]) = {
     implicit val enc: Encoder[GateRow] = Encoders.product[GateRow]
     // batch 1 seeds per-series last_up state; the late batch then faces
     // it (the shared scaffolding owns dirs/cadence/cleanup)
-    StreamRun.toParquet(spark, input.toDF(),
+    val (out, st) = StreamRun.run(spark, input.toDF(),
       src => gate(src.as[GateRow])(_.k, _.tsUs).toDF(),
       Seq(late.toDF()))
-      .as[GateRow]
+    (out.as[GateRow], st)
   }
 
   /** Wire a stream of rrdcached protocol lines into a store: UPDATE
