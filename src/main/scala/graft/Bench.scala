@@ -178,6 +178,21 @@ object Bench {
     val results = selected.map { case (name, fn) => name -> run1(name, fn) }
     val skey = keyFor(selected.keys)
 
+    // Local-iteration repeats: SPARK_GRAFT_REPEAT=N re-runs the selected
+    // queries N-1 more times in the same JVM, stderr only (driver never
+    // sets it) — separates per-JVM costs (plan compile, codegen JIT)
+    // from steady-state per-run cost when chasing a solo-vs-sweep gap.
+    sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).filter(_ > 1).foreach {
+      n =>
+        (2 to n).foreach { i =>
+          selected.foreach { case (name, fn) =>
+            val (sec, h, _) = run1(name, fn)
+            System.err.println(f"[bench] repeat $i $name%s $sec%.2f s " +
+              f"(jit ${h.jitMs} ms, gc ${h.gcMs} ms)")
+          }
+        }
+    }
+
     // Anomaly pass: any query >5x its previous-round time (and >5 s
     // absolute) re-runs once, solo, same JVM. A real plan regression
     // reproduces; environment poisoning (code cache, evictions, outside

@@ -381,13 +381,19 @@ object Dedup {
     * checkpoint — mining is never repeated) AND integral ids resolve by
     * exact driver union-find instead of the iterative loop; identical
     * labels, and the output schema is cast to the input id type either
-    * way. The default 2^20 edges costs at most ~100-200 MB of transient
-    * driver heap (boxed map + collected tuples) — raise only with
-    * driver memory to match; pass 0 to force the distributed loop (the
-    * checkpoint specs do).
+    * way. The union-find runs on an open-addressed primitive long map
+    * (no boxing), so the default 2^22 directed edges costs ~130 MB
+    * transient driver heap for the collected tuple array and ≤130 MB
+    * for the map — raise only with driver memory to match; pass
+    * 0 to force the distributed loop (the checkpoint specs do). The
+    * round-9 100× replica measured the threshold's two sides directly:
+    * the same ~2-4M-edge graph resolves in seconds on the driver vs
+    * ~16 rounds × (2 shuffles + checkpoint) ≈ 30+ s distributed — the
+    * loop's fixed round cost only amortizes on graphs far past any
+    * driver's heap.
     */
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
-      maxIter: Int = 30, maxDriverEdges: Long = 1L << 20): DataFrame = {
+      maxIter: Int = 30, maxDriverEdges: Long = 1L << 22): DataFrame = {
     // every iteration is eagerly local-checkpointed: the per-round plan
     // would otherwise reference the previous round's plan (and Catalyst
     // re-analyzes the whole growing chain on the driver every round —
@@ -483,34 +489,70 @@ object Dedup {
       import spark.implicits._
       val es = edges.select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)].collect()
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x0: Long): Long = {
-        var x = x0
-        while (parent.get(x) != x) {
-          parent.put(x, parent.get(parent.get(x))) // path halving
-          x = parent.get(x)
+      // open-addressed primitive long->long parent map (linear probing,
+      // power-of-two capacity ≥ 2×nodes, nodes ≤ directed edges): a
+      // boxed java.util.HashMap at 4M edges costs ~50 B/entry and made
+      // the old 2^20 default the safe ceiling; two long arrays put the
+      // 2^22 ceiling at ~130 MB transient collect + ~130 MB map. EMPTY
+      // marks free slots; a corpus with a literal Long.MinValue id
+      // would alias it, so that one (never-seen) case routes to the
+      // distributed loop below instead of corrupting the table.
+      val EMPTY = Long.MinValue
+      if (!es.exists(e => e._1 == EMPTY || e._2 == EMPTY)) {
+        val cap = java.lang.Long.highestOneBit(
+          math.max(4L, es.length.toLong * 2 - 1)) << 1
+        val mask = (cap - 1).toInt
+        val keys = Array.fill(cap.toInt)(EMPTY)
+        val par = new Array[Long](cap.toInt)
+        def slot(k: Long): Int = {
+          // splitmix64 finalizer scatters sequential ids across the table
+          var h = k + 0x9E3779B97F4A7C15L
+          h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+          h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+          h ^= h >>> 31
+          var i = (h & mask).toInt
+          while (keys(i) != EMPTY && keys(i) != k) i = (i + 1) & mask
+          i
         }
-        x
+        def getOrInsert(k: Long): Unit = {
+          val i = slot(k)
+          if (keys(i) == EMPTY) { keys(i) = k; par(i) = k }
+        }
+        def find(x0: Long): Long = {
+          var x = x0
+          var i = slot(x)
+          while (par(i) != x) {
+            val gp = par(slot(par(i)))
+            par(i) = gp // path halving
+            x = gp
+            i = slot(x)
+          }
+          x
+        }
+        es.foreach { case (a, b) =>
+          getOrInsert(a); getOrInsert(b)
+          val (ra, rb) = (find(a), find(b))
+          // union toward the SMALLER root: the root then IS the min id
+          if (ra < rb) par(slot(rb)) = ra
+          else if (rb < ra) par(slot(ra)) = rb
+        }
+        var n = 0
+        var j = 0
+        while (j < keys.length) { if (keys(j) != EMPTY) n += 1; j += 1 }
+        val out = new Array[(Long, Long)](n)
+        var i = 0
+        j = 0
+        while (j < keys.length) {
+          if (keys(j) != EMPTY) { out(i) = (keys(j), find(keys(j))); i += 1 }
+          j += 1
+        }
+        free(edgeIds)
+        return spark.createDataset( // wrap, don't copy, the result array
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+          .toDF("node", "component")
+          .select(col("node").cast(idType).as("node"),
+            col("component").cast(idType).as("component"))
       }
-      es.foreach { case (a, b) =>
-        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-        val (ra, rb) = (find(a), find(b))
-        // union toward the SMALLER root: the root then IS the min id
-        if (ra < rb) parent.put(rb, ra)
-        else if (rb < ra) parent.put(ra, rb)
-      }
-      val out = new Array[(Long, Long)](parent.size)
-      val it0 = parent.keySet().iterator()
-      var i = 0
-      while (it0.hasNext) {
-        val n = it0.next(); out(i) = (n, find(n)); i += 1
-      }
-      free(edgeIds)
-      return spark.createDataset( // wrap, don't copy, the result array
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
-        .toDF("node", "component")
-        .select(col("node").cast(idType).as("node"),
-          col("component").cast(idType).as("component"))
     }
     var (labels, labelIds) = ckpt(edges.select(col("a").as("node")).distinct()
       .withColumn("component", col("node")))
