@@ -116,7 +116,25 @@ object ScaleBench {
         col("user_id") % 1000000L < 30)),
     "q74_stream_scale" -> ((s: SparkSession, dir: String) =>
       SparkEntry.streamingGateQueryWithState(s, dir,
-        col("user_id") % 1000000L < 30)))
+        col("user_id") % 1000000L < 30)),
+    // Same q72 body under the RocksDB state store — the provider a
+    // 100 TB deployment runs once state exceeds executor heap (the
+    // HDFSBacked map holds ~500 MB at the 100× replica). Same output;
+    // memoryUsedBytes here reports RocksDB's tracked usage, so the
+    // bytes column is provider-relative, not comparable across
+    // providers row-to-row.
+    "q72_stream_rocksdb" -> ((s: SparkSession, dir: String) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try SparkEntry.streamingCdpQueryWithState(s, dir,
+        col("user_id") % 1000000L < 30)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }))
 
   /** Content identity of the source tables a scaled replica derives
     * from: sorted (relpath, size, mtime) over every data file. The
