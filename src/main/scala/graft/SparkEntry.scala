@@ -371,15 +371,17 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       val rated = Rates.withRate(ev, Seq("user_id"), "ts_us", "event_id",
         "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
-      val pdp = ingest.Normalize.pdp(rated, Seq("user_id"), "ts_us",
-        "rate", 300L, rateScale = Some(2))
-      // DECIMAL(18,10): same scale-10 rounding and exact sums as the
-      // default (28,10) for |pdp| < 1e8 (rates here are tiny), but the
-      // p<=18 representation is a compact LONG in both engines — no
-      // BigDecimal allocation per row. ANSI mode would fail loudly on
-      // overflow rather than corrupt the hash.
-      ingest.Consolidate.cdp(pdp, Seq("user_id"), "pdp_ts", "pdp",
-          300L, 12L, graft.model.Cf.Average, 0.5,
+      // Fused pdp→cdp plan: bit-identical to
+      // Consolidate.cdp(Normalize.pdp(...)) (FusedCdpSpec pins it) but
+      // the interior fan-out explodes per CDP WINDOW instead of per PDP
+      // step, so the aggregation consumes ~2M rows instead of the 12.6M
+      // grid. DECIMAL(18,10): same scale-10 rounding and exact sums as
+      // the default (28,10) for |pdp| < 1e8 (rates here are tiny), but
+      // the p<=18 representation is a compact LONG in both engines —
+      // no BigDecimal allocation per row. ANSI mode would fail loudly
+      // on overflow rather than corrupt the hash.
+      ingest.Normalize.pdpCdp(rated, Seq("user_id"), "ts_us", "rate",
+          300L, 12L, graft.model.Cf.Average, 0.5, rateScale = Some(2),
           sumType = DecimalType(18, 10))
         .orderBy("user_id", "cdp_ts")
     }),

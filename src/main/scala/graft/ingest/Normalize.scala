@@ -70,23 +70,49 @@ object Normalize {
       rates: Seq[(String, String)], stepSec: Long,
       rateScale: Option[Int] = None): DataFrame = {
     val stepUs = stepSec * 1000000L
+    val term = termFn(rateScale)
+    val intervals = intervalFrame(df, series, tsUs, rates, stepUs)
+    val edges = edgePdps(intervals, series, rates, stepSec, stepUs, term)
+
+    // interior steps are fully covered by this one interval: emitted
+    // finished, map-side, through the exact same scalar chain a
+    // single-term aggregation would produce (bit-identical on both
+    // decimal routes)
+    val interior = intervals
+      .where(col("__kl") - col("__kf") >= 2)
+      .withColumn("__k",
+        explode(sequence(col("__kf") + 1, col("__kl") - 1)))
+      .select(series.map(col) :+
+        (col("__k") * stepSec).as("pdp_ts") :++
+        rates.flatMap { case (_, out) => Seq(
+          interiorPdp(out, term, stepUs).as(out),
+          when(col(s"__r_$out").isNull, lit(0L)).otherwise(lit(stepUs))
+            .as(s"${out}_known_us"))
+        }: _*)
+
+    edges.unionByName(interior)
+  }
+
+  /** The decimal routing that makes sums order-independent and
+    * cross-engine deterministic; term(r, ov) is one contribution. */
+  private def termFn(rateScale: Option[Int])
+      : (Column, Column) => Column = (r, ov) => rateScale match {
+    case Some(sc) => // exact: decimal rate × integer µs
+      r.cast(DecimalType(18, sc)) * ov
+    case None => // (38,10): rate·µs products reach ~1e18 for counters
+      (r * ov).cast(DecimalType(38, 10))
+  }
+
+  /** Consecutive-sample intervals with their first/last overlapped step
+    * indices. Internal names are __-prefixed so a user series column
+    * named "k" or "r" cannot be captured by the explode/agg above. */
+  private def intervalFrame(df: DataFrame, series: Seq[String],
+      tsUs: String, rates: Seq[(String, String)],
+      stepUs: Long): DataFrame = {
     val w = Window.partitionBy(series.map(col): _*).orderBy(col(tsUs))
     val t0 = lag(col(tsUs), 1).over(w)
     val t1 = col(tsUs)
-
-    // the decimal routing that makes sums order-independent and
-    // cross-engine deterministic; term(r, ov) is one contribution
-    def term(r: Column, ov: Column): Column = rateScale match {
-      case Some(sc) => // exact: decimal rate × integer µs
-        r.cast(DecimalType(18, sc)) * ov
-      case None => // (38,10): rate·µs products reach ~1e18 for counters
-        (r * ov).cast(DecimalType(38, 10))
-    }
-
-    // internal names are __-prefixed so a user series column named "k"
-    // or "r" cannot be captured by the explode/agg below
-    val intervals = df
-      .select(series.map(col) :+ t0.as("__t0") :+ t1.as("__t1") :++
+    df.select(series.map(col) :+ t0.as("__t0") :+ t1.as("__t1") :++
         rates.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
       // monotonicity gate (rrd_update.c:1416-1423): drop the first sample
       // of each series and any non-advancing timestamp
@@ -95,11 +121,16 @@ object Normalize {
       // k > t0/S and (k-1) < t1/S  ⇒  k ∈ [t0 div S + 1, (t1-1) div S + 1]
       .withColumn("__kf", expr(s"__t0 div $stepUs + 1"))
       .withColumn("__kl", expr(s"(__t1 - 1) div $stepUs + 1"))
+  }
 
-    // edge steps — the interval's first and last overlapped step, the
-    // only ones a neighboring interval can also touch — go through the
-    // real aggregation
-    val edges = intervals
+  /** Edge steps — the interval's first and last overlapped step, the
+    * only ones a neighboring interval can also touch — through the real
+    * per-step aggregation. Output: series + pdp_ts + per entry `<out>`
+    * + `<out>_known_us`. */
+  private def edgePdps(intervals: DataFrame, series: Seq[String],
+      rates: Seq[(String, String)], stepSec: Long, stepUs: Long,
+      term: (Column, Column) => Column): DataFrame =
+    intervals
       .withColumn("__k", explode(
         when(col("__kf") === col("__kl"), array(col("__kf")))
           .otherwise(array(col("__kf"), col("__kl")))))
@@ -121,25 +152,104 @@ object Normalize {
             .as(s"${out}_known_us"))
         }: _*)
 
-    // interior steps are fully covered by this one interval: emitted
-    // finished, map-side, through the exact same scalar chain a
-    // single-term aggregation would produce (bit-identical on both
-    // decimal routes)
-    val interior = intervals
-      .where(col("__kl") - col("__kf") >= 2)
-      .withColumn("__k",
-        explode(sequence(col("__kf") + 1, col("__kl") - 1)))
-      .select(series.map(col) :+
-        (col("__k") * stepSec).as("pdp_ts") :++
-        rates.flatMap { case (_, out) => Seq(
-          when(col(s"__r_$out").isNull, lit(null)).otherwise(
-            term(col(s"__r_$out"), lit(stepUs)).cast("double") /
-              lit(stepUs)).as(out),
-          when(col(s"__r_$out").isNull, lit(0L)).otherwise(lit(stepUs))
-            .as(s"${out}_known_us"))
-        }: _*)
+  /** The interior-step PDP scalar chain (null rate → unknown). */
+  private def interiorPdp(out: String, term: (Column, Column) => Column,
+      stepUs: Long): Column =
+    when(col(s"__r_$out").isNull, lit(null)).otherwise(
+      term(col(s"__r_$out"), lit(stepUs)).cast("double") / lit(stepUs))
 
-    edges.unionByName(interior)
+  /** Fused [[pdp]] → `Consolidate.cdp`: identical output rows, one plan.
+    *
+    * The composed form generates the full PDP grid (12.6 M rows at
+    * sf0.1, 1.26 B at the 100× replica) only to re-aggregate it
+    * pdpCnt:1 immediately; profiled at sf0.1, that generate-then-reduce
+    * round trip is ~1.5 s of q17's 1.8 s while the consolidation
+    * aggregate over a materialized grid is 0.24 s. Here an interior
+    * span explodes at CDP-WINDOW granularity — one row per touched
+    * window carrying `weight` = covered steps — so the aggregation
+    * input shrinks from grid-sized to ~(2·samples + touched windows).
+    *
+    * Bit-exactness vs the composed form (FusedCdpSpec pins all CFs,
+    * both decimal routes):
+    *   - edge PDP steps run the exact [[pdpAll]] edge aggregation and
+    *     enter consolidation with weight 1 — the same double, cast to
+    *     the same `sumType` decimal;
+    *   - an interior span's window contribution is dec(v)·n, which in
+    *     decimal arithmetic equals the sum of n copies of dec(v)
+    *     EXACTLY, so AVERAGE sums, known counts, and the xff rule
+    *     cannot diverge; MIN/MAX are weight-independent; LAST's
+    *     tiebreak ordinal is the span's last covered step — the same
+    *     winner the per-step form picks (per-step ordinals are unique
+    *     within a series, and edge/interior steps never collide).
+    *
+    * Step indices must be positive (epoch time): the composed bucket
+    * `(pdp_ts - 1) div cdpStep` truncates toward zero and the fused
+    * ceil-division window arithmetic replays it only for k ≥ 1.
+    *
+    * Output: series + `cdp_ts` + `cdp` + `known_cnt`, exactly
+    * `Consolidate.cdp`'s columns.
+    */
+  def pdpCdp(df: DataFrame, series: Seq[String], tsUs: String,
+      rate: String, stepSec: Long, pdpCnt: Long, cf: graft.model.Cf,
+      xff: Double, rateScale: Option[Int] = None,
+      sumType: DecimalType = DecimalType(28, 10)): DataFrame = {
+    val stepUs = stepSec * 1000000L
+    val cdpStep = stepSec * pdpCnt
+    val out = "pdp"
+    val rates = Seq(rate -> out)
+    val term = termFn(rateScale)
+    val intervals = intervalFrame(df, series, tsUs, rates, stepUs)
+
+    // edge PDPs with weight 1; bucket exactly as Consolidate.cdp does
+    val edgeRows = edgePdps(intervals, series, rates, stepSec, stepUs, term)
+      .select(series.map(col) :+
+        ((expr(s"(pdp_ts - 1) div $cdpStep") + 1) * cdpStep).as("cdp_ts") :+
+        col(out).as("__v") :+ lit(1L).as("__w") :+
+        col("pdp_ts").as("__ord"): _*)
+
+    // interior spans, exploded per touched CDP window: window j covers
+    // steps ((j-1)·pdpCnt, j·pdpCnt], and for k ≥ 1 the composed bucket
+    // formula reduces to j = ceil(k / pdpCnt)
+    val spanRows = intervals
+      .where(col("__kl") - col("__kf") >= 2)
+      .withColumn("__a", col("__kf") + 1)
+      .withColumn("__b", col("__kl") - 1)
+      .withColumn("__j", explode(sequence(
+        expr(s"(__a + ${pdpCnt - 1}) div $pdpCnt"),
+        expr(s"(__b + ${pdpCnt - 1}) div $pdpCnt"))))
+      .withColumn("__lastk", least(col("__b"), col("__j") * pdpCnt))
+      .select(series.map(col) :+
+        (col("__j") * cdpStep).as("cdp_ts") :+
+        interiorPdp(out, term, stepUs).as("__v") :+
+        (col("__lastk") -
+          greatest(col("__a"), (col("__j") - 1) * pdpCnt + 1) + 1)
+          .as("__w") :+
+        (col("__lastk") * stepSec).as("__ord"): _*)
+
+    val known = sum(when(col("__v").isNotNull, col("__w")))
+    val cfVal = cf match {
+      case graft.model.Cf.Average =>
+        // weight as decimal(9,0), NOT the long's (20,0) promotion: with
+        // sumType (18,10) the (20,0) product needs precision 39 and
+        // Spark trims the scale to 9 — a last-ulp rounding the composed
+        // form never does. (9,0) keeps p1+p2+1 ≤ 38 at scale 10: exact.
+        sum(when(col("__v").isNotNull,
+            col("__v").cast(sumType) * col("__w").cast(DecimalType(9, 0))))
+          .cast("double") / known
+      case graft.model.Cf.Min => min(col("__v"))
+      case graft.model.Cf.Max => max(col("__v"))
+      case graft.model.Cf.Last =>
+        max_by(col("__v"), when(col("__v").isNotNull, struct(col("__ord"))))
+      case other => throw new IllegalArgumentException(
+        s"CF $other is not a consolidation aggregate (aberrant family)")
+    }
+    edgeRows.unionByName(spanRows)
+      .groupBy(series.map(col) :+ col("cdp_ts"): _*)
+      .agg(cfVal.as("cf_val"), coalesce(known, lit(0L)).as("known_cnt"))
+      .select(series.map(col) :+ col("cdp_ts") :+
+        when(lit(pdpCnt) - col("known_cnt") > lit(xff * pdpCnt), lit(null))
+          .otherwise(col("cf_val")).as("cdp") :+
+        col("known_cnt"): _*)
   }
 
   private def aggExprs(rates: Seq[(String, String)],
