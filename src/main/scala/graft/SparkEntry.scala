@@ -1464,6 +1464,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Decontamination at huge-eval-set scale: the q62 form broadcasts
+    // the eval SHINGLE STRINGS; this one broadcasts a 128 KB Bloom
+    // filter (2^20 bits, 4 md5-derived hashes) and probes it per corpus
+    // shingle. Flags are a deterministic SUPERSET of q62's (false
+    // positives at the configured occupancy, never false negatives);
+    // the oracle replays the same position arithmetic, representing the
+    // bitset as a distinct-position table.
+    "q80_bloom_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      ext.Curation.bloomDecontaminate(
+          d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", k = 3, mBits = 1 << 20, hashes = 4,
+          minHits = 2)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling: per-language keep rates over an
     // md5-derived uniform — replayable by the oracle and independent of
     // partitioning/retries, unlike DataFrame.sample's seeded RNG.
@@ -2658,6 +2675,36 @@ object SparkEntry {
         |GROUP BY c.doc_id, c.n_sh
         |HAVING COUNT(*) >= 2
         |ORDER BY c.doc_id""".stripMargin,
+
+    // Bloom membership as relations: the filter's bit set is the
+    // DISTINCT position table of the eval shingles; a corpus shingle
+    // "has all bits set" iff all `hashes` of its unnested position
+    // entries join it (duplicate positions join once per entry, so
+    // COUNT(*)=4 is correct even when a shingle's hashes collide).
+    // h0/h1 are the same md5 nibble ranges the minhash oracle reads.
+    "q80_bloom_decontaminate" ->
+      s"""$sqlShingles,
+        |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+        |       WHERE doc_id % 20 = 0),
+        |evh AS (SELECT ${sqlHexToLong("substr(md5(s), 1, 15)")} AS h0,
+        |        ${sqlHexToLong("substr(md5(s), 17, 14)")} AS h1 FROM ev),
+        |pos AS (SELECT DISTINCT unnest(list_transform(
+        |          generate_series(0, 3), j -> (h0 + j * h1) % 1048576))
+        |          AS p FROM evh),
+        |csh AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh
+        |        WHERE doc_id % 20 <> 0),
+        |ch AS (SELECT doc_id, n_sh, s,
+        |        ${sqlHexToLong("substr(md5(s), 1, 15)")} AS h0,
+        |        ${sqlHexToLong("substr(md5(s), 17, 14)")} AS h1 FROM csh),
+        |cpos AS (SELECT doc_id, n_sh, s,
+        |         unnest(list_transform(generate_series(0, 3),
+        |           j -> (h0 + j * h1) % 1048576)) AS p FROM ch),
+        |hit AS (SELECT doc_id, n_sh, s FROM cpos JOIN pos USING (p)
+        |        GROUP BY doc_id, n_sh, s HAVING COUNT(*) = 4)
+        |SELECT doc_id, n_sh, COUNT(*) AS hits,
+        | CAST(COUNT(*) AS DOUBLE) / CAST(n_sh AS DOUBLE) AS overlap
+        |FROM hit GROUP BY doc_id, n_sh HAVING COUNT(*) >= 2
+        |ORDER BY doc_id""".stripMargin,
 
     // the same md5-top-60-bits uniform the operator derives; exact
     // integer build-up, one exact fp divide by 2^60

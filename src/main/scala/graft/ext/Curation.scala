@@ -55,6 +55,84 @@ object Curation {
         (col("hits").cast("double") / col("n_sh").cast("double")).as("overlap"))
   }
 
+  /** [[decontaminate]] at the scale where the EVAL SET itself is big:
+    * the exact form broadcasts every benchmark shingle STRING (an eval
+    * suite of millions of documents broadcasts gigabytes); this form
+    * broadcasts an `mBits`-bit Bloom filter instead — 128 KB at the
+    * default 2^20 bits — and probes it per corpus shingle, shuffle-free
+    * until the per-doc aggregation. Standard Bloom semantics: flagged
+    * docs are a SUPERSET of the exact report (false positives at the
+    * configured occupancy, never false negatives — the right direction
+    * for contamination review queues; BloomDecontaminateSpec pins the
+    * superset property against [[decontaminate]]).
+    *
+    * Deterministic and cross-engine replayable, unlike library Bloom
+    * filters whose hash functions an external oracle cannot reproduce:
+    * position j of shingle s = (h0 + j·h1) mod mBits with h0/h1 the
+    * md5-hex nibble ranges 1..15 / 17..30 — the exact Kirsch–
+    * Mitzenmacher arithmetic [[Dedup.minhashSignatures]] already pins
+    * kernel≡column≡SQL. `hashes` ≤ 16 keeps h0 + j·h1 overflow-free.
+    *
+    * Output: (id, n_sh, hits, overlap) exactly as [[decontaminate]],
+    * with `hits` counting distinct shingles whose every Bloom bit is
+    * set. The eval side collects DISTINCT bit positions (bounded by
+    * mBits, not by eval size) to build the mask.
+    */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, k: Int = 3, mBits: Int = 1 << 20,
+      hashes: Int = 4, minHits: Int = 2): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits=$mBits not a word multiple")
+    require(hashes >= 1 && hashes <= 16, s"hashes=$hashes outside [1,16]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val evalPos = Dedup.shingleRows(benchmark, id, text, k)
+      .select(col("s")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap(s => bloomPositions(md, s, hashes, mBits))
+      }.distinct().collect()
+    val words = new Array[Long](mBits / 64)
+    evalPos.foreach(p => words(p >>> 6) |= 1L << (p & 63))
+    val bc = spark.sparkContext.broadcast(words)
+    Dedup.shingleRows(corpus, id, text, k)
+      .select(col(id), col("n_sh"), col("s"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val w = bc.value
+        it.filter { case (_, _, s) =>
+          bloomPositions(md, s, hashes, mBits).forall(p =>
+            (w(p >>> 6) & (1L << (p & 63))) != 0L)
+        }
+      }
+      .toDF(id, "n_sh", "s")
+      .groupBy(col(id), col("n_sh"))
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minHits)
+      .select(col(id), col("n_sh"), col("hits"),
+        (col("hits").cast("double") / col("n_sh").cast("double"))
+          .as("overlap"))
+  }
+
+  /** Bloom bit positions of one shingle: h0/h1 are md5-hex nibbles
+    * 1..15 / 17..30 read exactly as the SQL `conv(substr(md5, ...))`
+    * replay does; position j = (h0 + j·h1) mod mBits. */
+  private[graft] def bloomPositions(md: java.security.MessageDigest,
+      s: String, hashes: Int, mBits: Int): Array[Int] = {
+    md.reset()
+    val b = md.digest(s.getBytes("UTF-8"))
+    var u0 = 0L
+    var i = 0
+    while (i < 8) { u0 = (u0 << 8) | (b(i) & 0xffL); i += 1 }
+    var u1 = 0L
+    i = 8
+    while (i < 16) { u1 = (u1 << 8) | (b(i) & 0xffL); i += 1 }
+    val h0 = u0 >>> 4 // nibbles 1..15: 60 bits
+    val h1 = u1 >>> 8 // nibbles 17..30: 56 bits
+    Array.tabulate(hashes)(j => ((h0 + j * h1) % mBits).toInt)
+  }
+
   // ------------------------------------------------------- sampling
 
   /** Deterministic uniform in [0,1) from an id column: the top 60 bits
