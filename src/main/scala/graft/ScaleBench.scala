@@ -51,6 +51,7 @@ object ScaleBench {
     "q44_ann_ivf",         // centroid probe + cell join
     "q45_embed_neardup",   // bucket + bit-flip probe pairs, FIXED planes
     "q62_decontaminate",   // broadcast eval-shingle probe + bounded agg
+    "q80_bloom_decontaminate", // 128 KB bloom bitmask probe, same scan
     "q64_topk_quality",    // bounded-heap top-k: shuffle stays k·groups
     "q66_ann_ivf_trained", // k-means sample collect + broadcast centroids
     "q69_video_frames",    // per-row container decode, no shuffle
