@@ -48,6 +48,7 @@ object ScaleBench {
     "q43_neardup_groups",  // iterative connected components
     "q46_incremental_lsh", // batch-vs-index join
     "q29_ann_bruteforce",  // broadcast queries + top-k
+    "q81_sq8_quantize",    // 1-row reduction + shuffle-free code map
     "q44_ann_ivf",         // centroid probe + cell join
     "q45_embed_neardup",   // bucket + bit-flip probe pairs, FIXED planes
     "q62_decontaminate",   // broadcast eval-shingle probe + bounded agg

@@ -1336,6 +1336,22 @@ object SparkEntry {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // SQ8 scalar quantization of the embedding corpus: per-dim corpus
+    // min/max (one single-row reduction), byte codes + the per-vector
+    // reconstruction error — the 4x storage/IO cut of a 100 TB
+    // embedding lake (ANN probes run on codes; only the final re-rank
+    // touches float vectors). Codes serialize as a comma string (the
+    // bit-string idiom: cross-engine array hashing stays out of play).
+    "q81_sq8_quantize" -> ((s, dir) => {
+      ext.Similarity.sq8Quantize(Tables.embeddings(s, dir), "vec_id",
+          "embedding", 64)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("codes"), _.cast("string")))
+            .as("codes"),
+          col("max_abs_err"))
+        .orderBy("vec_id")
+    }),
+
     // Brute-force cosine top-k (the ANN exactness baseline).
     "q29_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2604,6 +2620,28 @@ object SparkEntry {
         |FROM q LEFT JOIN ag ON ag.query_id = q.vec_id
         |ORDER BY 1""".stripMargin
     },
+
+    // SQ8 replay: per-dim bounds as ordered lists, the same
+    // floor(+0.5)-clamp arithmetic, dequantization error via list_max
+    // (order-insensitive, so no fold-parity constraint applies)
+    "q81_sq8_quantize" ->
+      """WITH mm0 AS (
+        | SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |        max(CAST(embedding[i] AS DOUBLE)) AS mx
+        | FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY i),
+        |mm AS (SELECT list(mn ORDER BY i) AS mns,
+        |       list(mx ORDER BY i) AS mxs FROM mm0),
+        |q AS (SELECT vec_id, embedding,
+        | list_transform(generate_series(1, 64), i ->
+        |  CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+        |   CAST(least(greatest(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+        |     * 255.0 / (mxs[i] - mns[i]) + 0.5), 0), 255) AS INT) END) AS cs
+        | FROM embeddings, mm)
+        |SELECT vec_id, array_to_string(cs, ',') AS codes,
+        | list_max(list_transform(generate_series(1, 64), i ->
+        |  abs((mns[i] + (CAST(cs[i] AS DOUBLE) * (mxs[i] - mns[i]) / 255.0))
+        |      - CAST(embedding[i] AS DOUBLE)))) AS max_abs_err
+        |FROM q, mm ORDER BY vec_id""".stripMargin,
 
     "q44_ann_ivf" -> sqlIvfRecall,
 

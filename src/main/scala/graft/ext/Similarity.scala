@@ -29,6 +29,54 @@ object Similarity {
   def cosine(a: Column, b: Column, dim: Int): Column =
     dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
+  /** SQ8 scalar quantization of an embedding corpus: per-dimension
+    * corpus min/max → each coordinate maps to a byte code
+    * `floor((x-mn)·255/(mx-mn) + 0.5)` clamped to [0,255] — the
+    * standard 4× storage/IO reduction of a 100 TB embedding lake
+    * (float32 → uint8; ANN probes then run on codes and only the
+    * final re-rank touches full vectors). A constant dimension
+    * (mx = mn) codes to 0.
+    *
+    * Scale shape: pass 1 is ONE partial-aggregated reduction (2·dim
+    * aggregate expressions; the shuffle carries a single row), pass 2
+    * a shuffle-free map with the per-dim bounds as broadcast literals.
+    * Determinism: min/max never sum, `floor(+0.5)` avoids engine
+    * rounding-mode differences, and every arithmetic step is the same
+    * double expression tree the SQL oracle replays — codes and the
+    * reconstruction error are bit-identical cross-engine.
+    *
+    * Output: (id, codes array<int>, max_abs_err double) where
+    * max_abs_err is the largest per-coordinate |dequantized − x| —
+    * bounded by range/510 per dimension (Sq8QuantizeSpec pins the
+    * bound, idempotence, and closed-form cases).
+    */
+  def sq8Quantize(df: DataFrame, id: String, vec: String,
+      dim: Int): DataFrame = {
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col(vec), i + 1)).as(s"__mn$i"),
+      max(element_at(col(vec), i + 1)).as(s"__mx$i")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val mn = Array.tabulate(dim)(i => row.getDouble(2 * i))
+    val rg = Array.tabulate(dim)(i => row.getDouble(2 * i + 1) - mn(i))
+    val mnA = array(mn.toIndexedSeq.map(lit): _*)
+    val rgA = array(rg.toIndexedSeq.map(lit): _*)
+    df.select(col(id), col(vec).as("__v"))
+      .withColumn("__codes", transform(col("__v"), (x, i) => {
+        val m = element_at(mnA, i + 1)
+        val r = element_at(rgA, i + 1)
+        when(r === 0d, lit(0)).otherwise(
+          least(greatest(
+            floor((x - m) * lit(255.0) / r + lit(0.5)), lit(0L)), lit(255L))
+            .cast("int"))
+      }))
+      .select(col(id), col("__codes").as("codes"),
+        array_max(zip_with(col("__v"),
+          transform(col("__codes"), (c, i) =>
+            element_at(mnA, i + 1) +
+              c.cast("double") * element_at(rgA, i + 1) / lit(255.0)),
+          (x, d) => abs(d - x))).as("max_abs_err"))
+  }
+
   /** The primitive form of [[dot]]: same strict left fold compiled to a
     * JVM loop. Every ANN kernel uses THIS one definition — the
     * fused/indexed IVF paths are spec-asserted identical, and a single
