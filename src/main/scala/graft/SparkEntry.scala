@@ -1497,6 +1497,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact duplicated-SPAN coverage (the Lee-et-al axis): per doc, how
+    // many 8-gram positions repeat in another document and what token
+    // fraction those spans cover. The corpus-wide exchange carries
+    // 60-bit md5 keys (4 longs/row), never gram text; the interval
+    // union explodes hit positions only.
+    "q82_dup_spans" -> ((s, dir) => {
+      ext.Dedup.ngramDupCoverage(Tables.documents(s, dir), "doc_id",
+          "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling: per-language keep rates over an
     // md5-derived uniform — replayable by the oracle and independent of
     // partitioning/retries, unlike DataFrame.sample's seeded RNG.
@@ -2743,6 +2754,32 @@ object SparkEntry {
         | CAST(COUNT(*) AS DOUBLE) / CAST(n_sh AS DOUBLE) AS overlap
         |FROM hit GROUP BY doc_id, n_sh HAVING COUNT(*) >= 2
         |ORDER BY doc_id""".stripMargin,
+
+    // duplicated 8-gram spans: positioned grams keyed by md5 nibbles
+    // 1..15 (the same conv() replay as minhash), dup = min(doc)<>max(doc)
+    // over the key, coverage = distinct tokens under hit positions
+    "q82_dup_spans" ->
+      s"""$sqlDocWords,
+        |g1 AS (SELECT doc_id, len(ws) AS n_tok, ws,
+        |       unnest(generate_series(1, len(ws) - 7)) AS pos FROM d),
+        |g AS (SELECT doc_id, n_tok, pos,
+        |  ${sqlHexToLong("substr(md5(array_to_string(" +
+             "list_slice(ws, pos, pos + 7), ' ')), 1, 15)")} AS h
+        | FROM g1),
+        |dup AS (SELECT h FROM g GROUP BY h
+        |        HAVING min(doc_id) <> max(doc_id)),
+        |hit AS (SELECT g.doc_id, g.n_tok, g.pos FROM g JOIN dup USING (h)),
+        |pd AS (SELECT doc_id, n_tok, COUNT(*) AS dup_ngrams
+        |       FROM hit GROUP BY doc_id, n_tok),
+        |cv AS (SELECT doc_id, COUNT(DISTINCT tok) AS covered_tokens
+        |       FROM (SELECT doc_id,
+        |             unnest(generate_series(pos, pos + 7)) AS tok FROM hit)
+        |       GROUP BY doc_id)
+        |SELECT pd.doc_id, pd.n_tok, pd.dup_ngrams, cv.covered_tokens,
+        | CAST(cv.covered_tokens AS DOUBLE) / CAST(pd.n_tok AS DOUBLE)
+        |   AS dup_frac
+        |FROM pd JOIN cv ON pd.doc_id = cv.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
 
     // the same md5-top-60-bits uniform the operator derives; exact
     // integer build-up, one exact fp divide by 2^60

@@ -761,4 +761,82 @@ object Dedup {
       .select(col("id1"), col("id2"), col("sig1"), col("sig2"),
         hamming(col("sig1"), col("sig2")).cast("int").as("hamming"))
   }
+
+  /** Cross-document duplicated n-gram SPAN coverage — the exact-substring
+    * axis of dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": duplicated spans, not whole-doc
+    * similarity, are what an LM memorizes). For every word position the
+    * kernel emits the n-gram starting there; an n-gram that occurs in
+    * ≥ 2 DISTINCT documents is "duplicated", and each document reports
+    * how much of it is covered by duplicated n-grams:
+    * (id, n_tok, dup_ngrams, covered_tokens, dup_frac) where
+    * covered_tokens counts tokens under ≥ 1 duplicated n-gram (interval
+    * union) and dup_frac = covered_tokens / n_tok. Documents shorter
+    * than n words have no n-grams and are absent; so are documents with
+    * zero duplicated spans.
+    *
+    * Scale design — this is the Spark answer to the paper's suffix
+    * array, which is also a corpus-wide sort:
+    *   - positions hash to 60-bit md5 keys IN the emitting kernel, so
+    *     the corpus-token-sized exchange carries 4 longs/row, never the
+    *     n-word gram text (n× corpus bytes);
+    *   - "≥ 2 distinct docs" is `min(id) ≠ max(id)` — partial-agg
+    *     friendly, no countDistinct sketch;
+    *   - the gram→dup join shuffles both sides on `h`; the gram
+    *     exchange is planned once and reused for the aggregate and the
+    *     join probe, and AQE broadcasts the dup side when the
+    *     duplicated-key set is small (the common corpus);
+    *   - the n× explode for the interval union touches HIT positions
+    *     only — cost ∝ duplicated mass, not corpus size.
+    *
+    * Determinism: the 60-bit key is the md5-hex nibbles 1..15 exactly as
+    * the SQL oracle's conv() replay; a (cosmically unlikely) md5-60-bit
+    * collision would flag the same false pair in both engines.
+    * Integral-id contract as [[shingleRows]].
+    */
+  def ngramDupCoverage(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = df.select(col(id), TextAnalysis.words(col(text)))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, ws0) =>
+          if (ws0 == null) Iterator.empty
+          else {
+            val ws = ws0.toIndexedSeq
+            val m = ws.length
+            if (m < n) Iterator.empty
+            else (0 to m - n).iterator.map { i =>
+              val sb = new java.lang.StringBuilder(ws(i))
+              var j = i + 1
+              while (j < i + n) { sb.append(' ').append(ws(j)); j += 1 }
+              md.reset()
+              val b = md.digest(sb.toString.getBytes("UTF-8"))
+              var u = 0L
+              var q = 0
+              while (q < 8) { u = (u << 8) | (b(q) & 0xffL); q += 1 }
+              (docId, m.toLong, (i + 1).toLong, u >>> 4)
+            }
+          }
+        }
+      }.toDF(id, "n_tok", "pos", "h")
+    val dup = grams.groupBy(col("h"))
+      .agg(min(col(id)).as("__mn"), max(col(id)).as("__mx"))
+      .where(col("__mn") =!= col("__mx"))
+      .select(col("h"))
+    val hits = grams.join(dup, "h")
+    val perDoc = hits.groupBy(col(id), col("n_tok"))
+      .agg(count(lit(1)).as("dup_ngrams"))
+    val covered = hits
+      .select(col(id),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("__t"))
+      .groupBy(col(id))
+      .agg(countDistinct(col("__t")).as("covered_tokens"))
+    perDoc.join(covered, Seq(id))
+      .select(col(id), col("n_tok"), col("dup_ngrams"), col("covered_tokens"),
+        (col("covered_tokens").cast("double") / col("n_tok").cast("double"))
+          .as("dup_frac"))
+  }
 }
