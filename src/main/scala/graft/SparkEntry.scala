@@ -1352,6 +1352,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Two-stage ANN over the SQ8 codes q81 produces: the corpus scan
+    // scores byte codes via the asymmetric dot (per-query factors
+    // precomputed), approximate top-20 candidates re-rank with exact
+    // cosine. The candidate set itself is bit-deterministic, so the
+    // oracle replays both stages.
+    "q85_ann_sq8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      ext.Similarity.sq8TopK(e.where(col("vec_id") < 20), e, "vec_id",
+          "embedding", 64, k = 5, rerank = 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Brute-force cosine top-k (the ANN exactness baseline).
     "q29_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2653,6 +2667,51 @@ object SparkEntry {
         |  abs((mns[i] + (CAST(cs[i] AS DOUBLE) * (mxs[i] - mns[i]) / 255.0))
         |      - CAST(embedding[i] AS DOUBLE)))) AS max_abs_err
         |FROM q, mm ORDER BY vec_id""".stripMargin,
+
+    // SQ8 ANN replay: q81's code CTE, per-query factor lists, the same
+    // qdm + left-fold approximate dot, rank-20 candidates, exact-cosine
+    // re-rank through sqlDot
+    "q85_ann_sq8" ->
+      s"""WITH mm0 AS (
+        | SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |        max(CAST(embedding[i] AS DOUBLE)) AS mx
+        | FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY i),
+        |mm AS (SELECT list(mn ORDER BY i) AS mns,
+        |       list(mx ORDER BY i) AS mxs FROM mm0),
+        |cd AS (SELECT vec_id,
+        | list_transform(generate_series(1, 64), i ->
+        |  CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+        |   CAST(least(greatest(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+        |     * 255.0 / (mxs[i] - mns[i]) + 0.5), 0), 255) AS INT) END) AS cs
+        | FROM embeddings, mm),
+        |qq AS (SELECT vec_id AS query_id, embedding AS qv
+        |       FROM embeddings WHERE vec_id < 20),
+        |qf AS (SELECT query_id, qv,
+        | list_transform(generate_series(1, 64), i ->
+        |   (CAST(qv[i] AS DOUBLE) * (mxs[i] - mns[i])) / 255.0) AS f,
+        | list_reduce(list_transform(generate_series(1, 64), i ->
+        |   CAST(qv[i] AS DOUBLE) * mns[i]), (a, b) -> a + b) AS qdm
+        | FROM qq, mm),
+        |ap AS (SELECT query_id, c.vec_id AS neighbor_id,
+        | qdm + list_reduce(list_transform(generate_series(1, 64), i ->
+        |   f[i] * CAST(cs[i] AS DOUBLE)), (a, b) -> a + b) AS approx
+        | FROM cd c CROSS JOIN qf WHERE c.vec_id <> qf.query_id),
+        |cand AS (SELECT query_id, neighbor_id,
+        | row_number() OVER (PARTITION BY query_id
+        |   ORDER BY approx DESC, neighbor_id) AS arank FROM ap),
+        |ex AS (SELECT cand.query_id, cand.neighbor_id,
+        | ${sqlDot("qq.qv", "e.embedding")} /
+        |  (sqrt(${sqlDot("qq.qv", "qq.qv")}) *
+        |   sqrt(${sqlDot("e.embedding", "e.embedding")})) AS cosine
+        | FROM cand
+        | JOIN qq ON qq.query_id = cand.query_id
+        | JOIN embeddings e ON e.vec_id = cand.neighbor_id
+        | WHERE cand.arank <= 20),
+        |rk AS (SELECT query_id, neighbor_id, cosine,
+        | row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rank FROM ex)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q44_ann_ivf" -> sqlIvfRecall,
 

@@ -52,12 +52,37 @@ object Similarity {
     */
   def sq8Quantize(df: DataFrame, id: String, vec: String,
       dim: Int): DataFrame = {
+    val (mn, rg) = sq8Bounds(df, vec, dim)
+    val mnA = array(mn.toIndexedSeq.map(lit): _*)
+    val rgA = array(rg.toIndexedSeq.map(lit): _*)
+    sq8Codes(df, id, vec, mn, rg)
+      .select(col(id), col("__codes").as("codes"),
+        array_max(zip_with(col("__v"),
+          transform(col("__codes"), (c, i) =>
+            element_at(mnA, i + 1) +
+              c.cast("double") * element_at(rgA, i + 1) / lit(255.0)),
+          (x, d) => abs(d - x))).as("max_abs_err"))
+  }
+
+  /** Per-dimension (min, max−min) of the corpus — ONE partial-aggregated
+    * reduction whose shuffle carries a single row. Shared by
+    * [[sq8Quantize]] and [[sq8TopK]] so quantizer and reader can never
+    * disagree on the grid. */
+  private def sq8Bounds(df: DataFrame, vec: String,
+      dim: Int): (Array[Double], Array[Double]) = {
     val aggs = (0 until dim).flatMap(i => Seq(
       min(element_at(col(vec), i + 1)).as(s"__mn$i"),
       max(element_at(col(vec), i + 1)).as(s"__mx$i")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val mn = Array.tabulate(dim)(i => row.getDouble(2 * i))
     val rg = Array.tabulate(dim)(i => row.getDouble(2 * i + 1) - mn(i))
+    (mn, rg)
+  }
+
+  /** (id, __v, __codes): the SQ8 code map as a shuffle-free projection
+    * with the bounds inlined as literals. */
+  private def sq8Codes(df: DataFrame, id: String, vec: String,
+      mn: Array[Double], rg: Array[Double]): DataFrame = {
     val mnA = array(mn.toIndexedSeq.map(lit): _*)
     val rgA = array(rg.toIndexedSeq.map(lit): _*)
     df.select(col(id), col(vec).as("__v"))
@@ -69,12 +94,78 @@ object Similarity {
             floor((x - m) * lit(255.0) / r + lit(0.5)), lit(0L)), lit(255L))
             .cast("int"))
       }))
-      .select(col(id), col("__codes").as("codes"),
-        array_max(zip_with(col("__v"),
-          transform(col("__codes"), (c, i) =>
-            element_at(mnA, i + 1) +
-              c.cast("double") * element_at(rgA, i + 1) / lit(255.0)),
-          (x, d) => abs(d - x))).as("max_abs_err"))
+  }
+
+  /** Two-stage ANN over SQ8 codes — the read path [[sq8Quantize]]'s 4×
+    * cut exists for: the corpus-wide scan scores BYTE CODES with an
+    * asymmetric approximate dot,
+    *   approx(q, c) = Σ_i q_i·(mn_i + c_i·rg_i/255)
+    *               = (Σ_i q_i·mn_i) + Σ_i (q_i·rg_i/255)·c_i,
+    * where Σ q_i·mn_i and the per-dim factors f_i = (q_i·rg_i)/255 are
+    * precomputed per query on the driver — per corpus row the kernel
+    * runs one primitive fold over code ints, no float vector. The
+    * approximate top-`rerank` candidates per query (ties to the lower
+    * neighbor id) then join back to the float corpus — |Q|·rerank rows,
+    * broadcast — for EXACT cosine re-ranking through the same [[dotK]]
+    * fold as [[bruteForceTopK]].
+    *
+    * Determinism: f_i and the fold order are the exact expression tree
+    * the SQL oracle replays (left fold from 0.0, one final qDotMn add),
+    * so the candidate set, not just the re-ranked output, is
+    * bit-identical cross-engine.
+    *
+    * Output: (query_id, rank, neighbor_id, cosine) as [[bruteForceTopK]]
+    * — cosine exact over the candidate set.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, dim: Int, k: Int, rerank: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val (mn, rg) = sq8Bounds(corpus, vec, dim)
+    val qrows = collectNormed(queries, id, vec, dim).map {
+      case (qid, qv, qn) =>
+        val f = Array.tabulate(dim)(i => (qv(i) * rg(i)) / 255.0)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += qv(i) * mn(i); i += 1 }
+        (qid, qv, qn, f, s)
+    }
+    val bc = spark.sparkContext.broadcast(qrows)
+    val approx = sq8Codes(corpus, id, vec, mn, rg)
+      .select(col(id).cast("long"), col("__codes"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, cs) =>
+          qs.iterator.collect { case (qid, _, _, f, qdm) if qid != nid =>
+            var s = 0.0
+            var i = 0
+            while (i < cs.length) { s += f(i) * cs(i); i += 1 }
+            (qid, nid, qdm + s)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "approx")
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = approx.withColumn("__arank", row_number().over(wA))
+      .where(col("__arank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = corpus
+      .select(col(id).cast("long").as("neighbor_id"), col(vec).as("__cv"))
+      .join(broadcast(cand), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("__cv"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bc.value.map(q => (q._1, (q._2, q._3))).toMap
+        it.map { case (qid, nid, cv) =>
+          val (qv, qn) = qs(qid)
+          val cn = math.sqrt(d(cv, cv))
+          (qid, nid, d(qv, cv) / (qn * cn))
+        }
+      }.toDF("query_id", "neighbor_id", "cosine")
+    topK(scored, k)
   }
 
   /** The primitive form of [[dot]]: same strict left fold compiled to a
