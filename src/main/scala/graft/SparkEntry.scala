@@ -1537,6 +1537,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Temperature-scaled domain mixing (alpha=0.5 over lang, half-epoch
+    // target): tail langs upweight toward sqrt-frequency, heads clamp
+    // at rate 1. The normalizer is an order-pinned fold over name-sorted
+    // domains so the oracle replays the identical IEEE sum; the corpus
+    // pass is one codegen'd filter on the md5 uniform.
+    "q86_temperature_mix" -> ((s, dir) => {
+      ext.Curation.temperatureResample(Tables.documents(s, dir), "doc_id",
+          "lang", alpha = 0.5, targetFraction = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Group-wise top-k selection by quality score: a typed bounded-heap
     // Aggregator (k rows per group per map task) instead of a window
     // row_number that would funnel the corpus through #langs reducers.
@@ -2852,6 +2863,27 @@ object SparkEntry {
         |WHERE u < CASE lang WHEN 'en' THEN 0.05 WHEN 'fr' THEN 0.15
         |  WHEN 'es' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 0.75 END
         |ORDER BY doc_id""".stripMargin,
+
+    // same count→weight→rate arithmetic tree: sqrt via IEEE-exact sqrt,
+    // the normalizer folded over name-sorted langs (list_reduce's
+    // first-element init equals foldLeft(0.0) exactly — 0.0 + x == x
+    // for the positive sqrts), rate = least(1, (target·(w/norm))/n)
+    "q86_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT
+        |  list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang),
+        |    (a, b) -> a + b) AS norm,
+        |  CAST(SUM(n) AS DOUBLE) * 0.5 AS target FROM c),
+        |r AS (SELECT lang, least(1.0,
+        |  (target * (sqrt(CAST(n AS DOUBLE)) / norm)) / CAST(n AS DOUBLE))
+        |  AS rate FROM c, t),
+        |su AS (SELECT doc_id, lang,
+        |  CAST(${sqlHexToLong("substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")} AS DOUBLE)
+        |   / CAST(1152921504606846976 AS DOUBLE) AS u
+        | FROM documents)
+        |SELECT su.doc_id, su.lang, su.u, r.rate FROM su
+        |JOIN r USING (lang) WHERE su.u < r.rate
+        |ORDER BY su.doc_id""".stripMargin,
 
     // the window form of the bounded-heap operator: identical rows by
     // construction (score desc, doc_id asc tie-break)

@@ -159,6 +159,52 @@ object Curation {
       .drop("__u")
   }
 
+  /** Temperature-scaled domain mixing — the multilingual/multi-source
+    * sampler LLM corpora are mixed with: domain d (lang, source, …)
+    * with `n_d` docs gets mixture weight `w_d = n_d^α / Σ_e n_e^α`
+    * (α < 1 upweights tail domains; α = 1 is natural frequency), and a
+    * target epoch of `targetFraction · N` docs gives the keep rate
+    * `r_d = min(1, target · w_d / n_d)`, applied through the
+    * deterministic [[hashUniform]] — a pure per-row filter, no shuffle,
+    * no RNG state, identical across retries/partitionings/engines.
+    *
+    * The per-domain counts collect to the driver (bounded by #domains —
+    * the q76 contract; at 100 TB this is thousands of rows, not corpus
+    * rows) and come back as a literal when-chain, so the corpus pass is
+    * a single codegen'd filter.
+    *
+    * Cross-engine exactness: the weight normalizer Σ n_e^α is a DOUBLE
+    * left fold over domains SORTED BY NAME — order-pinned so the oracle
+    * replays the identical IEEE sum — and α = 0.5 routes through
+    * `sqrt` (correctly rounded per IEEE 754, identical in every libm),
+    * the oracle-pinned temperature. Other α use `math.pow`, which can
+    * drift a last ulp vs another engine's libm — harmless for sampling,
+    * outside the hash-oracle contract.
+    *
+    * Output: kept rows as (id, domain, u, rate), `u` the row's uniform
+    * and `rate` its domain's keep rate (head-room for weighting by
+    * 1/rate downstream). Domains where `r_d` clamps at 1 keep every
+    * row — the epoch lands under target rather than oversampling heads.
+    */
+  def temperatureResample(df: DataFrame, id: String, domain: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    val pow: Double => Double =
+      if (alpha == 0.5) math.sqrt else math.pow(_, alpha)
+    val counts = df.groupBy(col(domain)).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toIndexedSeq
+    val total = counts.iterator.map(_._2).sum
+    val norm = counts.foldLeft(0.0) { case (a, (_, n)) => a + pow(n.toDouble) }
+    val target = total.toDouble * targetFraction
+    val rate = counts.foldLeft(lit(Double.NaN)) { case (acc, (d, n)) =>
+      val r = math.min(1.0, (target * (pow(n.toDouble) / norm)) / n.toDouble)
+      when(col(domain) === d, lit(r)).otherwise(acc)
+    }
+    df.select(col(id), col(domain), hashUniform(col(id)).as("u"),
+        rate.as("rate"))
+      .where(col("u") < col("rate"))
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Conservative PII patterns chosen to parse AND match identically in

@@ -144,6 +144,41 @@ class CurationSpec extends SparkSuite {
     assert(kept == expected)
   }
 
+  test("temperatureResample: rates and kept set equal the closed form") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val byLang = docs.as[(Long, String)].collect().groupBy(_._2)
+      .view.mapValues(_.length.toLong).toMap
+    val sorted = byLang.toIndexedSeq.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    val norm = sorted.foldLeft(0.0) { case (a, (_, n)) =>
+      a + math.sqrt(n.toDouble)
+    }
+    val target = total.toDouble * 0.5
+    val rates = sorted.map { case (d, n) =>
+      d -> math.min(1.0,
+        (target * (math.sqrt(n.toDouble) / norm)) / n.toDouble)
+    }.toMap
+    val got = Curation.temperatureResample(
+        Tables.documents(spark, sf), "doc_id", "lang", 0.5, 0.5)
+      .select("doc_id", "lang", "u", "rate")
+      .as[(Long, String, Double, Double)].collect()
+    // every emitted row carries its domain's closed-form rate and the
+    // operator's uniform, and clears the filter
+    got.foreach { case (id, lang, u, r) =>
+      assert(r == rates(lang), s"rate for $lang")
+      assert(u == uniformOf(id) && u < r, s"doc $id")
+    }
+    val expected = docs.as[(Long, String)].collect().collect {
+      case (id, lang) if uniformOf(id) < rates(lang) => id
+    }.toSet
+    assert(expected.nonEmpty && got.length == expected.size)
+    assert(got.map(_._1).toSet == expected)
+    // alpha=0.5 on this corpus upweights at least one tail language to
+    // a strictly higher rate than the head language's
+    val head = byLang.maxBy(_._2)._1
+    assert(rates.values.exists(_ > rates(head)))
+  }
+
   test("topKPerGroup equals the window row_number form, ties included") {
     // deliberate score collisions: 13 distinct scores over 500 rows
     val rows = (0 until 500).map { i =>
