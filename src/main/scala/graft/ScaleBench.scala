@@ -120,6 +120,12 @@ object ScaleBench {
     "q74_stream_scale" -> ((s: SparkSession, dir: String) =>
       SparkEntry.streamingGateQueryWithState(s, dir,
         col("user_id") % 1000000L < 30)),
+    // exactly-once dedup: state holds one row per distinct EVENT (not
+    // per series) — the fastest-growing state family; rows ∝ events
+    // ingested is the law to confirm
+    "q87_stream_scale" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.streamingDedupQueryWithState(s, dir,
+        col("user_id") % 1000000L < 30)),
     // Same q72 body under the RocksDB state store — the provider a
     // 100 TB deployment runs once state exceeds executor heap (the
     // HDFSBacked map holds ~500 MB at the 100× replica). Same output;

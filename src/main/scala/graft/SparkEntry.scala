@@ -524,6 +524,15 @@ object SparkEntry {
     "q74_streaming_gate" -> ((s, dir) =>
       streamingGateQuery(s, dir, col("user_id") < 30)),
 
+    // Streaming exactly-once dedup over an at-least-once source: the
+    // BUILT-IN stateful dropDuplicates operator (one state row per
+    // distinct key, shuffled on the key) faces a second micro-batch
+    // redelivering every third event verbatim — all replays must
+    // vanish, so the sink equals the clean slice. The daemon-journal
+    // crash-replay shape (rrd_daemon.c:304-329) expressed Spark-first.
+    "q87_streaming_dedup" -> ((s, dir) =>
+      streamingDedupQuery(s, dir, col("user_id") < 30)),
+
     // Token-budget sequence packing — the sharding step between
     // curation and training: documents pack greedily (in deterministic
     // doc_id order, per language) into fixed token-budget bins via a
@@ -2015,6 +2024,13 @@ object SparkEntry {
         |      THEN NULL ELSE value END AS rate
         |FROM r ORDER BY user_id, ts_us, event_id""".stripMargin,
 
+    // exactly-once = the clean slice: every redelivered row is dropped
+    // by the streaming dedup state, nothing else changes
+    "q87_streaming_dedup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |FROM events WHERE user_id < 30
+        |ORDER BY event_id""".stripMargin,
+
     // greedy packing = integer window cumsum; all-integer math. The
     // GREATEST clamp matches the Spark side: without it a zero-token
     // first doc gives cum-1 = -1, which DuckDB's // floors to -1 while
@@ -3146,6 +3162,26 @@ object SparkEntry {
         "value", DsDef("v", Dst.Gauge, heartbeatSec = 7200L))
       .select(col("user_id"), col("event_id"), col("ts_us"), col("rate"))
       .orderBy("user_id", "ts_us", "event_id"), st)
+  }
+
+  /** q87's body with the series slice as a parameter (see
+    * [[streamingCdpQuery]] for why ScaleBench needs one). */
+  private[graft] def streamingDedupQuery(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    streamingDedupQueryWithState(s, dir, pred)._1
+
+  private[graft] def streamingDedupQueryWithState(s: SparkSession,
+      dir: String, pred: org.apache.spark.sql.Column)
+      : (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]) = {
+    val ev = Tables.events(s, dir).where(pred)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    // the at-least-once replay: every third event redelivered verbatim
+    // as micro-batch 2 — the exactly-once output is exactly the clean
+    // slice, each key's state row outliving its redelivery
+    val redelivered = ev.where(col("event_id") % 3 === 0)
+    val (out, st) = graft.streaming.StreamingDedup
+      .dedupFileRun(s, ev, redelivered, Seq("event_id"))
+    (out.orderBy("event_id"), st)
   }
 
   /** Derby in-memory database for q57's sql// source (Derby ships on the
