@@ -50,6 +50,7 @@ object ScaleBench {
     "q29_ann_bruteforce",  // broadcast queries + top-k
     "q81_sq8_quantize",    // 1-row reduction + shuffle-free code map
     "q85_ann_sq8",         // byte-code corpus scan + exact re-rank
+    "q88_ann_pq",          // PQ encode+ADC scan + exact re-rank
     "q44_ann_ivf",         // centroid probe + cell join
     "q45_embed_neardup",   // bucket + bit-flip probe pairs, FIXED planes
     "q62_decontaminate",   // broadcast eval-shingle probe + bounded agg

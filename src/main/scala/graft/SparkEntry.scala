@@ -1375,6 +1375,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Two-stage ANN over PRODUCT-QUANTIZATION codes (32× compression:
+    // 8 code bytes replace 64 floats): per-subspace L2 k-means
+    // codebooks trained driver-side from an md5-uniform sample, corpus
+    // scan encodes + scores via the per-query ADC table (m lookups +
+    // adds per row), exact-cosine re-rank on the top-20 candidates.
+    // Training, codes, and candidates are all deterministic — the
+    // oracle replays the entire chain.
+    "q88_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      ext.Similarity.pqTopK(e.where(col("vec_id") < 20), e, "vec_id",
+          "embedding", 64, m = 8, kCent = 16, iters = 2,
+          sampleRate = 0.5, k = 5, rerank = 50)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Brute-force cosine top-k (the ANN exactness baseline).
     "q29_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2740,6 +2757,11 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // the full PQ chain — training through re-rank — replayed in one
+    // generated CTE pyramid (8 subspaces × 2 Lloyd iterations)
+    "q88_ann_pq" -> sqlPqTopK(m = 8, kCent = 16, iters = 2, rate = 0.5,
+      dim = 64, rerank = 50, k = 5),
+
     "q44_ann_ivf" -> sqlIvfRecall,
 
     // the indexed path scores identically (same centroids, same strict
@@ -3539,6 +3561,132 @@ object SparkEntry {
           |""".stripMargin
     }
     sb ++= s"cent AS (SELECT cid, cv FROM c$iters)"
+    sb.toString
+  }
+
+  /** Full PQ-ANN replay (q88): per-subspace L2 k-means training
+    * (Similarity.pqCodebooks step for step — shared md5-uniform sample,
+    * init = the kCent smallest (u, vec_id) rows sliced per subspace,
+    * argmin-L2 assignment with ties to the lowest cid, id-ordered mean
+    * folds, empty cells keep their previous centroid), full-corpus
+    * encoding, per-query ADC tables, left-associated m-term approx sum,
+    * rank-`rerank` candidates, exact-cosine re-rank. */
+  private def sqlPqTopK(m: Int, kCent: Int, iters: Int, rate: Double,
+      dim: Int, rerank: Int, k: Int): String = {
+    val w = dim / m
+    val u = s"CAST(${sqlHexToLong("substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)")} AS DOUBLE)" +
+      " / CAST(1152921504606846976 AS DOUBLE)"
+    // slice s (0-based) of a full embedding column as a double list
+    def slice(e: String, s: Int) =
+      s"list_transform(generate_series(1, $w), i -> " +
+        s"CAST($e[${s * w} + i] AS DOUBLE))"
+    // squared L2 between two w-wide double lists, strict left fold
+    def l2(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, $w), i -> " +
+        s"($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    // dot of a w-wide double list against a centroid list
+    def dotW(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, $w), i -> " +
+        s"$a[i] * $b[i]), (x, y) -> x + y)"
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH s0 AS (
+        | SELECT vec_id, embedding, $u AS u FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= $dim),
+        |samp AS (SELECT vec_id, embedding, u FROM s0 WHERE u < $rate),
+        |init AS (
+        | SELECT cid, embedding FROM (
+        |  SELECT row_number() OVER (ORDER BY u, vec_id) AS cid, embedding
+        |  FROM samp) WHERE cid <= $kCent),
+        |""".stripMargin
+    (0 until m).foreach { s =>
+      sb ++=
+        s"""sl$s AS (SELECT vec_id, ${slice("embedding", s)} AS sv FROM samp),
+          |c${s}_0 AS (SELECT cid, ${slice("embedding", s)} AS cv FROM init),
+          |""".stripMargin
+      (1 to iters).foreach { t =>
+        sb ++=
+          s"""a${s}_$t AS (
+            | SELECT vec_id, sv, cell FROM (
+            |  SELECT sl.vec_id, sl.sv, ct.cid AS cell,
+            |   row_number() OVER (PARTITION BY sl.vec_id ORDER BY
+            |     ${l2("sl.sv", "ct.cv")} ASC, ct.cid) AS rn
+            |  FROM sl$s sl CROSS JOIN c${s}_${t - 1} ct) WHERE rn = 1),
+            |m${s}_$t AS (
+            | SELECT cell, dim,
+            |  list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
+            |    / COUNT(*) AS mv
+            | FROM (SELECT a.cell, a.vec_id, dd.dim, a.sv[dd.dim] AS val
+            |       FROM a${s}_$t a CROSS JOIN
+            |        (SELECT unnest(generate_series(1, $w)) AS dim) dd)
+            | GROUP BY cell, dim),
+            |c${s}_$t AS (
+            | SELECT p.cid, COALESCE(mm.cv, p.cv) AS cv
+            | FROM c${s}_${t - 1} p LEFT JOIN
+            |  (SELECT cell AS cid, list(mv ORDER BY dim) AS cv
+            |   FROM m${s}_$t GROUP BY cell) mm
+            | USING (cid)),
+            |""".stripMargin
+      }
+      sb ++=
+        s"""al$s AS (SELECT vec_id, ${slice("embedding", s)} AS sv
+          |  FROM embeddings),
+          |cd$s AS (
+          | SELECT vec_id, cell FROM (
+          |  SELECT al.vec_id, ct.cid AS cell,
+          |   row_number() OVER (PARTITION BY al.vec_id ORDER BY
+          |     ${l2("al.sv", "ct.cv")} ASC, ct.cid) AS rn
+          |  FROM al$s al CROSS JOIN c${s}_$iters ct) WHERE rn = 1),
+          |""".stripMargin
+    }
+    sb ++=
+      s"""qq AS (SELECT vec_id AS query_id, embedding AS qv
+        | FROM embeddings WHERE vec_id < 20),
+        |""".stripMargin
+    (0 until m).foreach { s =>
+      sb ++=
+        s"""tb$s AS (
+          | SELECT q.query_id, ct.cid,
+          |  ${dotW(slice("q.qv", s), "ct.cv")} AS pd
+          | FROM qq q CROSS JOIN c${s}_$iters ct),
+          |nb$s AS (
+          | SELECT cid, ${dotW("ct.cv", "ct.cv")} AS s2
+          | FROM c${s}_$iters ct),
+          |""".stripMargin
+    }
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN cd$s ON cd$s.vec_id = cd0.vec_id").mkString(" ")
+    val tabJoins = (0 until m)
+      .map(s => s"JOIN tb$s t$s ON t$s.query_id = q.query_id " +
+        s"AND t$s.cid = cd$s.cell").mkString(" ")
+    val normJoins = (0 until m)
+      .map(s => s"JOIN nb$s n$s ON n$s.cid = cd$s.cell").mkString(" ")
+    val approxSum = (0 until m).map(s => s"t$s.pd").mkString(" + ")
+    val normSum = (0 until m).map(s => s"n$s.s2").mkString(" + ")
+    sb ++=
+      s"""ap AS (
+        | SELECT q.query_id, cd0.vec_id AS neighbor_id,
+        |  CASE WHEN ($normSum) = 0 THEN CAST('-infinity' AS DOUBLE)
+        |   ELSE ($approxSum) / sqrt($normSum) END AS approx
+        | FROM qq q CROSS JOIN cd0 $codeJoins $tabJoins $normJoins
+        | WHERE cd0.vec_id <> q.query_id),
+        |cand AS (
+        | SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY approx DESC, neighbor_id) AS arank FROM ap),
+        |ex AS (
+        | SELECT cand.query_id, cand.neighbor_id,
+        |  ${sqlCos("qq.qv", "e.embedding")} AS cosine
+        | FROM cand
+        | JOIN qq ON qq.query_id = cand.query_id
+        | JOIN embeddings e ON e.vec_id = cand.neighbor_id
+        | WHERE cand.arank <= $rerank),
+        |rk AS (
+        | SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM ex)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
     sb.toString
   }
 

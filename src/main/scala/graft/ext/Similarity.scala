@@ -121,7 +121,6 @@ object Similarity {
       vec: String, dim: Int, k: Int, rerank: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val d = dotK(dim) _
     val (mn, rg) = sq8Bounds(corpus, vec, dim)
     val qrows = collectNormed(queries, id, vec, dim).map {
       case (qid, qv, qn) =>
@@ -146,6 +145,26 @@ object Similarity {
           }
         }
       }.toDF("query_id", "neighbor_id", "approx")
+    rerankExact(approx,
+      corpus, id, vec, dim,
+      qrows.map(q => (q._1, (q._2, q._3))).toMap, rerank, k)
+  }
+
+  /** Shared tail of the two-stage ANN paths ([[sq8TopK]], [[pqTopK]]):
+    * take each query's top-`rerank` candidates by approximate score
+    * (ties to the lower neighbor id), join them back to the float
+    * corpus (|Q|·rerank rows — broadcast side), and re-rank with the
+    * EXACT [[dotK]] cosine. The wide data only ever carries
+    * (query, neighbor, approx) triples; vectors rejoin only for the
+    * bounded candidate set. */
+  private def rerankExact(approx: DataFrame, corpus: DataFrame,
+      id: String, vec: String, dim: Int,
+      queries: Map[Long, (Array[Double], Double)], rerank: Int,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val bcQ = spark.sparkContext.broadcast(queries)
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
@@ -158,7 +177,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("__cv"))
       .as[(Long, Long, Array[Double])]
       .mapPartitions { it =>
-        val qs = bc.value.map(q => (q._1, (q._2, q._3))).toMap
+        val qs = bcQ.value
         it.map { case (qid, nid, cv) =>
           val (qv, qn) = qs(qid)
           val cn = math.sqrt(d(cv, cv))
@@ -166,6 +185,178 @@ object Similarity {
         }
       }.toDF("query_id", "neighbor_id", "cosine")
     topK(scored, k)
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector
+    * splits into `m` contiguous subspaces of `dim / m` dims; each
+    * subspace gets `kCent` centroids from its own driver-local Lloyd
+    * run over ONE shared md5-uniform sample (the [[kmeansCentroids]]
+    * shape — distributed sample, driver iterations, zero per-iteration
+    * cluster jobs). Subspace k-means is L2 (argmin squared distance,
+    * ties to the lowest centroid id; cosine is meaningless on a slice),
+    * init is the `kCent` sample rows with the smallest (u, id), and an
+    * emptied cell keeps its previous centroid — every choice
+    * deterministic so the SQL oracle can replay training exactly.
+    *
+    * Storage story: `m` code bytes replace `dim` floats — m=8 over
+    * 64-dim float32 is a 32× cut (vs SQ8's 4×), the difference between
+    * an index that fits in memory and one that doesn't at 100 TB.
+    *
+    * Returns books(s)(c) = centroid c of subspace s (c in 0 until
+    * kCent, slice width dim/m).
+    */
+  def pqCodebooks(corpus: DataFrame, id: String, vec: String, dim: Int,
+      m: Int, kCent: Int, iters: Int,
+      sampleRate: Double): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m")
+    require(kCent > 0 && iters >= 0)
+    val w = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val samp: Array[(Long, Array[Double], Double)] = corpus
+      .select(col(id).cast("long").as("vid"), col(vec).as("v"),
+        Curation.hashUniform(col(id)).as("u"))
+      .where(col("u") < sampleRate && col("v").isNotNull &&
+        size(col("v")) >= dim)
+      .as[(Long, Array[Double], Double)]
+      .collect()
+    require(samp.length >= kCent,
+      s"sample of ${samp.length} vectors < kCent=$kCent " +
+        s"(raise sampleRate=$sampleRate)")
+    val init = samp.sortBy { case (vid, _, u) => (u, vid) }.take(kCent)
+    // ascending id: the mean fold order (members never change)
+    val members = samp.sortBy(_._1).map(_._2)
+    Array.tabulate(m) { s =>
+      def slice(v: Array[Double]): Array[Double] =
+        java.util.Arrays.copyOfRange(v, s * w, (s + 1) * w)
+      var cents: Array[Array[Double]] = init.map(t => slice(t._2))
+      val mem = members.map(slice)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(kCent)(new Array[Double](w))
+        val cnts = new Array[Long](kCent)
+        mem.foreach { v =>
+          val best = nearestSub(v, cents, w)
+          cnts(best) += 1
+          var j = 0
+          while (j < w) { sums(best)(j) += v(j); j += 1 }
+        }
+        cents = Array.tabulate(kCent)(ci =>
+          if (cnts(ci) == 0) cents(ci)
+          else {
+            val mv = new Array[Double](w)
+            var j = 0
+            while (j < w) { mv(j) = sums(ci)(j) / cnts(ci); j += 1 }
+            mv
+          })
+      }
+      cents
+    }
+  }
+
+  /** argmin-L2 cell for one subspace slice — strictly-less keeps the
+    * lowest centroid id on ties (the oracle's ORDER BY l2, cid). */
+  private def nearestSub(v: Array[Double], cents: Array[Array[Double]],
+      w: Int): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      var dd = 0.0
+      var j = 0
+      while (j < w) {
+        val df = v(j) - cents(c)(j)
+        dd += df * df
+        j += 1
+      }
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Two-stage ANN over PQ codes — [[sq8TopK]]'s shape at 32×
+    * compression: the corpus scan ENCODES each vector (m argmin-L2
+    * cells against broadcast codebooks) and scores it by asymmetric
+    * distance computation against the RECONSTRUCTION x̂ — per query a
+    * precomputed m×kCent table tab(s)(c) = dot(q_slice_s, book_s(c)),
+    * so dot(q, x̂) is `m` table lookups + adds per (query, row);
+    * ranking is the approximate COSINE dot(q, x̂)/‖x̂‖, where
+    * ‖x̂‖² = Σ_s ‖book_s(code_s)‖² EXACTLY (subspaces concatenate), a
+    * second m-lookup sum against precomputed per-centroid norms.
+    * Ranking by raw dot would conflate similarity with corpus vector
+    * norm and collapse recall. Approximate top-`rerank` candidates
+    * re-rank with exact cosine through [[rerankExact]].
+    *
+    * Training, encoding, the ADC sum orders, and both tie-breaks are
+    * deterministic, so the SQL oracle replays the full chain —
+    * codebooks, codes, candidates, and the exact re-rank.
+    *
+    * Output: (query_id, rank, neighbor_id, cosine) as
+    * [[bruteForceTopK]].
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, dim: Int, m: Int, kCent: Int, iters: Int,
+      sampleRate: Double, k: Int, rerank: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val w = dim / m
+    val books = pqCodebooks(corpus, id, vec, dim, m, kCent, iters,
+      sampleRate)
+    // ‖centroid‖² per (subspace, cid) — the same fold order as the
+    // oracle's dotW(cv, cv)
+    val n2 = books.map(_.map { cv =>
+      var acc = 0.0
+      var j = 0
+      while (j < w) { acc += cv(j) * cv(j); j += 1 }
+      acc
+    })
+    val qrows = collectNormed(queries, id, vec, dim).map {
+      case (qid, qv, qn) =>
+        val tab = Array.tabulate(m) { s =>
+          Array.tabulate(books(s).length) { c =>
+            var acc = 0.0
+            var j = 0
+            while (j < w) { acc += qv(s * w + j) * books(s)(c)(j); j += 1 }
+            acc
+          }
+        }
+        (qid, qv, qn, tab)
+    }
+    val bcQ = spark.sparkContext.broadcast(qrows)
+    val bcB = spark.sparkContext.broadcast(books)
+    val bcN = spark.sparkContext.broadcast(n2)
+    val approx = corpus
+      .select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val bks = bcB.value
+        val nn = bcN.value
+        val qs = bcQ.value
+        it.flatMap { case (nid, v) =>
+          val code = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            code(s) = nearestSub(
+              java.util.Arrays.copyOfRange(v, s * w, (s + 1) * w),
+              bks(s), w)
+            s += 1
+          }
+          var n2s = 0.0
+          var t0 = 0
+          while (t0 < m) { n2s += nn(t0)(code(t0)); t0 += 1 }
+          val cn = math.sqrt(n2s)
+          qs.iterator.collect { case (qid, _, _, tab) if qid != nid =>
+            var a = 0.0
+            var t = 0
+            while (t < m) { a += tab(t)(code(t)); t += 1 }
+            // a zero-norm reconstruction ranks last, deterministically
+            (qid, nid,
+              if (n2s == 0.0) Double.NegativeInfinity else a / cn)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "approx")
+    rerankExact(approx, corpus, id, vec, dim,
+      qrows.map(q => (q._1, (q._2, q._3))).toMap, rerank, k)
   }
 
   /** The primitive form of [[dot]]: same strict left fold compiled to a
