@@ -1574,6 +1574,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-language token-budget cap (4000 tokens/lang): docs in
+    // hash-uniform priority order, keep the prefix whose running token
+    // total fits — the exact-quota complement of q86's rate mixing.
+    // One window cumsum per lang, no global reducer.
+    "q89_token_budget" -> ((s, dir) => {
+      val tokens = ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
+      ext.Curation.tokenBudgetCap(Tables.documents(s, dir), "doc_id",
+          "lang", tokens, budget = 4000L)
+        .orderBy("doc_id")
+    }),
+
     // Group-wise top-k selection by quality score: a typed bounded-heap
     // Aggregator (k rows per group per map task) instead of a window
     // row_number that would funnel the corpus through #langs reducers.
@@ -2922,6 +2933,22 @@ object SparkEntry {
         |SELECT su.doc_id, su.lang, su.u, r.rate FROM su
         |JOIN r USING (lang) WHERE su.u < r.rate
         |ORDER BY su.doc_id""".stripMargin,
+
+    // same md5 priority order and integer window cumsum; the BIGINT
+    // cast is the q78 HUGEINT-widening lesson
+    "q89_token_budget" ->
+      s"""$sqlDocWords,
+        |su AS (SELECT doc_id, lang, len(ws) AS n_tokens,
+        |  CAST(${sqlHexToLong("substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")} AS DOUBLE)
+        |   / CAST(1152921504606846976 AS DOUBLE) AS u
+        | FROM d),
+        |ck AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        | FROM su)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM ck
+        |WHERE cum_tokens <= 4000 ORDER BY doc_id""".stripMargin,
 
     // the window form of the bounded-heap operator: identical rows by
     // construction (score desc, doc_id asc tie-break)

@@ -205,6 +205,31 @@ object Curation {
       .where(col("u") < col("rate"))
   }
 
+  /** Per-group token-budget cap — the "at most B tokens of domain d per
+    * epoch" knob of a data-mixture recipe (complementing
+    * [[temperatureResample]]'s rate form with an exact token quota):
+    * docs take a deterministic unbiased priority order within their
+    * group (the [[hashUniform]] of their id — partitioning/retry
+    * independent, no RNG), and the group keeps its prefix while the
+    * running token total stays ≤ `budget`. One window cumsum
+    * partitioned by the group key — at corpus scale by (group, shard)
+    * like q78's packing — never a global reducer.
+    *
+    * Output: kept rows as (id, group, n_tokens, cum_tokens); the cumsum
+    * is monotone so the kept set is exactly a per-group prefix.
+    */
+  def tokenBudgetCap(df: DataFrame, id: String, group: String,
+      tokens: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("__u"), col(id))
+      .rowsBetween(Long.MinValue, 0)
+    df.select(col(id), col(group), tokens.as("n_tokens"))
+      .withColumn("__u", hashUniform(col(id)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .drop("__u")
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Conservative PII patterns chosen to parse AND match identically in

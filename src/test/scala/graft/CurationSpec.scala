@@ -179,6 +179,33 @@ class CurationSpec extends SparkSuite {
     assert(rates.values.exists(_ > rates(head)))
   }
 
+  test("tokenBudgetCap keeps exactly the hash-order prefix under budget") {
+    import org.apache.spark.sql.functions.{col, length}
+    val budget = 2000L
+    val got = Curation.tokenBudgetCap(Tables.documents(spark, sf),
+        "doc_id", "lang", length(col("text")).cast("long"), budget)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    // independent recompute: per-lang (u, id)-sorted prefix sums
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n"))
+      .as[(Long, String, Long)].collect()
+    val want = docs.groupBy(_._2).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy { case (id, _, _) => (uniformOf(id), id) }
+      var cum = 0L
+      sorted.toSeq.flatMap { case (id, lang, n) =>
+        cum += n
+        if (cum <= budget) Some((id, lang, n, cum)) else None
+      }
+    }.toSet
+    assert(want.nonEmpty && want.size < docs.length)
+    assert(got.toSet == want)
+    // kept set is a prefix: every kept cum is under budget and adding
+    // any unkept doc of the same lang at its position would overflow
+    got.foreach { case (_, _, _, cum) => assert(cum <= budget) }
+  }
+
   test("topKPerGroup equals the window row_number form, ties included") {
     // deliberate score collisions: 13 distinct scores over 500 rows
     val rows = (0 until 500).map { i =>
