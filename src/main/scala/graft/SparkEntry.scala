@@ -1574,6 +1574,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Char-trigram LM quality score: corpus-trained conditional
+    // trigram probabilities per language, docs scored by the
+    // position-ordered mean probability — the LM-filter leg of a
+    // curation pipeline in exact rational form (no libm log; the
+    // cross-engine hash gate applies to the scores themselves).
+    "q90_trigram_lm" -> ((s, dir) => {
+      ext.TextAnalysis.trigramLmScore(Tables.documents(s, dir),
+          "doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Per-language token-budget cap (4000 tokens/lang): docs in
     // hash-uniform priority order, keep the prefix whose running token
     // total fits — the exact-quota complement of q86's rate mixing.
@@ -2933,6 +2944,37 @@ object SparkEntry {
         |SELECT su.doc_id, su.lang, su.u, r.rate FROM su
         |JOIN r USING (lang) WHERE su.u < r.rate
         |ORDER BY su.doc_id""".stripMargin,
+
+    // same trigram grid (char-based substr == code-point extraction),
+    // integer counts, p = n3/n2 one exact divide, position-ordered
+    // list_reduce sum, one final divide — no log anywhere
+    "q90_trigram_lm" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, lower(trim(text)) AS norm FROM documents),
+        |g0 AS (
+        | SELECT doc_id, lang, norm,
+        |  unnest(generate_series(1, len(norm) - 2)) AS pos
+        | FROM d),
+        |g AS (
+        | SELECT doc_id, lang, pos, substr(norm, pos, 3) AS tri FROM g0),
+        |c3 AS (SELECT lang, tri, COUNT(*) AS n3 FROM g GROUP BY lang, tri),
+        |c2 AS (SELECT lang, substr(tri, 1, 2) AS pre, SUM(n3) AS n2
+        |       FROM c3 GROUP BY lang, pre),
+        |pv AS (
+        | SELECT g.doc_id, g.pos,
+        |  CAST(c3.n3 AS DOUBLE) / CAST(c2.n2 AS DOUBLE) AS p
+        | FROM g
+        | JOIN c3 ON c3.lang = g.lang AND c3.tri = g.tri
+        | JOIN c2 ON c2.lang = g.lang AND c2.pre = substr(g.tri, 1, 2)),
+        |s AS (
+        | SELECT doc_id, COUNT(*) AS n_trigrams,
+        |  list_reduce(list(p ORDER BY pos), (x, y) -> x + y) AS sp
+        | FROM pv GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        | COALESCE(s.n_trigrams, 0) AS n_trigrams,
+        | s.sp / s.n_trigrams AS score
+        |FROM d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same md5 priority order and integer window cumsum; the BIGINT
     // cast is the q78 HUGEINT-widening lesson

@@ -171,4 +171,77 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = md5(normalize(text))
   def fingerprintPrefix(text: Column, n: Int): Column =
     substring(fingerprint(text), 1, n)
+
+  /** Char-trigram CODE-POINT triples of a normalized string, in
+    * position order — code points, not UTF-16 chars, so the extraction
+    * agrees with DuckDB's character-based `substr` on any BMP or
+    * supplementary text. */
+  private def triGrams(norm: String): Array[String] = {
+    if (norm == null) return Array.empty
+    val cps = norm.codePoints().toArray
+    if (cps.length < 3) return Array.empty
+    Array.tabulate(cps.length - 2)(i => new String(cps, i, 3))
+  }
+
+  /** Character-trigram language-model quality score — the
+    * "does this look like language X" filter of a curation pipeline
+    * (fastText-style LM filtering), in EXACT RATIONAL form so the
+    * cross-engine hash gate applies: per language the corpus trains
+    * conditional trigram probabilities p(c|ab) = n3(abc) / n2(ab·)
+    * from integer counts, and a doc's score is the POSITION-ORDERED
+    * mean of its trigram probabilities. No logarithm anywhere — `log`
+    * is libm-dependent across engines, while integer counts, one IEEE
+    * divide per distinct trigram, an order-pinned sum, and one final
+    * divide are bit-reproducible (the q63/q86 discipline). Low score =
+    * character sequences rare for the doc's language → gibberish,
+    * wrong-language, or boilerplate-heavy text.
+    *
+    * Scale shape: trigram counting is ONE exchange on (lang, trigram)
+    * with map-side partial aggregation (counts, not positions, cross
+    * the wire); the model is ≤ |alphabet|³ rows per language —
+    * broadcast-sized by construction — and scoring is a per-row kernel
+    * over the broadcast probability map, shuffle-free.
+    *
+    * Output: (id, lang, n_trigrams, score); docs shorter than 3 code
+    * points score null with n_trigrams 0.
+    */
+  def trigramLmScore(df: org.apache.spark.sql.DataFrame, id: String,
+      lang: String, text: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val normed = df.select(col(id), col(lang).as("__lang"),
+      normalize(col(text)).as("__norm"))
+    // model: integer trigram counts per (lang, tri) — the one shuffle
+    val n3 = normed.select(col("__lang"), col("__norm"))
+      .as[(String, String)]
+      .flatMap { case (lg, norm) => triGrams(norm).map(t => (lg, t)) }
+      .toDF("lang", "tri")
+      .groupBy("lang", "tri").count()
+      .as[(String, String, Long)]
+      .collect()
+    // prefix totals and conditional probabilities, driver-side exact
+    val n2 = new java.util.HashMap[(String, String), Long]()
+    n3.foreach { case (lg, tri, n) =>
+      val cps = tri.codePoints().toArray
+      n2.merge((lg, new String(cps, 0, 2)), n, _ + _)
+    }
+    val p = n3.map { case (lg, tri, n) =>
+      val cps = tri.codePoints().toArray
+      ((lg, tri), n.toDouble / n2.get((lg, new String(cps, 0, 2))).toDouble)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(p)
+    normed.as[(Long, String, String)]
+      .map { case (docId, lg, norm) =>
+        val pm = bc.value
+        val ts = triGrams(norm)
+        if (ts.isEmpty) (docId, lg, 0L, None: Option[Double])
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < ts.length) { s += pm((lg, ts(i))); i += 1 }
+          (docId, lg, ts.length.toLong, Some(s / ts.length))
+        }
+      }
+      .toDF(id, lang, "n_trigrams", "score")
+  }
 }

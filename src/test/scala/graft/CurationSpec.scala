@@ -206,6 +206,41 @@ class CurationSpec extends SparkSuite {
     got.foreach { case (_, _, _, cum) => assert(cum <= budget) }
   }
 
+  test("trigramLmScore: closed-form probabilities on a planted corpus") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "xx", "ab ab ab"), (2L, "xx", "xy"),
+      (3L, "xx", "abq")).toDF("doc_id", "lang", "text")
+    val got = ext.TextAnalysis.trigramLmScore(df, "doc_id", "lang", "text")
+      .select(col("doc_id"), col("n_trigrams"), col("score"))
+      .as[(Long, Long, Option[Double])].collect()
+      .map { case (id, n, s) => (id, (n, s)) }.toMap
+    // model over the 3 docs: "ab "x2, "b a"x2, " ab"x2, "abq"x1;
+    // prefixes "ab"->3, "b "->2, " a"->2 — p as one exact divide each
+    val pAb = 2.0 / 3.0
+    val expA = Seq(pAb, 2.0 / 2.0, 2.0 / 2.0, pAb, 2.0 / 2.0, 2.0 / 2.0)
+      .foldLeft(0.0)(_ + _) / 6
+    val expC = Seq(1.0 / 3.0).foldLeft(0.0)(_ + _) / 1
+    assert(got(1L) == ((6L, Some(expA))))
+    assert(got(2L) == ((0L, None)), "sub-trigram docs score null")
+    assert(got(3L) == ((1L, Some(expC))))
+  }
+
+  test("trigramLmScore on real documents: all scores in (0, 1]") {
+    import org.apache.spark.sql.functions.col
+    val rows = ext.TextAnalysis.trigramLmScore(
+        Tables.documents(spark, sf), "doc_id", "lang", "text")
+      .select(col("n_trigrams"), col("score"))
+      .as[(Long, Option[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, s) =>
+      if (n == 0L) assert(s.isEmpty)
+      else {
+        val v = s.getOrElse(fail("score null with trigrams present"))
+        assert(v > 0.0 && v <= 1.0, s"score $v out of range")
+      }
+    }
+  }
+
   test("topKPerGroup equals the window row_number form, ties included") {
     // deliberate score collisions: 13 distinct scores over 500 rows
     val rows = (0 until 500).map { i =>
