@@ -56,6 +56,9 @@ object ScaleBench {
     "q62_decontaminate",   // broadcast eval-shingle probe + bounded agg
     "q80_bloom_decontaminate", // 128 KB bloom bitmask probe, same scan
     "q64_topk_quality",    // bounded-heap top-k: shuffle stays k·groups
+    "q86_temperature_mix", // tiny count agg + codegen'd uniform filter
+    "q89_token_budget",    // per-lang window cumsum prefix
+    "q90_trigram_lm",      // (lang,trigram) exchange + broadcast model
     "q66_ann_ivf_trained", // k-means sample collect + broadcast centroids
     "q69_video_frames",    // per-row container decode, no shuffle
     "q70_canonical_select", // CC + quality argmax window per component
