@@ -1574,6 +1574,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact per-language doc-length quantiles (discrete: the value at
+    // row ceil(q·n) of the (n_chars, doc_id)-sorted group): the corpus
+    // length-distribution report a curation pipeline thresholds
+    // against. One window per lang + one partial-agg'd pivot; the
+    // approximate path at 100 TB is percentile_approx/t-digest, but
+    // the EXACT discrete form is the cross-engine-hashable contract.
+    "q91_length_quantiles" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val ranked = d.select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("lang"))))
+      val qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+      val aggs = qs.map { case (nme, q) =>
+        max(when(col("rn") === ceil(lit(q) * col("n")), col("n_chars")))
+          .as(nme)
+      }
+      ranked.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+        .orderBy("lang")
+    }),
+
+    // Conjunctive keyword search: docs containing ALL query terms,
+    // ranked by summed term frequency (integers — hash-exact). The
+    // filter+score is per-row column work over one scan; the global
+    // top-20 compiles to TakeOrderedAndProject (per-partition heaps,
+    // never a full sort shuffle).
+    "q92_keyword_search" -> ((s, dir) => {
+      val terms = Seq("data", "hash", "join")
+      val ws = ext.TextAnalysis.words(col("text"))
+      val tfs = terms.map(t => ext.TextAnalysis.wordCount(ws, t))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          tfs.reduce(_ + _).cast("long").as("score"),
+          tfs.map(_ > lit(0)).reduce(_ && _).as("__hit"))
+        .where(col("__hit")).drop("__hit")
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    }),
+
     // Char-trigram LM quality score: corpus-trained conditional
     // trigram probabilities per language, docs scored by the
     // position-ordered mean probability — the LM-filter leg of a
@@ -2944,6 +2984,35 @@ object SparkEntry {
         |SELECT su.doc_id, su.lang, su.u, r.rate FROM su
         |JOIN r USING (lang) WHERE su.u < r.rate
         |ORDER BY su.doc_id""".stripMargin,
+
+    // same discrete-quantile selection: row_number over the identical
+    // (n_chars, doc_id) order, rn = CEIL(q·n) — the 0.9·n double is the
+    // same IEEE product both sides, so the ceil rounds identically
+    "q91_length_quantiles" ->
+      """WITH r AS (
+        | SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        | FROM documents)
+        |SELECT lang,
+        | MAX(CASE WHEN rn = CEIL(0.5 * n) THEN n_chars END) AS p50,
+        | MAX(CASE WHEN rn = CEIL(0.9 * n) THEN n_chars END) AS p90,
+        | MAX(CASE WHEN rn = CEIL(0.99 * n) THEN n_chars END) AS p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same list-filter term frequencies (exact for adjacent repeats),
+    // integer sum, deterministic (score DESC, doc_id) top-20
+    "q92_keyword_search" ->
+      s"""$sqlDocWords,
+        |t AS (SELECT doc_id, lang,
+        |  len(list_filter(ws, x -> x = 'data')) AS tf1,
+        |  len(list_filter(ws, x -> x = 'hash')) AS tf2,
+        |  len(list_filter(ws, x -> x = 'join')) AS tf3
+        | FROM d)
+        |SELECT doc_id, lang, tf1 + tf2 + tf3 AS score FROM t
+        |WHERE tf1 > 0 AND tf2 > 0 AND tf3 > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // same trigram grid (char-based substr == code-point extraction),
     // integer counts, p = n3/n2 one exact divide, position-ordered
