@@ -138,6 +138,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
+  test("q92: global top-20 is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q92_keyword_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // no sort-shuffle: the only acceptable exchange under the take is
+    // the single-partition gather TakeOrderedAndProject itself performs
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("q07: planner CDEF windows are partitioned by the series key") {
     val p = plan("q07_cdef_rpn")
     // round-2 flag: Window.orderBy without partitionBy serializes the
