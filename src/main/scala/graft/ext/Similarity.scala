@@ -235,7 +235,7 @@ object Similarity {
         val sums = Array.fill(kCent)(new Array[Double](w))
         val cnts = new Array[Long](kCent)
         mem.foreach { v =>
-          val best = nearestSub(v, cents, w)
+          val best = nearestSub(v, 0, cents, w)
           cnts(best) += 1
           var j = 0
           while (j < w) { sums(best)(j) += v(j); j += 1 }
@@ -253,10 +253,12 @@ object Similarity {
     }
   }
 
-  /** argmin-L2 cell for one subspace slice — strictly-less keeps the
-    * lowest centroid id on ties (the oracle's ORDER BY l2, cid). */
-  private def nearestSub(v: Array[Double], cents: Array[Array[Double]],
-      w: Int): Int = {
+  /** argmin-L2 cell for one subspace slice, read in place at `off` —
+    * strictly-less keeps the lowest centroid id on ties (the oracle's
+    * ORDER BY l2, cid). Offset-based so the encode scan allocates no
+    * per-(row, subspace) slice copies. */
+  private def nearestSub(v: Array[Double], off: Int,
+      cents: Array[Array[Double]], w: Int): Int = {
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0
@@ -264,7 +266,7 @@ object Similarity {
       var dd = 0.0
       var j = 0
       while (j < w) {
-        val df = v(j) - cents(c)(j)
+        val df = v(off + j) - cents(c)(j)
         dd += df * df
         j += 1
       }
@@ -336,9 +338,7 @@ object Similarity {
           val code = new Array[Int](m)
           var s = 0
           while (s < m) {
-            code(s) = nearestSub(
-              java.util.Arrays.copyOfRange(v, s * w, (s + 1) * w),
-              bks(s), w)
+            code(s) = nearestSub(v, s * w, bks(s), w)
             s += 1
           }
           var n2s = 0.0
