@@ -1574,6 +1574,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window token chunking (8-token windows every 6 tokens —
+    // overlap 2): the curation→pretraining doc-splitting step. Map-side
+    // explode, no shuffle; integer/string arithmetic only.
+    "q93_token_chunks" -> ((s, dir) => {
+      ext.TextAnalysis.chunkTokens(Tables.documents(s, dir), "doc_id",
+          "text", size = 8, stride = 6)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Exact per-language doc-length quantiles (discrete: the value at
     // row ceil(q·n) of the (n_chars, doc_id)-sorted group): the corpus
     // length-distribution report a curation pipeline thresholds
@@ -2984,6 +2993,19 @@ object SparkEntry {
         |SELECT su.doc_id, su.lang, su.u, r.rate FROM su
         |JOIN r USING (lang) WHERE su.u < r.rate
         |ORDER BY su.doc_id""".stripMargin,
+
+    // same start grid (generate_series 1..n step 6), inclusive list
+    // slice clamped at the list end == Spark's length-clamped slice
+    "q93_token_chunks" ->
+      s"""$sqlDocWords,
+        |c AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) > 0),
+        |st AS (SELECT doc_id, ws,
+        |  unnest(generate_series(1, n, 6)) AS start FROM c)
+        |SELECT doc_id,
+        | CAST((start - 1) // 6 AS BIGINT) AS chunk_id,
+        | CAST(len(ws[start : start + 7]) AS BIGINT) AS n_tokens,
+        | array_to_string(ws[start : start + 7], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     // same discrete-quantile selection: row_number over the identical
     // (n_chars, doc_id) order, rn = CEIL(q·n) — the 0.9·n double is the

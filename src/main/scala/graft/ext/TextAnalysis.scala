@@ -172,6 +172,39 @@ object TextAnalysis {
   def fingerprintPrefix(text: Column, n: Int): Column =
     substring(fingerprint(text), 1, n)
 
+  /** Sliding-window token chunking — the doc-splitting step between
+    * curation and pretraining: each document's whitespace tokens cut
+    * into windows of `size` tokens starting every `stride` tokens
+    * (stride < size gives the standard overlap so no boundary context
+    * is lost; the trailing window is shorter). Pure column work —
+    * `sequence` for the start grid, `slice`/`array_join` per window —
+    * so the explode is map-side with no shuffle at any corpus size,
+    * and all arithmetic is integer/string (cross-engine hash-exact).
+    *
+    * Output: (id, chunk_id, n_tokens, chunk_text), chunk_id dense from
+    * 0 in token order; token-less docs emit nothing.
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size (got size=$size, stride=$stride)")
+    val ws = words(col(text))
+    df.select(col(id), ws.as("__ws"))
+      .where(org.apache.spark.sql.functions.size(col("__ws")) > 0)
+      .select(col(id), col("__ws"),
+        explode(sequence(lit(1),
+          org.apache.spark.sql.functions.size(col("__ws")),
+          lit(stride))).as("__start"))
+      .select(col(id),
+        // integer div (Column./ on ints is DOUBLE division)
+        expr(s"CAST((__start - 1) div $stride AS BIGINT)").as("chunk_id"),
+        org.apache.spark.sql.functions
+          .size(slice(col("__ws"), col("__start"), lit(size)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__ws"), col("__start"), lit(size)), " ")
+          .as("chunk_text"))
+  }
+
   /** Char-trigram CODE-POINT triples of a normalized string, in
     * position order — code points, not UTF-16 chars, so the extraction
     * agrees with DuckDB's character-based `substr` on any BMP or

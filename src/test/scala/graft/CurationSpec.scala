@@ -206,6 +206,37 @@ class CurationSpec extends SparkSuite {
     got.foreach { case (_, _, _, cum) => assert(cum <= budget) }
   }
 
+  test("chunkTokens: window grid, overlap, and full coverage") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = ext.TextAnalysis.chunkTokens(df, "doc_id", "text",
+        size = 8, stride = 6)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("chunk_text"))
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(t => (t._1, t._2))
+    // doc 1: starts 1,7,13,19 -> sizes 8,8,8,2
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._3).toSeq == Seq(8L, 8L, 8L, 2L))
+    assert(d1(0)._4 == (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(d1(1)._4 == (7 to 14).map(i => s"t$i").mkString(" "))
+    assert(d1(3)._4 == "t19 t20")
+    // consecutive windows overlap by size - stride tokens
+    assert(d1(0)._4.split(" ").takeRight(2).toSeq ==
+      d1(1)._4.split(" ").take(2).toSeq)
+    // every token appears in some chunk (coverage law)
+    val covered = d1.flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 20).map(i => s"t$i").toSet)
+    // short doc: one sub-size chunk; empty text normalizes to one ""
+    // token (split semantics) — one chunk of the empty token
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((0L, 2L, "a b")))
+    assert(got.filter(_._1 == 3L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((0L, 1L, "")))
+  }
+
   test("trigramLmScore: closed-form probabilities on a planted corpus") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "xx", "ab ab ab"), (2L, "xx", "xy"),
