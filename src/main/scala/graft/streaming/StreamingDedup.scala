@@ -36,4 +36,21 @@ object StreamingDedup {
       : (DataFrame, Option[StreamRun.StateMetrics]) =
     StreamRun.run(spark, input, src => src.dropDuplicates(keys),
       Seq(redelivered))
+
+  /** The BOUNDED-state variant: `dropDuplicatesWithinWatermark` over an
+    * event-time column — state for a key is evicted once the watermark
+    * passes its event time + `delay`, so state holds only keys within
+    * the redelivery lag instead of every key ever ingested. The trade
+    * is explicit and spec-pinned: a redelivery arriving AFTER its key's
+    * state evicted is re-admitted as a duplicate. This is the shape a
+    * deployment with a bounded at-least-once window runs; [[dedupFileRun]]
+    * is the exact form when redelivery lag is unbounded.
+    */
+  def dedupWithinWatermarkFileRun(spark: SparkSession, input: DataFrame,
+      redelivered: DataFrame, keys: Seq[String], eventTime: String,
+      delay: String): (DataFrame, Option[StreamRun.StateMetrics]) =
+    StreamRun.run(spark, input,
+      src => src.withWatermark(eventTime, delay)
+        .dropDuplicatesWithinWatermark(keys),
+      Seq(redelivered))
 }

@@ -24,6 +24,34 @@ class StreamingDedupSpec extends SparkSuite {
     assert(m.maxBytes > 0L)
   }
 
+  test("watermarked dedup: in-lag replays vanish, post-eviction re-admits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    def frame(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("id", "sec", "v")
+        .select(col("id"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    // times offset from epoch 0 (the INITIAL watermark — a t=0 row
+    // would tie it and be dropped as late). Batch 1: A at t=+0,
+    // B at t=+100 -> watermark after batch 1 is +90, which EVICTS A's
+    // state (+0 < +90) but keeps B's
+    val t0 = 1000000L
+    val input = frame(Seq((1L, t0, 1.0), (2L, t0 + 100, 2.0)))
+    // batch 2: replay B inside its lag (dropped) and re-send key A at
+    // t=+95 (state gone -> re-admitted: the documented bounded-state
+    // trade)
+    val late = frame(Seq((2L, t0 + 100, 2.0), (1L, t0 + 95, 9.0)))
+    val (out, st) = StreamingDedup.dedupWithinWatermarkFileRun(
+      spark, input, late, Seq("id"), "ts", "10 seconds")
+    val got = out.select("id", "v").as[(Long, Double)].collect().toSeq
+      .sorted
+    assert(got == Seq((1L, 1.0), (1L, 9.0), (2L, 2.0)),
+      s"expected A twice (evicted then re-admitted), B once: $got")
+    val m = st.getOrElse(fail("stateful query must report metrics"))
+    // bounded: the max in-flight state is the 2 batch-1 keys, never
+    // the 3 deliveries
+    assert(m.maxRows == 2L, s"state must stay within the lag: ${m.maxRows}")
+  }
+
   test("within-batch duplicates also collapse to one row") {
     import spark.implicits._
     val input = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
