@@ -879,6 +879,31 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Containment near-dup verify (|A∩B| / min(|A|,|B|)) over the same
+    // LSH candidates: the ASYMMETRIC axis — a small doc embedded in a
+    // big one scores near 1 here while its Jaccard stays low. Honest
+    // recall caveat (in-code): MinHash banding is Jaccard-tuned, so
+    // extreme size-ratio pairs may not surface as candidates at all;
+    // the exact-substring axis (q82) covers those. Same plan shape as
+    // q26 — one corpus scan, broadcast candidate probe.
+    "q94_shingle_containment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val sh = ext.Dedup.shingleArrays(d, "doc_id", "text", 3)
+      val cand = ext.Dedup.lshCandidates(d, "doc_id", "text", 3, 16, 4)
+        .select("id1", "id2")
+      val joined = cand
+        .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")),
+          Seq("id1"))
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+          Seq("id2"))
+      val inter = size(array_intersect(col("sh1"), col("sh2")))
+      val mn = least(size(col("sh1")), size(col("sh2")))
+      joined.select(col("id1"), col("id2"),
+          (inter.cast("double") / mn.cast("double")).as("containment"))
+        .where(col("containment") >= 0.6)
+        .orderBy("id1", "id2")
+    }),
+
     // MinHash + LSH banding: md5-seeded signatures, band-key equi-join,
     // candidate pairs with signature agreement.
     "q27_minhash_lsh" -> ((s, dir) => {
@@ -2552,6 +2577,21 @@ object SparkEntry {
         | JOIN sh b ON b.doc_id = c.id2)
         |SELECT id1, id2, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
         |FROM jac WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+
+    // containment = inter / least(|A|,|B|) over the same candidate CTE
+    "q94_shingle_containment" ->
+      s"""$sqlLshCand,
+        |ct AS (
+        | SELECT c.id1, c.id2,
+        |  len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+        |  LEAST(len(a.sh), len(b.sh)) AS mn
+        | FROM cand c
+        | JOIN sh a ON a.doc_id = c.id1
+        | JOIN sh b ON b.doc_id = c.id2)
+        |SELECT id1, id2,
+        | CAST(inter AS DOUBLE) / CAST(mn AS DOUBLE) AS containment
+        |FROM ct WHERE CAST(inter AS DOUBLE) / CAST(mn AS DOUBLE) >= 0.6
         |ORDER BY id1, id2""".stripMargin,
 
     "q28_simhash" -> sqlSimhash,
