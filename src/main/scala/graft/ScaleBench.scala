@@ -59,6 +59,8 @@ object ScaleBench {
     "q86_temperature_mix", // tiny count agg + codegen'd uniform filter
     "q89_token_budget",    // per-lang window cumsum prefix
     "q90_trigram_lm",      // (lang,trigram) exchange + broadcast model
+    "q93_token_chunks",    // map-side window explode, no shuffle
+    "q94_shingle_containment", // q26-shaped candidate verify
     "q66_ann_ivf_trained", // k-means sample collect + broadcast centroids
     "q69_video_frames",    // per-row container decode, no shuffle
     "q70_canonical_select", // CC + quality argmax window per component
