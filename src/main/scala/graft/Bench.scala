@@ -182,7 +182,9 @@ object Bench {
     // queries N-1 more times in the same JVM, stderr only (driver never
     // sets it) — separates per-JVM costs (plan compile, codegen JIT)
     // from steady-state per-run cost when chasing a solo-vs-sweep gap.
-    sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).filter(_ > 1).foreach {
+    // toIntOption: a malformed value (e.g. "2x") must not abort the
+    // whole sweep before any query runs — ignore it instead
+    sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).filter(_ > 1).foreach {
       n =>
         (2 to n).foreach { i =>
           selected.foreach { case (name, fn) =>

@@ -536,23 +536,15 @@ object SparkEntry {
     // Token-budget sequence packing — the sharding step between
     // curation and training: documents pack greedily (in deterministic
     // doc_id order, per language) into fixed token-budget bins via a
-    // running-sum window; a doc whose cumulative sum crosses a boundary
-    // opens the next pack. Scale shape: the window partitions by lang
-    // (at corpus scale, by shard key) — never one global reducer.
+    // two-level prefix sum (per-(lang, id-block) window partials + a
+    // tiny broadcast offset frame — ext.Curation.packSequences), so no
+    // group ever funnels through one reducer at corpus scale. Values
+    // are bit-identical to the single-window form (integer cumsum;
+    // CurationShardSpec pins the parity).
     "q78_token_packing" -> ((s, dir) => {
-      val budget = 2000L
       val tokens = ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), tokens.as("n_tokens"))
-        .withColumn("__cum", sum(col("n_tokens")).over(w))
-        // integer div (Spark's `/` on longs is DOUBLE division); the
-        // greatest(...,0) clamp pins the zero-token-first-doc edge:
-        // __cum-1 = -1 would floor to -1 in DuckDB but truncate to 0
-        // in Spark's `div`
-        .withColumn("pack_id", expr(s"greatest(__cum - 1, 0L) div $budget"))
-        .drop("__cum")
+      ext.Curation.packSequences(Tables.documents(s, dir), "doc_id",
+          "lang", tokens, budget = 2000L)
         .orderBy("lang", "doc_id")
     }),
 
@@ -853,24 +845,14 @@ object SparkEntry {
     // No all-pairs stage anywhere; the join keys are band buckets then
     // doc ids.
     "q26_shingle_jaccard" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      // the shingle frame joins against the (small) candidate pair set
-      // — AQE broadcasts the candidate side, so this is one corpus scan
-      // with a broadcast probe, no extra shuffle. (Measured against the
-      // "obvious" improvement of semi-joining docs down to the
-      // candidate id set before shingling: that double-references the
-      // candidate subplan and re-mines it — 3-4x SLOWER even with the
-      // candidate frame checkpointed. Exchange reuse does not cover a
-      // subplan referenced from two different join trees.)
-      // typed kernel for the verify-side shingle arrays (array-equal to
-      // the column form by parity spec; assembling them through
-      // interpreted HOFs was the scan's dominant cost)
-      val sh = ext.Dedup.shingleArrays(d, "doc_id", "text", 3)
-      val cand = ext.Dedup.lshCandidates(d, "doc_id", "text", 3, 16, 4)
-        .select("id1", "id2")
-      val joined = cand
-        .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      // Shared candidate-verify frame (ext.Dedup.candidateShingleJoin):
+      // materialized candidate pairs → semi-joined shingle assembly
+      // (candidate docs only) → materialized shingle frame feeding both
+      // join legs. The shingle kernel runs ONCE (plan-audited: the
+      // final plan reads only checkpoint blocks). Round-9's shape ran
+      // the corpus-linear assembly once per leg.
+      val joined = ext.Dedup.candidateShingleJoin(
+        Tables.documents(s, dir), "doc_id", "text", 3, 16, 4)
       val inter = size(array_intersect(col("sh1"), col("sh2")))
       val uni = size(col("sh1")) + size(col("sh2")) - inter
       joined.select(col("id1"), col("id2"),
@@ -885,17 +867,12 @@ object SparkEntry {
     // recall caveat (in-code): MinHash banding is Jaccard-tuned, so
     // extreme size-ratio pairs may not surface as candidates at all;
     // the exact-substring axis (q82) covers those. Same plan shape as
-    // q26 — one corpus scan, broadcast candidate probe.
+    // q26: one materialized candidate set, one semi-joined shingle
+    // assembly feeding both legs (the round-9 double-assembly watch
+    // item, closed round-10 — see ext.Dedup.candidateShingleJoin).
     "q94_shingle_containment" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val sh = ext.Dedup.shingleArrays(d, "doc_id", "text", 3)
-      val cand = ext.Dedup.lshCandidates(d, "doc_id", "text", 3, 16, 4)
-        .select("id1", "id2")
-      val joined = cand
-        .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")),
-          Seq("id1"))
-        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
-          Seq("id2"))
+      val joined = ext.Dedup.candidateShingleJoin(
+        Tables.documents(s, dir), "doc_id", "text", 3, 16, 4)
       val inter = size(array_intersect(col("sh1"), col("sh2")))
       val mn = least(size(col("sh1")), size(col("sh2")))
       joined.select(col("id1"), col("id2"),
@@ -1662,7 +1639,10 @@ object SparkEntry {
     // Per-language token-budget cap (4000 tokens/lang): docs in
     // hash-uniform priority order, keep the prefix whose running token
     // total fits — the exact-quota complement of q86's rate mixing.
-    // One window cumsum per lang, no global reducer.
+    // Runs the SHARDED two-level cumsum (32 uniform priority-range
+    // shards per lang + broadcast offsets + early-exit prune), so a
+    // skewed group never binds one reducer; values bit-identical to
+    // the single-window oracle form (CurationShardSpec).
     "q89_token_budget" -> ((s, dir) => {
       val tokens = ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
       ext.Curation.tokenBudgetCap(Tables.documents(s, dir), "doc_id",

@@ -190,8 +190,16 @@ object Curation {
       alpha: Double, targetFraction: Double): DataFrame = {
     val pow: Double => Double =
       if (alpha == 0.5) math.sqrt else math.pow(_, alpha)
+    // non-null domain contract, enforced loudly: a null domain would
+    // otherwise NPE in getString/sortBy (or silently drop via a NaN
+    // rate) — the mixture recipe has no rate for an unlabeled doc
     val counts = df.groupBy(col(domain)).count()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"temperatureResample: null $domain — every row needs a " +
+            "domain label (filter or backfill nulls upstream)")
+        (r.getString(0), r.getLong(1))
+      }
       .sortBy(_._1).toIndexedSeq
     val total = counts.iterator.map(_._2).sum
     val norm = counts.foldLeft(0.0) { case (a, (_, n)) => a + pow(n.toDouble) }
@@ -211,23 +219,121 @@ object Curation {
     * docs take a deterministic unbiased priority order within their
     * group (the [[hashUniform]] of their id — partitioning/retry
     * independent, no RNG), and the group keeps its prefix while the
-    * running token total stays ≤ `budget`. One window cumsum
-    * partitioned by the group key — at corpus scale by (group, shard)
-    * like q78's packing — never a global reducer.
+    * running token total stays ≤ `budget`.
+    *
+    * Scale shape (round-10, the sharded form the round-9 doc promised):
+    * a `Window.partitionBy(group)` cumsum funnels every group through
+    * ONE reducer — a skewed group (English ≈ half a real corpus) makes
+    * that a single-task critical path. With `shards` > 1 the cumsum is
+    * a two-level prefix sum instead:
+    *   1. shard s = floor(u·S): uniform RANGES of the priority order,
+    *      so the global (u, id) order is shard 0's rows, then shard
+    *      1's, … — per-(group, shard) prefix sums + the shard's offset
+    *      (total tokens of earlier shards) reassemble the exact global
+    *      cumsum (integer addition — bit-identical to the unsharded
+    *      form, spec-pinned);
+    *   2. shard totals come from one map-side partial agg pass
+    *      (#groups × #shards rows), offsets from a window over that
+    *      tiny frame, broadcast back;
+    *   3. EARLY EXIT: a shard whose offset already exceeds the budget
+    *      can keep nothing (token counts are non-negative lengths), so
+    *      its rows are pruned BEFORE the per-shard sort — at corpus
+    *      scale, with budget ≪ corpus tokens, nearly every row skips
+    *      the window entirely.
+    * Cost: two scans of `df` (totals + windows) instead of one; the
+    * largest group's critical path shrinks by S. Exactness requires
+    * integral token counts (double cumsums don't reassociate) —
+    * enforced loudly.
     *
     * Output: kept rows as (id, group, n_tokens, cum_tokens); the cumsum
     * is monotone so the kept set is exactly a per-group prefix.
     */
+  private def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
   def tokenBudgetCap(df: DataFrame, id: String, group: String,
-      tokens: Column, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(group)).orderBy(col("__u"), col(id))
-      .rowsBetween(Long.MinValue, 0)
-    df.select(col(id), col(group), tokens.as("n_tokens"))
+      tokens: Column, budget: Long, shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards >= 1, s"shards=$shards must be >= 1")
+    val base = df.select(col(id), col(group), tokens.as("n_tokens"))
       .withColumn("__u", hashUniform(col(id)))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .where(col("cum_tokens") <= budget)
-      .drop("__u")
+    if (shards == 1) {
+      val w = Window.partitionBy(col(group)).orderBy(col("__u"), col(id))
+        .rowsBetween(Long.MinValue, 0)
+      base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") <= budget)
+        .drop("__u")
+    } else {
+      require(isIntegral(base.schema("n_tokens").dataType),
+        "sharded cumsum needs integral token counts (exact " +
+          s"reassociation); got ${base.schema("n_tokens").dataType} — " +
+          "pass shards = 1 for a single-reducer double cumsum")
+      // u < 1 by construction (top 60 md5 bits / 2^60) and u·S < S in
+      // double arithmetic for S ≪ 2^53; least() is cheap insurance
+      val sh = base.withColumn("__shard",
+        least(floor(col("__u") * shards), lit(shards - 1)).cast("int"))
+      val wOff = Window.partitionBy(col(group)).orderBy(col("__shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = sh.groupBy(col(group), col("__shard"))
+        .agg(sum(col("n_tokens")).as("__t"))
+        .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+        .select(col(group), col("__shard"), col("__off"))
+      val wS = Window.partitionBy(col(group), col("__shard"))
+        .orderBy(col("__u"), col(id))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sh.join(broadcast(offsets), Seq(group, "__shard"))
+        .where(col("__off") <= budget)
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wS) + col("__off"))
+        .where(col("cum_tokens") <= budget)
+        .select(col(id), col(group), col("n_tokens"), col("cum_tokens"))
+    }
+  }
+
+  /** Greedy token-budget sequence packing (the q78 shape as a reusable
+    * operator): docs pack in deterministic `id` order per group into
+    * fixed `budget`-token bins; a doc whose cumulative sum crosses a
+    * boundary opens the next pack. Same two-level prefix sum as
+    * [[tokenBudgetCap]], with one difference: the output is
+    * corpus-sized (every row gets a pack id, no budget prune), and the
+    * shard key must be order-MONOTONE in `id` rather than uniform —
+    * `id div idsPerShard` blocks, so #shards grows with the id range
+    * (≈1 per 10⁶ ids by default: one shard at test SFs, one per
+    * replica at the 100× replica, thousands at corpus scale). Any
+    * monotone split is exact; balance tracks id density per block.
+    * Integral token counts enforced as in [[tokenBudgetCap]].
+    *
+    * Output: (id, group, n_tokens, pack_id) — pack_id =
+    * (cum − 1) div budget clamped at 0 (the zero-token-first-doc edge:
+    * DuckDB floors −1/B to −1 while Spark's `div` truncates to 0).
+    */
+  def packSequences(df: DataFrame, id: String, group: String,
+      tokens: Column, budget: Long,
+      idsPerShard: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(idsPerShard >= 1, s"idsPerShard=$idsPerShard must be >= 1")
+    val base = df.select(col(id), col(group), tokens.as("n_tokens"))
+      .withColumn("__shard", expr(s"`$id` div ${idsPerShard}L"))
+    require(isIntegral(base.schema("n_tokens").dataType),
+      "sharded cumsum needs integral token counts (exact " +
+        s"reassociation); got ${base.schema("n_tokens").dataType}")
+    val wOff = Window.partitionBy(col(group)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(group), col("__shard"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col(group), col("__shard"), col("__off"))
+    val wS = Window.partitionBy(col(group), col("__shard"))
+      .orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq(group, "__shard"))
+      .withColumn("__cum", sum(col("n_tokens")).over(wS) + col("__off"))
+      .withColumn("pack_id", expr(s"greatest(__cum - 1, 0L) div ${budget}L"))
+      .select(col(id), col(group), col("n_tokens"), col("pack_id"))
   }
 
   // ------------------------------------------------------- PII scrubbing

@@ -223,6 +223,60 @@ object Dedup {
       }.toDF(id, "sh")
   }
 
+  /** Eagerly materialize a small frame so downstream plans that
+    * reference it from SEVERAL join trees read its blocks instead of
+    * recomputing the subplan per reference (Spark's exchange reuse only
+    * deduplicates identical Exchange nodes inside ONE tree; two joins on
+    * differently-named keys over the same child do not qualify).
+    * Reliable `checkpoint` when the session has a checkpoint dir (the
+    * 100 TB mode — blocks survive executor loss), `localCheckpoint`
+    * otherwise (executor-local, fastest on a healthy cluster). Blocks
+    * live while the returned frame is referenced; the context cleaner
+    * frees them when the caller drops it. Only hand this
+    * CANDIDATE-sized frames — a corpus-sized checkpoint would be the
+    * bug this fixes. */
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** LSH candidate pairs joined to BOTH members' shingle arrays — the
+    * shared verify frame for the exact-Jaccard (q26) and containment
+    * (q94) scorers: (id1, id2, sh1, sh2).
+    *
+    * Scale shape (round-10 rework of the q94 watch item): the candidate
+    * pair set is materialized once (band-capped, ≪ corpus), the shingle
+    * kernel assembles ONLY candidate-touching docs (semi-join on the id
+    * set derived from the materialized pairs), and the shingle frame is
+    * materialized too, so the two join legs read blocks instead of
+    * re-running the assembly per leg. The round-8/9 shape fed one
+    * un-materialized corpus-wide shingle frame to both legs — the
+    * corpus-linear assembly ran TWICE (7-8× at the 100× replica, the
+    * flagged watch item), because exchange reuse does not cover a
+    * subplan referenced from two different join trees. Total cost now:
+    * two corpus scans (band mining + the semi-joined shingle pass) and
+    * assembly work ∝ candidate docs. Results are identical: every
+    * candidate id has a non-null signature (hence non-null text), so
+    * the semi-join drops only rows the inner joins would drop anyway.
+    */
+  def candidateShingleJoin(docs: DataFrame, id: String, text: String,
+      k: Int = 3, h: Int = 16, r: Int = 4): DataFrame = {
+    val cand = materialize(
+      lshCandidates(docs, id, text, k, h, r).select("id1", "id2"))
+    val ids = cand.select(col("id1").as(id))
+      .union(cand.select(col("id2").as(id))).distinct()
+    // broadcast BY CONTRACT (candidates ≪ corpus): a checkpoint scan
+    // has no size stats, so without the hint the planner assumes the
+    // id side is huge and SHUFFLES THE WHOLE CORPUS (text column
+    // included) for a sort-merge semi-join — measured 14.8× at the
+    // 100× replica vs the broadcast probe's single pass
+    val sh = materialize(shingleArrays(
+      docs.join(broadcast(ids), Seq(id), "left_semi"), id, text, k))
+    cand
+      .join(sh.select(col(id).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col(id).as("id2"), col("sh").as("sh2")), Seq("id2"))
+  }
+
   /** LSH band keys: split the signature into bands of `r` rows; band key
     * = md5 of the joined band slice. A shared band key ⇒ candidate pair. */
   def bandKeys(sig: Column, h: Int, r: Int): Column =

@@ -64,6 +64,16 @@ object Similarity {
           (x, d) => abs(d - x))).as("max_abs_err"))
   }
 
+  /** Corpus-side vector contract, applied at every scan/encode path:
+    * rows whose vector is null or shorter than `dim` are excluded from
+    * the index — matching the [[pqCodebooks]] sample filter and the
+    * [[collectNormed]] query-side require — instead of failing mid-job
+    * deep in an executor kernel with an opaque NPE/bounds trace. A
+    * production indexer drops (and counts) malformed rows; a single bad
+    * row must not kill a 100 TB scan. */
+  private def vecOk(vec: String, dim: Int): Column =
+    col(vec).isNotNull && size(col(vec)) >= dim
+
   /** Per-dimension (min, max−min) of the corpus — ONE partial-aggregated
     * reduction whose shuffle carries a single row. Shared by
     * [[sq8Quantize]] and [[sq8TopK]] so quantizer and reader can never
@@ -73,7 +83,7 @@ object Similarity {
     val aggs = (0 until dim).flatMap(i => Seq(
       min(element_at(col(vec), i + 1)).as(s"__mn$i"),
       max(element_at(col(vec), i + 1)).as(s"__mx$i")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = df.where(vecOk(vec, dim)).agg(aggs.head, aggs.tail: _*).head()
     val mn = Array.tabulate(dim)(i => row.getDouble(2 * i))
     val rg = Array.tabulate(dim)(i => row.getDouble(2 * i + 1) - mn(i))
     (mn, rg)
@@ -85,7 +95,10 @@ object Similarity {
       mn: Array[Double], rg: Array[Double]): DataFrame = {
     val mnA = array(mn.toIndexedSeq.map(lit): _*)
     val rgA = array(rg.toIndexedSeq.map(lit): _*)
-    df.select(col(id), col(vec).as("__v"))
+    // slice to exactly dim: an over-length vector's tail would index
+    // past the bounds arrays (ANSI element_at error) and has no grid
+    df.where(vecOk(vec, mn.length))
+      .select(col(id), slice(col(vec), 1, mn.length).as("__v"))
       .withColumn("__codes", transform(col("__v"), (x, i) => {
         val m = element_at(mnA, i + 1)
         val r = element_at(rgA, i + 1)
@@ -140,7 +153,9 @@ object Similarity {
           qs.iterator.collect { case (qid, _, _, f, qdm) if qid != nid =>
             var s = 0.0
             var i = 0
-            while (i < cs.length) { s += f(i) * cs(i); i += 1 }
+            // bound by f.length (= dim): vecOk guarantees cs.length >=
+            // dim, and an over-length vector's tail has no factor
+            while (i < f.length) { s += f(i) * cs(i); i += 1 }
             (qid, nid, qdm + s)
           }
         }
@@ -172,6 +187,7 @@ object Similarity {
       .where(col("__arank") <= rerank)
       .select(col("query_id"), col("neighbor_id"))
     val scored = corpus
+      .where(vecOk(vec, dim))
       .select(col(id).cast("long").as("neighbor_id"), col(vec).as("__cv"))
       .join(broadcast(cand), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("__cv"))
@@ -328,6 +344,7 @@ object Similarity {
     val bcB = spark.sparkContext.broadcast(books)
     val bcN = spark.sparkContext.broadcast(n2)
     val approx = corpus
+      .where(vecOk(vec, dim))
       .select(col(id).cast("long"), col(vec))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>

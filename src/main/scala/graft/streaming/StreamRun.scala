@@ -70,6 +70,7 @@ object StreamRun {
       transform: DataFrame => DataFrame,
       extraBatches: Seq[DataFrame]): (DataFrame, Option[StateMetrics]) = {
     val capKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val capPrev = spark.conf.getOption(capKey)
     if (spark.conf.get(capKey, "100").toInt < 1000)
       spark.conf.set(capKey, "1000")
     val root = java.nio.file.Files.createTempDirectory("graft-stream-")
@@ -101,7 +102,16 @@ object StreamRun {
         if (perBatch.isEmpty) None
         else Some(StateMetrics(
           perBatch.map(_._1).max, perBatch.map(_._2).max))
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // restore the caller's progress-buffer cap (the raise is only
+        // needed while THIS query's buffer accumulates; leaving it
+        // mutated would leak the override to session co-tenants)
+        capPrev match {
+          case Some(v) => spark.conf.set(capKey, v)
+          case None => spark.conf.unset(capKey)
+        }
+      }
     // input + checkpoint are dead once the query stops; only the sink
     // backs the returned frame
     deleteTree(inDir)

@@ -47,6 +47,36 @@ class PlanAuditSpec extends SparkSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("q26/q94: shingle assembly materializes once — final plan reads only checkpoint blocks") {
+    // Round-9 watch item: the corpus-linear shingle kernel fed BOTH
+    // verify-join legs un-materialized, so the assembly ran twice
+    // (7-8x at the 100x replica). candidateShingleJoin now checkpoints
+    // the candidate set and the (semi-joined, candidate-sized) shingle
+    // frame; the query's own plan must therefore contain NO parquet
+    // scan and NO MapPartitions kernel — all corpus work already ran,
+    // exactly once, behind the two checkpoints.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      for (q <- Seq("q26_shingle_jaccard", "q94_shingle_containment")) {
+        val p = plan(q)
+        assert(!p.contains("Scan parquet"), s"$q re-scans the corpus:\n" +
+          p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+        // operator node only — the checkpoint scan's RDD label is a
+        // "MapPartitionsRDD[n] at localCheckpoint", which is the
+        // materialized artifact, not a live kernel
+        assert("""\(\d+\) MapPartitions[^R]""".r.findFirstIn(p).isEmpty,
+          s"$q re-runs the shingle kernel per leg")
+        assert(p.contains("ExistingRDD"), s"$q: no checkpoint scan found")
+      }
+    } finally {
+      // the materialized blocks live as long as the frames; this test
+      // drops them — free the blocks so the suite's cache stays empty
+      spark.sparkContext.getPersistentRDDs.collect {
+        case (id, rdd) if !before(id) => rdd.unpersist(blocking = false)
+      }
+    }
+  }
+
   test("q16: normalization aggregates map-side before the shuffle") {
     val p = plan("q16_pdp_normalize")
     // bounded explode fan-out, then partial_sum under the exchange and
