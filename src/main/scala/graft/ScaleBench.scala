@@ -57,8 +57,10 @@ object ScaleBench {
     "q80_bloom_decontaminate", // 128 KB bloom bitmask probe, same scan
     "q64_topk_quality",    // bounded-heap top-k: shuffle stays k·groups
     "q86_temperature_mix", // tiny count agg + codegen'd uniform filter
-    "q89_token_budget",    // per-lang window cumsum prefix
-    "q90_trigram_lm",      // (lang,trigram) exchange + broadcast model
+    "q89_token_budget",    // sharded two-level cumsum + early-exit prune
+    "q90_trigram_lm",      // (lang,trigram) exchange + capped bcast model
+    "q91_length_quantiles", // bounded typed quantile aggregate
+    "q92_keyword_search",  // per-row filter + TakeOrderedAndProject
     "q93_token_chunks",    // map-side window explode, no shuffle
     "q94_shingle_containment", // q26-shaped candidate verify
     "q66_ann_ivf_trained", // k-means sample collect + broadcast centroids
@@ -98,6 +100,42 @@ object ScaleBench {
     // 80/20 WITHIN each replica (the q72_stream_scale idiom), so K×
     // scales index and batch together — the axis an incremental
     // pipeline actually grows on.
+    // round-10 sharding references: the SAME computations as
+    // q89/q78/q91 but through the per-group single-reducer forms they
+    // replaced — the pair of rows quantifies what two-level prefix
+    // sums / the bounded aggregate buy at the 100× replica.
+    "q89_unsharded" -> ((s: SparkSession, dir: String) => {
+      val tokens = ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
+      ext.Curation.tokenBudgetCap(Tables.documents(s, dir), "doc_id",
+        "lang", tokens, budget = 4000L, shards = 1)
+    }),
+    "q78_unsharded" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val tokens = ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), tokens.as("n_tokens"))
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr("greatest(__cum - 1, 0L) div 2000"))
+        .drop("__cum")
+    }),
+    "q91_window_rank" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val ranked = d.select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("lang"))))
+      val qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+      val aggs = qs.map { case (nme, q) =>
+        max(when(col("rn") === ceil(lit(q) * col("n")), col("n_chars")))
+          .as(nme)
+      }
+      ranked.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+    }),
     "q46_incr_scale" -> ((s: SparkSession, dir: String) => {
       val docs = Tables.documents(s, dir)
       val rep = col("doc_id") % 100000000L

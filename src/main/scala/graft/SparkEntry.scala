@@ -1586,25 +1586,18 @@ object SparkEntry {
     }),
 
     // Exact per-language doc-length quantiles (discrete: the value at
-    // row ceil(q·n) of the (n_chars, doc_id)-sorted group): the corpus
+    // rank ceil(q·n) of the ascending n_chars order): the corpus
     // length-distribution report a curation pipeline thresholds
-    // against. One window per lang + one partial-agg'd pivot; the
-    // approximate path at 100 TB is percentile_approx/t-digest, but
-    // the EXACT discrete form is the cross-engine-hashable contract.
+    // against. Round-10: a BOUNDED typed aggregate (the VDEF PERCENT
+    // discipline — map-side partial buffers, loud maxSlots ceiling per
+    // group) replaces the per-lang window row_number that sorted every
+    // group through one reducer; values equal the window-rank form
+    // bit-for-bit (CurationSpec parity pin). Groups past the ceiling
+    // are the documented percentile_approx territory.
     "q91_length_quantiles" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("n_chars"), col("doc_id"))
-      val ranked = d.select(col("lang"), col("n_chars"), col("doc_id"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n",
-          count(lit(1)).over(Window.partitionBy(col("lang"))))
-      val qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
-      val aggs = qs.map { case (nme, q) =>
-        max(when(col("rn") === ceil(lit(q) * col("n")), col("n_chars")))
-          .as(nme)
-      }
-      ranked.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+      ext.Curation.exactQuantilesPerGroup(Tables.documents(s, dir),
+          "lang", col("n_chars"),
+          Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
         .orderBy("lang")
     }),
 
@@ -1630,6 +1623,9 @@ object SparkEntry {
     // position-ordered mean probability — the LM-filter leg of a
     // curation pipeline in exact rational form (no libm log; the
     // cross-engine hash gate applies to the scores themselves).
+    // The model is bounded BEFORE the driver collect (min-count 2 +
+    // top-65536/lang, distributed — the CJK-alphabet contract); the
+    // oracle replays the identical cap and renormalization.
     "q90_trigram_lm" -> ((s, dir) => {
       ext.TextAnalysis.trigramLmScore(Tables.documents(s, dir),
           "doc_id", "lang", "text")
@@ -3058,7 +3054,12 @@ object SparkEntry {
 
     // same trigram grid (char-based substr == code-point extraction),
     // integer counts, p = n3/n2 one exact divide, position-ordered
-    // list_reduce sum, one final divide — no log anywhere
+    // list_reduce sum, one final divide — no log anywhere. Round-10:
+    // the model is CAPPED exactly as the Spark side (min-count 2, then
+    // top-65536 per lang by (n3 DESC, tri ASC) — binary UTF-8 order in
+    // both engines); prefix totals renormalize over the kept counts,
+    // and the pv join skips out-of-model trigrams, so n_trigrams
+    // counts modeled occurrences in both engines.
     "q90_trigram_lm" ->
       """WITH d AS (
         | SELECT doc_id, lang, lower(trim(text)) AS norm FROM documents),
@@ -3068,7 +3069,11 @@ object SparkEntry {
         | FROM d),
         |g AS (
         | SELECT doc_id, lang, pos, substr(norm, pos, 3) AS tri FROM g0),
-        |c3 AS (SELECT lang, tri, COUNT(*) AS n3 FROM g GROUP BY lang, tri),
+        |c3a AS (SELECT lang, tri, COUNT(*) AS n3 FROM g GROUP BY lang, tri
+        |        HAVING COUNT(*) >= 2),
+        |c3 AS (SELECT lang, tri, n3 FROM c3a
+        |       QUALIFY row_number() OVER (PARTITION BY lang
+        |         ORDER BY n3 DESC, tri) <= 65536),
         |c2 AS (SELECT lang, substr(tri, 1, 2) AS pre, SUM(n3) AS n2
         |       FROM c3 GROUP BY lang, pre),
         |pv AS (

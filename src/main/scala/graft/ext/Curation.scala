@@ -471,6 +471,84 @@ object Curation {
     def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
   }
 
+  /** Growable primitive buffer for [[CeilQuantilesAggregator]]: `n`
+    * live slots of `arr` (doubling growth) — 8 bytes per value, so the
+    * `maxSlots` bound is a real memory ceiling (the VDEF
+    * PctBuf discipline: a boxed Vector would make it toothless). */
+  final case class QBuf(n: Int, arr: Array[Long])
+
+  /** Exact discrete quantiles of an integral column as a BOUNDED typed
+    * aggregate: rank CEIL(q·n), 1-based, over the ascending-sorted
+    * values — the `row_number = CEIL(q*n)` window form computed with
+    * map-side partial buffers instead of sorting every group through
+    * one reducer. `maxSlots` is a loud structural ceiling per group
+    * (the VDEF PERCENT contract): a corpus-sized group fails with a
+    * message pointing at percentile_approx rather than OOMing an
+    * executor. Values-only state — at 8 B/value the default ceiling is
+    * ~128 MB per group, a declared limit, not a working size; the
+    * documented 100 TB path for bigger groups is percentile_approx
+    * (approximate by design, outside the exact cross-engine contract).
+    */
+  final class CeilQuantilesAggregator(qs: Array[Double], maxSlots: Int)
+      extends Aggregator[Long, QBuf, Array[Long]] {
+    require(maxSlots > 0, s"maxSlots must be positive (got $maxSlots)")
+    private def grown(arr: Array[Long], need: Int): Array[Long] =
+      if (need <= arr.length) arr
+      else java.util.Arrays.copyOf(arr,
+        math.max(need, math.max(8, arr.length * 2)))
+    def zero: QBuf = QBuf(0, Array.emptyLongArray)
+    def reduce(b: QBuf, in: Long): QBuf = {
+      require(b.n < maxSlots,
+        s"exact quantiles exceeded maxSlots=$maxSlots values in one " +
+          "group — use percentile_approx for corpus-sized groups")
+      val a = grown(b.arr, b.n + 1)
+      a(b.n) = in
+      QBuf(b.n + 1, a)
+    }
+    def merge(a: QBuf, b: QBuf): QBuf = {
+      require(a.n.toLong + b.n <= maxSlots,
+        s"exact quantiles exceeded maxSlots=$maxSlots values in one " +
+          "group — use percentile_approx for corpus-sized groups")
+      val m = grown(a.arr, a.n + b.n)
+      System.arraycopy(b.arr, 0, m, a.n, b.n)
+      QBuf(a.n + b.n, m)
+    }
+    def finish(b: QBuf): Array[Long] = {
+      val arr = java.util.Arrays.copyOf(b.arr, b.n)
+      java.util.Arrays.sort(arr)
+      // CEIL(q·n) with the same IEEE double product both engines
+      // compute, 1-based rank into the ascending order
+      qs.map(q => arr((math.ceil(q * b.n) - 1).toInt max 0))
+    }
+    def bufferEncoder: Encoder[QBuf] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** Per-group exact discrete quantiles (rank CEIL(q·n) of the sorted
+    * values): (group, <one column per named quantile>). Equals the
+    * `row_number() = CEIL(q*n)` window-rank form bit-for-bit on
+    * integral values (spec-pinned) while aggregating map-side — the
+    * shuffle carries one bounded buffer per (group, map task), and no
+    * group ever funnels its full row set through a single sort task.
+    * Memory per group is bounded by `maxSlots`, loudly. */
+  def exactQuantilesPerGroup(df: DataFrame, group: String, value: Column,
+      qs: Seq[(String, Double)],
+      maxSlots: Int = 1 << 24): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new CeilQuantilesAggregator(qs.map(_._2).toArray, maxSlots)
+    df.select(col(group).cast("string"), value.cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("__qv"))
+      .toDF(group, "__qv")
+      .select(col(group) +: qs.zipWithIndex.map { case ((nme, _), i) =>
+        element_at(col("__qv"), i + 1).as(nme)
+      }: _*)
+  }
+
   /** Group-wise top-k rows: for each value of `group`, the k rows with
     * the largest `score` (ties to the smaller `id`), ranked 1..k.
     * Output: (group, rank, id, score) — the exploded, ranked form a

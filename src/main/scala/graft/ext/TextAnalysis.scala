@@ -231,28 +231,45 @@ object TextAnalysis {
     *
     * Scale shape: trigram counting is ONE exchange on (lang, trigram)
     * with map-side partial aggregation (counts, not positions, cross
-    * the wire); the model is ≤ |alphabet|³ rows per language —
-    * broadcast-sized by construction — and scoring is a per-row kernel
-    * over the broadcast probability map, shuffle-free.
+    * the wire). The model is then BOUNDED before it ever reaches the
+    * driver (round-10; the unbounded collect was safe only for small
+    * alphabets — 5 000 common hanzi admit ~1.2e11 possible trigrams,
+    * and the 100× replica measured distinct trigrams growing ∝K):
+    *   - `minCount` drops singleton-tail trigrams on top of the same
+    *     aggregate (no extra pass) — the standard LM pruning knob;
+    *   - `maxTrigramsPerLang` keeps the top-M trigrams per language by
+    *     (count DESC, trigram ASC — both engines' binary UTF-8 order),
+    *     via a row_number window over the AGGREGATED count frame
+    *     (model-sized, never corpus-sized).
+    * The collected model is therefore ≤ #langs × M rows by contract
+    * (≤ #langs × 1.6 MB at the 65 536 default — a declared broadcast
+    * budget independent of alphabet). Prefix totals n2(ab·) are
+    * computed from the KEPT counts, so the conditional probabilities
+    * renormalize within the capped model — deterministically, and the
+    * SQL oracle replays the identical filter + renormalization.
+    * Scoring is a per-row kernel over the broadcast map, shuffle-free;
+    * out-of-model trigrams are skipped: a doc's score is the
+    * position-ordered mean over its MODELED trigram occurrences and
+    * `n_trigrams` counts exactly those (a doc with none scores null).
     *
     * Output: (id, lang, n_trigrams, score); docs shorter than 3 code
     * points score null with n_trigrams 0.
     */
   def trigramLmScore(df: org.apache.spark.sql.DataFrame, id: String,
-      lang: String, text: String): org.apache.spark.sql.DataFrame = {
+      lang: String, text: String, minCount: Long = 2L,
+      maxTrigramsPerLang: Int = 65536): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val normed = df.select(col(id), col(lang).as("__lang"),
       normalize(col(text)).as("__norm"))
-    // model: integer trigram counts per (lang, tri) — the one shuffle
-    val n3 = normed.select(col("__lang"), col("__norm"))
-      .as[(String, String)]
-      .flatMap { case (lg, norm) => triGrams(norm).map(t => (lg, t)) }
-      .toDF("lang", "tri")
-      .groupBy("lang", "tri").count()
+    // model: integer trigram counts per (lang, tri) — one corpus
+    // exchange, then the distributed cap, then the (bounded) collect
+    val n3 = trigramModel(normed.select(col("__lang").as("lang"),
+        col("__norm").as("norm")), minCount, maxTrigramsPerLang)
       .as[(String, String, Long)]
       .collect()
     // prefix totals and conditional probabilities, driver-side exact
+    // over the capped model (the oracle renormalizes identically)
     val n2 = new java.util.HashMap[(String, String), Long]()
     n3.foreach { case (lg, tri, n) =>
       val cps = tri.codePoints().toArray
@@ -267,14 +284,45 @@ object TextAnalysis {
       .map { case (docId, lg, norm) =>
         val pm = bc.value
         val ts = triGrams(norm)
-        if (ts.isEmpty) (docId, lg, 0L, None: Option[Double])
-        else {
-          var s = 0.0
-          var i = 0
-          while (i < ts.length) { s += pm((lg, ts(i))); i += 1 }
-          (docId, lg, ts.length.toLong, Some(s / ts.length))
+        var s = 0.0
+        var m = 0L
+        var i = 0
+        while (i < ts.length) {
+          pm.get((lg, ts(i))) match {
+            case Some(pv) => s += pv; m += 1
+            case None =>
+          }
+          i += 1
         }
+        if (m == 0L) (docId, lg, 0L, None: Option[Double])
+        else (docId, lg, m, Some(s / m))
       }
       .toDF(id, lang, "n_trigrams", "score")
+  }
+
+  /** The capped (lang, tri, n3) trigram-count model behind
+    * [[trigramLmScore]], as a frame (exposed so specs can assert the
+    * bound and scale runs can measure the cap pass): map-side partial
+    * counts → min-count filter on the same aggregate → top-M per lang
+    * by (n3 DESC, tri ASC) over the aggregated frame. Input: (lang,
+    * norm) — already-normalized text. */
+  def trigramModel(normed: org.apache.spark.sql.DataFrame,
+      minCount: Long, maxTrigramsPerLang: Int):
+      org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1 && maxTrigramsPerLang >= 1,
+      s"minCount=$minCount, maxTrigramsPerLang=$maxTrigramsPerLang")
+    val spark = normed.sparkSession
+    import spark.implicits._
+    val counts = normed.as[(String, String)]
+      .flatMap { case (lg, norm) => triGrams(norm).map(t => (lg, t)) }
+      .toDF("lang", "tri")
+      .groupBy("lang", "tri").count()
+      .where(col("count") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("count").desc, col("tri"))
+    counts.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= maxTrigramsPerLang)
+      .select(col("lang"), col("tri"), col("count").as("n3"))
   }
 }

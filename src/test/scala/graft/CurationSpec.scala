@@ -241,7 +241,9 @@ class CurationSpec extends SparkSuite {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "xx", "ab ab ab"), (2L, "xx", "xy"),
       (3L, "xx", "abq")).toDF("doc_id", "lang", "text")
-    val got = ext.TextAnalysis.trigramLmScore(df, "doc_id", "lang", "text")
+    // cap off (minCount 1, huge M): the uncapped closed form
+    val got = ext.TextAnalysis.trigramLmScore(df, "doc_id", "lang",
+        "text", minCount = 1L)
       .select(col("doc_id"), col("n_trigrams"), col("score"))
       .as[(Long, Long, Option[Double])].collect()
       .map { case (id, n, s) => (id, (n, s)) }.toMap
@@ -254,6 +256,59 @@ class CurationSpec extends SparkSuite {
     assert(got(1L) == ((6L, Some(expA))))
     assert(got(2L) == ((0L, None)), "sub-trigram docs score null")
     assert(got(3L) == ((1L, Some(expC))))
+    // default min-count 2: the singleton "abq" leaves the model — doc 3
+    // has no modeled trigrams (null score), and "ab" prefixes
+    // renormalize to the kept counts (p("ab ") = 2/2)
+    val capped = ext.TextAnalysis.trigramLmScore(df, "doc_id", "lang",
+        "text")
+      .select(col("doc_id"), col("n_trigrams"), col("score"))
+      .as[(Long, Long, Option[Double])].collect()
+      .map { case (id, n, s) => (id, (n, s)) }.toMap
+    assert(capped(1L) == ((6L, Some(1.0))))
+    assert(capped(3L) == ((0L, None)), "all-OOV docs score null")
+  }
+
+  test("trigramLmScore: the model stays bounded on a large-alphabet corpus") {
+    import org.apache.spark.sql.functions.col
+    // synthetic wide alphabet (the CJK case): 40 docs over 200 distinct
+    // BMP code points from U+4E00, every trigram repeated twice so
+    // minCount keeps them all — distinct trigrams ≫ the cap M=50
+    val docs = (0 until 40).map { i =>
+      val body = (0 until 60).map { j =>
+        new String(Character.toChars(0x4E00 + (i * 61 + j * 7) % 200))
+      }.mkString
+      (i.toLong, if (i % 2 == 0) "zh" else "ja", body + body)
+    }.toDF("doc_id", "lang", "text")
+    val normed = docs.select(col("lang"),
+      lower(trim(col("text"))).as("norm"))
+    val full = ext.TextAnalysis.trigramModel(normed, 2L, Int.MaxValue)
+    val capped = ext.TextAnalysis.trigramModel(normed, 2L, 50)
+    val fullPerLang = full.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val capPerLang = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fullPerLang.values.forall(_ > 50),
+      s"corpus not wide enough to bind the cap: $fullPerLang")
+    assert(capPerLang.values.forall(_ <= 50), capPerLang.toString)
+    // the cap keeps exactly the (n3 DESC, tri ASC) top-50 of the full
+    // model — the deterministic boundary both engines replay
+    val fullRows = full.as[(String, String, Long)].collect()
+    val expect = fullRows.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      rows.sortBy { case (_, tri, n) => (-n, tri) }.take(50).iterator
+    }.toSet
+    assert(capped.as[(String, String, Long)].collect().toSet == expect)
+    // and scoring still works end-to-end under the cap (bounded model,
+    // in-model means in (0, 1])
+    val scored = ext.TextAnalysis.trigramLmScore(docs, "doc_id", "lang",
+        "text", minCount = 2L, maxTrigramsPerLang = 50)
+      .as[(Long, String, Long, Option[Double])].collect()
+    assert(scored.length == 40)
+    scored.foreach { case (id, _, n, s) =>
+      if (n > 0) {
+        val v = s.getOrElse(fail(s"doc $id: null score with $n modeled"))
+        assert(v > 0.0 && v <= 1.0, s"doc $id: score $v")
+      } else assert(s.isEmpty)
+    }
   }
 
   test("trigramLmScore on real documents: all scores in (0, 1]") {
@@ -270,6 +325,41 @@ class CurationSpec extends SparkSuite {
         assert(v > 0.0 && v <= 1.0, s"score $v out of range")
       }
     }
+  }
+
+  test("exactQuantilesPerGroup equals the window CEIL(q*n) rank form, ties included") {
+    import org.apache.spark.sql.functions._
+    // skewed groups with heavy value ties (the q91 shape)
+    val rows = (0 until 3000).map { i =>
+      val g = if (i % 4 < 3) "en" else s"g${i % 5}"
+      (i.toLong, g, (i * 2654435761L % 97).toLong)
+    }
+    val df = rows.toDF("doc_id", "lang", "n_chars")
+    val qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    val got = Curation.exactQuantilesPerGroup(df, "lang", col("n_chars"), qs)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = df.select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val aggs = qs.map { case (nme, q) =>
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("n_chars"))).as(nme)
+    }
+    val ref = ranked.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+    assert(got.collect().map(_.toSeq).toSet ==
+      ref.collect().map(_.toSeq).toSet)
+  }
+
+  test("exactQuantilesPerGroup refuses a group past maxSlots loudly") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 100).map(i => (i.toLong, "en", i.toLong))
+      .toDF("doc_id", "lang", "n_chars")
+    val e = intercept[org.apache.spark.SparkException] {
+      Curation.exactQuantilesPerGroup(df, "lang", col("n_chars"),
+        Seq(("p50", 0.5)), maxSlots = 10).collect()
+    }
+    assert(e.getMessage.contains("percentile_approx") ||
+      Option(e.getCause).exists(_.getMessage.contains("percentile_approx")))
   }
 
   test("topKPerGroup equals the window row_number form, ties included") {
