@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Encoders, Row}
 
 /** Stage profile for the q94 candidate-verify chain at a given dir:
   * times mining, materialization, the semi-joined shingle pass, and the
@@ -48,6 +50,72 @@ object ProfileQ94 {
         (inter.cast("double") / mn.cast("double")).as("containment"))
       .where(col("containment") >= 0.6)
     println(s"[prof] out rows = ${t("verify joins+filter")(out.count())}")
+    spark.stop()
+  }
+}
+
+/** Stage profile for q79 (perceptual image near-dup pairs): separates
+  * the corpus-linear PNG encode→decode→aHash pass from the banded
+  * Hamming join + kernel verify, and counts the candidate volume the
+  * join feeds the verify. Diagnostic only. */
+object ProfileQ79 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_scale/x100")
+    val grid = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val cells = grid * grid
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // same planted corpus as q79 (SparkEntry)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        conv(substring(md5(expr("doc_id div 12").cast("string")), 1, 15),
+          16, 10).cast("long").as("seed"))
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val pngs = docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val seed = r.getLong(1)
+        val variant = id % 12 >= 10
+        val c = (id % cells).toInt
+        val px = Array.tabulate(cells) { k =>
+          val base = ((seed / (1L << (8 * (k % 7)))) % 256 + 23L * k) % 256
+          (if (variant && k == c) (base + 128) % 256 else base).toByte
+        }
+        Row(id, ext.Multimodal.ImageCodec.encodeGrayPng(grid, grid, px))
+      }
+    }(Encoders.row(paySchema))
+    val media = ext.Multimodal.asMedia(pngs, "doc_id", "payload", "image/png")
+    val hashes0 = ext.Multimodal.imageAHash(media, "doc_id", grid)
+    val hashes = t("png encode+decode+aHash")(hashes0.localCheckpoint(true))
+    println(s"[prof] hashes = ${hashes.count()}")
+    // candidate volume the band join emits (pre-verify)
+    val bl = cells / 4
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
+          substring(col("ahash"), b * bl + 1, bl).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = banded.select(col("bi"), col("bv"), col("doc_id").as("id1"))
+    val bb = banded.select(col("bi"), col("bv"), col("doc_id").as("id2"))
+    val nCand = t("band join candidate count") {
+      a.join(bb, Seq("bi", "bv")).where(col("id1") < col("id2")).count()
+    }
+    println(s"[prof] candidates (with band dups) = $nCand")
+    val pairs = ext.Multimodal.aHashNearDupPairs(hashes, "doc_id", "ahash",
+      bands = 4, maxHamming = 3, hashBits = cells)
+    println(s"[prof] pairs = ${t("band join + verify + distinct")(pairs.count())}")
     spark.stop()
   }
 }

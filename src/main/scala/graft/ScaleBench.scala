@@ -100,6 +100,42 @@ object ScaleBench {
     // 80/20 WITHIN each replica (the q72_stream_scale idiom), so K×
     // scales index and batch together — the axis an incremental
     // pipeline actually grows on.
+    // q79's 64-bit aHash gives banded joins only 16-bit band keys —
+    // past ~10^5 images the buckets saturate and candidate volume goes
+    // superlinear (×562 candidates for ×100 corpus, profiled round 10;
+    // the q28-simhash16 failure class). The corpus-scale shape is a
+    // 256-bit hash (16×16 grid → 64-bit bands); this variant plants
+    // 16×16 images so the wider grid carries real signal and measures
+    // the operator at the key width a 100 TB image lake needs.
+    "q79_ahash256" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.{Encoders, Row}
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          conv(substring(md5(expr("doc_id div 12").cast("string")), 1, 15),
+            16, 10).cast("long").as("seed"))
+      val paySchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val pngs = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val seed = r.getLong(1)
+          val variant = id % 12 >= 10
+          val c = (id % 256).toInt
+          val px = Array.tabulate(256) { k =>
+            val base = ((seed / (1L << (8 * (k % 7)))) % 256 + 23L * k) % 256
+            (if (variant && k == c) (base + 128) % 256 else base).toByte
+          }
+          Row(id, ext.Multimodal.ImageCodec.encodeGrayPng(16, 16, px))
+        }
+      }(Encoders.row(paySchema))
+      val media = ext.Multimodal.asMedia(pngs, "doc_id", "payload",
+        "image/png")
+      val hashes = ext.Multimodal.imageAHash(media, "doc_id", grid = 16)
+      ext.Multimodal.aHashNearDupPairs(hashes, "doc_id", "ahash",
+        bands = 4, maxHamming = 3, hashBits = 256)
+    }),
     // round-10 sharding references: the SAME computations as
     // q89/q78/q91 but through the per-group single-reducer forms they
     // replaced — the pair of rows quantifies what two-level prefix

@@ -495,33 +495,45 @@ object Multimodal {
 
   /** Average-hash (aHash) image fingerprints — the standard perceptual
     * dedup key of large image pipelines: decode (REAL codec), resize to
-    * 8×8 via the exact nearest-neighbor map, then one bit per cell set
-    * iff the cell exceeds the image mean. All integer arithmetic
-    * (`px·64 > Σpx` instead of a floating mean), so the hash replays in
-    * closed form for the SQL oracle on planted images. Emitted as a
-    * 64-char bit STRING rather than an int64: bit 63 would make the key
-    * sign-wrap differently across engines' shift semantics, while the
-    * string is exact everywhere and groups identically.
+    * `grid`×`grid` via the exact nearest-neighbor map, then one bit per
+    * cell set iff the cell exceeds the image mean. All integer
+    * arithmetic (`px·grid² > Σpx` instead of a floating mean), so the
+    * hash replays in closed form for the SQL oracle on planted images.
+    * Emitted as a grid²-char bit STRING rather than an int64: bit 63
+    * would make the key sign-wrap differently across engines' shift
+    * semantics, while the string is exact everywhere and groups
+    * identically.
+    *
+    * `grid` sizes the key: 8 (64 bits) is the classic aHash; 16
+    * (256 bits) is the corpus-scale variant — with banded Hamming
+    * joins, a 64-bit key gives each band only 16 bits of space, and
+    * past ~10⁵ images the buckets saturate and candidate volume goes
+    * superlinear (measured ×562 candidates for ×100 corpus at the
+    * replica — the same failure class as SimHash-16-bit bands, q28).
+    * 256-bit keys give 64-bit bands: occupancy stays low at any
+    * realistic corpus.
     *
     * Per-row map, no shuffle; dedup is then a groupBy on the hash (or a
     * banded Hamming join for near-dups, same machinery as SimHash). */
-  def imageAHash(media: DataFrame, id: String): DataFrame = {
+  def imageAHash(media: DataFrame, id: String, grid: Int = 8): DataFrame = {
+    require(grid > 0 && grid * grid <= 4096, s"grid=$grid")
     val idIdx = media.schema.fieldIndex(id)
     val bytesIdx = media.schema.fieldIndex("bytes")
     val outSchema = StructType(Seq(
       media.schema(id),
       StructField("ahash", StringType)))
+    val cells = grid * grid
     media.mapPartitions { rows =>
       rows.map { r =>
         val (w, h, px) = ImageCodec.decodeGray(r.getAs[Array[Byte]](bytesIdx))
-        val p8 = resizeGrayNearest(w, h, px, 8, 8)
+        val pg = resizeGrayNearest(w, h, px, grid, grid)
         var sum = 0
         var i = 0
-        while (i < 64) { sum += p8(i); i += 1 }
-        val bits = new java.lang.StringBuilder(64)
+        while (i < cells) { sum += pg(i); i += 1 }
+        val bits = new java.lang.StringBuilder(cells)
         i = 0
-        while (i < 64) {
-          bits.append(if (p8(i) * 64 > sum) '1' else '0'); i += 1
+        while (i < cells) {
+          bits.append(if (pg(i) * cells > sum) '1' else '0'); i += 1
         }
         Row(r.get(idIdx), bits.toString)
       }
@@ -542,15 +554,17 @@ object Multimodal {
     * distinct.
     */
   def aHashNearDupPairs(hashes: DataFrame, id: String, hash: String,
-      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64 (got $bands)")
+      bands: Int = 4, maxHamming: Int = 3, hashBits: Int = 64): DataFrame = {
+    require(bands > 0 && hashBits % bands == 0,
+      s"bands must divide hashBits=$hashBits (got $bands)")
     require(maxHamming < bands,
       s"recall is exact only for maxHamming < bands ($maxHamming/$bands)")
-    // contract: 64-char bit strings ([[imageAHash]]'s output). A shorter
-    // hash would make the tail bands all-empty-string and the equi-join
-    // silently quadratic; the verify kernel re-checks per row (loudly,
-    // before any quadratic work completes) since plan-time cannot.
-    val bl = 64 / bands
+    // contract: hashBits-char bit strings ([[imageAHash]]'s output). A
+    // shorter hash would make the tail bands all-empty-string and the
+    // equi-join silently quadratic; the verify kernel re-checks per row
+    // (loudly, before any quadratic work completes) since plan-time
+    // cannot.
+    val bl = hashBits / bands
     val banded = hashes.select(col(id).as("doc_id"), col(hash).as("h"))
       .select(col("doc_id"), col("h"),
         explode(array((0 until bands).map(b => struct(
@@ -578,12 +592,12 @@ object Multimodal {
       .select(col("id1"), col("id2"), col("h1"), col("h2"))
       .as[(Long, Long, String, String)]
       .mapPartitions(_.flatMap { case (id1, id2, h1, h2) =>
-        require(h1.length == 64 && h2.length == 64,
-          s"aHashNearDupPairs needs 64-char bit strings (got " +
+        require(h1.length == hashBits && h2.length == hashBits,
+          s"aHashNearDupPairs needs $hashBits-char bit strings (got " +
             s"${h1.length}/${h2.length})")
         var d = 0
         var i = 0
-        while (i < 64 && d <= maxHamming) {
+        while (i < hashBits && d <= maxHamming) {
           if (h1.charAt(i) != h2.charAt(i)) d += 1
           i += 1
         }
