@@ -45,9 +45,27 @@ object Xport {
   final case class Result(startSec: Long, endSec: Long, stepSec: Long,
       legend: Seq[String], rows: Seq[(Long, Seq[Option[Double]])])
 
-  /** Collect a grid frame into a [[Result]] (driver-side, bounded). */
+  /** Driver-collect ceiling for the xport/fetch serialization paths:
+    * these sinks are DISPLAY formats by reference semantics (a report,
+    * not a dataset), but nothing in the protocol stops a caller asking
+    * for a year at 1-second step (~31 M rows through the driver). The
+    * cap turns that OOM into a contract violation BEFORE any job runs
+    * — the VDEF `maxSlots` idiom. 2^22 rows ≈ 48 days of 1-second
+    * slots; larger extractions should stay a DataFrame (or
+    * re-consolidate via reduce_data to a coarser step). */
+  val MaxCollectRows: Long = 1L << 22
+
+  /** Collect a grid frame into a [[Result]] (driver-side, bounded: the
+    * row count is (end−start)/step by grid construction, checked
+    * against `maxRows` arithmetically before any job runs). */
   def collect(df: DataFrame, ts: String, cols: Seq[String], startSec: Long,
-      endSec: Long, stepSec: Long): Result = {
+      endSec: Long, stepSec: Long,
+      maxRows: Long = MaxCollectRows): Result = {
+    val expect = if (stepSec > 0) (endSec - startSec) / stepSec else 0L
+    require(expect <= maxRows,
+      s"xport window of $expect rows ((end-start)/step) exceeds the " +
+        s"driver-collect cap $maxRows — narrow the window, coarsen the " +
+        "step (reduce_data), or keep the result distributed")
     val rows = df.orderBy(ts).collect().toSeq.map { r =>
       (r.getLong(r.fieldIndex(ts)), cols.map { c =>
         val i = r.fieldIndex(c)

@@ -90,6 +90,14 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
     val schema = RrdStore.readSchema(path)
     val dss = if (cmd.args.length > 3) cmd.args.drop(3)
       else schema.ds.map(_.name)
+    // display-sized by protocol semantics, but nothing stops a client
+    // requesting a year at 1-second resolution — the same pre-flight
+    // cap as Xport.collect (worst case: the finest RRA's step)
+    require(schema.stepSec <= 0 ||
+        (end - start) / schema.stepSec <= graft.query.Xport.MaxCollectRows,
+      s"FETCH window of ${(end - start) / schema.stepSec} rows exceeds " +
+        s"the daemon reply cap ${graft.query.Xport.MaxCollectRows} — narrow " +
+        "the window or fetch a coarser-step RRA")
     val f = RrdStore.fetchAll(spark, path, cf, dss, Seq("k"),
         start, end, schema.stepSec)
       .orderBy("ts").collect()
