@@ -63,6 +63,9 @@ object ScaleBench {
     "q92_keyword_search",  // per-row filter + TakeOrderedAndProject
     "q93_token_chunks",    // map-side window explode, no shuffle
     "q94_shingle_containment", // q26-shaped candidate verify
+    "q96_fixed_sample",    // bounded-heap exact-n per stratum
+    "q97_bm25",            // 1-row reduction + scoring projection + top-k
+    "q98_decontaminate_attrib", // broadcast probe + (doc,eval) agg
     "q66_ann_ivf_trained", // k-means sample collect + broadcast centroids
     "q69_video_frames",    // per-row container decode, no shuffle
     "q70_canonical_select", // CC + quality argmax window per component
@@ -136,6 +139,17 @@ object ScaleBench {
       ext.Multimodal.aHashNearDupPairs(hashes, "doc_id", "ahash",
         bands = 4, maxHamming = 3, hashBits = 256)
     }),
+    // q98 with the eval set PINNED to replica 0: the oracle form scales
+    // the eval slice with the corpus (x100 eval docs -> x100 broadcast
+    // shingles), but a production benchmark suite is fixed-size — this
+    // variant scales only the corpus axis, the one a 100 TB run grows.
+    "q98_fixed_eval" -> ((s: SparkSession, dir: String) => {
+      val d = Tables.documents(s, dir)
+      ext.Curation.decontaminateAttribution(
+        d.where(col("doc_id") % 20 =!= 0),
+        d.where(col("doc_id") < 100000000L && col("doc_id") % 20 === 0),
+        "doc_id", "text", k = 3, minHits = 2)
+    }),
     // round-10 sharding references: the SAME computations as
     // q89/q78/q91 but through the per-group single-reducer forms they
     // replaced — the pair of rows quantifies what two-level prefix
@@ -205,6 +219,13 @@ object ScaleBench {
     // ingested is the law to confirm
     "q87_stream_scale" -> ((s: SparkSession, dir: String) =>
       SparkEntry.streamingDedupQueryWithState(s, dir,
+        col("user_id") % 1000000L < 30)),
+    // sessionization: state rows = OPEN sessions — with the whole
+    // input in batch 1 that is every session of every sliced series
+    // until the sentinel closes them, so the law to confirm is rows ∝
+    // sessions (∝ series at fixed per-series density)
+    "q95_stream_scale" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.streamingSessionizeQueryWithState(s, dir,
         col("user_id") % 1000000L < 30)),
     // Same q72 body under the RocksDB state store — the provider a
     // 100 TB deployment runs once state exceeds executor heap (the

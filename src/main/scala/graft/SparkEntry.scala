@@ -881,6 +881,47 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Streaming sessionization: the BUILT-IN session_window event-time
+    // aggregation under a watermark — REAL micro-batch run (file source
+    // → session state → parquet sink), 6-hour gap over the user_id<30
+    // events slice. Sessions emit (and evict state) when the watermark
+    // passes their end; the oracle is the batch islands form (break at
+    // gap > 21600 s — touching session windows merge, spec-pinned).
+    "q95_sessionize" -> ((s, dir) =>
+      streamingSessionizeQuery(s, dir, col("user_id") < 30)),
+
+    // Deterministic EXACT-size stratified sample (30 docs per lang) by
+    // hash-uniform priority — the fixed-budget complement of q63's
+    // rate sampling, through the bounded-heap top-k aggregator (at most
+    // n rows per stratum per map task cross the shuffle).
+    "q96_fixed_sample" -> ((s, dir) =>
+      ext.Curation.fixedSizeSample(Tables.documents(s, dir), "doc_id",
+          "lang", 30)
+        .orderBy("lang", "rank")),
+
+    // BM25 keyword relevance (odds-form IDF, log-free — the scores
+    // themselves are hash-gated): one single-row corpus reduction for
+    // N / df_t / avglen, then a shuffle-free scoring projection and a
+    // TakeOrderedAndProject top-20.
+    "q97_bm25" -> ((s, dir) =>
+      ext.TextAnalysis.bm25OddsScores(Tables.documents(s, dir), "doc_id",
+          "text", Seq("data", "hash", "join"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)),
+
+    // Contamination ATTRIBUTION: which eval item (the doc_id%20==0
+    // slice) leaked into which training doc, with the fraction of the
+    // EVAL doc covered — the triage view behind q62's flag list. Same
+    // broadcast-probe scan; the groupBy key is the (doc, eval) pair,
+    // bounded by real contamination mass.
+    "q98_decontaminate_attrib" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      ext.Curation.decontaminateAttribution(
+          d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", k = 3, minHits = 2)
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // MinHash + LSH banding: md5-seeded signatures, band-key equi-join,
     // candidate pairs with signature agreement.
     "q27_minhash_lsh" -> ((s, dir) => {
@@ -2119,6 +2160,95 @@ object SparkEntry {
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |FROM events WHERE user_id < 30
         |ORDER BY event_id""".stripMargin,
+
+    // the batch islands form of session_window: a session breaks when
+    // the gap to the previous event EXCEEDS 21600 s — Spark merges
+    // session windows when they touch ([ts, ts+gap) end == next start
+    // merges; spec-pinned boundary), so exact-gap equality stays one
+    // session in both engines; integer µs time axis throughout
+    "q95_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        | WHERE user_id < 30),
+        |m AS (
+        | SELECT user_id, ts_us,
+        |  CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us) > 21600000000 THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |s AS (
+        | SELECT user_id, ts_us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM m)
+        |SELECT user_id, COUNT(*) AS n_events, MIN(ts_us) AS first_us,
+        | MAX(ts_us) AS last_us
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, first_us""".stripMargin,
+
+    // same md5 uniform and (u, id) priority order as the Spark side's
+    // bounded heap; the window form IS the semantics being replayed
+    "q96_fixed_sample" ->
+      s"""WITH su AS (
+        | SELECT doc_id, lang,
+        |  CAST(${sqlHexToLong("substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")} AS DOUBLE)
+        |   / CAST(1152921504606846976 AS DOUBLE) AS u
+        | FROM documents),
+        |r AS (
+        | SELECT lang, doc_id, u,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id)
+        |    AS BIGINT) AS rank
+        | FROM su)
+        |SELECT lang, rank, doc_id, u FROM r WHERE rank <= 30
+        |ORDER BY lang, rank""".stripMargin,
+
+    // odds-form BM25 replayed term by term: every constant that is not
+    // dyadic (1.2) is CAST to DOUBLE so DuckDB's decimal literals can't
+    // diverge from the double arithmetic; +0.5 / 0.75 / avglen are
+    // exact in both representations; one divide per factor, fixed
+    // left-assoc sum order
+    "q97_bm25" ->
+      s"""$sqlDocWords,
+        |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
+        |  len(list_filter(ws, x -> x = 'data')) AS tf1,
+        |  len(list_filter(ws, x -> x = 'hash')) AS tf2,
+        |  len(list_filter(ws, x -> x = 'join')) AS tf3
+        | FROM d),
+        |st AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avglen,
+        |  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |  SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        | FROM t),
+        |sc AS (SELECT doc_id, len,
+        |    ((CAST(st.n - st.df1 AS DOUBLE) + 0.5) / (CAST(st.df1 AS DOUBLE) + 0.5))
+        |      * (tf1 * (CAST(1.2 AS DOUBLE) + 1))
+        |      / (tf1 + CAST(1.2 AS DOUBLE) * (1 - 0.75 + 0.75 * len / st.avglen))
+        |  + ((CAST(st.n - st.df2 AS DOUBLE) + 0.5) / (CAST(st.df2 AS DOUBLE) + 0.5))
+        |      * (tf2 * (CAST(1.2 AS DOUBLE) + 1))
+        |      / (tf2 + CAST(1.2 AS DOUBLE) * (1 - 0.75 + 0.75 * len / st.avglen))
+        |  + ((CAST(st.n - st.df3 AS DOUBLE) + 0.5) / (CAST(st.df3 AS DOUBLE) + 0.5))
+        |      * (tf3 * (CAST(1.2 AS DOUBLE) + 1))
+        |      / (tf3 + CAST(1.2 AS DOUBLE) * (1 - 0.75 + 0.75 * len / st.avglen))
+        |  AS score
+        | FROM t, st)
+        |SELECT doc_id, score, len AS n_tokens FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // per-(doc, eval) attribution over the same shingle relations as
+    // q62; eval_overlap = shared distinct shingles / eval doc shingles
+    "q98_decontaminate_attrib" ->
+      s"""$sqlShingles,
+        |bsh AS (SELECT doc_id AS eval_id, len(sh) AS eval_n_sh,
+        |        unnest(sh) AS s FROM sh WHERE doc_id % 20 = 0),
+        |csh AS (SELECT doc_id, unnest(sh) AS s FROM sh
+        |        WHERE doc_id % 20 <> 0)
+        |SELECT c.doc_id, b.eval_id, b.eval_n_sh, COUNT(*) AS hits,
+        | CAST(COUNT(*) AS DOUBLE) / CAST(b.eval_n_sh AS DOUBLE)
+        |   AS eval_overlap
+        |FROM csh c JOIN bsh b USING (s)
+        |GROUP BY c.doc_id, b.eval_id, b.eval_n_sh
+        |HAVING COUNT(*) >= 2
+        |ORDER BY c.doc_id, b.eval_id""".stripMargin,
 
     // greedy packing = integer window cumsum; all-integer math. The
     // GREATEST clamp matches the Spark side: without it a zero-token
@@ -3373,6 +3503,27 @@ object SparkEntry {
 
   /** q87's body with the series slice as a parameter (see
     * [[streamingCdpQuery]] for why ScaleBench needs one). */
+  /** q95's body with the series slice as a parameter (the ScaleBench
+    * convention of the other streaming queries). */
+  private[graft] def streamingSessionizeQuery(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    streamingSessionizeQueryWithState(s, dir, pred)._1
+
+  private[graft] def streamingSessionizeQueryWithState(s: SparkSession,
+      dir: String, pred: org.apache.spark.sql.Column)
+      : (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]) = {
+    val ev = Tables.events(s, dir).where(pred)
+      .select(col("user_id"), col("ts_us"))
+    val sentinel = s.range(1).select(
+      lit(-1L).as("user_id"),
+      lit(4102444800000000L).as("ts_us")) // 2100-01-01, past all data
+    val (out, st) = graft.streaming.StreamingSessionize
+      .sessionFileRunWithState(s, ev, sentinel, Seq("user_id"), "ts_us",
+        gapSec = 21600L, latenessSec = 0L)
+    (out.where(col("user_id") >= 0) // sentinel session never closes
+      .orderBy("user_id", "first_us"), st)
+  }
+
   private[graft] def streamingDedupQuery(s: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column): DataFrame =
     streamingDedupQueryWithState(s, dir, pred)._1

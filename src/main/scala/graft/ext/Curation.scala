@@ -471,6 +471,61 @@ object Curation {
     def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
   }
 
+  /** Contamination ATTRIBUTION — not just "this doc is contaminated"
+    * but WHICH eval item leaked into it: for every (corpus doc, eval
+    * doc) pair sharing at least `minHits` distinct k-shingles, the
+    * shared count and the fraction of the EVAL doc covered
+    * (hits / eval doc's shingle count — the leak-severity axis a
+    * benchmark steward triages by: 0.9 means the eval item is
+    * essentially inside the training doc).
+    *
+    * Scale shape: the eval side broadcasts (shingle → eval_id,
+    * eval_n_sh) — eval suites are tiny next to the corpus by the same
+    * contract as [[decontaminate]] — and the corpus side is one scan +
+    * broadcast probe + a partial-aggregated groupBy on (doc, eval)
+    * pairs, whose cardinality is bounded by real contamination mass,
+    * never corpus × eval.
+    *
+    * Output: (id, eval_id, eval_n_sh, hits, eval_overlap); clean pairs
+    * do not appear. */
+  def decontaminateAttribution(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, k: Int = 3, minHits: Int = 2): DataFrame = {
+    val bsh = Dedup.shingleRows(benchmark, id, text, k)
+      .select(col(id).as("eval_id"), col("n_sh").as("eval_n_sh"), col("s"))
+    val csh = Dedup.shingleRows(corpus, id, text, k)
+      .select(col(id), col("s"))
+    csh.join(broadcast(bsh), "s")
+      .groupBy(col(id), col("eval_id"), col("eval_n_sh"))
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minHits)
+      .select(col(id), col("eval_id"), col("eval_n_sh"), col("hits"),
+        (col("hits").cast("double") / col("eval_n_sh").cast("double"))
+          .as("eval_overlap"))
+  }
+
+  /** Deterministic EXACT-size stratified sample: the `n` rows of each
+    * stratum with the smallest hash-uniform priority (ties to the
+    * smaller id) — the fixed-budget complement of [[stratifiedSample]]'s
+    * rate form ("exactly 10 000 docs per language", where the rate form
+    * only hits a target in expectation). Same md5 uniform, so the
+    * sample is partitioning/retry independent and each stratum's sample
+    * is a strict prefix of any larger-n sample (monotone budgets).
+    *
+    * Scale shape: rides [[topKPerGroup]]'s bounded-heap aggregator —
+    * at most n rows per stratum per map task cross the shuffle, never
+    * the corpus, and no per-stratum single-reducer sort.
+    *
+    * Output: (stratum, rank, id, u), rank 1..n by (u, id). */
+  def fixedSizeSample(df: DataFrame, id: String, stratum: String,
+      n: Int): DataFrame =
+    topKPerGroup(
+        df.withColumn("__u", hashUniform(col(id))),
+        stratum, id, -col("__u"), n)
+      // recompute u positively (the heap's score is its negation, and
+      // -(-0.0) would emit the 0.0-vs--0.0 bit difference cross-engine)
+      .select(col(stratum), col("rank"), col(id),
+        hashUniform(col(id)).as("u"))
+
   /** Growable primitive buffer for [[CeilQuantilesAggregator]]: `n`
     * live slots of `arr` (doubling growth) — 8 bytes per value, so the
     * `maxSlots` bound is a real memory ceiling (the VDEF

@@ -300,6 +300,55 @@ object TextAnalysis {
       .toDF(id, lang, "n_trigrams", "score")
   }
 
+  /** BM25 relevance scoring with ODDS-form IDF — the ranking leg of a
+    * corpus search/selection pipeline (keyword-targeted training-data
+    * selection, eval-set retrieval), kept log-free so the scores
+    * themselves sit inside the cross-engine hash contract: classic BM25
+    * takes idf = ln(odds); this operator scores with the odds directly,
+    *   idf'(t) = (N − df_t + 0.5) / (df_t + 0.5)
+    *   score(d) = Σ_t idf'(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+    * — per-term ranking is order-equivalent (ln is monotone); the sum
+    * weighs rare terms more steeply than log-BM25, documented as the
+    * exact-rational variant (`ln`/`log` differ across engine libms —
+    * the q90 discipline). Every number is an integer count, one IEEE
+    * divide, or a fixed-order double chain both engines replay
+    * bit-identically (avglen = exact integer Σlen / N).
+    *
+    * Scale shape: N, df_t, and Σlen come from ONE partial-aggregated
+    * reduction over the corpus (a single row crosses the wire); scoring
+    * is then a shuffle-free per-row projection with the constants
+    * inlined as literals. Global top-k compiles to
+    * TakeOrderedAndProject.
+    *
+    * Output: (id, score, n_tokens) for docs matching ≥1 term. */
+  def bm25OddsScores(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val ws = words(col(text))
+    val len = size(ws).cast("long")
+    val tfs = terms.map(t => wordCount(ws, t).cast("long"))
+    val statAggs = Seq(count(lit(1)).as("n"), sum(col("__len")).as("sl")) ++
+      tfs.indices.map(i => sum((col(s"__tf$i") > 0).cast("long")).as(s"df$i"))
+    val base = df.select(Seq(col(id), len.as("__len")) ++
+      tfs.zipWithIndex.map { case (tf, i) => tf.as(s"__tf$i") }: _*)
+    val stats = base.agg(statAggs.head, statAggs.tail: _*).head()
+    val n = stats.getLong(0)
+    val sumLen = stats.getLong(1)
+    require(n > 0, "empty corpus")
+    val avglen = sumLen.toDouble / n.toDouble
+    val score = terms.indices.map { i =>
+      val dfT = stats.getLong(2 + i)
+      val idf = (n - dfT + 0.5) / (dfT + 0.5)
+      val tf = col(s"__tf$i").cast("double")
+      lit(idf) * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("__len").cast("double") / lit(avglen)))
+    }.reduce(_ + _)
+    base.select(col(id), score.as("score"), col("__len").as("n_tokens"))
+      .where(col("score") > 0)
+  }
+
   /** The capped (lang, tri, n3) trigram-count model behind
     * [[trigramLmScore]], as a frame (exposed so specs can assert the
     * bound and scale runs can measure the cap pass): map-side partial

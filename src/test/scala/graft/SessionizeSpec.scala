@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 extension operators: streaming sessionization (q95),
+  * fixed-size stratified sampling (q96), odds-form BM25 (q97), and
+  * contamination attribution (q98) — each pinned against an
+  * independent closed form.
+  */
+class SessionizeSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("sessionize: gap semantics incl. the exact-gap boundary, out-of-order input") {
+    // user 1: an exact-gap event (100s+gap — touching windows MERGE,
+    // the boundary this test pins) then a >gap jump that breaks.
+    // user 2: single event. Input arrives out of order in the batch.
+    val gapUs = 600L * 1000000L
+    val rows = Seq(
+      (1L, 100L * 1000000L), (1L, 0L * 1000000L + 1L),
+      (1L, 100L * 1000000L + gapUs), // exact gap -> SAME session
+      (1L, 100L * 1000000L + 2 * gapUs + 1L), // gap+1us -> new session
+      (2L, 42L * 1000000L))
+    val input = rows.toDF("user_id", "ts_us")
+    val sentinel = Seq((-1L, 4102444800000000L)).toDF("user_id", "ts_us")
+    val (out, st) = streaming.StreamingSessionize.sessionFileRunWithState(
+      spark, input, sentinel, Seq("user_id"), "ts_us",
+      gapSec = 600L, latenessSec = 0L)
+    val got = out.where(col("user_id") >= 0)
+      .orderBy("user_id", "first_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 100000000L + gapUs),
+      (1L, 1L, 100000000L + 2 * gapUs + 1L, 100000000L + 2 * gapUs + 1L),
+      (2L, 1L, 42000000L, 42000000L)), got.toString)
+    // state metrics came back from the run (the ScaleBench channel)
+    assert(st.nonEmpty)
+  }
+
+  test("sessionize equals the batch islands form on the events slice") {
+    val (out, _) = SparkEntry.streamingSessionizeQueryWithState(
+      spark, sf, col("user_id") < 10)
+    val e = Tables.events(spark, sf).where(col("user_id") < 10)
+      .select(col("user_id"), col("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val isl = e.withColumn("brk",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) >
+          21600L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"))
+      .select("user_id", "n_events", "first_us", "last_us")
+    assert(out.collect().map(_.toSeq).toSet ==
+      isl.collect().map(_.toSeq).toSet)
+  }
+
+  test("fixedSizeSample: smaller budgets are strict prefixes, counts exact") {
+    val d = Tables.documents(spark, sf)
+    val s30 = ext.Curation.fixedSizeSample(d, "doc_id", "lang", 30)
+    val s10 = ext.Curation.fixedSizeSample(d, "doc_id", "lang", 10)
+    val by30 = s30.as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val by10 = s10.as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val sizes = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    by30.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(30L, sizes(lang)), lang)
+      // rank is 1..n and u is nondecreasing in rank
+      assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq)
+      assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+      // the 10-sample is exactly the first 10 of the 30-sample
+      assert(by10(lang).toSeq == rows.take(10).toSeq)
+    }
+  }
+
+  test("bm25OddsScores: closed form on a planted corpus") {
+    val df = Seq(
+      (1L, "data data model"), // tf(data)=2, len 3
+      (2L, "model plain text here"), // tf=0 -> no score row
+      (3L, "data only")).toDF("doc_id", "text")
+    val got = ext.TextAnalysis.bm25OddsScores(df, "doc_id", "text",
+        Seq("data")).as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // N=3, df=2, idf=(3-2+0.5)/(2+0.5)=0.6; avglen=(3+4+2)/3=3.0
+    val idf = (3 - 2 + 0.5) / (2 + 0.5)
+    def s(tf: Double, len: Double) =
+      idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / 3.0))
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == ((s(2, 3), 3L)))
+    assert(got(3L) == ((s(1, 2), 2L)))
+  }
+
+  test("decontaminateAttribution: planted leak attributes to the right eval doc") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains eval 100's text
+      (2L, "totally unrelated words with nothing shared here")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "beta gamma delta epsilon"), // 2 shingles, both inside doc 1
+      (200L, "nothing shared anywhere")).toDF("doc_id", "text")
+    val got = ext.Curation.decontaminateAttribution(corpus, eval,
+        "doc_id", "text", k = 3, minHits = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 100L, 2L, 2L, 1.0)), got.toString)
+  }
+}
