@@ -64,6 +64,7 @@ object ScaleBench {
     "q93_token_chunks",    // map-side window explode, no shuffle
     "q94_shingle_containment", // q26-shaped candidate verify
     "q96_fixed_sample",    // bounded-heap exact-n per stratum
+    "q99_semantic_dedup",  // k-means cells + within-cell pair verify
     "q97_bm25",            // 1-row reduction + scoring projection + top-k
     "q98_decontaminate_attrib", // broadcast probe + (doc,eval) agg
     "q66_ann_ivf_trained", // k-means sample collect + broadcast centroids
@@ -138,6 +139,21 @@ object ScaleBench {
       val hashes = ext.Multimodal.imageAHash(media, "doc_id", grid = 16)
       ext.Multimodal.aHashNearDupPairs(hashes, "doc_id", "ahash",
         bands = 4, maxHamming = 3, hashBits = 256)
+    }),
+    // q99 with cell count grown ∝ corpus (the q45 auto-planes law):
+    // the oracle's fixed c=16 keeps per-cell occupancy flat only at one
+    // SF — at 100× every 12.5k-member cell exceeds the 10k mega-cell
+    // cap and the measurement would time cap-discard, not dedup. Here
+    // c ≈ n/64 (seeded centroids, iters=0 — the standard IVF quantizer
+    // at index-build scale; driver Lloyd over c ∝ n samples would be
+    // the bottleneck) so Σ|cell|² stays ≈ n·64 — linear pair work.
+    "q99_auto_cells" -> ((s: SparkSession, dir: String) => {
+      val e = Tables.embeddings(s, dir)
+      val c = math.max(16L, e.count() / 64L).toInt
+      val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        64, c = c, iters = 0, sampleRate = 0.2)
+      ext.Similarity.semanticNearDupPairs(e, cent, "vec_id", "embedding",
+        64, tau = 0.40)
     }),
     // q98 with the eval set PINNED to replica 0: the oracle form scales
     // the eval slice with the corpus (x100 eval docs -> x100 broadcast

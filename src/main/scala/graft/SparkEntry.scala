@@ -1517,6 +1517,20 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // SemDeDup-style semantic dedup candidates: trained k-means cells
+    // (the q66 training chain — the oracle replays both Lloyd
+    // iterations) prune the pair space to within-cell pairs, exact
+    // cosine >= tau scores them. Data-adaptive counterpart of q45's
+    // random-hyperplane buckets; the keep-one-per-group tail is q43+q70.
+    "q99_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        64, c = 16, iters = 2, sampleRate = 0.2)
+      ext.Similarity.semanticNearDupPairs(e, cent, "vec_id", "embedding",
+          64, tau = 0.40)
+        .orderBy("id1", "id2")
+    }),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2233,6 +2247,38 @@ object SparkEntry {
         | FROM t, st)
         |SELECT doc_id, score, len AS n_tokens FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // SemDeDup replay: the q66 k-means chain trains `cent`, every
+    // corpus vector assigns to its max-cosine cell (ties to the lower
+    // cid — the same rn=1 idiom as training), degenerate cells past the
+    // cap drop, and within-cell pairs score by the exact strict-fold
+    // cosine. Zero-norm vectors excluded in both engines (NaN orders
+    // differently across them).
+    "q99_semantic_dedup" -> {
+      val chain = sqlKmeansCentChain(c = 16, iters = 2, rate = 0.2,
+        dim = 64)
+      s"""WITH $chain,
+        |v AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0),
+        |asg AS (
+        | SELECT vec_id, embedding, cell FROM (
+        |  SELECT v.vec_id, v.embedding, ct.cid AS cell,
+        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |     ${sqlCos("v.embedding", "ct.cv")} DESC, ct.cid) AS rn
+        |  FROM v CROSS JOIN cent ct) WHERE rn = 1),
+        |cap AS (
+        | SELECT vec_id, embedding, cell FROM asg
+        | QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
+        |pr AS (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${sqlCos("a.embedding", "b.embedding")} AS cosine
+        | FROM cap a JOIN cap b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT id1, id2, cosine FROM pr WHERE cosine >= 0.40
+        |ORDER BY id1, id2""".stripMargin
+    },
 
     // per-(doc, eval) attribution over the same shingle relations as
     // q62; eval_overlap = shared distinct shingles / eval doc shingles

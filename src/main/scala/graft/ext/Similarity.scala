@@ -639,6 +639,57 @@ object Similarity {
       }.toDF("cell", id, vec, "norm")
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means cells prune the pair space — vectors are
+    * assigned to their max-cosine centroid (the [[ivfIndex]] pass) and
+    * only WITHIN-cell pairs are cosine-scored, so pair work is
+    * Θ(Σ|cell|²) ≈ n·(n/C) instead of n², with C grown ∝ corpus to
+    * hold expected occupancy flat (the q45 auto-planes law, but with
+    * DATA-ADAPTIVE cells: trained centroids put the pair budget where
+    * the density is, where random hyperplanes split it blindly).
+    *
+    * Scale shape: centroids broadcast; one corpus pass assigns cells
+    * (typed kernel, no shuffle); the self-join shuffles on the cell key
+    * and both sides are the identical subplan, so the exchange
+    * materializes ONCE (q27's reuse discipline, spec-pinned); the
+    * cosine verify streams off the join as a typed kernel. `maxCell`
+    * drops degenerate mega-cells before the quadratic work (a cell of
+    * m vectors costs m² pairs; exact-duplicate mass belongs to
+    * [[Dedup.exactGroups]] anyway) — the [[Dedup]] band-cap discipline,
+    * replayed by the oracle. Zero-norm vectors are excluded up front
+    * (cosine undefined; and NaN compares differ cross-engine).
+    *
+    * Output: (id1 < id2, cosine ≥ tau) — candidate semantic duplicates;
+    * feeding them to [[Dedup.connectedComponents]] + canonical
+    * selection completes the SemDeDup keep-one-per-group pipeline.
+    */
+  def semanticNearDupPairs(corpus: DataFrame, centroids: DataFrame,
+      id: String, vec: String, dim: Int, tau: Double,
+      maxCell: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    val idx = ivfIndex(corpus, centroids, id, vec, dim)
+      .where(col("norm") > 0)
+      .withColumn("__cn", count(lit(1)).over(w))
+      .where(col("__cn") <= maxCell).drop("__cn")
+    val a = idx.select(col("cell"), col(id).as("id1"), col(vec).as("v1"),
+      col("norm").as("n1"))
+    val b = idx.select(col("cell"), col(id).as("id2"), col(vec).as("v2"),
+      col("norm").as("n2"))
+    a.join(b, Seq("cell")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("n1"), col("v2"),
+        col("n2"))
+      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
+      .mapPartitions(_.flatMap { case (i1, i2, v1, n1, v2, n2) =>
+        val c = d(v1, v2) / (n1 * n2)
+        if (c >= tau) Some((i1, i2, c)) else None
+      })
+      .toDF("id1", "id2", "cosine")
+  }
+
   /** Persist an [[ivfIndex]] partitioned by `cell` — the on-disk form a
     * production deployment reuses across query batches. Each cell is
     * its own partition directory, so [[ivfTopKIndexed]]'s

@@ -77,6 +77,22 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q99: cell self-join reuses one exchange — assignment kernel runs once") {
+    // same discipline as q27: both sides of the within-cell pair join
+    // are the identical ivfIndex subplan; the cell-key shuffle must
+    // materialize once, or the corpus-wide assignment kernel runs per
+    // leg. Broadcast off so the reuse (not a broadcast) is what's
+    // audited.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q99_semantic_dedup")(spark, dir)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString
+        .contains("ReusedExchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q16: normalization aggregates map-side before the shuffle") {
     val p = plan("q16_pdp_normalize")
     // bounded explode fan-out, then partial_sum under the exchange and

@@ -94,6 +94,44 @@ class SessionizeSpec extends SparkSuite {
     assert(got(3L) == ((s(1, 2), 2L)))
   }
 
+  test("semanticNearDupPairs: within-cell complete, cosine-exact, mega-cells capped") {
+    val e = Tables.embeddings(spark, sf)
+    val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      64, c = 8, iters = 1, sampleRate = 0.5)
+    val got = ext.Similarity.semanticNearDupPairs(e, cent, "vec_id",
+        "embedding", 64, tau = 0.30)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // independent reference: driver-side assignment + within-cell pairs
+    val cents = cent.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i) * b(i); i += 1 }; s
+    }
+    val vs = e.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Double])].collect()
+      .filter { case (_, v) => v != null && v.length >= 64 && dot(v, v) > 0 }
+      .map { case (i, v) =>
+        val n = math.sqrt(dot(v, v))
+        val cell = cents.map { case (cid, cv) =>
+          (cid, dot(v, cv) / (n * math.sqrt(dot(cv, cv)))) }
+          .maxBy { case (cid, c) => (c, -cid) }._1
+        (i, v, n, cell)
+      }
+    val expect = (for {
+      (i1, v1, n1, c1) <- vs
+      (i2, v2, n2, c2) <- vs
+      if i1 < i2 && c1 == c2
+      c = dot(v1, v2) / (n1 * n2)
+      if c >= 0.30
+    } yield (i1, i2) -> c).toMap
+    assert(got == expect, s"${got.size} vs ${expect.size}")
+    // maxCell: with a cap below every cell's size, nothing survives
+    assert(ext.Similarity.semanticNearDupPairs(e, cent, "vec_id",
+      "embedding", 64, tau = -1.0, maxCell = 1).count() == 0L)
+  }
+
   test("decontaminateAttribution: planted leak attributes to the right eval doc") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // contains eval 100's text
