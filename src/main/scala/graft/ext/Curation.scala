@@ -286,7 +286,14 @@ object Curation {
       val wS = Window.partitionBy(col(group), col("__shard"))
         .orderBy(col("__u"), col(id))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      sh.join(broadcast(offsets), Seq(group, "__shard"))
+      // null-SAFE group equality: windows/groupBy treat a NULL group as
+      // its own partition, so the offsets join must too — a plain
+      // equi-join would silently drop every unlabeled row and break the
+      // bit-parity contract with the shards=1 window form (spec-pinned)
+      val off = offsets.withColumnRenamed(group, "__g")
+        .withColumnRenamed("__shard", "__s")
+      sh.join(broadcast(off),
+          col(group) <=> col("__g") && col("__shard") === col("__s"))
         .where(col("__off") <= budget)
         .withColumn("cum_tokens", sum(col("n_tokens")).over(wS) + col("__off"))
         .where(col("cum_tokens") <= budget)
@@ -330,7 +337,11 @@ object Curation {
     val wS = Window.partitionBy(col(group), col("__shard"))
       .orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(offsets), Seq(group, "__shard"))
+    // null-safe group equality — see tokenBudgetCap's offsets join
+    val off = offsets.withColumnRenamed(group, "__g")
+      .withColumnRenamed("__shard", "__s")
+    base.join(broadcast(off),
+        col(group) <=> col("__g") && col("__shard") === col("__s"))
       .withColumn("__cum", sum(col("n_tokens")).over(wS) + col("__off"))
       .withColumn("pack_id", expr(s"greatest(__cum - 1, 0L) div ${budget}L"))
       .select(col(id), col(group), col("n_tokens"), col("pack_id"))
@@ -590,8 +601,23 @@ object Curation {
       qs: Seq[(String, Double)],
       maxSlots: Int = 1 << 24): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
+    // q = 0 would index rank 0 (the window form yields null there) and
+    // q > 1 would index past the group — both are caller errors, failed
+    // loudly pre-flight rather than as an executor AIOOBE
+    qs.foreach { case (nme, q) =>
+      require(q > 0.0 && q <= 1.0, s"quantile $nme=$q outside (0, 1]")
+    }
     val spark = df.sparkSession
     import spark.implicits._
+    // integral values only (the same loud contract as the sharded
+    // cumsums): a silent cast("long") on doubles would truncate every
+    // value and return wrong quantiles without an error. Values must
+    // also be non-null (the window-rank reference counts nulls into n;
+    // this aggregate has no null slot — documents/testdata carry none).
+    val vt = df.select(value.as("__v")).schema("__v").dataType
+    require(isIntegral(vt),
+      s"exact quantiles need an integral value column (got $vt) — " +
+        "for doubles use percentile_approx (approximate by design)")
     val agg = new CeilQuantilesAggregator(qs.map(_._2).toArray, maxSlots)
     df.select(col(group).cast("string"), value.cast("long"))
       .as[(String, Long)]

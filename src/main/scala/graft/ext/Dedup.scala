@@ -230,9 +230,14 @@ object Dedup {
     * differently-named keys over the same child do not qualify).
     * Reliable `checkpoint` when the session has a checkpoint dir (the
     * 100 TB mode — blocks survive executor loss), `localCheckpoint`
-    * otherwise (executor-local, fastest on a healthy cluster). Blocks
-    * live while the returned frame is referenced; the context cleaner
-    * frees them when the caller drops it. Only hand this
+    * otherwise (executor-local, fastest on a healthy cluster).
+    * Lifetime: localCheckpoint blocks are unpersisted by the context
+    * cleaner when the caller drops the frame; reliable checkpoint FILES
+    * are only auto-deleted when the deployment sets
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (Spark's
+    * default leaves them until the directory is cleaned — set the conf
+    * in long-running checkpoint-dir sessions, as
+    * [[connectedComponents]]'s per-round cleanup notes). Only hand this
     * CANDIDATE-sized frames — a corpus-sized checkpoint would be the
     * bug this fixes. */
   def materialize(df: DataFrame): DataFrame =

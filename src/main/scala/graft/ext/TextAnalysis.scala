@@ -353,8 +353,18 @@ object TextAnalysis {
     * [[trigramLmScore]], as a frame (exposed so specs can assert the
     * bound and scale runs can measure the cap pass): map-side partial
     * counts → min-count filter on the same aggregate → top-M per lang
-    * by (n3 DESC, tri ASC) over the aggregated frame. Input: (lang,
-    * norm) — already-normalized text. */
+    * by (n3 DESC, tri ASC). Input: (lang, norm) — already-normalized
+    * text.
+    *
+    * The top-M itself is a TWO-LEVEL selection so the cap's own
+    * motivating case (CJK: distinct trigrams ∝ corpus) never funnels a
+    * language's whole distinct-trigram set through one sort task:
+    * first top-M per (lang, murmur3(tri) mod S) — each shard sorts
+    * 1/S of the language — then the exact top-M over the ≤ S·M
+    * survivors. The pre-prune is lossless: any row in the global top-M
+    * has < M global predecessors in the (n3 DESC, tri ASC) order, so
+    * < M predecessors within its own shard, so it survives the shard
+    * round (wide-alphabet spec pins two-level == single-window). */
   def trigramModel(normed: org.apache.spark.sql.DataFrame,
       minCount: Long, maxTrigramsPerLang: Int):
       org.apache.spark.sql.DataFrame = {
@@ -362,15 +372,21 @@ object TextAnalysis {
       s"minCount=$minCount, maxTrigramsPerLang=$maxTrigramsPerLang")
     val spark = normed.sparkSession
     import spark.implicits._
+    val shards = 32
     val counts = normed.as[(String, String)]
       .flatMap { case (lg, norm) => triGrams(norm).map(t => (lg, t)) }
       .toDF("lang", "tri")
       .groupBy("lang", "tri").count()
       .where(col("count") >= minCount)
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), pmod(hash(col("tri")), lit(shards)))
+      .orderBy(col("count").desc, col("tri"))
+    val pruned = counts.withColumn("__rs", row_number().over(wShard))
+      .where(col("__rs") <= maxTrigramsPerLang).drop("__rs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("count").desc, col("tri"))
-    counts.withColumn("__r", row_number().over(w))
+    pruned.withColumn("__r", row_number().over(w))
       .where(col("__r") <= maxTrigramsPerLang)
       .select(col("lang"), col("tri"), col("count").as("n3"))
   }

@@ -61,7 +61,11 @@ object Xport {
   def collect(df: DataFrame, ts: String, cols: Seq[String], startSec: Long,
       endSec: Long, stepSec: Long,
       maxRows: Long = MaxCollectRows): Result = {
-    val expect = if (stepSec > 0) (endSec - startSec) / stepSec else 0L
+    // a nonpositive step would zero the arithmetic guard and let an
+    // unbounded frame through to collect() — fail it outright (every
+    // grid this serializes is built with a positive step)
+    require(stepSec > 0, s"xport step must be positive (got $stepSec)")
+    val expect = (endSec - startSec) / stepSec
     require(expect <= maxRows,
       s"xport window of $expect rows ((end-start)/step) exceeds the " +
         s"driver-collect cap $maxRows — narrow the window, coarsen the " +

@@ -93,8 +93,11 @@ final class Daemon(spark: SparkSession, root: String, nowSec: Long = 0L,
     // display-sized by protocol semantics, but nothing stops a client
     // requesting a year at 1-second resolution — the same pre-flight
     // cap as Xport.collect (worst case: the finest RRA's step)
-    require(schema.stepSec <= 0 ||
-        (end - start) / schema.stepSec <= graft.query.Xport.MaxCollectRows,
+    // a nonpositive schema step is a corrupt store: refuse rather than
+    // bypass the cap
+    require(schema.stepSec > 0, s"corrupt store: step ${schema.stepSec}")
+    require(
+      (end - start) / schema.stepSec <= graft.query.Xport.MaxCollectRows,
       s"FETCH window of ${(end - start) / schema.stepSec} rows exceeds " +
         s"the daemon reply cap ${graft.query.Xport.MaxCollectRows} — narrow " +
         "the window or fetch a coarser-step RRA")

@@ -31,8 +31,13 @@ object StreamingSessionize {
   /** Session aggregation over a streaming frame of events. */
   def sessionStream(events: DataFrame, series: Seq[String],
       tsUsCol: String, gapSec: Long, latenessSec: Long): DataFrame = {
+    // no positive-time filter (unlike the CDP stream, whose positive
+    // domain is a reference contract): epoch-0 and pre-epoch events are
+    // valid instants and the batch islands oracle counts them — only a
+    // NULL event time (no instant at all) is excluded, matching the
+    // oracle's lag/window behavior of never grouping null times
     val evt = events
-      .where(col(tsUsCol) > 0)
+      .where(col(tsUsCol).isNotNull)
       .withColumn("__evt", timestamp_micros(col(tsUsCol)))
       .withWatermark("__evt", s"$latenessSec seconds")
     evt

@@ -63,6 +63,30 @@ class CurationShardSpec extends SparkSuite {
     }
   }
 
+  test("sharded forms keep NULL-group rows exactly like the window forms") {
+    // windows/groupBy treat a NULL group as its own partition; the
+    // round-10 review found the offsets equi-join silently dropping
+    // unlabeled rows — pinned here with a quarter-null corpus
+    val withNulls = docs.withColumn("lang",
+      when(col("doc_id") % 4 === 0, lit(null: String)).otherwise(col("lang")))
+    val un = ext.Curation.tokenBudgetCap(withNulls, "doc_id", "lang",
+      col("n_tokens"), budget = 500L, shards = 1)
+    val sh = ext.Curation.tokenBudgetCap(withNulls, "doc_id", "lang",
+      col("n_tokens"), budget = 500L, shards = 8)
+    assert(collectSet(sh) == collectSet(un))
+    assert(un.where(col("lang").isNull).count() > 0, "no null rows kept?")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val refPack = withNulls
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr("greatest(__cum - 1, 0L) div 700"))
+      .select("doc_id", "lang", "n_tokens", "pack_id")
+    val shPack = ext.Curation.packSequences(withNulls, "doc_id", "lang",
+      col("n_tokens"), budget = 700L, idsPerShard = 5000L)
+    assert(collectSet(shPack) == collectSet(refPack))
+  }
+
   test("tokenBudgetCap: sharded path refuses non-integral token counts loudly") {
     val e = intercept[IllegalArgumentException] {
       ext.Curation.tokenBudgetCap(docs, "doc_id", "lang",

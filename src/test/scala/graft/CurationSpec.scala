@@ -350,6 +350,28 @@ class CurationSpec extends SparkSuite {
       ref.collect().map(_.toSeq).toSet)
   }
 
+  test("exactQuantilesPerGroup: loud pre-flight guards (q range, non-integral values)") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 10).map(i => (i.toLong, "en", i.toLong))
+      .toDF("doc_id", "lang", "n_chars")
+    for (q <- Seq(0.0, 1.01, -0.5)) {
+      val e = intercept[IllegalArgumentException] {
+        Curation.exactQuantilesPerGroup(df, "lang", col("n_chars"),
+          Seq(("p", q)))
+      }
+      assert(e.getMessage.contains("outside"))
+    }
+    // q = 1.0 is valid and returns the group maximum
+    val m = Curation.exactQuantilesPerGroup(df, "lang", col("n_chars"),
+      Seq(("pmax", 1.0))).collect()(0).getLong(1)
+    assert(m == 9L)
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.exactQuantilesPerGroup(df, "lang",
+        col("n_chars").cast("double"), Seq(("p50", 0.5)))
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("exactQuantilesPerGroup refuses a group past maxSlots loudly") {
     import org.apache.spark.sql.functions._
     val df = (0 until 100).map(i => (i.toLong, "en", i.toLong))

@@ -17,7 +17,7 @@ class SessionizeSpec extends SparkSuite {
     // user 2: single event. Input arrives out of order in the batch.
     val gapUs = 600L * 1000000L
     val rows = Seq(
-      (1L, 100L * 1000000L), (1L, 0L * 1000000L + 1L),
+      (1L, 100L * 1000000L), (1L, 0L), // epoch-0 event counts (review pin)
       (1L, 100L * 1000000L + gapUs), // exact gap -> SAME session
       (1L, 100L * 1000000L + 2 * gapUs + 1L), // gap+1us -> new session
       (2L, 42L * 1000000L))
@@ -30,7 +30,7 @@ class SessionizeSpec extends SparkSuite {
       .orderBy("user_id", "first_us")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(
-      (1L, 3L, 1L, 100000000L + gapUs),
+      (1L, 3L, 0L, 100000000L + gapUs),
       (1L, 1L, 100000000L + 2 * gapUs + 1L, 100000000L + 2 * gapUs + 1L),
       (2L, 1L, 42000000L, 42000000L)), got.toString)
     // state metrics came back from the run (the ScaleBench channel)
