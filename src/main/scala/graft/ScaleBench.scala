@@ -65,6 +65,7 @@ object ScaleBench {
     "q94_shingle_containment", // q26-shaped candidate verify
     "q96_fixed_sample",    // bounded-heap exact-n per stratum
     "q99_semantic_dedup",  // k-means cells + within-cell pair verify
+    "q100_seasonal_anomaly", // integer-exact profile + broadcast join
     "q97_bm25",            // 1-row reduction + scoring projection + top-k
     "q98_decontaminate_attrib", // broadcast probe + (doc,eval) agg
     "q66_ann_ivf_trained", // k-means sample collect + broadcast centroids
@@ -140,6 +141,14 @@ object ScaleBench {
       ext.Multimodal.aHashNearDupPairs(hashes, "doc_id", "ahash",
         bands = 4, maxHamming = 3, hashBits = 256)
     }),
+    // q100 with the replica-aware series slice (the q72 lesson: the
+    // oracle's `user_id < 40` pins to replica 0; the modulo slice
+    // carries 40 series PER replica, so the profile grows ×K)
+    "q100_scale" -> ((s: SparkSession, dir: String) =>
+      graft.hw.SeasonalProfile.anomalies(
+        Tables.events(s, dir).where(col("user_id") % 1000000L < 40),
+        Seq("user_id"), "ts_sec", bucketSec = 3600L, period = 24,
+        k = 2.0)),
     // q99 with cell count grown ∝ corpus (the q45 auto-planes law):
     // the oracle's fixed c=16 keeps per-cell occupancy flat only at one
     // SF — at 100× every 12.5k-member cell exceeds the 10k mega-cell

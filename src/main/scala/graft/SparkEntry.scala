@@ -1517,6 +1517,20 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Seasonal-profile anomaly detection — the batch complement of the
+    // HW FAILURES chain: hourly event counts per series, a per-(series,
+    // hour-of-day) mean/std profile from exact integer sums (Σc, Σc²),
+    // and a multiplicative |c−mean| > k·std flag (no z division — a
+    // zero-variance position flags nothing instead of NaN, whose
+    // ordering differs across engines). Two partial-agg'd shuffles +
+    // a broadcast profile join; no per-sample recurrence.
+    "q100_seasonal_anomaly" -> ((s, dir) =>
+      hw.SeasonalProfile.anomalies(
+          Tables.events(s, dir).where(col("user_id") < 40),
+          Seq("user_id"), "ts_sec", bucketSec = 3600L, period = 24,
+          k = 2.0)
+        .orderBy("user_id", "bucket")),
+
     // SemDeDup-style semantic dedup candidates: trained k-means cells
     // (the q66 training chain — the oracle replays both Lloyd
     // iterations) prune the pair space to within-cell pairs, exact
@@ -2247,6 +2261,32 @@ object SparkEntry {
         | FROM t, st)
         |SELECT doc_id, score, len AS n_tokens FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // same integer-exact profile: Σc/Σc² are exact BIGINTs, mean and
+    // s²/n single IEEE divides, sqrt correctly rounded, and the flag
+    // compares |c−mean| against k·std without dividing
+    "q100_seasonal_anomaly" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec FROM events
+        | WHERE user_id < 40),
+        |c AS (
+        | SELECT user_id, ts_sec // 3600 AS bucket, COUNT(*) AS c
+        | FROM e GROUP BY user_id, bucket),
+        |cp AS (SELECT user_id, bucket, c, bucket % 24 AS pos FROM c),
+        |p AS (
+        | SELECT user_id, pos, COUNT(*) AS n, SUM(c) AS s, SUM(c*c) AS ss
+        | FROM cp GROUP BY user_id, pos),
+        |pr AS (
+        | SELECT user_id, pos,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  sqrt((CAST(ss AS DOUBLE) -
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) AS std
+        | FROM p)
+        |SELECT cp.user_id, cp.bucket, cp.pos, cp.c, pr.mean, pr.std,
+        | abs(CAST(cp.c AS DOUBLE) - pr.mean) > 2 * pr.std AS is_anomaly
+        |FROM cp JOIN pr USING (user_id, pos)
+        |ORDER BY cp.user_id, cp.bucket""".stripMargin,
 
     // SemDeDup replay: the q66 k-means chain trains `cent`, every
     // corpus vector assigns to its max-cosine cell (ties to the lower

@@ -132,6 +132,30 @@ class SessionizeSpec extends SparkSuite {
       "embedding", 64, tau = -1.0, maxCell = 1).count() == 0L)
   }
 
+  test("seasonal profile: closed-form anomaly, zero-variance position flags nothing") {
+    // series 1, period 3, bucket 60 s: position 0 sees counts (2,2,2,8)
+    // — mean 3.5, var (4+4+4+64)/4 - 12.25 = 6.75 — so 8 deviates 4.5 >
+    // 1.5*sqrt(6.75)≈3.897 (anomaly at k=1.5) while 2 deviates 1.5 (not);
+    // position 1 sees a CONSTANT count 5 (std 0): never anomalous.
+    def burst(bucket: Long, n: Int): Seq[(Long, Long)] =
+      (0 until n).map(i => (1L, bucket * 60L + i))
+    val ev = (burst(0, 2) ++ burst(3, 2) ++ burst(6, 2) ++ burst(9, 8) ++
+      burst(1, 5) ++ burst(4, 5) ++ burst(7, 5) ++ burst(10, 5))
+      .toDF("user_id", "ts_sec")
+    val got = hw.SeasonalProfile.anomalies(ev, Seq("user_id"), "ts_sec",
+        bucketSec = 60L, period = 3, k = 1.5)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)]
+      .collect().toSeq
+    val pos0 = got.filter(_._3 == 0L)
+    assert(pos0.map(_._5).distinct == Seq(3.5))
+    assert(pos0.map(r => (r._2, r._7)) ==
+      Seq((0L, false), (3L, false), (6L, false), (9L, true)))
+    val pos1 = got.filter(_._3 == 1L)
+    assert(pos1.map(_._6).distinct == Seq(0.0), "constant position std")
+    assert(pos1.forall(!_._7), "zero-variance position must not flag")
+  }
+
   test("decontaminateAttribution: planted leak attributes to the right eval doc") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // contains eval 100's text
