@@ -1517,6 +1517,20 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Co-located enrichment join over BUCKETED warehouse tables — the
+    // layout lever of a 100 TB pipeline: both sides were written
+    // `bucketBy(16, doc_id).sortBy(doc_id)`, so this per-document join
+    // (quality facts x token facts — the shape every enrichment step
+    // repeats) plans a SortMergeJoin with NO Exchange and NO Sort on
+    // either side (PlanAuditSpec pins the exchange-free plan). The
+    // oracle recomputes the same join from the raw documents table —
+    // bucketing changes layout, never content.
+    "q101_bucketed_join" -> ((s, dir) => {
+      val (qual, toks) = ensureBucketed(s, dir)
+      s.table(qual).join(s.table(toks), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Seasonal-profile anomaly detection — the batch complement of the
     // HW FAILURES chain: hourly event counts per series, a per-(series,
     // hour-of-day) mean/std profile from exact integer sums (Σc, Σc²),
@@ -2261,6 +2275,13 @@ object SparkEntry {
         | FROM t, st)
         |SELECT doc_id, score, len AS n_tokens FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // bucketing changes layout, never content: the oracle joins the
+    // same two fact projections straight off the documents table
+    "q101_bucketed_join" ->
+      """SELECT doc_id, lang, n_chars,
+        | len(string_split(lower(trim(text)), ' ')) AS ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // same integer-exact profile: Σc/Σc² are exact BIGINTs, mean and
     // s²/n single IEEE divides, sqrt correctly rounded, and the flag
@@ -3466,8 +3487,44 @@ object SparkEntry {
     * `dir`/events.parquet. The driver regenerates testdata in place
     * between rounds, so a marker keyed by directory name alone would
     * silently serve rollups of the previous round's data. */
-  private def eventsFingerprint(dir: String): String = {
-    val root = java.nio.file.Paths.get(dir, "events.parquet")
+  private def eventsFingerprint(dir: String): String =
+    tableFingerprint(dir, "events")
+
+  /** Managed bucketed tables for q101, rebuilt when the source
+    * documents change (fingerprint-keyed names — the ensureDerby
+    * idiom); any stale prior version at the same warehouse location is
+    * dropped first, since the session-local catalog forgets tables
+    * across JVMs while their files persist. */
+  private val bucketedBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private def ensureBucketed(s: SparkSession,
+      dir: String): (String, String) = {
+    val name = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = tableFingerprint(dir, "documents").replaceAll("-", "").take(8)
+    bucketedBuilt.computeIfAbsent(s"$name|$fp", _ => {
+      val qual = s"graft_q101_quality_${name}_$fp"
+      val toks = s"graft_q101_tokens_${name}_$fp"
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val d = Tables.documents(s, dir)
+      Seq(qual, toks).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        store.RrdStore.deleteTree(s"$wh/${t.toLowerCase}")
+      }
+      sources.Bucketed.writeBucketed(
+        d.select(col("doc_id"), col("lang"), col("n_chars")),
+        qual, "doc_id", 16)
+      sources.Bucketed.writeBucketed(
+        d.select(col("doc_id"),
+          ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
+            .as("ws_tokens")),
+        toks, "doc_id", 16)
+      (qual, toks)
+    })
+  }
+
+  private def tableFingerprint(dir: String, table: String): String = {
+    val root = java.nio.file.Paths.get(dir, s"$table.parquet")
     if (!java.nio.file.Files.exists(root)) return "missing"
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     scala.util.Using.resource(java.nio.file.Files.walk(root)) { s =>

@@ -93,6 +93,23 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q101: bucketed co-located join plans no shuffle exchange") {
+    // both tables were written bucketBy(16, doc_id): the per-document
+    // join must consume the bucketing (SortMergeJoin, zero
+    // hash-partitioning exchanges anywhere below the final orderBy's
+    // range partition). Broadcast off so the bucket path is what runs.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q101_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 0,
+        s"bucketed join re-shuffled ($hashEx hash exchanges):\n" +
+          p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q16: normalization aggregates map-side before the shuffle") {
     val p = plan("q16_pdp_normalize")
     // bounded explode fan-out, then partial_sum under the exchange and

@@ -10,6 +10,7 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_test")
     .getOrCreate()
   def sf: String = "/root/testdata/sf0.001"
 }
