@@ -2287,9 +2287,10 @@ object SparkEntry {
     // s²/n single IEEE divides, sqrt correctly rounded, and the flag
     // compares |c−mean| against k·std without dividing
     "q100_seasonal_anomaly" ->
-      """WITH e AS (
+      """WITH e0 AS (
         | SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec FROM events
         | WHERE user_id < 40),
+        |e AS (SELECT * FROM e0 WHERE ts_sec >= 0),
         |c AS (
         | SELECT user_id, ts_sec // 3600 AS bucket, COUNT(*) AS c
         | FROM e GROUP BY user_id, bucket),
@@ -3490,22 +3491,48 @@ object SparkEntry {
   private def eventsFingerprint(dir: String): String =
     tableFingerprint(dir, "events")
 
-  /** Managed bucketed tables for q101, rebuilt when the source
-    * documents change (fingerprint-keyed names — the ensureDerby
-    * idiom); any stale prior version at the same warehouse location is
-    * dropped first, since the session-local catalog forgets tables
-    * across JVMs while their files persist. */
-  private val bucketedBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  /** Bucketed tables for q101, rebuilt only when the source documents
+    * change (fingerprint-keyed names — the ensureDerby idiom). The
+    * layout cost is genuinely one-time across JVMs: the session-local
+    * catalog forgets tables while their bucket-id-encoded files
+    * persist, so a fresh session RE-REGISTERS the existing files via an
+    * external CREATE TABLE with the same bucket spec instead of
+    * rewriting them. Stale prior-fingerprint table directories (left
+    * by a driver-side testdata regeneration) are deleted when a new
+    * fingerprint builds. */
   private def ensureBucketed(s: SparkSession,
-      dir: String): (String, String) = {
+      dir: String): (String, String) = synchronized {
     val name = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
     val fp = tableFingerprint(dir, "documents").replaceAll("-", "").take(8)
-    bucketedBuilt.computeIfAbsent(s"$name|$fp", _ => {
-      val qual = s"graft_q101_quality_${name}_$fp"
-      val toks = s"graft_q101_tokens_${name}_$fp"
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
+    val qual = s"graft_q101_quality_${name}_$fp"
+    val toks = s"graft_q101_tokens_${name}_$fp"
+    if (s.catalog.tableExists(qual) && s.catalog.tableExists(toks))
+      return (qual, toks)
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // drop stale prior-fingerprint versions of THIS dir's tables (the
+    // current-fp dirs are kept — they are what register() reuses)
+    Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        n.startsWith(s"graft_q101_quality_${name}_".toLowerCase) ||
+          n.startsWith(s"graft_q101_tokens_${name}_".toLowerCase)
+      }
+      .filterNot(f => f.getName == qual.toLowerCase ||
+        f.getName == toks.toLowerCase)
+      .foreach(f => store.RrdStore.deleteTree(f.getPath))
+    val schemas = Map(
+      qual -> "doc_id BIGINT, lang STRING, n_chars BIGINT",
+      toks -> "doc_id BIGINT, ws_tokens BIGINT")
+    def filesReady(t: String): Boolean =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(wh, t.toLowerCase, "_SUCCESS"))
+    if (filesReady(qual) && filesReady(toks)) {
+      // same-fingerprint files from a previous JVM: one DDL each
+      Seq(qual, toks).foreach { t =>
+        sources.Bucketed.register(s, t, schemas(t), "doc_id", 16,
+          s"$wh/${t.toLowerCase}")
+      }
+    } else {
       val d = Tables.documents(s, dir)
       Seq(qual, toks).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
@@ -3519,8 +3546,8 @@ object SparkEntry {
           ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
             .as("ws_tokens")),
         toks, "doc_id", 16)
-      (qual, toks)
-    })
+    }
+    (qual, toks)
   }
 
   private def tableFingerprint(dir: String, table: String): String = {

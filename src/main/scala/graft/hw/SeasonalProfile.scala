@@ -1,6 +1,6 @@
 package graft.hw
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Seasonal-profile anomaly detection — the batch complement of the
@@ -40,6 +40,11 @@ object SeasonalProfile {
       s"bucketSec=$bucketSec, period=$period, k=$k")
     val sc = series.map(col)
     val counts = events
+      // non-negative time domain, enforced in the operator (and
+      // mirrored by the oracle): below zero, truncating vs flooring
+      // div and pmod-vs-C-modulo would bucket/position the two engines
+      // differently — pre-epoch telemetry is out of contract here
+      .where(col(tsSecCol) >= 0)
       .withColumn("bucket", expr(s"`$tsSecCol` div ${bucketSec}L"))
       .groupBy(sc :+ col("bucket"): _*)
       .agg(count(lit(1)).as("c"))
@@ -61,9 +66,4 @@ object SeasonalProfile {
           lit(k) * col("std")).as("is_anomaly")): _*)
   }
 
-  /** Convenience column: the profile deviation in std units where
-    * defined (null at zero variance) — display-side only; the flag
-    * above never divides. */
-  def zScore(c: Column, mean: Column, std: Column): Column =
-    when(std > 0, (c.cast("double") - mean) / std)
 }

@@ -33,8 +33,15 @@ object Bucketed {
       .saveAsTable(table)
   }
 
-  /** The catalog table as a frame (bucketing metadata attached — joins
-    * on the bucket key skip the exchange). */
-  def table(spark: SparkSession, name: String): DataFrame =
-    spark.table(name)
+  /** Re-register an existing bucketed table's FILES with a fresh
+    * session's catalog (the in-memory catalog forgets tables across
+    * JVMs while the parquet + bucket-id filenames persist): an
+    * external CREATE TABLE carrying the same bucket spec, so the next
+    * session pays a DDL statement instead of rewriting the layout.
+    * `schemaDdl` is the column list (`doc_id BIGINT, lang STRING`). */
+  def register(spark: SparkSession, table: String, schemaDdl: String,
+      key: String, buckets: Int, location: String): Unit =
+    spark.sql(s"CREATE TABLE $table ($schemaDdl) USING parquet " +
+      s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+      s"LOCATION '$location'")
 }
