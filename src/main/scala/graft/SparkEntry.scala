@@ -2211,7 +2211,7 @@ object SparkEntry {
     "q95_sessionize" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS ts_us FROM events
-        | WHERE user_id < 30),
+        | WHERE user_id < 30 AND ts IS NOT NULL),
         |m AS (
         | SELECT user_id, ts_us,
         |  CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id

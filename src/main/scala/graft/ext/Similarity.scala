@@ -650,14 +650,19 @@ object Similarity {
     * the density is, where random hyperplanes split it blindly).
     *
     * Scale shape: centroids broadcast; one corpus pass assigns cells
-    * (typed kernel, no shuffle); the self-join shuffles on the cell key
-    * and both sides are the identical subplan, so the exchange
-    * materializes ONCE (q27's reuse discipline, spec-pinned); the
-    * cosine verify streams off the join as a typed kernel. `maxCell`
-    * drops degenerate mega-cells before the quadratic work (a cell of
-    * m vectors costs m² pairs; exact-duplicate mass belongs to
-    * [[Dedup.exactGroups]] anyway) — the [[Dedup]] band-cap discipline,
-    * replayed by the oracle. Zero-norm vectors are excluded up front
+    * (typed kernel); then ONE shuffle of the index on the cell key
+    * into a grouped kernel that generates + cosine-scores the
+    * within-cell pairs over in-memory primitive arrays — each vector
+    * crosses the wire and deserializes ONCE per cell, where a cell
+    * self-join would materialize both 512-byte vectors into every one
+    * of the ~occupancy² candidate rows (the cosineNearDupPairs cogroup
+    * lesson, measured as the dominant 100× cost there). `maxCell`
+    * drops degenerate mega-cells INSIDE the kernel with bounded
+    * buffering (≤ maxCell rows retained; past it the group streams to
+    * nothing) before any quadratic work — a cell of m vectors costs m²
+    * pairs, and exact-duplicate mass belongs to [[Dedup.exactGroups]]
+    * anyway — the [[Dedup]] band-cap discipline, replayed by the
+    * oracle's QUALIFY count. Zero-norm vectors are excluded up front
     * (cosine undefined; and NaN compares differ cross-engine).
     *
     * Output: (id1 < id2, cosine ≥ tau) — candidate semantic duplicates;
@@ -670,23 +675,36 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val d = dotK(dim) _
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
-    val idx = ivfIndex(corpus, centroids, id, vec, dim)
+    ivfIndex(corpus, centroids, id, vec, dim)
       .where(col("norm") > 0)
-      .withColumn("__cn", count(lit(1)).over(w))
-      .where(col("__cn") <= maxCell).drop("__cn")
-    val a = idx.select(col("cell"), col(id).as("id1"), col(vec).as("v1"),
-      col("norm").as("n1"))
-    val b = idx.select(col("cell"), col(id).as("id2"), col(vec).as("v2"),
-      col("norm").as("n2"))
-    a.join(b, Seq("cell")).where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("n1"), col("v2"),
-        col("n2"))
-      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
-      .mapPartitions(_.flatMap { case (i1, i2, v1, n1, v2, n2) =>
-        val c = d(v1, v2) / (n1 * n2)
-        if (c >= tau) Some((i1, i2, c)) else None
-      })
+      .select(col("cell"), col(id).cast("long"), col(vec), col("norm"))
+      .as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        // bounded buffering: keep at most maxCell members; a group that
+        // exceeds the cap drains to nothing (memory ∝ maxCell, never
+        // group size)
+        val buf = new scala.collection.mutable.ArrayBuffer[
+          (Long, Array[Double], Double)](16)
+        var over = false
+        while (it.hasNext) {
+          val (_, vid, v, n) = it.next()
+          if (!over) {
+            buf += ((vid, v, n))
+            if (buf.length > maxCell) { over = true; buf.clear() }
+          }
+        }
+        if (over) Iterator.empty
+        else (for {
+          i <- buf.indices.iterator
+          j <- (i + 1) until buf.length
+        } yield {
+          val (idA, vA, nA) = buf(i)
+          val (idB, vB, nB) = buf(j)
+          (math.min(idA, idB), math.max(idA, idB),
+            d(vA, vB) / (nA * nB))
+        }).filter(_._3 >= tau)
+      }
       .toDF("id1", "id2", "cosine")
   }
 
@@ -786,8 +804,10 @@ object Similarity {
     var cents: Array[Array[Double]] =
       samp.sortBy { case (vid, _, u) => (u, vid) }.take(c).map(_._2)
     // ascending id: the mean fold order; norms hoisted — members never
-    // change across iterations
-    val members = samp.sortBy(_._1)
+    // change across iterations. Lazy: the seeded-only path (iters = 0,
+    // the auto-sized-cells scale shape) never pays this sample-sized
+    // sort + norm pass.
+    lazy val members = samp.sortBy(_._1)
       .map { case (_, v, _) => (v, math.sqrt(d(v, v))) }
     for (_ <- 1 to iters) {
       val cn = cents.map(cv => math.sqrt(d(cv, cv)))

@@ -34,8 +34,9 @@ object StreamingSessionize {
     // no positive-time filter (unlike the CDP stream, whose positive
     // domain is a reference contract): epoch-0 and pre-epoch events are
     // valid instants and the batch islands oracle counts them — only a
-    // NULL event time (no instant at all) is excluded, matching the
-    // oracle's lag/window behavior of never grouping null times
+    // NULL event time (no instant at all) is excluded, and the q95
+    // oracle filters null times EXPLICITLY to match (SQL windows would
+    // otherwise order nulls last and fold them into the final session)
     val evt = events
       .where(col(tsUsCol).isNotNull)
       .withColumn("__evt", timestamp_micros(col(tsUsCol)))

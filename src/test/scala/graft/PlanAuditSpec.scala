@@ -17,6 +17,13 @@ class PlanAuditSpec extends SparkSuite {
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Exchange partitioning lines of a FORMATTED plan (the operator tree
+    * prints bare "(n) Exchange"; the partitioning lives on the details
+    * section's Arguments line — a regex over "Exchange hashpartitioning"
+    * matches NOTHING in this mode, a round-10 vacuous-assert lesson). */
+  private def hashExchanges(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+
   test("q01: column pruning reaches the lineitem scan") {
     val p = plan("q01_tpch_q1")
     // the scan reads only the 6 referenced columns of lineitem's 16
@@ -77,20 +84,20 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
-  test("q99: cell self-join reuses one exchange — assignment kernel runs once") {
-    // same discipline as q27: both sides of the within-cell pair join
-    // are the identical ivfIndex subplan; the cell-key shuffle must
-    // materialize once, or the corpus-wide assignment kernel runs per
-    // leg. Broadcast off so the reuse (not a broadcast) is what's
-    // audited.
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val df = SparkEntry.queries("q99_semantic_dedup")(spark, dir)
-      df.collect()
-      assert(df.queryExecution.executedPlan.toString
-        .contains("ReusedExchange"))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  test("q99: one cell shuffle into the grouped pair kernel — no join, no second assignment pass") {
+    // each vector crosses the wire once: the plan is assignment kernel
+    // → ONE hash exchange on the cell key → grouped pair/cosine kernel
+    // (plus the final orderBy's range partition). Any join node (or a
+    // second hash exchange) means the self-join shape — which
+    // materializes both vectors into every candidate row — crept back.
+    val p = plan("q99_semantic_dedup")
+    val parts = p.linesIterator
+      .filter(_.contains("partitioning")).toSeq
+    assert(parts.count(_.contains("hashpartitioning")) == 1,
+      parts.mkString("\n"))
+    assert(!p.contains("Join"), "q99 pair stage regressed to a join")
+    assert(p.contains("FlatMapGroups") || p.contains("MapGroups"),
+      p.take(1500))
   }
 
   test("q101: bucketed co-located join plans no shuffle exchange") {
@@ -103,10 +110,9 @@ class PlanAuditSpec extends SparkSuite {
     try {
       val p = plan("q101_bucketed_join")
       assert(p.contains("SortMergeJoin"), p.take(1500))
-      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
-      assert(hashEx == 0,
-        s"bucketed join re-shuffled ($hashEx hash exchanges):\n" +
-          p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      val hashEx = hashExchanges(p)
+      assert(hashEx.isEmpty,
+        s"bucketed join re-shuffled:\n${hashEx.mkString("\n")}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
@@ -115,7 +121,7 @@ class PlanAuditSpec extends SparkSuite {
     // bounded explode fan-out, then partial_sum under the exchange and
     // the final agg above it — one shuffle for the whole rollup
     assert(p.contains("partial_sum"), p.take(2000))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(hashExchanges(p).size <= 2, hashExchanges(p).mkString("\n"))
   }
 
   test("store build caches nothing grid-sized and releases its cache") {
@@ -179,8 +185,7 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan("q53_update_parse")
     // pure split/cast projections over the scan; the only exchange
     // allowed is the final output ordering's range partition
-    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
-    assert(exchanges.forall(_.contains("range")), exchanges.mkString(", "))
+    assert(hashExchanges(p).isEmpty, hashExchanges(p).mkString("\n"))
   }
 
   test("no query plans a CartesianProduct") {

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Round-10 extension operators: streaming sessionization (q95),
-  * fixed-size stratified sampling (q96), odds-form BM25 (q97), and
-  * contamination attribution (q98) — each pinned against an
-  * independent closed form.
+  * fixed-size stratified sampling (q96), odds-form BM25 (q97),
+  * contamination attribution (q98), SemDeDup semantic near-dup pairs
+  * (q99), and seasonal-profile anomalies (q100) — each pinned against
+  * an independent closed form.
   */
 class SessionizeSpec extends SparkSuite {
 
