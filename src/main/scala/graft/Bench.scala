@@ -108,9 +108,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // bucketed-table demo tables (q101) land under /tmp, never the
-      // repo's CWD-relative spark-warehouse default
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // bucketed-table demo tables (q101 family) land under a
+      // user-keyed tmp dir, never the repo's CWD-relative default
+      .config("spark.sql.warehouse.dir", Tables.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A full sweep's whole-stage codegen overflows the default 240 MB

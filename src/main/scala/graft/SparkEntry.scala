@@ -3499,7 +3499,14 @@ object SparkEntry {
     * external CREATE TABLE with the same bucket spec instead of
     * rewriting them. Stale prior-fingerprint table directories (left
     * by a driver-side testdata regeneration) are deleted when a new
-    * fingerprint builds. */
+    * fingerprint builds — matched by the EXACT fingerprint-variant
+    * pattern, never a name prefix (dirs `sf1` and `sf1.5` both
+    * sanitize to a `sf1`-prefixed name; a prefix match would delete
+    * the other dir's live tables). Cross-JVM safety: Bench, Verify,
+    * and ScaleBench share the warehouse, so the build/register
+    * section holds an OS file lock — a second JVM blocks until the
+    * first finishes writing rather than reading a half-written
+    * layout past a partial `_SUCCESS` check. */
   private def ensureBucketed(s: SparkSession,
       dir: String): (String, String) = synchronized {
     val name = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
@@ -3509,43 +3516,55 @@ object SparkEntry {
     if (s.catalog.tableExists(qual) && s.catalog.tableExists(toks))
       return (qual, toks)
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    // drop stale prior-fingerprint versions of THIS dir's tables (the
-    // current-fp dirs are kept — they are what register() reuses)
-    Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
-      .filter { f =>
-        val n = f.getName
-        n.startsWith(s"graft_q101_quality_${name}_".toLowerCase) ||
-          n.startsWith(s"graft_q101_tokens_${name}_".toLowerCase)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh))
+    // the enclosing `synchronized` serializes this JVM, so the file
+    // lock (JVM-wide in java.nio) never self-overlaps
+    val lockCh = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(wh, ".graft_q101.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
+    try {
+      // drop stale prior-fingerprint versions of THIS dir's tables
+      // (exact-pattern match; the current-fp dirs are kept — they are
+      // what register() reuses)
+      val stalePat =
+        s"graft_q101_(quality|tokens)_${name}_[0-9a-f]{8}".toLowerCase
+      Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches(stalePat))
+        .filterNot(f => f.getName == qual.toLowerCase ||
+          f.getName == toks.toLowerCase)
+        .foreach(f => store.RrdStore.deleteTree(f.getPath))
+      val schemas = Map(
+        qual -> "doc_id BIGINT, lang STRING, n_chars BIGINT",
+        toks -> "doc_id BIGINT, ws_tokens BIGINT")
+      def filesReady(t: String): Boolean =
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(wh, t.toLowerCase, "_SUCCESS"))
+      if (filesReady(qual) && filesReady(toks)) {
+        // same-fingerprint files from a previous JVM: one DDL each
+        Seq(qual, toks).foreach { t =>
+          sources.Bucketed.register(s, t, schemas(t), "doc_id", 16,
+            s"$wh/${t.toLowerCase}")
+        }
+      } else {
+        val d = Tables.documents(s, dir)
+        Seq(qual, toks).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          store.RrdStore.deleteTree(s"$wh/${t.toLowerCase}")
+        }
+        sources.Bucketed.writeBucketed(
+          d.select(col("doc_id"), col("lang"), col("n_chars")),
+          qual, "doc_id", 16)
+        sources.Bucketed.writeBucketed(
+          d.select(col("doc_id"),
+            ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
+              .as("ws_tokens")),
+          toks, "doc_id", 16)
       }
-      .filterNot(f => f.getName == qual.toLowerCase ||
-        f.getName == toks.toLowerCase)
-      .foreach(f => store.RrdStore.deleteTree(f.getPath))
-    val schemas = Map(
-      qual -> "doc_id BIGINT, lang STRING, n_chars BIGINT",
-      toks -> "doc_id BIGINT, ws_tokens BIGINT")
-    def filesReady(t: String): Boolean =
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(wh, t.toLowerCase, "_SUCCESS"))
-    if (filesReady(qual) && filesReady(toks)) {
-      // same-fingerprint files from a previous JVM: one DDL each
-      Seq(qual, toks).foreach { t =>
-        sources.Bucketed.register(s, t, schemas(t), "doc_id", 16,
-          s"$wh/${t.toLowerCase}")
-      }
-    } else {
-      val d = Tables.documents(s, dir)
-      Seq(qual, toks).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        store.RrdStore.deleteTree(s"$wh/${t.toLowerCase}")
-      }
-      sources.Bucketed.writeBucketed(
-        d.select(col("doc_id"), col("lang"), col("n_chars")),
-        qual, "doc_id", 16)
-      sources.Bucketed.writeBucketed(
-        d.select(col("doc_id"),
-          ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
-            .as("ws_tokens")),
-        toks, "doc_id", 16)
+    } finally {
+      lock.release()
+      lockCh.close()
     }
     (qual, toks)
   }

@@ -37,6 +37,16 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Shared warehouse for the bucketed demo tables (q101 family),
+    * keyed by user so concurrent users on a shared host never collide
+    * on one world-writable /tmp path (cross-JVM writes within one user
+    * are serialized by ensureBucketed's file lock). */
+  def warehouseDir: String = {
+    val user = System.getProperty("user.name", "nouser")
+      .replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_warehouse_$user"
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

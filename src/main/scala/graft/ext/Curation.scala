@@ -256,6 +256,19 @@ object Curation {
     }
   }
 
+  /** Loud per-row non-negativity guard for the sharded prefix sums:
+    * the shard-offset early-exit prune (`__off <= budget`) is only
+    * equivalent to the single-window form when counts never decrease a
+    * cumulative sum, so a negative count must fail the declared
+    * loud-contract way instead of silently diverging from the oracle.
+    * A `raise_error` branch is codegen'd and costs one comparison per
+    * row — no driver-side pre-scan of the corpus. */
+  private def nonNegGuard(op: String, id: String): Column =
+    when(col("n_tokens") < 0, raise_error(concat(
+      lit(s"$op: negative token count (sharded prefix sums require " +
+        s"non-negative counts) at $id="), col(id).cast("string"))))
+      .otherwise(col("n_tokens"))
+
   def tokenBudgetCap(df: DataFrame, id: String, group: String,
       tokens: Column, budget: Long, shards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -273,9 +286,11 @@ object Curation {
         "sharded cumsum needs integral token counts (exact " +
           s"reassociation); got ${base.schema("n_tokens").dataType} — " +
           "pass shards = 1 for a single-reducer double cumsum")
+      val guarded = base.withColumn("n_tokens",
+        nonNegGuard("tokenBudgetCap", id))
       // u < 1 by construction (top 60 md5 bits / 2^60) and u·S < S in
       // double arithmetic for S ≪ 2^53; least() is cheap insurance
-      val sh = base.withColumn("__shard",
+      val sh = guarded.withColumn("__shard",
         least(floor(col("__u") * shards), lit(shards - 1)).cast("int"))
       val wOff = Window.partitionBy(col(group)).orderBy(col("__shard"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -323,11 +338,13 @@ object Curation {
       idsPerShard: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(idsPerShard >= 1, s"idsPerShard=$idsPerShard must be >= 1")
-    val base = df.select(col(id), col(group), tokens.as("n_tokens"))
-      .withColumn("__shard", expr(s"`$id` div ${idsPerShard}L"))
-    require(isIntegral(base.schema("n_tokens").dataType),
+    val raw = df.select(col(id), col(group), tokens.as("n_tokens"))
+    require(isIntegral(raw.schema("n_tokens").dataType),
       "sharded cumsum needs integral token counts (exact " +
-        s"reassociation); got ${base.schema("n_tokens").dataType}")
+        s"reassociation); got ${raw.schema("n_tokens").dataType}")
+    val base = raw
+      .withColumn("n_tokens", nonNegGuard("packSequences", id))
+      .withColumn("__shard", expr(s"`$id` div ${idsPerShard}L"))
     val wOff = Window.partitionBy(col(group)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy(col(group), col("__shard"))
@@ -607,24 +624,29 @@ object Curation {
     qs.foreach { case (nme, q) =>
       require(q > 0.0 && q <= 1.0, s"quantile $nme=$q outside (0, 1]")
     }
-    val spark = df.sparkSession
-    import spark.implicits._
     // integral values only (the same loud contract as the sharded
     // cumsums): a silent cast("long") on doubles would truncate every
-    // value and return wrong quantiles without an error. Values must
-    // also be non-null (the window-rank reference counts nulls into n;
-    // this aggregate has no null slot — documents/testdata carry none).
+    // value and return wrong quantiles without an error.
     val vt = df.select(value.as("__v")).schema("__v").dataType
     require(isIntegral(vt),
       s"exact quantiles need an integral value column (got $vt) — " +
         "for doubles use percentile_approx (approximate by design)")
+    // the aggregator has no null slot (the window-rank reference counts
+    // nulls into n), and a null reaching the Long input encoder would
+    // NPE opaquely deep in an executor — fail the loud-contract way
+    // instead, per row, without a driver-side pre-scan
+    val checked = when(value.isNull, raise_error(lit(
+      "exact quantiles: null value (the window-rank reference counts " +
+        "nulls into n; this aggregate has no null slot — filter or " +
+        "coalesce first)"))).otherwise(value).cast("long")
+    // the same typed Aggregator bound untyped via functions.udaf (NOT a
+    // scalar udf — map-side partial buffers intact), so the group
+    // column keeps its original type through a plain groupBy instead of
+    // being flattened to string by a typed-key encoder
     val agg = new CeilQuantilesAggregator(qs.map(_._2).toArray, maxSlots)
-    df.select(col(group).cast("string"), value.cast("long"))
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.toColumn.name("__qv"))
-      .toDF(group, "__qv")
+    val qagg = udaf(agg, org.apache.spark.sql.Encoders.scalaLong)
+    df.groupBy(col(group))
+      .agg(qagg(checked).as("__qv"))
       .select(col(group) +: qs.zipWithIndex.map { case ((nme, _), i) =>
         element_at(col("__qv"), i + 1).as(nme)
       }: _*)

@@ -372,6 +372,57 @@ class CurationSpec extends SparkSuite {
     assert(e2.getMessage.contains("integral"))
   }
 
+  test("exactQuantilesPerGroup preserves a non-string group type and " +
+      "fails loudly on a null value") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 40).map(i => (i.toLong, (i % 3).toLong, i.toLong))
+      .toDF("doc_id", "grp", "n_chars")
+    val got = Curation.exactQuantilesPerGroup(df, "grp", col("n_chars"),
+      Seq(("p50", 0.5)))
+    // group column keeps its original LongType (the review finding: a
+    // string-keyed typed path silently rewrote the schema)
+    assert(got.schema("grp").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val byG = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // group g holds {g, g+3, ..., g+39-...}: 14/13/13 values; p50 is
+    // the ceil(n/2)-th smallest
+    assert(byG(0L) == 18L && byG(1L) == 19L && byG(2L) == 20L)
+    val withNull = df.withColumn("n_chars",
+      when(col("doc_id") === 7, lit(null)).otherwise(col("n_chars")))
+    val e = intercept[Exception] { // raise_error: SparkRuntimeException
+      Curation.exactQuantilesPerGroup(withNull, "grp", col("n_chars"),
+        Seq(("p50", 0.5))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null value")))
+  }
+
+  test("sharded cumsums fail loudly on negative token counts") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 50).map(i => (i.toLong, "en",
+      if (i == 31) -5L else (i % 7).toLong))
+      .toDF("doc_id", "lang", "n_tokens")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    val e1 = intercept[Exception] { // raise_error: SparkRuntimeException
+      Curation.tokenBudgetCap(df, "doc_id", "lang", col("n_tokens"),
+        budget = 100L, shards = 4).collect()
+    }
+    assert(msgs(e1).exists(_.contains("negative token count")))
+    val e2 = intercept[Exception] { // raise_error: SparkRuntimeException
+      Curation.packSequences(df, "doc_id", "lang", col("n_tokens"),
+        budget = 100L).collect()
+    }
+    assert(msgs(e2).exists(_.contains("negative token count")))
+    // the shards=1 window form has no prune and stays permissive (the
+    // documented escape hatch for signed counts)
+    assert(Curation.tokenBudgetCap(df, "doc_id", "lang", col("n_tokens"),
+      budget = 100L, shards = 1).collect().nonEmpty)
+  }
+
   test("exactQuantilesPerGroup refuses a group past maxSlots loudly") {
     import org.apache.spark.sql.functions._
     val df = (0 until 100).map(i => (i.toLong, "en", i.toLong))
