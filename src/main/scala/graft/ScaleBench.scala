@@ -149,6 +149,15 @@ object ScaleBench {
         Tables.events(s, dir).where(col("user_id") % 1000000L < 40),
         Seq("user_id"), "ts_sec", bucketSec = 3600L, period = 24,
         k = 2.0)),
+    // gap-filled q102 on the same replica-aware slice: the dense
+    // output is #series × span-buckets BY DESIGN, so K× series means
+    // K× grid rows over the replica-constant time window — the axis a
+    // growing fleet actually scales on
+    "q102_gapfill_scale" -> ((s: SparkSession, dir: String) =>
+      graft.hw.SeasonalProfile.anomaliesGapFilled(
+        Tables.events(s, dir).where(col("user_id") % 1000000L < 40),
+        Seq("user_id"), "ts_sec", bucketSec = 3600L, period = 24,
+        k = 2.0)),
     // q99 with cell count grown ∝ corpus (the q45 auto-planes law):
     // the oracle's fixed c=16 keeps per-cell occupancy flat only at one
     // SF — at 100× every 12.5k-member cell exceeds the 10k mega-cell
@@ -264,6 +273,23 @@ object ScaleBench {
       s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
       try SparkEntry.streamingCdpQueryWithState(s, dir,
+        col("user_id") % 1000000L < 30)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // Sessionization under RocksDB — the same one-conf-line escape
+    // hatch for the session_window state family, so the 100 TB state
+    // story is uniform across all four streaming executions (state
+    // rows must match the in-heap q95 row exactly; bytes are
+    // provider-relative).
+    "q95_stream_rocksdb" -> ((s: SparkSession, dir: String) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try SparkEntry.streamingSessionizeQueryWithState(s, dir,
         col("user_id") % 1000000L < 30)
       finally prev match {
         case Some(v) => s.conf.set(key, v)

@@ -1545,6 +1545,20 @@ object SparkEntry {
           k = 2.0)
         .orderBy("user_id", "bucket")),
 
+    // Gap-filled seasonal profile — the outage detector: a dense
+    // per-series bucket grid over the global observed span left-joins
+    // the counts, so empty hours become explicit zero rows that enter
+    // the profile and can flag (a silent series is the anomaly class
+    // the reference's FAILURES chain exists for; its dense PDP grid
+    // makes missing data explicit the same way). Output is dense by
+    // design: #series x span buckets, the reference-RRA cardinality.
+    "q102_seasonal_gapfill" -> ((s, dir) =>
+      hw.SeasonalProfile.anomaliesGapFilled(
+          Tables.events(s, dir).where(col("user_id") < 40),
+          Seq("user_id"), "ts_sec", bucketSec = 3600L, period = 24,
+          k = 2.0)
+        .orderBy("user_id", "bucket")),
+
     // SemDeDup-style semantic dedup candidates: trained k-means cells
     // (the q66 training chain — the oracle replays both Lloyd
     // iterations) prune the pair space to within-cell pairs, exact
@@ -2294,6 +2308,43 @@ object SparkEntry {
         |c AS (
         | SELECT user_id, ts_sec // 3600 AS bucket, COUNT(*) AS c
         | FROM e GROUP BY user_id, bucket),
+        |cp AS (SELECT user_id, bucket, c, bucket % 24 AS pos FROM c),
+        |p AS (
+        | SELECT user_id, pos, COUNT(*) AS n, SUM(c) AS s, SUM(c*c) AS ss
+        | FROM cp GROUP BY user_id, pos),
+        |pr AS (
+        | SELECT user_id, pos,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  sqrt((CAST(ss AS DOUBLE) -
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) AS std
+        | FROM p)
+        |SELECT cp.user_id, cp.bucket, cp.pos, cp.c, pr.mean, pr.std,
+        | abs(CAST(cp.c AS DOUBLE) - pr.mean) > 2 * pr.std AS is_anomaly
+        |FROM cp JOIN pr USING (user_id, pos)
+        |ORDER BY cp.user_id, cp.bucket""".stripMargin,
+
+    // same profile arithmetic over the DENSE grid: every observed
+    // series crosses the global [min, max] bucket span (the
+    // unnest(generate_series) idiom), unobserved buckets coalesce to
+    // zero and enter both the denominator and the flag
+    "q102_seasonal_gapfill" ->
+      """WITH e0 AS (
+        | SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec FROM events
+        | WHERE user_id < 40),
+        |e AS (SELECT * FROM e0 WHERE ts_sec >= 0),
+        |c0 AS (
+        | SELECT user_id, ts_sec // 3600 AS bucket, COUNT(*) AS c
+        | FROM e GROUP BY user_id, bucket),
+        |span AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM c0),
+        |sids AS (SELECT DISTINCT user_id FROM e),
+        |grid AS (
+        | SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
+        | FROM sids, span),
+        |c AS (
+        | SELECT g.user_id, g.bucket, COALESCE(c0.c, 0) AS c
+        | FROM grid g LEFT JOIN c0
+        |  ON g.user_id = c0.user_id AND g.bucket = c0.bucket),
         |cp AS (SELECT user_id, bucket, c, bucket % 24 AS pos FROM c),
         |p AS (
         | SELECT user_id, pos, COUNT(*) AS n, SUM(c) AS s, SUM(c*c) AS ss

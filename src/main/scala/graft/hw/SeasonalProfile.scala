@@ -1,6 +1,6 @@
 package graft.hw
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Seasonal-profile anomaly detection — the batch complement of the
@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * anomalous when its count sits more than `k` standard deviations
   * from its position's mean. The profile form is what a large batch
   * pipeline actually runs over years of telemetry: two partial-agg'd
-  * shuffles (bucket counts, then position profiles), a broadcast-sized
-  * profile join back, no per-sample recurrence anywhere.
+  * shuffles (bucket counts, then position profiles), a profile join
+  * back, no per-sample recurrence anywhere.
   *
   * Exactness discipline (the cross-engine hash gate covers mean, std,
   * and the flag): everything aggregates as INTEGER counts — Σc and
@@ -27,28 +27,106 @@ import org.apache.spark.sql.functions._
   * a double — loudly beyond any hourly telemetry (2^26 events/hour
   * sustained); the profile itself is #series × period rows.
   *
-  * Output: (series…, bucket, pos, c, mean, std, is_anomaly) — one row
-  * per OBSERVED bucket (empty hours are absent from both the profile
-  * denominator and the output; a gap-filled variant would left-join a
-  * generated grid first, the q03 idiom).
+  * Profile-join sizing: the profile is #series × period rows — tiny at
+  * any telemetry scale measured, but unbounded in series cardinality,
+  * so the join carries NO unconditional broadcast hint. AQE re-plans
+  * it from the profile exchange's MEASURED size at runtime: broadcast
+  * under `spark.sql.adaptive.autoBroadcastJoinThreshold`, plain
+  * shuffle join past it (the 10⁸-series case) — bit-identical output
+  * either way (spec-pinned both ways).
   */
 object SeasonalProfile {
 
+  /** One row per OBSERVED bucket: empty hours are absent from both the
+    * profile denominator and the output — a series that goes silent
+    * can never flag here. For outage detection use
+    * [[anomaliesGapFilled]], which makes missing buckets explicit the
+    * way the reference's dense PDP grid does.
+    */
   def anomalies(events: DataFrame, series: Seq[String], tsSecCol: String,
       bucketSec: Long, period: Int, k: Double): DataFrame = {
     require(bucketSec > 0 && period > 0 && k >= 0,
       s"bucketSec=$bucketSec, period=$period, k=$k")
+    val counts = bucketCounts(events, series, tsSecCol, bucketSec)
+      .withColumn("pos", pmod(col("bucket"), lit(period.toLong)))
+    profiled(counts, series, k)
+  }
+
+  /** Gap-filled variant — the outage detector: a dense per-series
+    * bucket grid over the GLOBAL observed [min, max] span left-joins
+    * the observed counts, so an empty bucket becomes an explicit
+    * zero-count row that (a) enters its position's profile denominator
+    * and (b) can flag. A series that goes silent — the anomaly class
+    * the reference's FAILURES chain exists for, visible there because
+    * the gridded PDP series makes missing data explicit
+    * (/root/reference/src/rrd_fetch.c:511-569 null-fills the fetch
+    * grid the same way) — flags here when its zero sits more than
+    * k·std below its position's mean.
+    *
+    * Scale shape: output is DENSE — #series × nBuckets rows, the same
+    * cardinality the reference's RRA would store for the span. The
+    * span pre-flight is one two-long agg to the driver (the xport cap
+    * idiom) and gates the grid LOUDLY; the grid itself generates
+    * distributedly via a two-level chunked `sequence` explode (≤4096
+    * elements per generated array, never one span-sized array per
+    * series row).
+    */
+  def anomaliesGapFilled(events: DataFrame, series: Seq[String],
+      tsSecCol: String, bucketSec: Long, period: Int, k: Double,
+      maxGridBuckets: Long = 1L << 20): DataFrame = {
+    require(bucketSec > 0 && period > 0 && k >= 0,
+      s"bucketSec=$bucketSec, period=$period, k=$k")
     val sc = series.map(col)
-    val counts = events
+    val ev = events.where(col(tsSecCol) >= 0)
+      .withColumn("bucket", expr(s"`$tsSecCol` div ${bucketSec}L"))
+    val counts0 = ev.groupBy(sc :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("c"))
+    val span = ev.agg(min(col("bucket")), max(col("bucket"))).head()
+    // empty input: an empty series set makes the grid (and output)
+    // empty through the same plan — no special-case schema
+    val (minB, maxB) =
+      if (span.isNullAt(0)) (0L, 0L)
+      else (span.getLong(0), span.getLong(1))
+    val nBuckets = maxB - minB + 1
+    require(nBuckets <= maxGridBuckets,
+      s"gap-filled grid spans $nBuckets buckets > " +
+        s"maxGridBuckets=$maxGridBuckets (output is #series x " +
+        "nBuckets rows BY DESIGN) — coarsen bucketSec, narrow the " +
+        "input window, or raise the cap deliberately")
+    val chunk = 4096L
+    val grid = ev.select(sc: _*).distinct()
+      .withColumn("__c0",
+        explode(expr(s"sequence(${minB}L, ${maxB}L, ${chunk}L)")))
+      .withColumn("bucket", explode(expr(
+        s"sequence(__c0, least(__c0 + ${chunk - 1}L, ${maxB}L))")))
+      .drop("__c0")
+    val counts = grid.join(counts0, series :+ "bucket", "left")
+      .select(sc ++ Seq(col("bucket"),
+        coalesce(col("c"), lit(0L)).as("c")): _*)
+      .withColumn("pos", pmod(col("bucket"), lit(period.toLong)))
+    profiled(counts, series, k)
+  }
+
+  /** Observed (series, bucket) event counts — integer, partial-agg'd. */
+  private def bucketCounts(events: DataFrame, series: Seq[String],
+      tsSecCol: String, bucketSec: Long): DataFrame =
+    events
       // non-negative time domain, enforced in the operator (and
       // mirrored by the oracle): below zero, truncating vs flooring
       // div and pmod-vs-C-modulo would bucket/position the two engines
       // differently — pre-epoch telemetry is out of contract here
       .where(col(tsSecCol) >= 0)
       .withColumn("bucket", expr(s"`$tsSecCol` div ${bucketSec}L"))
-      .groupBy(sc :+ col("bucket"): _*)
+      .groupBy(series.map(col) :+ col("bucket"): _*)
       .agg(count(lit(1)).as("c"))
-      .withColumn("pos", pmod(col("bucket"), lit(period.toLong)))
+
+  /** Shared profile + flag stage over (series…, bucket, c, pos) rows:
+    * exact-integer position profiles, then the multiplicative k·std
+    * flag. The profile join is deliberately hint-free — see the object
+    * doc for the AQE size gate. */
+  private def profiled(counts: DataFrame, series: Seq[String],
+      k: Double): DataFrame = {
+    val sc = series.map(col)
     val prof = counts
       .groupBy(sc :+ col("pos"): _*)
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
@@ -59,7 +137,7 @@ object SeasonalProfile {
           col("s").cast("double") * col("s").cast("double") /
             col("n").cast("double")) / col("n").cast("double"))
           .as("std")): _*)
-    counts.join(broadcast(prof), series :+ "pos")
+    counts.join(prof, series :+ "pos")
       .select(sc ++ Seq(col("bucket"), col("pos"), col("c"), col("mean"),
         col("std"),
         (abs(col("c").cast("double") - col("mean")) >

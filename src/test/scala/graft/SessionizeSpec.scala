@@ -157,6 +157,90 @@ class SessionizeSpec extends SparkSuite {
     assert(pos1.forall(!_._7), "zero-variance position must not flag")
   }
 
+  test("gap-filled seasonal profile: a planted silent hour flags; the " +
+      "observed-only variant cannot see it") {
+    // series 1, period 3, bucket 60 s, span buckets 0..11.
+    // position 0 = buckets {0,3,6,9}: 5 events each EXCEPT bucket 9 —
+    // the planted outage (zero events). Dense counts (5,5,5,0):
+    // mean 3.75, var (75 - 56.25)/4 = 4.6875, std ≈ 2.165 — the zero
+    // deviates 3.75 > 1.5*2.165 ≈ 3.248 (flags at k=1.5) while the 5s
+    // deviate 1.25 (don't). positions 1/2 are constant (std 0).
+    def burst(bucket: Long, n: Int): Seq[(Long, Long)] =
+      (0 until n).map(i => (1L, bucket * 60L + i))
+    val ev = (Seq(0L, 3L, 6L).flatMap(burst(_, 5)) ++
+      Seq(1L, 4L, 7L, 10L).flatMap(burst(_, 2)) ++
+      Seq(2L, 5L, 8L, 11L).flatMap(burst(_, 7)))
+      .toDF("user_id", "ts_sec")
+    val got = hw.SeasonalProfile.anomaliesGapFilled(ev, Seq("user_id"),
+        "ts_sec", bucketSec = 60L, period = 3, k = 1.5)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)]
+      .collect().toSeq
+    assert(got.map(_._2) == (0L to 11L), "dense: every bucket present")
+    assert(got.find(_._2 == 9L).get._4 == 0L, "outage bucket count 0")
+    assert(got.filter(_._7).map(_._2) == Seq(9L),
+      "exactly the silent hour flags")
+    // the observed-only variant never emits bucket 9 — the documented
+    // blind spot this variant exists to close
+    val observed = hw.SeasonalProfile.anomalies(ev, Seq("user_id"),
+      "ts_sec", bucketSec = 60L, period = 3, k = 1.5)
+    assert(observed.where($"bucket" === 9L).count() == 0L)
+    assert(observed.where($"is_anomaly").count() == 0L)
+  }
+
+  test("gap-filled == observed-only on dense data; profile join " +
+      "falls back to a shuffle join bit-identically past the threshold") {
+    // every (series, bucket) of the span occupied -> the grid adds
+    // nothing and the two variants must agree row-for-row (bit compare)
+    val ev = (for {
+      u <- Seq(0L, 1L); b <- 0L until 12L
+      i <- 0 until (1 + ((b + u) % 4)).toInt
+    } yield (u, b * 60L + i)).toDF("user_id", "ts_sec")
+    def bits(rows: Seq[(Long, Long, Long, Long, Double, Double, Boolean)]) =
+      rows.map(r => (r._1, r._2, r._3, r._4,
+        java.lang.Double.doubleToLongBits(r._5),
+        java.lang.Double.doubleToLongBits(r._6), r._7))
+    def run() = Seq(
+      hw.SeasonalProfile.anomalies(ev, Seq("user_id"), "ts_sec",
+        60L, 3, 1.0),
+      hw.SeasonalProfile.anomaliesGapFilled(ev, Seq("user_id"), "ts_sec",
+        60L, 3, 1.0)).map(_.orderBy("user_id", "bucket")
+        .as[(Long, Long, Long, Long, Double, Double, Boolean)]
+        .collect().toSeq)
+    val rs = run(); val obs = rs(0); val dense = rs(1)
+    assert(bits(obs) == bits(dense))
+    // size gate: the profile join carries no broadcast hint — AQE
+    // picks broadcast from the measured size; with the threshold off
+    // (the unbounded-#series stand-in) it stays a shuffle join and the
+    // values are bit-identical
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = hw.SeasonalProfile.anomaliesGapFilled(ev, Seq("user_id"),
+        "ts_sec", 60L, 3, 1.0)
+      val rows = df.orderBy("user_id", "bucket")
+        .as[(Long, Long, Long, Long, Double, Double, Boolean)]
+        .collect().toSeq
+      assert(bits(rows) == bits(dense))
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "threshold off must force the shuffle-join fallback")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("gap-filled seasonal profile: loud grid cap, empty input") {
+    val ev = Seq((1L, 0L), (1L, 7200L)).toDF("user_id", "ts_sec")
+    val e = intercept[IllegalArgumentException] {
+      hw.SeasonalProfile.anomaliesGapFilled(ev, Seq("user_id"), "ts_sec",
+        bucketSec = 1L, period = 24, k = 2.0, maxGridBuckets = 100L)
+    }
+    assert(e.getMessage.contains("maxGridBuckets"))
+    assert(hw.SeasonalProfile.anomaliesGapFilled(
+      ev.where($"user_id" === 99L), Seq("user_id"), "ts_sec",
+      60L, 24, 2.0).count() == 0L)
+  }
+
   test("decontaminateAttribution: planted leak attributes to the right eval doc") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // contains eval 100's text
