@@ -65,6 +65,7 @@ object ScaleBench {
     "q94_shingle_containment", // q26-shaped candidate verify
     "q96_fixed_sample",    // bounded-heap exact-n per stratum
     "q99_semantic_dedup",  // k-means cells + within-cell pair verify
+    "q103_incr_semdedup",  // batch-vs-index cell cogroup (q46 axis)
     "q100_seasonal_anomaly", // integer-exact profile + broadcast join
     "q97_bm25",            // 1-row reduction + scoring projection + top-k
     "q98_decontaminate_attrib", // broadcast probe + (doc,eval) agg
@@ -165,13 +166,27 @@ object ScaleBench {
     // c ≈ n/64 (seeded centroids, iters=0 — the standard IVF quantizer
     // at index-build scale; driver Lloyd over c ∝ n samples would be
     // the bottleneck) so Σ|cell|² stays ≈ n·64 — linear pair work.
-    "q99_auto_cells" -> ((s: SparkSession, dir: String) => {
+    "q99_auto_cells" -> ((s: SparkSession, dir: String) =>
+      // the operator's DEFAULT auto-sized-quantizer entry point
+      ext.Similarity.semanticNearDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 64, tau = 0.40)),
+    // q103 with (a) the split WITHIN each replica (embeddings vec_ids
+    // shift by 1e7/replica, so the oracle's value threshold would put
+    // replica 0 alone in the index — the q46_incr_scale degeneracy)
+    // and (b) auto-sized cells (the fixed-c cap-discard trap): K×
+    // scales index and batch together, the incremental axis a
+    // production pipeline grows on.
+    "q103_incr_scale" -> ((s: SparkSession, dir: String) => {
       val e = Tables.embeddings(s, dir)
+      val rep = col("vec_id") % 10000000L
+      val thr = e.where(col("vec_id") < 10000000L).count() * 4 / 5
       val c = math.max(16L, e.count() / 64L).toInt
       val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
         64, c = c, iters = 0, sampleRate = 0.2)
-      ext.Similarity.semanticNearDupPairs(e, cent, "vec_id", "embedding",
-        64, tau = 0.40)
+      val index = ext.Similarity.ivfIndex(e.where(rep < thr), cent,
+        "vec_id", "embedding", 64).where(col("norm") > 0)
+      ext.Similarity.incrementalSemanticNearDupPairs(e.where(rep >= thr),
+        index, cent, "vec_id", "embedding", 64, tau = 0.40)
     }),
     // q98 with the eval set PINNED to replica 0: the oracle form scales
     // the eval slice with the corpus (x100 eval docs -> x100 broadcast

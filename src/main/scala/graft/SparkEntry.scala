@@ -1559,6 +1559,29 @@ object SparkEntry {
           k = 2.0)
         .orderBy("user_id", "bucket")),
 
+    // Incremental SemDeDup — the batch-vs-index axis (the q46 LSH law)
+    // for the k-means cell family: the 20% "arriving" slice assigns
+    // against the quantizer persisted at index-build time and mines
+    // ONLY new×corpus + new×new pairs within cells; the corpus×corpus
+    // mass is never re-paid. The oracle is the full q99-style mine
+    // restricted to batch-touching pairs (identical by the combined
+    // cell-cap law, operator-level identity spec-pinned).
+    "q103_incr_semdedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // scale-relative corpus/batch split (80/20), derived the same
+      // way by the oracle (the q46 idiom)
+      val thr = e.count() * 4 / 5
+      val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        64, c = 16, iters = 2, sampleRate = 0.2)
+      val index = ext.Similarity.ivfIndex(
+          e.where(col("vec_id") < thr), cent, "vec_id", "embedding", 64)
+        .where(col("norm") > 0)
+      ext.Similarity.incrementalSemanticNearDupPairs(
+          e.where(col("vec_id") >= thr), index, cent,
+          "vec_id", "embedding", 64, tau = 0.40, maxCell = 10000)
+        .orderBy("id1", "id2")
+    }),
+
     // SemDeDup-style semantic dedup candidates: trained k-means cells
     // (the q66 training chain — the oracle replays both Lloyd
     // iterations) prune the pair space to within-cell pairs, exact
@@ -1569,7 +1592,7 @@ object SparkEntry {
       val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
         64, c = 16, iters = 2, sampleRate = 0.2)
       ext.Similarity.semanticNearDupPairs(e, cent, "vec_id", "embedding",
-          64, tau = 0.40)
+          64, tau = 0.40, maxCell = 10000)
         .orderBy("id1", "id2")
     }),
 
@@ -2390,6 +2413,37 @@ object SparkEntry {
         | FROM cap a JOIN cap b
         |  ON a.cell = b.cell AND a.vec_id < b.vec_id)
         |SELECT id1, id2, cosine FROM pr WHERE cosine >= 0.40
+        |ORDER BY id1, id2""".stripMargin
+    },
+
+    // incremental == the full q99 mine restricted to batch-touching
+    // pairs (the q46 oracle idiom); the 80/20 split derives from the
+    // corpus size in both engines
+    "q103_incr_semdedup" -> {
+      val chain = sqlKmeansCentChain(c = 16, iters = 2, rate = 0.2,
+        dim = 64)
+      s"""WITH $chain,
+        |v AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0),
+        |asg AS (
+        | SELECT vec_id, embedding, cell FROM (
+        |  SELECT v.vec_id, v.embedding, ct.cid AS cell,
+        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |     ${sqlCos("v.embedding", "ct.cv")} DESC, ct.cid) AS rn
+        |  FROM v CROSS JOIN cent ct) WHERE rn = 1),
+        |cap AS (
+        | SELECT vec_id, embedding, cell FROM asg
+        | QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
+        |thr AS (SELECT count(*) * 4 // 5 AS t FROM embeddings),
+        |pr AS (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${sqlCos("a.embedding", "b.embedding")} AS cosine
+        | FROM cap a JOIN cap b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT id1, id2, cosine FROM pr, thr
+        |WHERE cosine >= 0.40 AND (id1 >= thr.t OR id2 >= thr.t)
         |ORDER BY id1, id2""".stripMargin
     },
 

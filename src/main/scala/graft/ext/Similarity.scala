@@ -671,7 +671,7 @@ object Similarity {
     */
   def semanticNearDupPairs(corpus: DataFrame, centroids: DataFrame,
       id: String, vec: String, dim: Int, tau: Double,
-      maxCell: Int = 10000): DataFrame = {
+      maxCell: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val d = dotK(dim) _
@@ -706,6 +706,124 @@ object Similarity {
         }).filter(_._3 >= tau)
       }
       .toDF("id1", "id2", "cosine")
+  }
+
+  /** The DEFAULT [[semanticNearDupPairs]] entry point: the quantizer is
+    * auto-sized to the corpus (the [[cosineNearDupPairs]] auto-planes
+    * law). Cells `c ≈ n / targetOccupancy` hold expected occupancy flat,
+    * so within-cell pair work Σ|cell|² ≈ n·occupancy stays LINEAR in the
+    * corpus — a fixed c is the classic quantizer scale failure (at 100×
+    * every n/c-member cell crosses `maxCell` and the run measures
+    * cap-discard, not dedup: the q28-16-bit-band lesson, measured in
+    * SCALE.md). Centroids are hash-sample seeded, `iters = 0` — the
+    * standard IVF coarse-quantizer shape at index-build scale, where
+    * driver-side Lloyd over c ∝ n samples would itself be the
+    * bottleneck. The sizing pass costs one `count()`; pass `c`
+    * explicitly when the corpus size is known (or use the
+    * centroid-taking overload for trained cells at a pinned c — the
+    * q99 oracle form, whose unrolled SQL replay needs fixed c/iters). */
+  def semanticNearDupPairs(corpus: DataFrame, id: String, vec: String,
+      dim: Int, tau: Double, maxCell: Int = 10000, c: Int = 0,
+      targetOccupancy: Int = 64, sampleRate: Double = 0.2): DataFrame = {
+    require(targetOccupancy > 0, s"targetOccupancy=$targetOccupancy")
+    val nC =
+      if (c > 0) c
+      else math.max(16L, corpus.count() / targetOccupancy)
+        .min(Int.MaxValue.toLong).toInt
+    val cent = kmeansCentroids(corpus, id, vec, dim, nC, iters = 0,
+      sampleRate)
+    semanticNearDupPairs(corpus, cent, id, vec, dim, tau, maxCell)
+  }
+
+  /** Incremental SemDeDup — the batch-vs-index axis the LSH (q46) and
+    * SimHash (q56) dedup families already have, for the k-means cell
+    * family: an arriving batch assigns against the PERSISTED quantizer
+    * (the same `centroids` the corpus `index` was built with —
+    * [[ivfIndex]] live or [[writeIvfIndex]]/[[readIvfIndex]] on disk),
+    * and only new×corpus and new×new pairs mine, within cells. The
+    * corpus×corpus pairs were mined when the index was built and are
+    * never re-paid — the whole point of the incremental axis.
+    *
+    * Scale shape: centroids broadcast into the batch assignment (one
+    * batch pass, typed kernel); then ONE cell-key cogroup of the
+    * assigned batch with the index — each vector crosses the wire
+    * once and the index side never re-mines against itself. The
+    * `maxCell` cap applies to the COMBINED cell population
+    * (batch + index, bounded buffering — memory ∝ maxCell), so the
+    * output is IDENTICAL to a full [[semanticNearDupPairs]] re-mine of
+    * the union restricted to batch-touching pairs (the q46 identity
+    * law, spec-pinned). Re-ingested ids (same id on both sides) never
+    * self-pair.
+    *
+    * Output: (id1 < id2, cosine ≥ tau) — each pair exactly once (both
+    * members assign to one functional cell). */
+  def incrementalSemanticNearDupPairs(batch: DataFrame, index: DataFrame,
+      centroids: DataFrame, id: String, vec: String, dim: Int,
+      tau: Double, maxCell: Int = 10000): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val b = ivfIndex(batch, centroids, id, vec, dim)
+      .where(col("norm") > 0)
+      .select(col("cell"), col(id).cast("long"), col(vec), col("norm"))
+      .as[(Long, Long, Array[Double], Double)]
+    // cell comes back integer-typed from a partitioned on-disk index
+    // (directory inference) — upcast; zero-norm rows were excluded at
+    // index build but the filter is idempotent insurance
+    val ix = index
+      .where(col("norm") > 0)
+      .select(col("cell").cast("long"), col(id).cast("long"), col(vec),
+        col("norm"))
+      .as[(Long, Long, Array[Double], Double)]
+    b.groupByKey(_._1).cogroup(ix.groupByKey(_._1)) { (_, bs, is) =>
+      // bounded buffering with the cap on the COMBINED population —
+      // the exact drop rule a full re-mine of the union applies
+      val bbuf = new scala.collection.mutable.ArrayBuffer[
+        (Long, Array[Double], Double)](16)
+      val ibuf = new scala.collection.mutable.ArrayBuffer[
+        (Long, Array[Double], Double)](16)
+      var total = 0
+      var over = false
+      def drain(it: Iterator[(Long, Long, Array[Double], Double)],
+          buf: scala.collection.mutable.ArrayBuffer[
+            (Long, Array[Double], Double)]): Unit =
+        while (it.hasNext) {
+          val (_, vid, v, n) = it.next()
+          total += 1
+          if (!over) {
+            buf += ((vid, v, n))
+            if (total > maxCell) { over = true; bbuf.clear(); ibuf.clear() }
+          }
+        }
+      drain(bs, bbuf)
+      drain(is, ibuf)
+      if (over || bbuf.isEmpty) Iterator.empty
+      else {
+        def score(a: (Long, Array[Double], Double),
+            b2: (Long, Array[Double], Double)): Option[(Long, Long, Double)] = {
+          val (idA, vA, nA) = a
+          val (idB, vB, nB) = b2
+          if (idA == idB) None
+          else {
+            val c = d(vA, vB) / (nA * nB)
+            if (c >= tau)
+              Some((math.min(idA, idB), math.max(idA, idB), c))
+            else None
+          }
+        }
+        val newNew = for {
+          i <- bbuf.indices.iterator
+          j <- ((i + 1) until bbuf.length).iterator
+          p <- score(bbuf(i), bbuf(j)).iterator
+        } yield p
+        val newOld = for {
+          i <- bbuf.indices.iterator
+          j <- ibuf.indices.iterator
+          p <- score(bbuf(i), ibuf(j)).iterator
+        } yield p
+        newNew ++ newOld
+      }
+    }.toDF("id1", "id2", "cosine")
   }
 
   /** Persist an [[ivfIndex]] partitioned by `cell` — the on-disk form a

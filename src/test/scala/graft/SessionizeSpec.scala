@@ -100,7 +100,7 @@ class SessionizeSpec extends SparkSuite {
     val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
       64, c = 8, iters = 1, sampleRate = 0.5)
     val got = ext.Similarity.semanticNearDupPairs(e, cent, "vec_id",
-        "embedding", 64, tau = 0.30)
+        "embedding", 64, tau = 0.30, maxCell = 10000)
       .as[(Long, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     // independent reference: driver-side assignment + within-cell pairs
@@ -131,6 +131,60 @@ class SessionizeSpec extends SparkSuite {
     // maxCell: with a cap below every cell's size, nothing survives
     assert(ext.Similarity.semanticNearDupPairs(e, cent, "vec_id",
       "embedding", 64, tau = -1.0, maxCell = 1).count() == 0L)
+  }
+
+  test("incremental semantic dedup == full mine restricted to " +
+      "batch-touching pairs (the q46 law), incl. the persisted index") {
+    val e = Tables.embeddings(spark, sf)
+    val thr = e.count() * 4 / 5
+    val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      64, c = 8, iters = 1, sampleRate = 0.5)
+    val index = ext.Similarity.ivfIndex(e.where($"vec_id" < thr), cent,
+      "vec_id", "embedding", 64).where($"norm" > 0)
+    val batch = e.where($"vec_id" >= thr)
+    val incr = ext.Similarity.incrementalSemanticNearDupPairs(batch,
+        index, cent, "vec_id", "embedding", 64, tau = 0.30,
+        maxCell = 10000)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = ext.Similarity.semanticNearDupPairs(e, cent, "vec_id",
+        "embedding", 64, tau = 0.30, maxCell = 10000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incr == full.filter(p => p._1 >= thr || p._2 >= thr))
+    assert(incr.nonEmpty, "degenerate fixture: no batch-touching pairs")
+    assert(incr != full, "fixture must also have corpus-only pairs")
+    // the on-disk index round-trip (cell comes back integer-typed from
+    // partition-directory inference) yields the identical pair set
+    val path = "/tmp/graft_test_incr_ivf"
+    ext.Similarity.writeIvfIndex(index, path)
+    try {
+      val viaDisk = ext.Similarity.incrementalSemanticNearDupPairs(batch,
+          ext.Similarity.readIvfIndex(spark, path), cent, "vec_id",
+          "embedding", 64, tau = 0.30, maxCell = 10000)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaDisk == incr)
+    } finally graft.store.RrdStore.deleteTree(path)
+    // combined-population cap: below every cell's (batch+index) size,
+    // nothing survives — the full-re-mine drop rule
+    assert(ext.Similarity.incrementalSemanticNearDupPairs(batch, index,
+      cent, "vec_id", "embedding", 64, tau = -1.0, maxCell = 1)
+      .count() == 0L)
+  }
+
+  test("semanticNearDupPairs default == explicit seeded chain at the " +
+      "derived cell count") {
+    val e = Tables.embeddings(spark, sf)
+    val auto = ext.Similarity.semanticNearDupPairs(e, "vec_id",
+        "embedding", 64, tau = 0.30)
+      .as[(Long, Long, Double)].collect().toSet
+    // replay the auto sizing by hand: c = max(16, n/64), seeded
+    // centroids (iters = 0), same sample rate
+    val c = math.max(16L, e.count() / 64L).toInt
+    val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      64, c = c, iters = 0, sampleRate = 0.2)
+    val manual = ext.Similarity.semanticNearDupPairs(e, cent, "vec_id",
+        "embedding", 64, tau = 0.30, maxCell = 10000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == manual)
   }
 
   test("seasonal profile: closed-form anomaly, zero-variance position flags nothing") {
