@@ -235,6 +235,28 @@ object ScaleBench {
       }
       ranked.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
     }),
+    // The layout lever, measured: the SAME aggregation+join body over
+    // the SAME parquet bytes, once through the bucket-spec'd catalog
+    // tables (zero exchanges — the q104 plan pin) and once through a
+    // plain parquet read of the identical files (bucket metadata
+    // dropped → both the agg and the join shuffle). The pair's wall
+    // delta is what bucketBy buys at each replica size. Build cost is
+    // excluded from both rows (ensureBucketed is fingerprint-cached;
+    // the bucketed row warms it first).
+    "q104_bucketed_scale" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.queries("q104_bucketed_agg")(s, dir)),
+    "q104_unbucketed" -> ((s: SparkSession, dir: String) => {
+      val (qual, _, chks) = SparkEntry.ensureBucketed(s, dir)
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def plain(t: String) = s.read.parquet(s"$wh/${t.toLowerCase}")
+      plain(chks).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("chunk_tokens"))
+        .join(plain(qual), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chunks"),
+          col("chunk_tokens"))
+        .orderBy("doc_id")
+    }),
     "q46_incr_scale" -> ((s: SparkSession, dir: String) => {
       val docs = Tables.documents(s, dir)
       val rep = col("doc_id") % 100000000L

@@ -1526,8 +1526,26 @@ object SparkEntry {
     // oracle recomputes the same join from the raw documents table —
     // bucketing changes layout, never content.
     "q101_bucketed_join" -> ((s, dir) => {
-      val (qual, toks) = ensureBucketed(s, dir)
+      val (qual, toks, _) = ensureBucketed(s, dir)
       s.table(qual).join(s.table(toks), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Exchange-free AGGREGATION on the bucketed layout: the chunk fact
+    // table (many rows per doc_id) aggregates on its bucket key — the
+    // scan's hash-clustered bucketing satisfies the agg's required
+    // distribution, so there is no partial/final split and no shuffle;
+    // the per-doc result then SortMergeJoins the bucketed quality
+    // table, also exchange-free (plan-pinned: zero hashpartitioning
+    // lines below the final orderBy).
+    "q104_bucketed_agg" -> ((s, dir) => {
+      val (qual, _, chks) = ensureBucketed(s, dir)
+      s.table(chks).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("chunk_tokens"))
+        .join(s.table(qual), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chunks"),
+          col("chunk_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -2319,6 +2337,23 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars,
         | len(string_split(lower(trim(text)), ' ')) AS ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // layout-free replay of the chunk aggregation: the q93 chunk frame
+    // rebuilt inline, aggregated per doc, joined to the quality
+    // projection straight off documents
+    "q104_bucketed_agg" ->
+      s"""$sqlDocWords,
+        |c AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) > 0),
+        |st AS (SELECT doc_id, ws,
+        |  unnest(generate_series(1, n, 6)) AS start FROM c),
+        |ch AS (SELECT doc_id,
+        |  CAST(len(ws[start : start + 7]) AS BIGINT) AS n_tokens FROM st),
+        |a AS (SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+        | FROM ch GROUP BY doc_id)
+        |SELECT a.doc_id, q.lang, a.n_chunks, a.chunk_tokens
+        |FROM a JOIN documents q ON a.doc_id = q.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     // same integer-exact profile: Σc/Σc² are exact BIGINTs, mean and
     // s²/n single IEEE divides, sqrt correctly rounded, and the flag
@@ -3612,14 +3647,16 @@ object SparkEntry {
     * section holds an OS file lock — a second JVM blocks until the
     * first finishes writing rather than reading a half-written
     * layout past a partial `_SUCCESS` check. */
-  private def ensureBucketed(s: SparkSession,
-      dir: String): (String, String) = synchronized {
+  private[graft] def ensureBucketed(s: SparkSession,
+      dir: String): (String, String, String) = synchronized {
     val name = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
     val fp = tableFingerprint(dir, "documents").replaceAll("-", "").take(8)
     val qual = s"graft_q101_quality_${name}_$fp"
     val toks = s"graft_q101_tokens_${name}_$fp"
-    if (s.catalog.tableExists(qual) && s.catalog.tableExists(toks))
-      return (qual, toks)
+    val chks = s"graft_q101_chunks_${name}_$fp"
+    if (s.catalog.tableExists(qual) && s.catalog.tableExists(toks) &&
+        s.catalog.tableExists(chks))
+      return (qual, toks, chks)
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh))
     // the enclosing `synchronized` serializes this JVM, so the file
@@ -3634,27 +3671,29 @@ object SparkEntry {
       // (exact-pattern match; the current-fp dirs are kept — they are
       // what register() reuses)
       val stalePat =
-        s"graft_q101_(quality|tokens)_${name}_[0-9a-f]{8}".toLowerCase
+        s"graft_q101_(quality|tokens|chunks)_${name}_[0-9a-f]{8}"
+          .toLowerCase
+      val live = Set(qual, toks, chks).map(_.toLowerCase)
       Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.matches(stalePat))
-        .filterNot(f => f.getName == qual.toLowerCase ||
-          f.getName == toks.toLowerCase)
+        .filterNot(f => live(f.getName))
         .foreach(f => store.RrdStore.deleteTree(f.getPath))
       val schemas = Map(
         qual -> "doc_id BIGINT, lang STRING, n_chars BIGINT",
-        toks -> "doc_id BIGINT, ws_tokens BIGINT")
+        toks -> "doc_id BIGINT, ws_tokens BIGINT",
+        chks -> "doc_id BIGINT, chunk_id BIGINT, n_tokens BIGINT")
       def filesReady(t: String): Boolean =
         java.nio.file.Files.exists(
           java.nio.file.Paths.get(wh, t.toLowerCase, "_SUCCESS"))
-      if (filesReady(qual) && filesReady(toks)) {
+      if (filesReady(qual) && filesReady(toks) && filesReady(chks)) {
         // same-fingerprint files from a previous JVM: one DDL each
-        Seq(qual, toks).foreach { t =>
+        Seq(qual, toks, chks).foreach { t =>
           sources.Bucketed.register(s, t, schemas(t), "doc_id", 16,
             s"$wh/${t.toLowerCase}")
         }
       } else {
         val d = Tables.documents(s, dir)
-        Seq(qual, toks).foreach { t =>
+        Seq(qual, toks, chks).foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t")
           store.RrdStore.deleteTree(s"$wh/${t.toLowerCase}")
         }
@@ -3666,12 +3705,20 @@ object SparkEntry {
             ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
               .as("ws_tokens")),
           toks, "doc_id", 16)
+        // multi-row-per-key fact table (the q93 chunk frame): the one
+        // the exchange-free AGGREGATION query (q104) needs — an agg on
+        // the bucket key over a one-row-per-key table is degenerate
+        sources.Bucketed.writeBucketed(
+          ext.TextAnalysis.chunkTokens(d, "doc_id", "text",
+              size = 8, stride = 6)
+            .select(col("doc_id"), col("chunk_id"), col("n_tokens")),
+          chks, "doc_id", 16)
       }
     } finally {
       lock.release()
       lockCh.close()
     }
-    (qual, toks)
+    (qual, toks, chks)
   }
 
   private def tableFingerprint(dir: String, table: String): String = {

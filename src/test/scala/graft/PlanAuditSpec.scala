@@ -116,6 +116,24 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q104: bucketed aggregation + join plan no shuffle exchange") {
+    // the chunk fact table is bucketed on doc_id: its groupBy(doc_id)
+    // consumes the scan's hash-clustered bucketing (no exchange, no
+    // partial/final agg split needed for correctness of THIS assert),
+    // and the per-doc result SortMergeJoins the bucketed quality table
+    // without re-shuffling either side.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q104_bucketed_agg")
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+      assert(p.contains("HashAggregate"), p.take(1500))
+      val hashEx = hashExchanges(p)
+      assert(hashEx.isEmpty,
+        s"bucketed aggregation re-shuffled:\n${hashEx.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q16: normalization aggregates map-side before the shuffle") {
     val p = plan("q16_pdp_normalize")
     // bounded explode fan-out, then partial_sum under the exchange and
