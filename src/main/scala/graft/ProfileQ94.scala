@@ -54,6 +54,99 @@ object ProfileQ94 {
   }
 }
 
+/** q94 at REALISTIC duplicate density: the standard scale replicas are
+  * duplicate-saturated by construction (90% of docs candidate-touching
+  * at every K — SCALE.md), so their q94 wall band measures a verify
+  * payload that IS ~the corpus. Production corpora are the opposite:
+  * a few percent of docs carry the near-dup mass. This builder plants
+  * exactly that shape — 98% of docs salted per-doc-unique (zero
+  * cross-doc shingle sharing), 2% drawn from shared templates in
+  * clone-groups of 4 — and times the full q94 operator body at 1× and
+  * K×, reporting candidate fraction alongside wall so the
+  * candidates-fraction → wall model is a measured number. The
+  * semi-join's payoff claim (assembly ∝ candidates when candidates ≪
+  * corpus, `ext/Dedup.scala` candidateShingleJoin) is exactly what
+  * this measures. Diagnostic only; the q94 oracle is untouched. */
+object ProfileQ94Sparse {
+  private def ensureSparse(spark: org.apache.spark.sql.SparkSession,
+      base: String, out: String, k: Int): Unit = {
+    val marker = java.nio.file.Paths.get(out, "_built")
+    val stamp = s"$base x$k sparse-v1"
+    if (java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        "UTF-8") == stamp) return
+    store.RrdStore.deleteTree(out)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val docs = Tables.table(spark, base, "documents")
+    val reps = (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    val salted = regexp_replace(col("text"), lit("(\\S+)"),
+      concat(lit("u"), col("doc_id").cast("string"), lit("x$1")))
+    // ids ≡ 0 (mod 50) within one 200-id block → 4 clones per group
+    val planted = expr("array_join(transform(sequence(1, 40), " +
+      "j -> concat('g', CAST(doc_id div 200 AS STRING), 'w', " +
+      "CAST(j AS STRING))), ' ')")
+    reps.withColumn("text",
+        when(col("doc_id") % 50 === 0, planted).otherwise(salted))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def q94(dir: String) = {
+      val joined = ext.Dedup.candidateShingleJoin(
+        Tables.documents(spark, dir), "doc_id", "text", 3, 16, 4)
+      val inter = size(array_intersect(col("sh1"), col("sh2")))
+      val mn = least(size(col("sh1")), size(col("sh2")))
+      joined.select(col("id1"), col("id2"),
+          (inter.cast("double") / mn.cast("double")).as("containment"))
+        .where(col("containment") >= 0.6)
+    }
+    val d1 = s"/tmp/graft_scale/sparse_x1"
+    val dk = s"/tmp/graft_scale/sparse_x$k"
+    ensureSparse(spark, base, d1, 1)
+    ensureSparse(spark, base, dk, k)
+    // session warm-up (the ScaleBench idiom)
+    spark.range(1000).groupBy((col("id") % 4).as("g"))
+      .agg(expr("bit_xor(xxhash64(id))")).collect()
+    def stats(dir: String): Unit = {
+      val d = Tables.documents(spark, dir)
+      val cand = ext.Dedup.lshCandidates(d, "doc_id", "text", 3, 16, 4)
+        .select("id1", "id2")
+      val ids = cand.select(col("id1").as("i"))
+        .union(cand.select(col("id2").as("i"))).distinct().count()
+      println(s"[sparse] $dir docs=${d.count()} candPairs=${cand.count()} " +
+        s"candDocs=$ids")
+    }
+    stats(d1); stats(dk)
+    def run(dir: String, tag: String): Double = {
+      val t0 = System.nanoTime()
+      val n = q94(dir).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[sparse] $tag wall=$s%.2f s outPairs=$n")
+      s
+    }
+    val a1 = run(d1, s"x1 sample1"); val b1 = run(d1, "x1 sample2")
+    val ak = run(dk, s"x$k sample1"); val bk = run(dk, s"x$k sample2")
+    println(f"[sparse] ratios: cold ${ak / a1}%.2f warm ${bk / b1}%.2f " +
+      f"warmK/coldBase ${bk / a1}%.2f")
+    spark.stop()
+  }
+}
+
 /** Stage profile for q79 (perceptual image near-dup pairs): separates
   * the corpus-linear PNG encode→decode→aHash pass from the banded
   * Hamming join + kernel verify, and counts the candidate volume the

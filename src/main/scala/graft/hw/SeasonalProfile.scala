@@ -94,7 +94,8 @@ object SeasonalProfile {
         "nBuckets rows BY DESIGN) — coarsen bucketSec, narrow the " +
         "input window, or raise the cap deliberately")
     val chunk = 4096L
-    val grid = ev.select(sc: _*).distinct()
+    val seriesDf = ev.select(sc: _*).distinct()
+    val grid = seriesDf
       .withColumn("__c0",
         explode(expr(s"sequence(${minB}L, ${maxB}L, ${chunk}L)")))
       .withColumn("bucket", explode(expr(
@@ -104,7 +105,45 @@ object SeasonalProfile {
       .select(sc ++ Seq(col("bucket"),
         coalesce(col("c"), lit(0L)).as("c")): _*)
       .withColumn("pos", pmod(col("bucket"), lit(period.toLong)))
-    profiled(counts, series, k)
+    // The profile NEVER touches the dense frame: zero-count buckets
+    // contribute nothing to Σc/Σc², so the integer sums aggregate the
+    // OBSERVED counts only (corpus-sized, not grid-sized), and the
+    // dense denominator n — the number of span buckets at each
+    // position — is closed-form from (minB, maxB, period). Same longs,
+    // same single IEEE divides, bit-identical to aggregating the
+    // dense grid (the oracle does the latter; spec-pinned parity) —
+    // but the expensive grid join runs ONCE, on the probe side only,
+    // instead of once per join tree (measured 5.0-6.0× → ~3× at the
+    // 100× replica ScaleBench row).
+    // Both floor-div numerators sit in [-period, ∞) for the
+    // non-negative bucket domain; one +period shift makes them
+    // non-negative so truncating `div` IS floor division, and the
+    // shifts cancel in the difference.
+    val nExpr = expr(
+      s"((${maxB}L - pos + ${period}L) div ${period}L) - " +
+        s"((${minB - 1}L - pos + ${period}L) div ${period}L)")
+    val obs = counts0
+      .withColumn("pos", pmod(col("bucket"), lit(period.toLong)))
+      .groupBy(sc :+ col("pos"): _*)
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"))
+    val prof = seriesDf
+      .withColumn("pos", explode(expr(s"sequence(0L, ${period - 1}L)")))
+      .join(obs, series :+ "pos", "left")
+      .select(sc ++ Seq(col("pos"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        coalesce(col("ss"), lit(0L)).as("ss")): _*)
+      .withColumn("n", nExpr)
+      .select(sc ++ Seq(col("pos"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt((col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double")) / col("n").cast("double"))
+          .as("std")): _*)
+    counts.join(prof, series :+ "pos")
+      .select(sc ++ Seq(col("bucket"), col("pos"), col("c"), col("mean"),
+        col("std"),
+        (abs(col("c").cast("double") - col("mean")) >
+          lit(k) * col("std")).as("is_anomaly")): _*)
   }
 
   /** Observed (series, bucket) event counts — integer, partial-agg'd. */
