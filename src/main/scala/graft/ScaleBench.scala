@@ -66,6 +66,8 @@ object ScaleBench {
     "q96_fixed_sample",    // bounded-heap exact-n per stratum
     "q99_semantic_dedup",  // k-means cells + within-cell pair verify
     "q103_incr_semdedup",  // batch-vs-index cell cogroup (q46 axis)
+    "q105_prototype_scores", // two-level order-pinned mean + cos scan
+    "q106_shard_manifest", // md5 shard assign + in-shard positions
     "q100_seasonal_anomaly", // integer-exact profile + broadcast join
     "q97_bm25",            // 1-row reduction + scoring projection + top-k
     "q98_decontaminate_attrib", // broadcast probe + (doc,eval) agg
@@ -256,6 +258,15 @@ object ScaleBench {
         .select(col("doc_id"), col("lang"), col("n_chunks"),
           col("chunk_tokens"))
         .orderBy("doc_id")
+    }),
+    // q106 with the shard count grown ∝ corpus (the oracle's fixed
+    // S=16 funnels n/16 rows per sequencing reducer — fine for 16
+    // output files, wrong as the corpus-scale shape; production sizes
+    // S for ~fixed shard files, keeping the per-shard window bounded)
+    "q106_shard_scale" -> ((s: SparkSession, dir: String) => {
+      val d = Tables.documents(s, dir)
+      val shards = math.max(16L, d.count() / 5000L).toInt
+      ext.Curation.shardManifest(d, "doc_id", shards)
     }),
     "q46_incr_scale" -> ((s: SparkSession, dir: String) => {
       val docs = Tables.documents(s, dir)

@@ -1600,6 +1600,25 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Per-class prototype scores (SSL-Prototypes curation): each
+    // label's embedding centroid via the ORDER-PINNED two-level fold
+    // (id-block shards, then shard order — the deterministic
+    // distributed double mean), members scored by strict-fold cosine
+    // to their prototype. Low scores = outliers, near-1 = redundant
+    // prototypical mass — both are what curation trims.
+    "q105_prototype_scores" -> ((s, dir) =>
+      ext.Similarity.prototypeScores(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 64, "label")
+        .orderBy("label", "vec_id")),
+
+    // Deterministic training-shard manifest: md5-uniform shard
+    // assignment + dense in-shard positions — the replayable
+    // write-the-training-set step (randomSplit/sample are
+    // seed+partition dependent and cannot be oracle-replayed).
+    "q106_shard_manifest" -> ((s, dir) =>
+      ext.Curation.shardManifest(Tables.documents(s, dir), "doc_id", 16)
+        .orderBy("shard", "pos")),
+
     // SemDeDup-style semantic dedup candidates: trained k-means cells
     // (the q66 training chain — the oracle replays both Lloyd
     // iterations) prune the pair space to within-cell pairs, exact
@@ -2450,6 +2469,54 @@ object SparkEntry {
         |SELECT id1, id2, cosine FROM pr WHERE cosine >= 0.40
         |ORDER BY id1, id2""".stripMargin
     },
+
+    // the two-level mean replayed as nested ordered list_reduce folds
+    // (inner: members by vec_id within id-block shards; outer: shard
+    // partials by shard — the operator's declared fold contract), one
+    // divide per dimension, strict-fold cosine scores
+    "q105_prototype_scores" ->
+      s"""WITH v AS (
+        | SELECT CAST(label AS BIGINT) AS label, vec_id, embedding
+        | FROM embeddings
+        | WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |   AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+        |l1 AS (
+        | SELECT label, vec_id // 4096 AS shard, dim,
+        |  list_reduce(list(CAST(embedding[dim] AS DOUBLE) ORDER BY vec_id),
+        |    (x, y) -> x + y) AS s
+        | FROM v, dims GROUP BY label, shard, dim),
+        |l2 AS (
+        | SELECT label, dim,
+        |  list_reduce(list(s ORDER BY shard), (x, y) -> x + y) AS s
+        | FROM l1 GROUP BY label, dim),
+        |n AS (SELECT label, COUNT(*) AS cnt FROM v GROUP BY label),
+        |cent AS (
+        | SELECT label, list(s / CAST(cnt AS DOUBLE) ORDER BY dim) AS cv
+        | FROM l2 JOIN n USING (label) GROUP BY label, cnt),
+        |sc AS (
+        | SELECT v.vec_id, v.label,
+        |  ${sqlCos("v.embedding", "cent.cv")} AS proto_cos
+        | FROM v JOIN cent USING (label)
+        | WHERE ${sqlDot("cent.cv", "cent.cv")} > 0)
+        |SELECT vec_id, label, proto_cos FROM sc
+        |ORDER BY label, vec_id""".stripMargin,
+
+    // same md5 uniform, floor(u*16) clamped, dense (u, id) positions
+    "q106_shard_manifest" ->
+      s"""WITH su AS (
+        | SELECT doc_id,
+        |  CAST(${sqlHexToLong("substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")} AS DOUBLE)
+        |   / CAST(1152921504606846976 AS DOUBLE) AS u
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, u,
+        |  least(CAST(floor(u * 16) AS BIGINT), 15) AS shard FROM su)
+        |SELECT doc_id, u, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id)
+        |   AS BIGINT) AS pos
+        |FROM sh ORDER BY shard, pos""".stripMargin,
 
     // incremental == the full q99 mine restricted to batch-touching
     // pairs (the q46 oracle idiom); the 80/20 split derives from the

@@ -652,6 +652,37 @@ object Curation {
       }: _*)
   }
 
+  /** Deterministic training-shard manifest — the write-the-training-set
+    * step of a data pipeline: every row gets a shard
+    * (`floor(u · S)` over the md5 uniform, clamped to S−1) and a dense
+    * 1-based position within its shard by (u, id). Because u is the
+    * same partitioning-/retry-/engine-independent uniform as the
+    * sampling operators, the assignment is fully replayable by an
+    * oracle and stable across reruns — where `randomSplit`/`sample`
+    * are seed+partition dependent and cannot be. Reading shards in
+    * position order IS a deterministic global shuffle of the corpus
+    * (the "shuffle before training" step), and a shard is a strict
+    * subset of the same rows at any S that divides consistently.
+    *
+    * Scale shape: one exchange on `shard`; the per-shard sequencing
+    * window is bounded because S is sized ∝ corpus (rows/shard ≈
+    * n/S — the caller's shard-size contract, the same law as every
+    * sharded operator here; 100k-row shards at any corpus size).
+    *
+    * Output: (id, u, shard, pos). */
+  def shardManifest(df: DataFrame, id: String, numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    // u < 1 by construction, so u·S < S and the least() is insurance
+    // (the tokenBudgetCap shard-key note)
+    val w = Window.partitionBy(col("shard")).orderBy(col("u"), col(id))
+    df.select(col(id), hashUniform(col(id)).as("u"))
+      .withColumn("shard",
+        least(floor(col("u") * numShards), lit(numShards - 1L))
+          .cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Group-wise top-k rows: for each value of `group`, the k rows with
     * the largest `score` (ties to the smaller `id`), ranked 1..k.
     * Output: (group, rank, id, score) — the exploded, ranked form a

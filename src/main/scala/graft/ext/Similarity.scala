@@ -826,6 +826,98 @@ object Similarity {
     }.toDF("id1", "id2", "cosine")
   }
 
+  /** Per-class prototype scores — the SSL-Prototypes / DataComp-style
+    * curation filter that SemDeDup pipelines pair with dedup: each
+    * class's (label's) embedding CENTROID is its prototype, and every
+    * member scores by cosine to it. Low scorers are outliers/noise;
+    * near-1 scorers are redundant prototypical mass — both ends are
+    * what curation trims.
+    *
+    * Determinism at scale (the hard part — distributed double sums
+    * reassociate): the centroid mean is an ORDER-PINNED TWO-LEVEL fold,
+    * and that two-level shape IS the operator's contract, replayed
+    * exactly by the SQL oracle. Level 1 folds members in ascending id
+    * order within monotone id-block shards (`id div idsPerShard` — at
+    * most idsPerShard rows per (label, shard) task, never a
+    * class-sized funnel); level 2 folds the shard partials in shard
+    * order (≤ idRange/idsPerShard partial rows per label, loudly
+    * capped by `maxShardsPerGroup` — size idsPerShard to the id range,
+    * the q78 block-shard law). One final divide per dimension. The
+    * oracle replays both levels as nested id-/shard-ordered
+    * `list_reduce` folds (the kmeans-chain idiom), so mean, cosine,
+    * and every score sit inside the cross-engine hash gate.
+    *
+    * Contracts, loud: integral group keys (the output group column is
+    * LongType); null labels, null/short vectors, and zero-norm vectors
+    * are excluded (cosine undefined; NaN orders differently across
+    * engines); a zero-norm CENTROID (exact cancellation) drops its
+    * class the same way in both engines.
+    *
+    * Output: (id, group, proto_cos). */
+  def prototypeScores(df: DataFrame, id: String, vec: String, dim: Int,
+      group: String, idsPerShard: Long = 4096L,
+      maxShardsPerGroup: Int = 1 << 20): DataFrame = {
+    require(idsPerShard >= 1, s"idsPerShard=$idsPerShard must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val v = df.select(col(group).cast("long").as("__g"),
+        col(id).cast("long").as("__i"), col(vec).as("__v"))
+      .where(col("__g").isNotNull && col("__v").isNotNull &&
+        size(col("__v")) >= dim)
+      .as[(Long, Long, Array[Double])]
+      .filter(t => d(t._3, t._3) > 0)
+    // level 1: ≤ idsPerShard members per (label, id-block) task,
+    // folded ascending-id from 0.0 (== the oracle's first-element
+    // list_reduce for IEEE addition)
+    val partials = v
+      .groupByKey(t => (t._1, java.lang.Math.floorDiv(t._2, idsPerShard)))
+      .mapGroups { (key: (Long, Long), it) =>
+        val (g, shard) = key
+        val rows = it.toArray.sortBy(_._2)
+        val s = new Array[Double](dim)
+        var r = 0
+        while (r < rows.length) {
+          val x = rows(r)._3
+          var j = 0
+          while (j < dim) { s(j) += x(j); j += 1 }
+          r += 1
+        }
+        (g, shard, rows.length.toLong, s.toSeq)
+      }
+    // level 2: shard partials folded in shard order; one divide per dim
+    val cents = partials.groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val ps = it.toArray.sortBy(_._2)
+        require(ps.length <= maxShardsPerGroup,
+          s"prototype mean for group $g spans ${ps.length} id-block " +
+            s"shards > maxShardsPerGroup=$maxShardsPerGroup — raise " +
+            "idsPerShard to match the id range")
+        val n = ps.iterator.map(_._3).sum
+        val s = new Array[Double](dim)
+        var r = 0
+        while (r < ps.length) {
+          val x = ps(r)._4
+          var j = 0
+          while (j < dim) { s(j) += x(j); j += 1 }
+          r += 1
+        }
+        var j = 0
+        while (j < dim) { s(j) /= n.toDouble; j += 1 }
+        (g, s.toSeq)
+      }.toDF("__g", "__cent")
+    // #labels centroid rows: AQE broadcasts the join side from its
+    // measured size (the q100/q102 gate — no unconditional hint)
+    v.toDF("__g", "__i", "__v").join(cents, "__g")
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .flatMap { case (g, i, x, c) =>
+        val nc = d(c, c)
+        if (nc <= 0) None
+        else Some((i, g, d(x, c) / (math.sqrt(d(x, x)) * math.sqrt(nc))))
+      }
+      .toDF(id, group, "proto_cos")
+  }
+
   /** Persist an [[ivfIndex]] partitioned by `cell` — the on-disk form a
     * production deployment reuses across query batches. Each cell is
     * its own partition directory, so [[ivfTopKIndexed]]'s

@@ -423,6 +423,33 @@ class CurationSpec extends SparkSuite {
       budget = 100L, shards = 1).collect().nonEmpty)
   }
 
+  test("shardManifest: assignment and positions equal the independent " +
+      "digest computation; shards partition the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val got = Curation.shardManifest(docs, "doc_id", 16)
+      .as[(Long, Double, Long, Long)].collect()
+    val ids = docs.as[Long].collect()
+    assert(got.length == ids.length, "every row gets exactly one shard")
+    // independent replay: shard = floor(u*16) clamped, pos = 1-based
+    // rank by (u, id) within shard
+    val expect = ids.map { id =>
+      val u = uniformOf(id)
+      (id, u, math.min(math.floor(u * 16).toLong, 15L))
+    }.groupBy(_._3).toSeq.flatMap { case (shard, rows) =>
+      rows.sortBy { case (id, u, _) => (u, id) }.zipWithIndex.map {
+        case ((id, u, _), i) => (id, u, shard, (i + 1).toLong)
+      }.toSeq
+    }.toSet
+    assert(got.toSet == expect)
+    // deterministic across re-evaluation (no RNG/partition state)
+    assert(Curation.shardManifest(docs.repartition(7), "doc_id", 16)
+      .as[(Long, Double, Long, Long)].collect().toSet == got.toSet)
+    assert(intercept[IllegalArgumentException] {
+      Curation.shardManifest(docs, "doc_id", 0)
+    }.getMessage.contains("numShards"))
+  }
+
   test("exactQuantilesPerGroup refuses a group past maxSlots loudly") {
     import org.apache.spark.sql.functions._
     val df = (0 until 100).map(i => (i.toLong, "en", i.toLong))

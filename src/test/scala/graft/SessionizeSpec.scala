@@ -187,6 +187,73 @@ class SessionizeSpec extends SparkSuite {
     assert(auto == manual)
   }
 
+  test("prototypeScores: closed-form centroids, exclusions, and the " +
+      "two-level fold contract on real embeddings") {
+    // label 10: vectors (1,0,..), (0,1,..) -> centroid (.5,.5,0..):
+    // both members score cos = .5/(1*sqrt(.5)) = sqrt(.5).
+    // label 20: a single vector scores exactly 1.0.
+    // excluded: null label, zero-norm vector, short vector.
+    def v(xs: (Int, Double)*): Seq[Double] = {
+      val a = Array.fill(64)(0.0); xs.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    val rows = Seq(
+      (1L, Some(10), v(0 -> 1.0)), (2L, Some(10), v(1 -> 1.0)),
+      (3L, Some(20), v(2 -> 3.0)),
+      (4L, None, v(0 -> 1.0)),          // null label
+      (5L, Some(30), v()),              // zero norm
+      (6L, Some(30), Seq(1.0, 2.0)))    // short vector
+      .toDF("vec_id", "label", "embedding")
+    val got = ext.Similarity.prototypeScores(rows, "vec_id", "embedding",
+        64, "label")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 10L), (2L, 10L),
+      (3L, 20L)))
+    // replicate the operator's exact arithmetic (d/(sqrt·sqrt)), not
+    // the algebraic sqrt(0.5) — 0.5/fl(sqrt(0.5)) can differ by 1 ulp
+    val want = 0.5 / (math.sqrt(1.0) * math.sqrt(0.5))
+    assert(got(0)._3 == want && got(1)._3 == want)
+    assert(got(2)._3 == 1.0)
+    // real embeddings: the operator equals a driver-side replay of the
+    // SAME two-level fold (id-block shards then shard order), bit for
+    // bit — the declared contract, not an incidental order
+    val e = Tables.embeddings(spark, sf)
+    val ops = ext.Similarity.prototypeScores(e, "vec_id", "embedding",
+        64, "label")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> java.lang.Double.doubleToLongBits(t._3))
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i) * b(i); i += 1 }; s
+    }
+    val vs = e.select(col("vec_id").cast("long"),
+        col("label").cast("long"), col("embedding"))
+      .as[(Long, Option[Long], Array[Double])].collect()
+      .collect { case (i, Some(g), x)
+        if x != null && x.length >= 64 && dot(x, x) > 0 => (g, i, x) }
+    val expect = vs.groupBy(_._1).toSeq.flatMap { case (g, members) =>
+      val cent = new Array[Double](64)
+      var n = 0L
+      members.groupBy(m => java.lang.Math.floorDiv(m._2, 4096L)).toSeq
+        .sortBy(_._1).foreach { case (_, shardRows) =>
+          val s = new Array[Double](64)
+          shardRows.sortBy(_._2).foreach { case (_, _, x) =>
+            var j = 0; while (j < 64) { s(j) += x(j); j += 1 }
+          }
+          var j = 0; while (j < 64) { cent(j) += s(j); j += 1 }
+          n += shardRows.length
+        }
+      var j = 0; while (j < 64) { cent(j) /= n.toDouble; j += 1 }
+      if (dot(cent, cent) <= 0) Seq.empty[((Long, Long), Long)]
+      else members.toSeq.map { case (_, i, x) =>
+        (i, g) -> java.lang.Double.doubleToLongBits(
+          dot(x, cent) / (math.sqrt(dot(x, x)) * math.sqrt(dot(cent, cent))))
+      }
+    }.toMap
+    assert(ops.nonEmpty && ops == expect)
+  }
+
   test("seasonal profile: closed-form anomaly, zero-variance position flags nothing") {
     // series 1, period 3, bucket 60 s: position 0 sees counts (2,2,2,8)
     // — mean 3.5, var (4+4+4+64)/4 - 12.25 = 6.75 — so 8 deviates 4.5 >
