@@ -143,6 +143,52 @@ object ProfileQ94Sparse {
     val ak = run(dk, s"x$k sample1"); val bk = run(dk, s"x$k sample2")
     println(f"[sparse] ratios: cold ${ak / a1}%.2f warm ${bk / b1}%.2f " +
       f"warmK/coldBase ${bk / a1}%.2f")
+    // q107 (duplicate-span removal) on the same realistic-density
+    // corpora: hit mass ∝ the planted 2% dup fraction, not the corpus
+    def run107(dir: String, tag: String): Double = {
+      val t0 = System.nanoTime()
+      val kept = ext.Dedup.removeDuplicateSpans(
+          Tables.documents(spark, dir), "doc_id", "text", 8)
+        .agg(sum(col("n_tok") - col("kept_tokens"))).head.getLong(0)
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[sparse] q107 $tag wall=$s%.2f s removedTokens=$kept")
+      s
+    }
+    val r1a = run107(d1, "x1 sample1"); val r1b = run107(d1, "x1 sample2")
+    val rka = run107(dk, s"x$k sample1")
+    val rkb = run107(dk, s"x$k sample2")
+    println(f"[sparse] q107 ratios: cold ${rka / r1a}%.2f " +
+      f"warm ${rkb / r1b}%.2f")
+    // the rewrite FLOOR: tokenizing + re-joining every document with
+    // no dedup at all — the irreducible corpus-byte re-materialization
+    // any text-rewrite operator pays
+    def floor(dir: String, tag: String): Double = {
+      val t0 = System.nanoTime()
+      val n = Tables.documents(spark, dir)
+        .select(xxhash64(array_join(
+          ext.TextAnalysis.words(col("text")), " ")).as("h"))
+        .agg(expr("bit_xor(h)")).head.getLong(0)
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[sparse] rewrite-floor $tag wall=$s%.2f s (h=$n)")
+      s
+    }
+    val f1 = math.min(floor(d1, "x1"), floor(d1, "x1b"))
+    val fk = math.min(floor(dk, s"x$k"), floor(dk, s"x${k}b"))
+    println(f"[sparse] rewrite-floor ratio ${fk / f1}%.2f")
+    // isolate the shared dupGramHits cost: the q82 coverage REPORT on
+    // the same corpora pays the same gram kernel + exchange + dup join
+    // but none of the rebuild
+    def run82(dir: String, tag: String): Double = {
+      val t0 = System.nanoTime()
+      val n = ext.Dedup.ngramDupCoverage(
+        Tables.documents(spark, dir), "doc_id", "text", 8).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[sparse] q82 $tag wall=$s%.2f s rows=$n")
+      s
+    }
+    val g1 = math.min(run82(d1, "x1"), run82(d1, "x1b"))
+    val gk = math.min(run82(dk, s"x$k"), run82(dk, s"x${k}b"))
+    println(f"[sparse] q82 ratio ${gk / g1}%.2f")
     spark.stop()
   }
 }

@@ -1707,6 +1707,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Duplicate-span REMOVAL — the ExactSubstr rewrite step q82 only
+    // reports: tokens under any cross-document duplicated 8-gram are
+    // excised from every carrier (the strict symmetric policy — the
+    // only one an engine-independent oracle can replay without a
+    // corpus ordering), survivors rejoin in order; untouched docs pass
+    // through whitespace-normalized.
+    "q107_dup_span_removal" -> ((s, dir) =>
+      ext.Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id",
+          "text", n = 8)
+        .orderBy("doc_id")),
+
     // Deterministic stratified sampling: per-language keep rates over an
     // md5-derived uniform — replayable by the oracle and independent of
     // partitioning/retries, unlike DataFrame.sample's seeded RNG.
@@ -3420,6 +3431,39 @@ object SparkEntry {
         |   AS dup_frac
         |FROM pd JOIN cv ON pd.doc_id = cv.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
+
+    // same gram relations as q82; the rebuild keeps tokens whose index
+    // joins no covered position, re-joined in order (list ORDER BY i
+    // with an aggregate FILTER — a fully covered doc coalesces to '')
+    "q107_dup_span_removal" ->
+      s"""$sqlDocWords,
+        |g1 AS (SELECT doc_id, ws,
+        |       unnest(generate_series(1, len(ws) - 7)) AS pos FROM d),
+        |g AS (SELECT doc_id, pos,
+        |  ${sqlHexToLong("substr(md5(array_to_string(" +
+             "list_slice(ws, pos, pos + 7), ' ')), 1, 15)")} AS h
+        | FROM g1),
+        |dup AS (SELECT h FROM g GROUP BY h
+        |        HAVING min(doc_id) <> max(doc_id)),
+        |cov AS (SELECT DISTINCT doc_id, tok FROM (
+        |        SELECT g.doc_id,
+        |          unnest(generate_series(g.pos, g.pos + 7)) AS tok
+        |        FROM g JOIN dup USING (h))),
+        |tk AS (SELECT doc_id, ws, len(ws) AS m,
+        |       unnest(generate_series(1, len(ws))) AS i FROM d),
+        |cl AS (SELECT tk.doc_id, tk.m,
+        |        count(*) FILTER (WHERE cov.tok IS NULL) AS kept,
+        |        coalesce(array_to_string(
+        |          list(tk.ws[tk.i] ORDER BY tk.i)
+        |            FILTER (WHERE cov.tok IS NULL), ' '), '') AS clean_text
+        |       FROM tk LEFT JOIN cov
+        |         ON tk.doc_id = cov.doc_id AND tk.i = cov.tok
+        |       GROUP BY tk.doc_id, tk.m)
+        |SELECT doc_id, CAST(m AS BIGINT) AS n_tok,
+        | CAST(kept AS BIGINT) AS kept_tokens,
+        | CAST(kept AS DOUBLE) / CAST(m AS DOUBLE) AS kept_frac,
+        | clean_text
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     // the same md5-top-60-bits uniform the operator derives; exact
     // integer build-up, one exact fp divide by 2^60

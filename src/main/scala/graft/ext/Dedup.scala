@@ -855,6 +855,29 @@ object Dedup {
     */
   def ngramDupCoverage(df: DataFrame, id: String, text: String,
       n: Int): DataFrame = {
+    val hits = dupGramHits(df, id, text, n)
+    val perDoc = hits.groupBy(col(id), col("n_tok"))
+      .agg(count(lit(1)).as("dup_ngrams"))
+    val covered = hits
+      .select(col(id),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("__t"))
+      .groupBy(col(id))
+      .agg(countDistinct(col("__t")).as("covered_tokens"))
+    perDoc.join(covered, Seq(id))
+      .select(col(id), col("n_tok"), col("dup_ngrams"), col("covered_tokens"),
+        (col("covered_tokens").cast("double") / col("n_tok").cast("double"))
+          .as("dup_frac"))
+  }
+
+  /** Shared by [[ngramDupCoverage]] and [[removeDuplicateSpans]]: one
+    * row per (doc, position) whose n-gram occurs in ≥ 2 distinct
+    * documents — (id, n_tok, pos, h), pos 1-based. The kernel hashes
+    * grams to 60-bit md5 keys in place so the corpus-token-sized
+    * exchange carries 4 longs/row, never gram text; "≥ 2 distinct" is
+    * the partial-agg-friendly min≠max; the gram exchange is planned
+    * once for the aggregate and the join probe. */
+  private def dupGramHits(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val grams = df.select(col(id), TextAnalysis.words(col(text)))
@@ -885,17 +908,49 @@ object Dedup {
       .agg(min(col(id)).as("__mn"), max(col(id)).as("__mx"))
       .where(col("__mn") =!= col("__mx"))
       .select(col("h"))
-    val hits = grams.join(dup, "h")
-    val perDoc = hits.groupBy(col(id), col("n_tok"))
-      .agg(count(lit(1)).as("dup_ngrams"))
-    val covered = hits
+    grams.join(dup, "h")
+  }
+
+  /** Duplicate-span REMOVAL — the rewrite step [[ngramDupCoverage]]
+    * only reports (the ExactSubstr dedup of Lee et al.: excise the
+    * memorizable duplicated spans, keep the rest of the document):
+    * every token under ≥ 1 cross-document duplicated n-gram is dropped
+    * from EVERY document carrying it (the strict symmetric policy —
+    * deterministic with no keep-one tie-break, and the only policy an
+    * engine-independent oracle can replay without ordering the corpus),
+    * and the survivors rejoin in order. Documents with nothing
+    * duplicated pass through with whitespace-normalized text; a fully
+    * covered document keeps its row with kept_tokens = 0 (curation
+    * drops or floors on kept_frac downstream).
+    *
+    * Scale shape: [[dupGramHits]]'s cost profile, plus ONE
+    * hit-positions-only explode (∝ duplicated mass), a per-doc
+    * covered-set aggregate (bounded by doc length — the covered set is
+    * a subset of the doc's own positions), and a broadcast-eligible
+    * join back to the corpus frame; the rebuild is a codegen'd
+    * higher-order filter over the token array, no kernel.
+    *
+    * Output: (id, n_tok, kept_tokens, kept_frac, clean_text). */
+  def removeDuplicateSpans(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
+    val hits = dupGramHits(df, id, text, n)
+    val cov = hits
       .select(col(id),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("__t"))
       .groupBy(col(id))
-      .agg(countDistinct(col("__t")).as("covered_tokens"))
-    perDoc.join(covered, Seq(id))
-      .select(col(id), col("n_tok"), col("dup_ngrams"), col("covered_tokens"),
-        (col("covered_tokens").cast("double") / col("n_tok").cast("double"))
-          .as("dup_frac"))
+      .agg(sort_array(collect_set(col("__t"))).as("__cov"))
+    df.select(col(id), TextAnalysis.words(col(text)).as("__ws"))
+      .join(cov, Seq(id), "left")
+      .withColumn("__cov", coalesce(col("__cov"),
+        expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("__keep", expr(
+        "filter(__ws, (w, i) -> NOT array_contains(__cov, " +
+          "CAST(i + 1 AS BIGINT)))"))
+      .select(col(id),
+        size(col("__ws")).cast("long").as("n_tok"),
+        size(col("__keep")).cast("long").as("kept_tokens"),
+        (size(col("__keep")).cast("double") /
+          size(col("__ws")).cast("double")).as("kept_frac"),
+        array_join(col("__keep"), " ").as("clean_text"))
   }
 }

@@ -57,6 +57,45 @@ class DupSpanSpec extends SparkSuite {
     assert(got(2L) == ((8L, 2L, 5L, 0.625)))
   }
 
+  test("removeDuplicateSpans: excises covered tokens symmetrically, " +
+      "passes clean docs through, empties fully covered docs") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d x y z w",   // shared gram "a b c d" -> drop 1..4
+      2L -> "a b c d e f g h",   // same
+      3L -> "p q r s t p q r s t", // internal repeat only: untouched
+      4L -> "a b c",             // < n: untouched
+      5L -> "a b c d",           // exactly the shared gram: fully covered
+      6L -> "m n o u v w1 w2 w3") // shares nothing: untouched
+    val got = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      "removal keeps EVERY doc's row")
+    assert(got(1L) == ((8L, 4L, 0.5, "x y z w")))
+    assert(got(2L) == ((8L, 4L, 0.5, "e f g h")))
+    assert(got(3L) == ((10L, 10L, 1.0, "p q r s t p q r s t")))
+    assert(got(4L) == ((3L, 3L, 1.0, "a b c")))
+    assert(got(5L) == ((4L, 0L, 0.0, "")), "fully covered -> empty text")
+    assert(got(6L) == ((8L, 8L, 1.0, "m n o u v w1 w2 w3")))
+    // consistency with the coverage report on the real corpus:
+    // kept_tokens = n_tok - covered_tokens for every covered doc
+    val d = Tables.documents(spark, sf)
+    val cover = Dedup.ngramDupCoverage(d, "doc_id", "text", 8)
+      .select("doc_id", "covered_tokens")
+      .as[(Long, Long)].collect().toMap
+    val removed = Dedup.removeDuplicateSpans(d, "doc_id", "text", 8)
+      .select("doc_id", "n_tok", "kept_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(removed.nonEmpty && cover.nonEmpty)
+    removed.foreach { case (id, nTok, kept) =>
+      assert(nTok - kept == cover.getOrElse(id, 0L), s"doc $id")
+    }
+  }
+
   test("real corpus: near-dup docs carry shared spans, bounds hold") {
     val d = Tables.documents(spark, sf)
     val rows = Dedup.ngramDupCoverage(d, "doc_id", "text", n = 8).collect()
