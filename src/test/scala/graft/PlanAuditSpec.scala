@@ -134,6 +134,70 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** Distinct hash-partitioning exchanges of an EXECUTED adaptive plan:
+    * plan_id-deduped so a ReusedExchange (which prints the original's
+    * plan_id) never double-counts. */
+  /** FINAL adaptive plan text only: executedPlan.toString appends the
+    * pre-AQE shape under "== Initial Plan ==", which would double
+    * every operator count. */
+  private def finalPlanText(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def executedHashExchanges(planText: String): Set[String] =
+    """Exchange hashpartitioning[^\[]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(planText).map(_.group(1)).toSet
+
+  test("q105: two fold-level exchanges, corpus scored through a broadcast join") {
+    val df = SparkEntry.queries("q105_prototype_scores")(spark, dir)
+    val p = finalPlanText(df)
+    val ex = executedHashExchanges(p)
+    // exactly the two groupByKey levels (id-block partials, per-label
+    // fold); the #labels centroid side broadcasts, so the corpus is
+    // NEVER hash-exchanged for scoring
+    assert(ex.size == 2, s"expected 2 fold exchanges, got $ex")
+    assert(p.contains("BroadcastHashJoin"), "centroid join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus re-shuffled for scoring")
+  }
+
+  test("q103: one cogroup on the cell key, no join operators") {
+    val df = SparkEntry.queries("q103_incr_semdedup")(spark, dir)
+    val p = finalPlanText(df)
+    val ex = executedHashExchanges(p)
+    // each side of the batch-vs-index mine crosses the wire once, into
+    // the pair kernel — never through a row-multiplying join
+    assert(p.contains("CoGroup"), "pair kernel missing")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "cell mine must not plan a join")
+    assert(ex.size == 2, s"expected 2 cell exchanges, got $ex")
+  }
+
+  test("q102: the dense grid generates once and never shuffles") {
+    val df = SparkEntry.queries("q102_seasonal_gapfill")(spark, dir)
+    val p = finalPlanText(df)
+    val ex = executedHashExchanges(p)
+    // grid = two-level chunked explode (2 Generate nodes) + the
+    // period-position explode (1): if the profile ever reads the dense
+    // frame again (the first-cut 6x shape) the grid Generates double
+    val gens = p.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(gens.size == 3,
+      s"expected 3 Generate nodes, got ${gens.size}:\n${gens.mkString("\n")}")
+    // observed-side aggregates only: series distinct (reused), the
+    // bucket-count agg once per branch (the profile branch's scan
+    // carries an extra pushed isnotnull(pmod(...)) filter from the
+    // inner pos-join, so the two count exchanges don't canonicalize
+    // equal), and the per-position sums — all OBSERVED-sized; the
+    // grid-sized frame reaches no exchange (both its joins broadcast)
+    assert(ex.size <= 4, s"expected <=4 hash exchanges, got $ex:\n" +
+      p.linesIterator.filter(_.contains("hashpartitioning"))
+        .mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), "grid joins must broadcast " +
+      "at test scale (AQE measured size)")
+  }
+
   test("q16: normalization aggregates map-side before the shuffle") {
     val p = plan("q16_pdp_normalize")
     // bounded explode fan-out, then partial_sum under the exchange and
