@@ -939,7 +939,11 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("__t"))
       .groupBy(col(id))
       .agg(sort_array(collect_set(col("__t"))).as("__cov"))
-    df.select(col(id), TextAnalysis.words(col(text)).as("__ws"))
+    // null-text docs have no tokens to rewrite and are absent (the
+    // gram kernel skips them; emitting a null-metrics row here would
+    // diverge from any token-level replay)
+    df.where(col(text).isNotNull)
+      .select(col(id), TextAnalysis.words(col(text)).as("__ws"))
       .join(cov, Seq(id), "left")
       .withColumn("__cov", coalesce(col("__cov"),
         expr("CAST(array() AS ARRAY<BIGINT>)")))
