@@ -69,6 +69,7 @@ object ScaleBench {
     "q105_prototype_scores", // two-level order-pinned mean + cos scan
     "q106_shard_manifest", // md5 shard assign + in-shard positions
     "q107_dup_span_removal", // gram hits + hit-mass explode + HOF rebuild
+    "q108_bpe_pairs",      // corpus→vocab agg, pair mining on vocab only
     "q100_seasonal_anomaly", // integer-exact profile + broadcast join
     "q97_bm25",            // 1-row reduction + scoring projection + top-k
     "q98_decontaminate_attrib", // broadcast probe + (doc,eval) agg

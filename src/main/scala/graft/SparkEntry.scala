@@ -1707,6 +1707,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // First-iteration BPE pair statistics — the tokenizer-training
+    // merge-candidate table: one corpus pass to the word vocabulary,
+    // pair mining over the VOCAB only (Θ(vocab × word length), corpus
+    // independent), integer counts, deterministic (count DESC, pair)
+    // top-k so both engines select the identical set.
+    "q108_bpe_pairs" -> ((s, dir) =>
+      ext.TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text",
+        k = 50)),
+
     // Duplicate-span REMOVAL — the ExactSubstr rewrite step q82 only
     // reports: tokens under any cross-document duplicated 8-gram are
     // excised from every carrier (the strict symmetric policy — the
@@ -3431,6 +3440,21 @@ object SparkEntry {
         |   AS dup_frac
         |FROM pd JOIN cv ON pd.doc_id = cv.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
+
+    // same vocabulary/pair arithmetic: character substr windows (the
+    // q90 code-point contract), integer counts, identical tiebreak
+    "q108_bpe_pairs" ->
+      s"""$sqlDocWords,
+        |w0 AS (SELECT unnest(ws) AS w FROM d),
+        |wc AS (SELECT w, COUNT(*) AS wc FROM w0 GROUP BY w),
+        |p AS (SELECT substr(w, i, 2) AS pair, wc
+        |      FROM (SELECT w, wc,
+        |            unnest(generate_series(1, len(w) - 1)) AS i
+        |            FROM wc)),
+        |pc AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+        |       FROM p GROUP BY pair)
+        |SELECT pair, pair_count FROM pc
+        |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
 
     // same gram relations as q82; the rebuild keeps tokens whose index
     // joins no covered position, re-joined in order (list ORDER BY i

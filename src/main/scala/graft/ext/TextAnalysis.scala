@@ -216,6 +216,41 @@ object TextAnalysis {
     Array.tabulate(cps.length - 2)(i => new String(cps, i, 3))
   }
 
+  /** First-iteration BPE pair statistics — the tokenizer-TRAINING step
+    * of a data pipeline (the merge-candidate table a BPE trainer ranks
+    * and merges): adjacent code-point pair frequencies over the
+    * corpus, weighted by word frequency. The corpus is touched ONCE
+    * (word explode + count — one exchange carrying (word, count));
+    * pair generation then runs over the DISTINCT VOCABULARY — the
+    * standard BPE-trainer trick, so the inner work is
+    * Θ(vocabulary × word length), independent of corpus row count.
+    * All counts are integers (hash-exact); the top-k ranking breaks
+    * ties (count DESC, pair ASC) so the selected SET is
+    * engine-independent; pair strings are CODE-POINT windows, matching
+    * DuckDB's character substr (the q90 contract).
+    *
+    * Output: (pair, pair_count) — the k most frequent merge
+    * candidates. */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame, text: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = df.select(explode(words(col(text))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .as[(String, Long)]
+    vocab.flatMap { case (w, wc) =>
+        val cps = w.codePoints().toArray
+        if (cps.length < 2) Iterator.empty
+        else (0 until cps.length - 1).iterator
+          .map(i => (new String(cps, i, 2), wc))
+      }
+      .toDF("pair", "wc")
+      .groupBy("pair").agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Character-trigram language-model quality score — the
     * "does this look like language X" filter of a curation pipeline
     * (fastText-style LM filtering), in EXACT RATIONAL form so the

@@ -423,6 +423,26 @@ class CurationSpec extends SparkSuite {
       budget = 100L, shards = 1).collect().nonEmpty)
   }
 
+  test("bpePairCounts: vocabulary-weighted code-point pairs, " +
+      "deterministic top-k") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab xx"))
+      .toDF("doc_id", "text")
+    // vocab ab->3, abc->1, xx->1; pairs: "ab" 3+1, "bc" 1, "xx" 1
+    val got = ext.TextAnalysis.bpePairCounts(docs, "text", 50)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 4L), ("bc", 1L), ("xx", 1L)))
+    assert(ext.TextAnalysis.bpePairCounts(docs, "text", 1)
+      .as[(String, Long)].collect().toSeq == Seq(("ab", 4L)))
+    // pairs are CODE-POINT windows: a supplementary-plane char (one
+    // code point, two UTF-16 units) pairs with its neighbor whole —
+    // a code-unit window would emit a lone surrogate
+    val uni = Seq((1L, "😀a b")).toDF("doc_id", "text")
+    assert(ext.TextAnalysis.bpePairCounts(uni, "text", 10)
+      .as[(String, Long)].collect().toSeq ==
+      Seq((new String(Array(0x1F600, 'a'.toInt), 0, 2), 1L)))
+  }
+
   test("shardManifest: assignment and positions equal the independent " +
       "digest computation; shards partition the corpus") {
     import org.apache.spark.sql.functions.col
