@@ -70,6 +70,7 @@ object ScaleBench {
     "q106_shard_manifest", // md5 shard assign + in-shard positions
     "q107_dup_span_removal", // gram hits + hit-mass explode + HOF rebuild
     "q108_bpe_pairs",      // corpus→vocab agg, pair mining on vocab only
+    "q109_robust_anomaly", // bounded median/MAD aggregates + AQE joins
     "q100_seasonal_anomaly", // integer-exact profile + broadcast join
     "q97_bm25",            // 1-row reduction + scoring projection + top-k
     "q98_decontaminate_attrib", // broadcast probe + (doc,eval) agg
@@ -154,6 +155,14 @@ object ScaleBench {
         Tables.events(s, dir).where(col("user_id") % 1000000L < 40),
         Seq("user_id"), "ts_sec", bucketSec = 3600L, period = 24,
         k = 2.0)),
+    // q109 on the replica-aware slice (40 series per replica): the
+    // bounded quantile state is span/period values per (series, pos)
+    // — constant per group while groups scale ×K
+    "q109_robust_scale" -> ((s: SparkSession, dir: String) =>
+      graft.hw.SeasonalProfile.robustAnomalies(
+        Tables.events(s, dir).where(col("user_id") % 1000000L < 40),
+        Seq("user_id"), "ts_sec", bucketSec = 3600L, period = 24,
+        k = 3.0)),
     // gap-filled q102 on the same replica-aware slice: the dense
     // output is #series × span-buckets BY DESIGN, so K× series means
     // K× grid rows over the replica-constant time window — the axis a

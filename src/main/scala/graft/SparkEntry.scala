@@ -1577,6 +1577,18 @@ object SparkEntry {
           k = 2.0)
         .orderBy("user_id", "bucket")),
 
+    // Median/MAD robust seasonal anomalies — the moment-free
+    // complement of q100 (a spike can't inflate its own detection
+    // threshold): exact integer medians via the bounded quantile
+    // aggregate over the composite (series, pos) key; the only float
+    // is the final (k·1.4826)·MAD product, compared multiplicatively.
+    "q109_robust_anomaly" -> ((s, dir) =>
+      hw.SeasonalProfile.robustAnomalies(
+          Tables.events(s, dir).where(col("user_id") < 40),
+          Seq("user_id"), "ts_sec", bucketSec = 3600L, period = 24,
+          k = 3.0)
+        .orderBy("user_id", "bucket")),
+
     // Incremental SemDeDup — the batch-vs-index axis (the q46 LSH law)
     // for the k-means cell family: the 20% "arriving" slice assigns
     // against the quantizer persisted at index-build time and mines
@@ -2457,6 +2469,39 @@ object SparkEntry {
         | abs(CAST(cp.c AS DOUBLE) - pr.mean) > 2 * pr.std AS is_anomaly
         |FROM cp JOIN pr USING (user_id, pos)
         |ORDER BY cp.user_id, cp.bucket""".stripMargin,
+
+    // the same rank-CEIL(q·n) selection as q91's oracle, twice (median
+    // of counts, then median of absolute deviations); the flag's only
+    // float is the literal-exact (k·1.4826)·MAD product
+    "q109_robust_anomaly" ->
+      """WITH e0 AS (
+        | SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec FROM events
+        | WHERE user_id < 40),
+        |e AS (SELECT * FROM e0 WHERE ts_sec >= 0),
+        |c AS (
+        | SELECT user_id, ts_sec // 3600 AS bucket, COUNT(*) AS c
+        | FROM e GROUP BY user_id, bucket),
+        |cp AS (SELECT user_id, bucket, c, bucket % 24 AS pos FROM c),
+        |m AS (SELECT user_id, pos, c AS med FROM (
+        | SELECT user_id, pos, c,
+        |  row_number() OVER (PARTITION BY user_id, pos ORDER BY c) AS rn,
+        |  COUNT(*) OVER (PARTITION BY user_id, pos) AS n
+        | FROM cp) WHERE rn = CEIL(0.5 * n)),
+        |dv AS (SELECT cp.user_id, cp.bucket, cp.pos, cp.c, m.med,
+        |       abs(cp.c - m.med) AS adev
+        |       FROM cp JOIN m USING (user_id, pos)),
+        |md AS (SELECT user_id, pos, adev AS mad FROM (
+        | SELECT user_id, pos, adev,
+        |  row_number() OVER (PARTITION BY user_id, pos
+        |    ORDER BY adev) AS rn,
+        |  COUNT(*) OVER (PARTITION BY user_id, pos) AS n
+        | FROM dv) WHERE rn = CEIL(0.5 * n))
+        |SELECT dv.user_id, dv.bucket, dv.pos, dv.c, dv.med, md.mad,
+        | CAST(dv.adev AS DOUBLE) >
+        |  (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE))
+        |    * CAST(md.mad AS DOUBLE) AS is_anomaly
+        |FROM dv JOIN md USING (user_id, pos)
+        |ORDER BY dv.user_id, dv.bucket""".stripMargin,
 
     // SemDeDup replay: the q66 k-means chain trains `cent`, every
     // corpus vector assigns to its max-cosine cell (ties to the lower

@@ -616,7 +616,16 @@ object Curation {
     * Memory per group is bounded by `maxSlots`, loudly. */
   def exactQuantilesPerGroup(df: DataFrame, group: String, value: Column,
       qs: Seq[(String, Double)],
+      maxSlots: Int = 1 << 24): DataFrame =
+    exactQuantilesPerGroups(df, Seq(group), value, qs, maxSlots)
+
+  /** [[exactQuantilesPerGroup]] over a COMPOSITE key — the untyped
+    * udaf binding makes this free (every group column keeps its
+    * original type; the r11 review rework's payoff). */
+  def exactQuantilesPerGroups(df: DataFrame, groups: Seq[String],
+      value: Column, qs: Seq[(String, Double)],
       maxSlots: Int = 1 << 24): DataFrame = {
+    require(groups.nonEmpty, "need at least one group column")
     require(qs.nonEmpty, "need at least one quantile")
     // q = 0 would index rank 0 (the window form yields null there) and
     // q > 1 would index past the group — both are caller errors, failed
@@ -645,9 +654,9 @@ object Curation {
     // being flattened to string by a typed-key encoder
     val agg = new CeilQuantilesAggregator(qs.map(_._2).toArray, maxSlots)
     val qagg = udaf(agg, org.apache.spark.sql.Encoders.scalaLong)
-    df.groupBy(col(group))
+    df.groupBy(groups.map(col): _*)
       .agg(qagg(checked).as("__qv"))
-      .select(col(group) +: qs.zipWithIndex.map { case ((nme, _), i) =>
+      .select(groups.map(col) ++ qs.zipWithIndex.map { case ((nme, _), i) =>
         element_at(col("__qv"), i + 1).as(nme)
       }: _*)
   }

@@ -146,6 +146,55 @@ object SeasonalProfile {
           lit(k) * col("std")).as("is_anomaly")): _*)
   }
 
+  /** Median/MAD ROBUST variant of [[anomalies]] — the mean/std profile
+    * is itself distorted by the outliers it hunts (one huge spike
+    * inflates std enough to mask the next one; the classic breakdown
+    * of moment-based detection the robust-statistics literature fixes
+    * with the median absolute deviation): per (series, position) the
+    * profile is the exact MEDIAN count and the exact MAD, and a bucket
+    * flags when |c − med| > k · 1.4826 · MAD (1.4826 ≈ 1/Φ⁻¹(3/4), the
+    * consistency constant making MAD comparable to σ under normality).
+    *
+    * Exactness: counts are integers, the median is the rank-⌈n/2⌉
+    * VALUE (an integer — [[graft.ext.Curation.exactQuantilesPerGroups]],
+    * the bounded typed aggregate, composite (series…, pos) key), so
+    * |c − med| and the MAD are integers too; the only floating point
+    * is the final (k · 1.4826) · MAD product — literal-exact in both
+    * engines, compared MULTIPLICATIVELY (no z division → no NaN; a
+    * zero-MAD position, where a strict majority of counts are
+    * identical, flags ANY deviation — the documented sharp edge of
+    * MAD detection, and exactly reproducible cross-engine because the
+    * comparison is integer > 0).
+    *
+    * Scale shape: one bucket-count shuffle, then two bounded-aggregate
+    * passes whose per-group state is the (series, position) bucket
+    * list (≤ span/period values — loud maxSlots), and two
+    * AQE-size-gated profile joins. No per-sample recurrence.
+    *
+    * Output: (series…, bucket, pos, c, med, mad, is_anomaly). */
+  def robustAnomalies(events: DataFrame, series: Seq[String],
+      tsSecCol: String, bucketSec: Long, period: Int,
+      k: Double): DataFrame = {
+    require(bucketSec > 0 && period > 0 && k >= 0,
+      s"bucketSec=$bucketSec, period=$period, k=$k")
+    val sc = series.map(col)
+    val counts = bucketCounts(events, series, tsSecCol, bucketSec)
+      .withColumn("pos", pmod(col("bucket"), lit(period.toLong)))
+    val keys = series :+ "pos"
+    val med = graft.ext.Curation.exactQuantilesPerGroups(
+      counts, keys, col("c"), Seq(("med", 0.5)))
+    val withMed = counts.join(med, keys)
+      .withColumn("adev", abs(col("c") - col("med")))
+    val mad = graft.ext.Curation.exactQuantilesPerGroups(
+      withMed, keys, col("adev"), Seq(("mad", 0.5)))
+    withMed.join(mad, keys)
+      .select(sc ++ Seq(col("bucket"), col("pos"), col("c"), col("med"),
+        col("mad"),
+        (col("adev").cast("double") >
+          lit(k) * lit(1.4826) * col("mad").cast("double"))
+          .as("is_anomaly")): _*)
+  }
+
   /** Observed (series, bucket) event counts — integer, partial-agg'd. */
   private def bucketCounts(events: DataFrame, series: Seq[String],
       tsSecCol: String, bucketSec: Long): DataFrame =

@@ -278,6 +278,38 @@ class SessionizeSpec extends SparkSuite {
     assert(pos1.forall(!_._7), "zero-variance position must not flag")
   }
 
+  test("robust median/MAD anomalies: flags the spike the mean/std " +
+      "profile masks; exact integer medians") {
+    def burst(bucket: Long, n: Int): Seq[(Long, Long)] =
+      (0 until n).map(i => (1L, bucket * 60L + i))
+    // pos 0 counts (5,5,5,50): median 5, MAD 0 -> the 50 flags (the
+    // zero-MAD sharp edge: a strict-majority-constant position flags
+    // ANY deviation). pos 1 constant (2,2,2,2): nothing. pos 2
+    // (1,2,3,10): median 2, MAD 1, threshold 3*1.4826 = 4.4478 -> only
+    // the 10 (adev 8) flags.
+    val ev = (Seq(0L -> 5, 3L -> 5, 6L -> 5, 9L -> 50) ++
+      Seq(1L -> 2, 4L -> 2, 7L -> 2, 10L -> 2) ++
+      Seq(2L -> 1, 5L -> 2, 8L -> 3, 11L -> 10))
+      .flatMap { case (b, n) => burst(b, n) }.toDF("user_id", "ts_sec")
+    val got = hw.SeasonalProfile.robustAnomalies(ev, Seq("user_id"),
+        "ts_sec", bucketSec = 60L, period = 3, k = 3.0)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(got.map(_._2) == (0L to 11L))
+    assert(got.filter(_._7).map(_._2) == Seq(9L, 11L))
+    val byPos = got.groupBy(_._3)
+    assert(byPos(0L).map(r => (r._5, r._6)).distinct == Seq((5L, 0L)))
+    assert(byPos(1L).map(r => (r._5, r._6)).distinct == Seq((2L, 0L)))
+    assert(byPos(2L).map(r => (r._5, r._6)).distinct == Seq((2L, 1L)))
+    // the mean/std profile at k=2 MISSES the pos-0 spike — the 50
+    // inflates its own position's std (16.25 ± 2·19.49 covers it).
+    // This masking is exactly why the robust variant exists.
+    val meanStd = hw.SeasonalProfile.anomalies(ev, Seq("user_id"),
+      "ts_sec", bucketSec = 60L, period = 3, k = 2.0)
+    assert(meanStd.where($"bucket" === 9L && $"is_anomaly").count() == 0L)
+  }
+
   test("gap-filled seasonal profile: a planted silent hour flags; the " +
       "observed-only variant cannot see it") {
     // series 1, period 3, bucket 60 s, span buckets 0..11.
