@@ -193,6 +193,104 @@ object ProfileQ94Sparse {
   }
 }
 
+/** Stage profile for the auto-cells SemDeDup shape (q99_auto_cells):
+  * separates centroid seeding (sample collect), the n·c assignment
+  * scan, and the within-cell pair mining, at a given dir — the
+  * auto-sized quantizer makes pair work linear (Σ|cell|² ≈ n·occ) but
+  * assignment is n·c cosines with c ∝ n, the declared index-build
+  * cost. Diagnostic only. */
+object ProfileQ99 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_scale/x100")
+    val nProbes = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof99] $name%-26s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val e = Tables.documents(spark, dir).sparkSession // warm nothing
+    val emb = Tables.embeddings(spark, dir)
+    val n = t("corpus count")(emb.count())
+    val c = math.max(16L, n / 64L).toInt
+    println(s"[prof99] n=$n c=$c")
+    val cent = t("seed centroids (collect)") {
+      val df = ext.Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        64, c = c, iters = 0, sampleRate = 0.2)
+      df.count(); df
+    }
+    val assigned = t("assignment scan + materialize") {
+      ext.Dedup.materialize(
+        ext.Similarity.ivfIndex(emb, cent, "vec_id", "embedding", 64)
+          .where(org.apache.spark.sql.functions.col("norm") > 0))
+    }
+    val cells = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("m"))
+    val occ = cells.agg(sum(col("m")).as("n"),
+      sum(col("m") * col("m")).as("s2")).head
+    println(s"[prof99] cells: sum=${occ.getLong(0)} sumSq=${occ.getLong(1)}")
+    val pairs = t("within-cell pair mining") {
+      // the q99 kernel over the PRE-ASSIGNED frame: isolates pair work
+      import spark.implicits._
+      assigned.select(col("cell"), col("vec_id").cast("long"),
+          col("embedding"), col("norm"))
+        .as[(Long, Long, Array[Double], Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val buf = it.toArray
+          if (buf.length > 10000) Iterator.empty
+          else {
+            var s = 0L
+            for (i <- buf.indices.iterator; j <- (i + 1) until buf.length) {
+              val a = buf(i); val b = buf(j)
+              var d = 0.0; var k = 0
+              while (k < 64) { d += a._3(k) * b._3(k); k += 1 }
+              if (d / (a._4 * b._4) >= 0.40) s += 1
+            }
+            Iterator.single(s)
+          }
+        }.reduce(_ + _)
+    }
+    println(s"[prof99] pairs >= tau: $pairs")
+    // probed two-level assignment: wall + agreement with the exact
+    // argmax + pair recall (the boundary-loss number)
+    val probedAsg = t(s"probed assignment ($nProbes) + mat") {
+      ext.Dedup.materialize(
+        ext.Similarity.ivfIndexProbed(emb, cent, "vec_id", "embedding",
+            64, probes = nProbes)
+          .where(org.apache.spark.sql.functions.col("norm") > 0))
+    }
+    val agree = probedAsg.select(col("vec_id"), col("cell").as("pc"))
+      .join(assigned.select(col("vec_id"), col("cell").as("ec")), "vec_id")
+      .select(sum(when(col("pc") === col("ec"), 1L).otherwise(0L)),
+        count(lit(1))).head
+    println(s"[prof99] probed agreement: ${agree.getLong(0)}/" +
+      s"${agree.getLong(1)}")
+    import spark.implicits._
+    val exactPairs = t("exact pairs") {
+      ext.Similarity.semanticNearDupPairs(emb, cent, "vec_id",
+          "embedding", 64, tau = 0.40, maxCell = 10000)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    }
+    val probedPairs = t("probed pairs") {
+      ext.Similarity.semanticNearDupPairsProbed(emb, cent, "vec_id",
+          "embedding", 64, tau = 0.40, probes = nProbes)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    }
+    val hit = (exactPairs & probedPairs).size
+    println(s"[prof99] pair recall: $hit/${exactPairs.size} " +
+      f"(${if (exactPairs.isEmpty) 1.0 else hit.toDouble / exactPairs.size}%.4f)")
+    spark.stop()
+  }
+}
+
 /** Stage profile for q79 (perceptual image near-dup pairs): separates
   * the corpus-linear PNG encode→decode→aHash pass from the banded
   * Hamming join + kernel verify, and counts the candidate volume the

@@ -183,6 +183,18 @@ object ScaleBench {
       // the operator's DEFAULT auto-sized-quantizer entry point
       ext.Similarity.semanticNearDupPairs(Tables.embeddings(s, dir),
         "vec_id", "embedding", 64, tau = 0.40)),
+    // auto cells with the PROBED two-level assignment (O(n·√c) cosines
+    // vs the exact path's O(n·c) — ProfileQ99 measured assignment as
+    // the dominant auto-cells slope); boundary recall vs the exact
+    // assignment is ProfileQ99's printed number
+    "q99_probed_cells" -> ((s: SparkSession, dir: String) => {
+      val e = Tables.embeddings(s, dir)
+      val c = math.max(16L, e.count() / 64L).toInt
+      val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        64, c = c, iters = 0, sampleRate = 0.2)
+      ext.Similarity.semanticNearDupPairsProbed(e, cent, "vec_id",
+        "embedding", 64, tau = 0.40)
+    }),
     // q103 with (a) the split WITHIN each replica (embeddings vec_ids
     // shift by 1e7/replica, so the oracle's value threshold would put
     // replica 0 alone in the index — the q46_incr_scale degeneracy)

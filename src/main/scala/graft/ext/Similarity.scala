@@ -671,11 +671,19 @@ object Similarity {
     */
   def semanticNearDupPairs(corpus: DataFrame, centroids: DataFrame,
       id: String, vec: String, dim: Int, tau: Double,
-      maxCell: Int): DataFrame = {
-    val spark = corpus.sparkSession
+      maxCell: Int): DataFrame =
+    withinCellPairs(ivfIndex(corpus, centroids, id, vec, dim),
+      id, vec, dim, tau, maxCell)
+
+  /** The shared q99 pair stage: ONE shuffle of an assigned frame on
+    * its cell key into the grouped pair kernel (bounded mega-cell
+    * buffering, strict-fold cosine). */
+  private def withinCellPairs(assigned: DataFrame, id: String,
+      vec: String, dim: Int, tau: Double, maxCell: Int): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
     val d = dotK(dim) _
-    ivfIndex(corpus, centroids, id, vec, dim)
+    assigned
       .where(col("norm") > 0)
       .select(col("cell"), col(id).cast("long"), col(vec), col("norm"))
       .as[(Long, Long, Array[Double], Double)]
@@ -707,6 +715,106 @@ object Similarity {
       }
       .toDF("id1", "id2", "cosine")
   }
+
+  /** Probed (two-level) cell assignment — the SUBQUADRATIC companion
+    * of [[ivfIndex]] for quantizers whose cell count grows with the
+    * corpus: the auto-cells default sets c ∝ n, which makes exact
+    * assignment Θ(n·c) = Θ(n²/occupancy) cosines — ProfileQ99 measured
+    * it as the dominant q99_auto_cells slope (4.2× of the 100× wall
+    * while pair mining stayed exactly linear). Here the centroids
+    * themselves group on the driver into ⌈√c⌉ coarse buckets (each
+    * centroid assigned to its max-cosine coarse seed, ties to the
+    * lower id — IVF-of-IVF, the faiss two-level trick), and a vector
+    * scans the √c coarse seeds plus only the member centroids of its
+    * `probes` best buckets: O(√c·(1+probes)) cosines per vector.
+    *
+    * `probes` ≥ #coarse degenerates to EXACT [[ivfIndex]] assignment
+    * (spec-pinned law — the explicit (cosine, cid) tie rule makes scan
+    * order irrelevant); smaller probes trade a measured boundary
+    * recall loss — the same loss class cell quantization itself has —
+    * for the subquadratic index build. Deterministic throughout: fixed
+    * seeds (the g lowest-cid centroids of an already hash-random
+    * seeding), fixed tie rules, no RNG. */
+  def ivfIndexProbed(corpus: DataFrame, centroids: DataFrame, id: String,
+      vec: String, dim: Int, probes: Int = 4): DataFrame = {
+    require(probes >= 1, s"probes=$probes must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val cs = collectNormed(centroids, id, vec, dim)
+    require(cs.nonEmpty, "empty centroid frame")
+    val g = math.ceil(math.sqrt(cs.length.toDouble)).toInt
+    val coarse = cs.take(g)
+    val members: Array[Array[Int]] = {
+      val bs = Array.fill(g)(new scala.collection.mutable.ArrayBuffer[Int])
+      cs.indices.foreach { ci =>
+        val (_, cv, cn) = cs(ci)
+        var best = 0
+        var bestC = Double.NegativeInfinity
+        var j = 0
+        while (j < g) {
+          val c = d(cv, coarse(j)._2) / (cn * coarse(j)._3)
+          if (c > bestC) { bestC = c; best = j }
+          j += 1
+        }
+        bs(best) += ci
+      }
+      bs.map(_.toArray)
+    }
+    val bc = spark.sparkContext.broadcast((cs, coarse, members))
+    corpus.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (csv, co, mem) = bc.value
+        val p = math.min(probes, co.length)
+        it.flatMap { case (nid, v) =>
+          if (v == null || v.length < dim) None else Some {
+            val n = math.sqrt(d(v, v))
+            if (n == 0) (-1L, nid, v, 0.0) // the exact path's NaN sink
+            else {
+              val gcos = Array.tabulate(co.length)(j =>
+                d(v, co(j)._2) / (n * co(j)._3))
+              val used = new Array[Boolean](co.length)
+              var best = -1L
+              var bestC = Double.NegativeInfinity
+              var t = 0
+              while (t < p) {
+                var bj = -1
+                var bcos = Double.NegativeInfinity
+                var j = 0
+                while (j < co.length) {
+                  if (!used(j) && gcos(j) > bcos) { bcos = gcos(j); bj = j }
+                  j += 1
+                }
+                used(bj) = true
+                val ms = mem(bj)
+                var q = 0
+                while (q < ms.length) {
+                  val (cid, cv, cn) = csv(ms(q))
+                  val c = d(v, cv) / (n * cn)
+                  if (c > bestC || (c == bestC && cid < best)) {
+                    bestC = c; best = cid
+                  }
+                  q += 1
+                }
+                t += 1
+              }
+              (best, nid, v, n)
+            }
+          }
+        }
+      }.toDF("cell", id, vec, "norm")
+  }
+
+  /** [[semanticNearDupPairs]] over the PROBED assignment — the
+    * corpus-scale index-build shape (assignment O(n·√c) instead of the
+    * exact path's O(n·c); same linear pair stage). Not oracle-gated:
+    * probing trades boundary recall, measured in SCALE.md. */
+  def semanticNearDupPairsProbed(corpus: DataFrame, centroids: DataFrame,
+      id: String, vec: String, dim: Int, tau: Double,
+      maxCell: Int = 10000, probes: Int = 4): DataFrame =
+    withinCellPairs(ivfIndexProbed(corpus, centroids, id, vec, dim,
+      probes), id, vec, dim, tau, maxCell)
 
   /** The DEFAULT [[semanticNearDupPairs]] entry point: the quantizer is
     * auto-sized to the corpus (the [[cosineNearDupPairs]] auto-planes

@@ -170,6 +170,37 @@ class SessionizeSpec extends SparkSuite {
       .count() == 0L)
   }
 
+  test("ivfIndexProbed: probing every coarse bucket IS the exact " +
+      "assignment; partial probing stays structurally valid") {
+    val e = Tables.embeddings(spark, sf)
+    val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      64, c = 25, iters = 1, sampleRate = 0.5)
+    def asg(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select($"vec_id".cast("long"), $"cell")
+        .as[(Long, Long)].collect().toMap
+    val exact = asg(ext.Similarity.ivfIndex(e, cent, "vec_id",
+      "embedding", 64))
+    // c=25 -> g=5 coarse buckets: probes >= 5 scans every centroid and
+    // the explicit (cosine, cid) tie rule makes scan order irrelevant
+    val full = asg(ext.Similarity.ivfIndexProbed(e, cent, "vec_id",
+      "embedding", 64, probes = 5))
+    assert(full == exact)
+    // partial probing: same row universe, every cell a real centroid
+    val cids = cent.select($"vec_id".cast("long")).as[Long].collect().toSet
+    val part = asg(ext.Similarity.ivfIndexProbed(e, cent, "vec_id",
+      "embedding", 64, probes = 1))
+    assert(part.keySet == exact.keySet)
+    assert(part.values.forall(c => cids(c) || c == -1L))
+    // and the probed PAIR operator at full probes equals the exact one
+    val pExact = ext.Similarity.semanticNearDupPairs(e, cent, "vec_id",
+        "embedding", 64, tau = 0.30, maxCell = 10000)
+      .as[(Long, Long, Double)].collect().toSet
+    val pFull = ext.Similarity.semanticNearDupPairsProbed(e, cent,
+        "vec_id", "embedding", 64, tau = 0.30, probes = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pFull == pExact)
+  }
+
   test("semanticNearDupPairs default == explicit seeded chain at the " +
       "derived cell count") {
     val e = Tables.embeddings(spark, sf)
