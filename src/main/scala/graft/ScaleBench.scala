@@ -332,6 +332,13 @@ object ScaleBench {
     "q95_stream_scale" -> ((s: SparkSession, dir: String) =>
       SparkEntry.streamingSessionizeQueryWithState(s, dir,
         col("user_id") % 1000000L < 30)),
+    // streaming seasonal counts: state rows = OPEN tumbling windows ×
+    // series (with the whole input in batch 1, every occupied
+    // (series, hour) window stays open until the sentinel) — the law
+    // to confirm is rows ∝ observed buckets
+    "q110_stream_scale" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.streamingSeasonalQueryWithState(s, dir,
+        col("user_id") % 1000000L < 30)),
     // Same q72 body under the RocksDB state store — the provider a
     // 100 TB deployment runs once state exceeds executor heap (the
     // HDFSBacked map holds ~500 MB at the 100× replica). Same output;

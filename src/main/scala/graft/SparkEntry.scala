@@ -1577,6 +1577,16 @@ object SparkEntry {
           k = 2.0)
         .orderBy("user_id", "bucket")),
 
+    // Streaming seasonal anomalies — the FIFTH real micro-batch
+    // execution: the corpus-sized half (hourly counts per series)
+    // streams through tumbling event-time windows under a watermark
+    // (state ∝ open windows × series, the q72 law), and the exact
+    // profile+flag stage — literally shared code with q100 — runs over
+    // the emitted hour-sized rows. Output ≡ q100, oracle unchanged.
+    "q110_streaming_anomaly" -> ((s, dir) => {
+      streamingSeasonalQueryWithState(s, dir, col("user_id") < 40)._1
+    }),
+
     // Median/MAD robust seasonal anomalies — the moment-free
     // complement of q100 (a spike can't inflate its own detection
     // threshold): exact integer medians via the bounded quantile
@@ -2409,30 +2419,14 @@ object SparkEntry {
     // same integer-exact profile: Σc/Σc² are exact BIGINTs, mean and
     // s²/n single IEEE divides, sqrt correctly rounded, and the flag
     // compares |c−mean| against k·std without dividing
-    "q100_seasonal_anomaly" ->
-      """WITH e0 AS (
-        | SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec FROM events
-        | WHERE user_id < 40),
-        |e AS (SELECT * FROM e0 WHERE ts_sec >= 0),
-        |c AS (
-        | SELECT user_id, ts_sec // 3600 AS bucket, COUNT(*) AS c
-        | FROM e GROUP BY user_id, bucket),
-        |cp AS (SELECT user_id, bucket, c, bucket % 24 AS pos FROM c),
-        |p AS (
-        | SELECT user_id, pos, COUNT(*) AS n, SUM(c) AS s, SUM(c*c) AS ss
-        | FROM cp GROUP BY user_id, pos),
-        |pr AS (
-        | SELECT user_id, pos,
-        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-        |  sqrt((CAST(ss AS DOUBLE) -
-        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-        |    / CAST(n AS DOUBLE)) AS std
-        | FROM p)
-        |SELECT cp.user_id, cp.bucket, cp.pos, cp.c, pr.mean, pr.std,
-        | abs(CAST(cp.c AS DOUBLE) - pr.mean) > 2 * pr.std AS is_anomaly
-        |FROM cp JOIN pr USING (user_id, pos)
-        |ORDER BY cp.user_id, cp.bucket""".stripMargin,
+    "q100_seasonal_anomaly" -> sqlSeasonalAnomaly,
 
+    // the streaming run emits the IDENTICAL hourly counts (tumbling
+    // windows align at the epoch) into the shared profile stage —
+    // same output, same oracle
+    "q110_streaming_anomaly" -> sqlSeasonalAnomaly,
+
+    
     // same profile arithmetic over the DENSE grid: every observed
     // series crosses the global [min, max] bucket span (the
     // unnest(generate_series) idiom), unobserved buckets coalesce to
@@ -4030,6 +4024,21 @@ object SparkEntry {
       pred: org.apache.spark.sql.Column): DataFrame =
     streamingSessionizeQueryWithState(s, dir, pred)._1
 
+  private[graft] def streamingSeasonalQueryWithState(s: SparkSession,
+      dir: String, pred: org.apache.spark.sql.Column)
+      : (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]) = {
+    val ev = Tables.events(s, dir).where(pred)
+      .select(col("user_id"), col("ts_us"))
+    val sentinel = s.range(1).select(
+      lit(-1L).as("user_id"),
+      lit(4102444800000000L).as("ts_us")) // 2100-01-01, past all data
+    val (out, st) = graft.streaming.StreamingSeasonal
+      .seasonalFileRunWithState(s, ev, sentinel, Seq("user_id"), "ts_us",
+        bucketSec = 3600L, period = 24, k = 2.0, latenessSec = 0L)
+    (out.where(col("user_id") >= 0) // sentinel window never closes
+      .orderBy("user_id", "bucket"), st)
+  }
+
   private[graft] def streamingSessionizeQueryWithState(s: SparkSession,
       dir: String, pred: org.apache.spark.sql.Column)
       : (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]) = {
@@ -4349,6 +4358,30 @@ object SparkEntry {
   private def sqlHexToLong(hexExpr: String): String =
     s"list_reduce(list_transform(regexp_extract_all($hexExpr, '.'), " +
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
+
+  private val sqlSeasonalAnomaly: String =
+    """WITH e0 AS (
+        | SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec FROM events
+        | WHERE user_id < 40),
+        |e AS (SELECT * FROM e0 WHERE ts_sec >= 0),
+        |c AS (
+        | SELECT user_id, ts_sec // 3600 AS bucket, COUNT(*) AS c
+        | FROM e GROUP BY user_id, bucket),
+        |cp AS (SELECT user_id, bucket, c, bucket % 24 AS pos FROM c),
+        |p AS (
+        | SELECT user_id, pos, COUNT(*) AS n, SUM(c) AS s, SUM(c*c) AS ss
+        | FROM cp GROUP BY user_id, pos),
+        |pr AS (
+        | SELECT user_id, pos,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  sqrt((CAST(ss AS DOUBLE) -
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) AS std
+        | FROM p)
+        |SELECT cp.user_id, cp.bucket, cp.pos, cp.c, pr.mean, pr.std,
+        | abs(CAST(cp.c AS DOUBLE) - pr.mean) > 2 * pr.std AS is_anomaly
+        |FROM cp JOIN pr USING (user_id, pos)
+        |ORDER BY cp.user_id, cp.bucket""".stripMargin
 
   /** Deterministic dot product: strict left fold over vector positions —
     * matches Similarity.dot's aggregate(0.0, +) order exactly. */

@@ -211,8 +211,9 @@ object SeasonalProfile {
   /** Shared profile + flag stage over (series…, bucket, c, pos) rows:
     * exact-integer position profiles, then the multiplicative k·std
     * flag. The profile join is deliberately hint-free — see the object
-    * doc for the AQE size gate. */
-  private def profiled(counts: DataFrame, series: Seq[String],
+    * doc for the AQE size gate. (package-visible: the streaming
+    * complement feeds it the micro-batch-emitted counts.) */
+  private[graft] def profiled(counts: DataFrame, series: Seq[String],
       k: Double): DataFrame = {
     val sc = series.map(col)
     val prof = counts

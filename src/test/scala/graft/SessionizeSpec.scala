@@ -309,6 +309,32 @@ class SessionizeSpec extends SparkSuite {
     assert(pos1.forall(!_._7), "zero-variance position must not flag")
   }
 
+  test("streaming seasonal anomalies == the batch q100 operator, " +
+      "bit for bit, with real micro-batch state") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pred = col("user_id") < 10
+    val (streamed, st) = SparkEntry
+      .streamingSeasonalQueryWithState(spark, sf, pred)
+    val batch = hw.SeasonalProfile.anomalies(
+        Tables.events(spark, sf).where(pred),
+        Seq("user_id"), "ts_sec", bucketSec = 3600L, period = 24,
+        k = 2.0)
+      .orderBy("user_id", "bucket")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Double, Double, Boolean)]
+        .collect().toSeq
+        .map(r => (r._1, r._2, r._3, r._4,
+          java.lang.Double.doubleToLongBits(r._5),
+          java.lang.Double.doubleToLongBits(r._6), r._7))
+    val sRows = rows(streamed)
+    assert(sRows.nonEmpty && sRows == rows(batch))
+    // the run is a REAL stateful micro-batch query: open tumbling
+    // windows are state rows — at least one per observed (series,
+    // hour) bucket while the watermark sits before them
+    val m = st.getOrElse(fail("no state metrics from the streaming run"))
+    assert(m.maxRows >= sRows.map(r => (r._1, r._2)).distinct.size)
+  }
+
   test("robust median/MAD anomalies: flags the spike the mean/std " +
       "profile masks; exact integer medians") {
     def burst(bucket: Long, n: Int): Seq[(Long, Long)] =
