@@ -1641,6 +1641,31 @@ object SparkEntry {
       ext.Curation.shardManifest(Tables.documents(s, dir), "doc_id", 16)
         .orderBy("shard", "pos")),
 
+    // Cross-lingual duplicate detection — the multilingual-curation
+    // concern shingle/LSH dedup is BLIND to (translations share no
+    // n-grams): semantic pairs joined to the documents table keep only
+    // pairs whose members carry DIFFERENT langs. A pure composition of
+    // the q99 mine + two broadcast-eligible dimension joins — the
+    // pipeline-integration query (dedup → metadata enrichment).
+    "q111_crosslingual_dups" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        64, c = 16, iters = 2, sampleRate = 0.2)
+      val pairs = ext.Similarity.semanticNearDupPairs(e, cent, "vec_id",
+        "embedding", 64, tau = 0.40, maxCell = 10000)
+      val lang = Tables.documents(s, dir).select(col("doc_id"),
+        col("lang"))
+      pairs
+        .join(lang.select(col("doc_id").as("id1"),
+          col("lang").as("lang1")), "id1")
+        .join(lang.select(col("doc_id").as("id2"),
+          col("lang").as("lang2")), "id2")
+        .where(col("lang1") =!= col("lang2"))
+        .select(col("id1"), col("id2"), col("lang1"), col("lang2"),
+          col("cosine"))
+        .orderBy("id1", "id2")
+    }),
+
     // SemDeDup-style semantic dedup candidates: trained k-means cells
     // (the q66 training chain — the oracle replays both Lloyd
     // iterations) prune the pair space to within-cell pairs, exact
@@ -2576,6 +2601,38 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id)
         |   AS BIGINT) AS pos
         |FROM sh ORDER BY shard, pos""".stripMargin,
+
+    // the q99 mine + documents joins, different-langs filter
+    "q111_crosslingual_dups" -> {
+      val chain = sqlKmeansCentChain(c = 16, iters = 2, rate = 0.2,
+        dim = 64)
+      s"""WITH $chain,
+        |v AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0),
+        |asg AS (
+        | SELECT vec_id, embedding, cell FROM (
+        |  SELECT v.vec_id, v.embedding, ct.cid AS cell,
+        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |     ${sqlCos("v.embedding", "ct.cv")} DESC, ct.cid) AS rn
+        |  FROM v CROSS JOIN cent ct) WHERE rn = 1),
+        |cap AS (
+        | SELECT vec_id, embedding, cell FROM asg
+        | QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
+        |pr AS (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${sqlCos("a.embedding", "b.embedding")} AS cosine
+        | FROM cap a JOIN cap b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |x AS (SELECT id1, id2, cosine FROM pr WHERE cosine >= 0.40)
+        |SELECT x.id1, x.id2, d1.lang AS lang1, d2.lang AS lang2,
+        | x.cosine
+        |FROM x JOIN documents d1 ON x.id1 = d1.doc_id
+        |       JOIN documents d2 ON x.id2 = d2.doc_id
+        |WHERE d1.lang <> d2.lang
+        |ORDER BY x.id1, x.id2""".stripMargin
+    },
 
     // incremental == the full q99 mine restricted to batch-touching
     // pairs (the q46 oracle idiom); the 80/20 split derives from the
