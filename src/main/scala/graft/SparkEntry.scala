@@ -484,6 +484,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Dedup-savings report — the number every dedup run is judged by
+    // ("what did it buy"): near-dup components histogrammed by group
+    // size with documents and TOKENS removed under keep-the-min-id
+    // canonical selection (the deterministic baseline policy; q70 is
+    // the quality-argmax refinement). All-integer arithmetic over the
+    // q43 components + one broadcast-eligible canonical-tokens join.
+    "q112_dedup_savings" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = ext.Dedup.lshCandidates(docs, "doc_id", "text", 3, 16, 4)
+        .where(col("sig_agreement") >= 0.25)
+      val comp = ext.Dedup.connectedComponents(cand, "id1", "id2")
+        .select(col("node").as("doc_id"), col("component"))
+      val toks = docs.select(col("doc_id"),
+        ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens").as("t"))
+      val per = comp.join(toks, "doc_id")
+        .groupBy("component")
+        .agg(count(lit(1)).as("sz"), sum(col("t")).as("tt"),
+          min(col("doc_id")).as("canon"))
+        .join(toks.select(col("doc_id").as("canon"),
+          col("t").as("ct")), "canon")
+      per.groupBy(col("sz").as("group_size"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("sz") - 1).as("docs_removed"),
+          sum(col("tt") - col("ct")).as("tokens_removed"))
+        .orderBy("group_size")
+    }),
+
     // PII scrubbing — detection counts + redaction, the safety pass of
     // a training-data pipeline. The corpus text gets deterministic PII
     // planted (id-derived email + IP, identically in both engines) so
@@ -2292,6 +2319,35 @@ object SparkEntry {
         | SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other)
         |SELECT node AS doc_id, LEAST(node, MIN(other)) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // the q43 recursive components + integer token sums under the
+    // same keep-the-min-id policy
+    "q112_dedup_savings" ->
+      s"""WITH RECURSIVE ${sqlLshCand.stripPrefix("WITH ")},
+        |fcand AS (SELECT id1, id2 FROM cand WHERE sig_agreement >= 0.25),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM fcand
+        |          UNION SELECT id2, id1 FROM fcand),
+        |reach AS (
+        | SELECT a AS node, b AS other FROM edges
+        | UNION
+        | SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other),
+        |comp AS (
+        | SELECT node AS doc_id, LEAST(node, MIN(other)) AS component
+        | FROM reach GROUP BY node),
+        |tk AS (SELECT doc_id,
+        |  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS t
+        | FROM documents),
+        |per AS (
+        | SELECT c.component, COUNT(*) AS sz, SUM(tk.t) AS tt,
+        |  MIN(c.doc_id) AS canon
+        | FROM comp c JOIN tk ON c.doc_id = tk.doc_id
+        | GROUP BY c.component)
+        |SELECT per.sz AS group_size,
+        | CAST(COUNT(*) AS BIGINT) AS n_groups,
+        | CAST(SUM(per.sz - 1) AS BIGINT) AS docs_removed,
+        | CAST(SUM(per.tt - ck.t) AS BIGINT) AS tokens_removed
+        |FROM per JOIN tk ck ON per.canon = ck.doc_id
+        |GROUP BY per.sz ORDER BY group_size""".stripMargin,
 
     // same planted PII, same RE2-compatible patterns; DuckDB's
     // regexp_replace needs the 'g' flag to replace all like Spark's
