@@ -484,6 +484,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Training-manifest pipeline — three verified operators composed
+    // end-to-end (the "run your pipeline on this library" story): a
+    // metadata quality gate, the sharded per-lang token-budget cap
+    // (priority = the md5 uniform), then deterministic sequence
+    // packing of the kept set into 512-token bins. The oracle chains
+    // the two single-window forms the sharded operators are
+    // bit-parity-pinned against.
+    "q113_training_manifest" -> ((s, dir) => {
+      val quality = Tables.documents(s, dir)
+        .where(col("n_chars") >= 100 && col("n_chars") <= 10000)
+      val toks = ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
+      val kept = ext.Curation.tokenBudgetCap(quality, "doc_id", "lang",
+        toks, budget = 3000L, shards = 32)
+      ext.Curation.packSequences(kept, "doc_id", "lang",
+          col("n_tokens"), budget = 512L)
+        .orderBy(col("lang").asc_nulls_last, col("doc_id"))
+    }),
+
     // Dedup-savings report — the number every dedup run is judged by
     // ("what did it buy"): near-dup components histogrammed by group
     // size with documents and TOKENS removed under keep-the-min-id
@@ -2319,6 +2337,29 @@ object SparkEntry {
         | SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other)
         |SELECT node AS doc_id, LEAST(node, MIN(other)) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // the chained single-window replay: u-priority budget prefix per
+    // lang (QUALIFY cum <= budget), then the id-ordered packing cumsum
+    // over the KEPT rows only
+    "q113_training_manifest" ->
+      s"""WITH d AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(${sqlHexToLong("substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")} AS DOUBLE)
+        |   / CAST(1152921504606846976 AS DOUBLE) AS u
+        | FROM documents WHERE n_chars BETWEEN 100 AND 10000),
+        |k AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        | FROM d QUALIFY cum <= 3000)
+        |SELECT doc_id, lang, n_tokens,
+        | GREATEST(CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   - 1, 0) // 512 AS pack_id
+        |FROM k ORDER BY lang, doc_id""".stripMargin,
 
     // the q43 recursive components + integer token sums under the
     // same keep-the-min-id policy
