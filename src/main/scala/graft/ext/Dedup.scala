@@ -928,7 +928,13 @@ object Dedup {
     * covered-set aggregate (bounded by doc length — the covered set is
     * a subset of the doc's own positions), and a broadcast-eligible
     * join back to the corpus frame; the rebuild is a codegen'd
-    * higher-order filter over the token array, no kernel.
+    * higher-order expression over the token array, no kernel, and
+    * LINEAR in doc length: kept positions come from ONE hash-probed
+    * `array_except(sequence(1, n_tok), __cov)` — O(n_tok + |cov|) —
+    * then an O(1)-per-position `element_at` gather, where a per-token
+    * `array_contains(__cov, i)` membership test would be
+    * O(n_tok·|cov|), quadratic exactly on the heavily-duplicated docs
+    * this operator targets (round-12 rework; parity spec-pinned).
     *
     * Output: (id, n_tok, kept_tokens, kept_frac, clean_text). */
   def removeDuplicateSpans(df: DataFrame, id: String, text: String,
@@ -947,9 +953,14 @@ object Dedup {
       .join(cov, Seq(id), "left")
       .withColumn("__cov", coalesce(col("__cov"),
         expr("CAST(array() AS ARRAY<BIGINT>)")))
+      // kept positions = ascending set difference (array_except hashes
+      // __cov once per doc); sequence() is guarded because Spark's
+      // sequence(1, 0) steps DOWN to [1, 0] instead of returning empty
       .withColumn("__keep", expr(
-        "filter(__ws, (w, i) -> NOT array_contains(__cov, " +
-          "CAST(i + 1 AS BIGINT)))"))
+        "CASE WHEN size(__ws) = 0 THEN __ws ELSE transform(" +
+          "array_except(sequence(CAST(1 AS BIGINT), " +
+          "CAST(size(__ws) AS BIGINT)), __cov), " +
+          "i -> element_at(__ws, CAST(i AS INT))) END"))
       .select(col(id),
         size(col("__ws")).cast("long").as("n_tok"),
         size(col("__keep")).cast("long").as("kept_tokens"),

@@ -96,6 +96,70 @@ class DupSpanSpec extends SparkSuite {
     }
   }
 
+  test("linear rebuild (array_except gather) ≡ per-token membership " +
+      "filter on the real corpus and on heavy-dup planted docs") {
+    import spark.implicits._
+    // the pre-round-12 rebuild form, kept here as the parity reference:
+    // per-token array_contains over a brute-force-derived covered set
+    // (O(n_tok·|cov|))
+    def reference(df: org.apache.spark.sql.DataFrame, n: Int) = {
+      df.where(col("text").isNotNull)
+        .select(col("doc_id"), graft.ext.TextAnalysis.words(col("text"))
+          .as("__ws"))
+        .join(covSets(df, n), Seq("doc_id"), "left")
+        .withColumn("__cov", coalesce(col("__cov"),
+          expr("CAST(array() AS ARRAY<BIGINT>)")))
+        .withColumn("__keep", expr(
+          "filter(__ws, (w, i) -> NOT array_contains(__cov, " +
+            "CAST(i + 1 AS BIGINT)))"))
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.size(col("__ws")).cast("long")
+            .as("n_tok"),
+          org.apache.spark.sql.functions.size(col("__keep")).cast("long")
+            .as("kept_tokens"),
+          array_join(col("__keep"), " ").as("clean_text"))
+    }
+    // heavy-dup planted corpus: every doc is one of 3 templates, so
+    // almost every token is covered (the worst case for the old form)
+    val heavy = (0L until 60L).map { i =>
+      val t = i % 3
+      (i, (0 until 40).map(j => s"w${t}_${j % 7}").mkString(" "))
+    }
+    for (df <- Seq(heavy.toDF("doc_id", "text"),
+        Tables.documents(spark, sf))) {
+      val got = Dedup.removeDuplicateSpans(df, "doc_id", "text", 8)
+        .select("doc_id", "n_tok", "kept_tokens", "clean_text")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      val want = reference(df, 8)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      assert(got.length == want.length && got.nonEmpty)
+      got.zip(want).foreach { case (g, w) => assert(g == w) }
+    }
+  }
+
+  /** Brute-force covered-position sets (driver-side, independent of
+    * the operator's gram relation) for the parity reference. */
+  private def covSets(df: org.apache.spark.sql.DataFrame, n: Int) = {
+    val spark2 = df.sparkSession
+    import spark2.implicits._
+    val ws = df.select(col("doc_id"),
+      graft.ext.TextAnalysis.words(col("text")).as("__w"))
+      .as[(Long, Seq[String])].collect()
+    val grams = ws.flatMap { case (id, w) =>
+      if (w == null || w.length < n) Nil
+      else (0 to w.length - n).map(i => (w.slice(i, i + n).mkString(" "),
+        id, i + 1))
+    }
+    val dup = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+      .keySet
+    val cov = grams.filter(g => dup(g._1))
+      .flatMap { case (_, id, p) => (p until p + n).map(id -> _.toLong) }
+      .groupBy(_._1).map { case (id, xs) =>
+        (id, xs.map(_._2).distinct.sorted.toArray)
+      }
+    cov.toSeq.toDF("doc_id", "__cov")
+  }
+
   test("real corpus: near-dup docs carry shared spans, bounds hold") {
     val d = Tables.documents(spark, sf)
     val rows = Dedup.ngramDupCoverage(d, "doc_id", "text", n = 8).collect()
