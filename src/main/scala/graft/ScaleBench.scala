@@ -75,6 +75,10 @@ object ScaleBench {
     "q97_bm25",            // 1-row reduction + scoring projection + top-k
     "q98_decontaminate_attrib", // broadcast probe + (doc,eval) agg
     "q66_ann_ivf_trained", // k-means sample collect + broadcast centroids
+    "q111_crosslingual_dups", // q99 mine + two dimension joins (fixed c)
+    "q112_dedup_savings",  // inline LSH+CC mine + integer report aggs
+    "q113_training_manifest", // quality gate → sharded budget → packing
+    "q114_semdedup_distributed", // distributed quantizer: no c-collect
     "q69_video_frames",    // per-row container decode, no shuffle
     "q70_canonical_select", // CC + quality argmax window per component
     "q71_pii_scrub",       // per-row regex detect/redact, no shuffle
@@ -303,6 +307,42 @@ object ScaleBench {
           docs.where(rep >= thr), index, "doc_id", "text")
         .where(col("sig_agreement") >= 0.25)
     }),
+    // q111 with the auto-sized quantizer (the q99_auto_cells law): the
+    // oracle form pins c=16 for the SQL replay, which past ~100k docs
+    // measures mega-cell cap-discard, not multilingual dedup; here
+    // c ≈ n/64 keeps within-cell pair work linear so the composition's
+    // scale story matches the q99 family's.
+    "q111_auto_cells" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.crossLingualFrom(s, dir,
+        ext.Similarity.semanticNearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 64, tau = 0.40))),
+    // q112 the way production runs it: the report consumes PERSISTED
+    // q43 components (built once per scale dir on the cold pass —
+    // fingerprint-markered like ensureScaled; the reported warm pass
+    // times the report alone). The pair with the oracle q112 row
+    // separates report cost (∝ components) from mine cost (∝ corpus).
+    "q112_persisted" -> ((s: SparkSession, dir: String) => {
+      val out = java.nio.file.Paths.get("/tmp/graft_scale",
+        s"q112_comp_${new java.io.File(dir).getName}")
+      val marker = out.resolve("_built")
+      val stamp = sourceFingerprint(dir)
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker),
+          "UTF-8") == stamp
+      if (!fresh) {
+        store.RrdStore.deleteTree(out.toString)
+        java.nio.file.Files.createDirectories(out)
+        val cand = ext.Dedup.lshCandidates(Tables.documents(s, dir),
+            "doc_id", "text", 3, 16, 4)
+          .where(col("sig_agreement") >= 0.25)
+        ext.Dedup.connectedComponents(cand, "id1", "id2")
+          .select(col("node").as("doc_id"), col("component"))
+          .write.mode("overwrite").parquet(s"$out/comp.parquet")
+        java.nio.file.Files.write(marker, stamp.getBytes("UTF-8")): Unit
+      }
+      SparkEntry.dedupSavingsFrom(s, dir,
+        s.read.parquet(s"$out/comp.parquet"))
+    }),
     )
 
   /** Streaming pair at scale: replica user ids shift by 1e6, so the
@@ -368,6 +408,22 @@ object ScaleBench {
       s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
       try SparkEntry.streamingSessionizeQueryWithState(s, dir,
+        col("user_id") % 1000000L < 30)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // Streaming seasonal counts under RocksDB — completes the uniform
+    // one-conf-line state-store story across all FIVE streaming
+    // executions (state rows must match the in-heap q110 row exactly;
+    // bytes are provider-relative).
+    "q110_stream_rocksdb" -> ((s: SparkSession, dir: String) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try SparkEntry.streamingSeasonalQueryWithState(s, dir,
         col("user_id") % 1000000L < 30)
       finally prev match {
         case Some(v) => s.conf.set(key, v)

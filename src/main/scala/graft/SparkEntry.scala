@@ -514,19 +514,7 @@ object SparkEntry {
         .where(col("sig_agreement") >= 0.25)
       val comp = ext.Dedup.connectedComponents(cand, "id1", "id2")
         .select(col("node").as("doc_id"), col("component"))
-      val toks = docs.select(col("doc_id"),
-        ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens").as("t"))
-      val per = comp.join(toks, "doc_id")
-        .groupBy("component")
-        .agg(count(lit(1)).as("sz"), sum(col("t")).as("tt"),
-          min(col("doc_id")).as("canon"))
-        .join(toks.select(col("doc_id").as("canon"),
-          col("t").as("ct")), "canon")
-      per.groupBy(col("sz").as("group_size"))
-        .agg(count(lit(1)).as("n_groups"),
-          sum(col("sz") - 1).as("docs_removed"),
-          sum(col("tt") - col("ct")).as("tokens_removed"))
-        .orderBy("group_size")
+      dedupSavingsFrom(s, dir, comp)
     }),
 
     // PII scrubbing — detection counts + redaction, the safety pass of
@@ -1696,19 +1684,8 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
         64, c = 16, iters = 2, sampleRate = 0.2)
-      val pairs = ext.Similarity.semanticNearDupPairs(e, cent, "vec_id",
-        "embedding", 64, tau = 0.40, maxCell = 10000)
-      val lang = Tables.documents(s, dir).select(col("doc_id"),
-        col("lang"))
-      pairs
-        .join(lang.select(col("doc_id").as("id1"),
-          col("lang").as("lang1")), "id1")
-        .join(lang.select(col("doc_id").as("id2"),
-          col("lang").as("lang2")), "id2")
-        .where(col("lang1") =!= col("lang2"))
-        .select(col("id1"), col("id2"), col("lang1"), col("lang2"),
-          col("cosine"))
-        .orderBy("id1", "id2")
+      crossLingualFrom(s, dir, ext.Similarity.semanticNearDupPairs(e,
+        cent, "vec_id", "embedding", 64, tau = 0.40, maxCell = 10000))
     }),
 
     // SemDeDup-style semantic dedup candidates: trained k-means cells
@@ -1724,6 +1701,22 @@ object SparkEntry {
           64, tau = 0.40, maxCell = 10000)
         .orderBy("id1", "id2")
     }),
+
+    // The 100 TB SemDeDup shape (closes the one weak scale plan the
+    // round-11 audit named): the quantizer is hash-threshold seeded
+    // (centroid iff md5-uniform(id) < 1/occupancy — a pure function of
+    // the corpus, c ∝ n with NO sizing pass) and stays a DISTRIBUTED
+    // frame; assignment is ivfIndexDistributed's two-level
+    // coarse-bucket cogroup, so the only driver materialization on the
+    // whole path is the ⌈√c⌉ coarse seeds. Deterministic end to end —
+    // the oracle replays seeding, centroid bucketing, probe selection,
+    // and the (cosine DESC, cid ASC) argmax with the same strict-fold
+    // cosines.
+    "q114_semdedup_distributed" -> ((s, dir) =>
+      ext.Similarity.semanticNearDupPairsDistributed(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 64,
+          tau = 0.40, maxCell = 10000, targetOccupancy = 64, probes = 2)
+        .orderBy("id1", "id2")),
 
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
@@ -1807,6 +1800,18 @@ object SparkEntry {
     "q108_bpe_pairs" -> ((s, dir) =>
       ext.TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text",
         k = 50)),
+
+    // BPE merge LOOP — the tokenizer TRAINER q108 is one iteration of:
+    // three chained merges, each round re-mining adjacent-pair counts
+    // over the evolving vocabulary (corpus touched once; every
+    // iteration vocab-sized) and applying the top merge greedily
+    // left-to-right. The oracle replays all three rounds unrolled —
+    // the q66/q88 replay discipline — including the greedy run-parity
+    // rule for self-adjacent (left = right) merges.
+    "q115_bpe_merges" -> ((s, dir) =>
+      ext.TextAnalysis.bpeMerges(Tables.documents(s, dir), "text",
+          merges = 3)
+        .orderBy("rank")),
 
     // Duplicate-span REMOVAL — the ExactSubstr rewrite step q82 only
     // reports: tokens under any cross-document duplicated 8-gram are
@@ -2641,6 +2646,74 @@ object SparkEntry {
         |  FROM v CROSS JOIN cent ct) WHERE rn = 1),
         |cap AS (
         | SELECT vec_id, embedding, cell FROM asg
+        | QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
+        |pr AS (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${sqlCos("a.embedding", "b.embedding")} AS cosine
+        | FROM cap a JOIN cap b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT id1, id2, cosine FROM pr WHERE cosine >= 0.40
+        |ORDER BY id1, id2""".stripMargin
+    },
+
+    // the distributed-quantizer SemDeDup replayed end to end: centroids
+    // = rows with md5-uniform < 1/64 (the q106 hash idiom); coarse = the
+    // ceil(sqrt(c)) lowest-cid centroids with bucket index j in cid
+    // order; every centroid buckets by (cos DESC, j ASC) rn=1; every
+    // vector ranks buckets by (cos DESC, j ASC) and keeps rn <= probes,
+    // its candidates = probed buckets' members UNION the coarse seeds
+    // (the assignment floor), argmax by (cos DESC, cid ASC); then the
+    // q99 cap + within-cell pair stage
+    "q114_semdedup_distributed" -> {
+      val u = s"CAST(${sqlHexToLong(
+        "substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)")} AS DOUBLE)" +
+        " / CAST(1152921504606846976 AS DOUBLE)"
+      s"""WITH v AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0),
+        |cent AS (
+        | SELECT vec_id AS cid, embedding AS cv FROM v
+        | WHERE $u < CAST(1 AS DOUBLE) / CAST(64 AS DOUBLE)),
+        |gq AS (SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE)))
+        |   AS BIGINT) AS g FROM cent),
+        |co AS (
+        | SELECT cid, cv, j FROM (
+        |  SELECT cid, cv, row_number() OVER (ORDER BY cid) AS j
+        |  FROM cent), gq WHERE j <= gq.g),
+        |cb AS (
+        | SELECT cid, cv, b FROM (
+        |  SELECT ct.cid, ct.cv, co.j AS b,
+        |   row_number() OVER (PARTITION BY ct.cid ORDER BY
+        |     ${sqlCos("ct.cv", "co.cv")} DESC, co.j) AS rn
+        |  FROM cent ct CROSS JOIN co) WHERE rn = 1),
+        |pv AS (
+        | SELECT v.vec_id, co.j, co.cid,
+        |  ${sqlCos("v.embedding", "co.cv")} AS gc
+        | FROM v CROSS JOIN co),
+        |pb AS (
+        | SELECT vec_id, b FROM (
+        |  SELECT vec_id, j AS b, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY gc DESC, j) AS rn FROM pv) WHERE rn <= 2),
+        |sd AS (
+        | SELECT vec_id, cid, gc FROM (
+        |  SELECT vec_id, cid, gc, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY gc DESC, cid) AS rn FROM pv) WHERE rn = 1),
+        |cand AS (
+        | SELECT p.vec_id, cb.cid, ${sqlCos("v.embedding", "cb.cv")} AS cc
+        | FROM pb p JOIN v ON v.vec_id = p.vec_id JOIN cb ON cb.b = p.b
+        | UNION ALL
+        | SELECT vec_id, cid, gc AS cc FROM sd),
+        |asg AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cid AS cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        |  FROM cand) WHERE rn = 1),
+        |av AS (
+        | SELECT v.vec_id, v.embedding, asg.cell
+        | FROM v JOIN asg USING (vec_id)),
+        |cap AS (
+        | SELECT vec_id, embedding, cell FROM av
         | QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
         |pr AS (
         | SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -3649,6 +3722,62 @@ object SparkEntry {
         |SELECT pair, pair_count FROM pc
         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
 
+    // the merge loop unrolled (the q66/q88 replay discipline): per
+    // round, pair counts over the evolving vocab, the (cnt DESC, l, r)
+    // LIMIT 1 top merge, then the GREEDY rewrite — match positions
+    // grouped into consecutive runs (only left=right merges can run),
+    // keep even in-run offsets as merge starts, drop each start's
+    // successor, concat at the start
+    "q115_bpe_merges" -> {
+      def iter(t: Int): String = {
+        val prev = s"v${t - 1}"
+        s"""p$t AS (
+          | SELECT l, r, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+          |  SELECT sy[i] AS l, sy[i + 1] AS r, wc FROM (
+          |   SELECT sy, wc, unnest(generate_series(1, len(sy) - 1)) AS i
+          |   FROM $prev)) GROUP BY l, r),
+          |t$t AS (SELECT l, r, cnt FROM p$t
+          |        ORDER BY cnt DESC, l, r LIMIT 1),
+          |q$t AS (
+          | SELECT x.w, x.i FROM
+          |  (SELECT w, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+          |   FROM $prev) x, t$t tt
+          | WHERE x.sy[x.i] = tt.l AND x.sy[x.i + 1] = tt.r),
+          |s$t AS (
+          | SELECT w, i FROM (
+          |  SELECT w, i, grp, i - min(i) OVER (PARTITION BY w, grp) AS off
+          |  FROM (
+          |   SELECT w, i,
+          |    i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+          |   FROM q$t))
+          | WHERE off % 2 = 0),
+          |r$t AS (
+          | SELECT p.w, p.wc, p.j,
+          |  CASE WHEN ss.i IS NOT NULL THEN p.sy[p.j] || p.sy[p.j + 1]
+          |       ELSE p.sy[p.j] END AS sym,
+          |  (sp.i IS NOT NULL) AS dropped
+          | FROM (SELECT w, wc, sy,
+          |        unnest(generate_series(1, len(sy))) AS j
+          |       FROM $prev) p
+          | LEFT JOIN s$t ss ON ss.w = p.w AND ss.i = p.j
+          | LEFT JOIN s$t sp ON sp.w = p.w AND sp.i = p.j - 1),
+          |v$t AS (
+          | SELECT w, any_value(wc) AS wc, list(sym ORDER BY j) AS sy
+          | FROM r$t WHERE NOT dropped GROUP BY w)"""
+      }
+      s"""$sqlDocWords,
+        |w0 AS (SELECT unnest(ws) AS w FROM d),
+        |wcnt AS (SELECT w, COUNT(*) AS wc FROM w0 GROUP BY w),
+        |v0 AS (SELECT w, wc, string_split(w, '') AS sy FROM wcnt),
+        |${(1 to 3).map(iter).mkString(",\n")}
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS rank, l AS left_sym,
+        |  r AS right_sym, cnt AS pair_count FROM t1
+        | UNION ALL SELECT CAST(2 AS BIGINT), l, r, cnt FROM t2
+        | UNION ALL SELECT CAST(3 AS BIGINT), l, r, cnt FROM t3)
+        |ORDER BY rank""".stripMargin
+    },
+
     // same gram relations as q82; the rebuild keeps tokens whose index
     // joins no covered position, re-joined in order (list ORDER BY i
     // with an aggregate FILTER — a fully covered doc coalesces to '')
@@ -4096,6 +4225,51 @@ object SparkEntry {
     * path carries a version tag so semantics changes invalidate it, and
     * the marker stores the source-data fingerprint so regenerated
     * testdata forces a rebuild). */
+  /** q112's REPORT stage over an already-materialized components frame
+    * (node → doc_id, component) — the production entry point: a
+    * dedup-savings report consumes PERSISTED q43 output instead of
+    * re-mining the corpus inline (the oracle row keeps the inline mine
+    * as its composition; ScaleBench's q112_persisted row measures this
+    * one against a parquet components store). Cost: two integer
+    * aggregations plus one broadcast-eligible canonical-tokens join —
+    * report work ∝ components, not corpus. */
+  private[graft] def dedupSavingsFrom(s: SparkSession, dir: String,
+      comp: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens").as("t"))
+    val per = comp.join(toks, "doc_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("sz"), sum(col("t")).as("tt"),
+        min(col("doc_id")).as("canon"))
+      .join(toks.select(col("doc_id").as("canon"),
+        col("t").as("ct")), "canon")
+    per.groupBy(col("sz").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("sz") - 1).as("docs_removed"),
+        sum(col("tt") - col("ct")).as("tokens_removed"))
+      .orderBy("group_size")
+  }
+
+  /** q111's enrichment tail over any semantic-pair frame: two
+    * broadcast-eligible documents joins + the different-langs filter
+    * (shared by the oracle row and ScaleBench's auto-cells /
+    * distributed-quantizer variants). */
+  private[graft] def crossLingualFrom(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val lang = Tables.documents(s, dir).select(col("doc_id"),
+      col("lang"))
+    pairs
+      .join(lang.select(col("doc_id").as("id1"),
+        col("lang").as("lang1")), "id1")
+      .join(lang.select(col("doc_id").as("id2"),
+        col("lang").as("lang2")), "id2")
+      .where(col("lang1") =!= col("lang2"))
+      .select(col("id1"), col("id2"), col("lang1"), col("lang2"),
+        col("cosine"))
+      .orderBy("id1", "id2")
+  }
+
   /** q72's body with the series slice as a parameter: the oracle query
     * uses `user_id < 30`; ScaleBench runs `user_id % 1000000 < 30` so a
     * K× replica set (user ids shifted by 1e6 per replica) carries K×
@@ -4117,15 +4291,17 @@ object SparkEntry {
         "rate", 300L, rateScale = Some(2))
       .select(col("user_id"), (col("pdp_ts") * 1000000L).as("ts_us"),
         col("pdp"))
+    // sentinel key outside any plausible series domain (the seasonal/
+    // sessionize rule): a real negative id must flow through
     val sentinel = s.range(1).select(
-      lit(-1L).as("user_id"),
+      lit(Long.MinValue).as("user_id"),
       lit(4102444800000000L).as("ts_us"), // 2100-01-01, past all data
       lit(null).cast("double").as("pdp"))
     val (out, st) = graft.streaming.StreamingConsolidate
       .cdpStreamFileRunWithState(s, pdp,
         sentinel, Seq("user_id"), "ts_us", "pdp", 300L, 12L,
         graft.model.Cf.Average, 0.5, latenessSec = 0)
-    (out.where(col("user_id") >= 0) // sentinel never emits; defensive
+    (out.where(col("user_id") =!= Long.MinValue) // sentinel never emits
       .orderBy("user_id", "cdp_ts"), st)
   }
 
@@ -4183,13 +4359,16 @@ object SparkEntry {
       : (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]) = {
     val ev = Tables.events(s, dir).where(pred)
       .select(col("user_id"), col("ts_us"))
+    // watermark-advance sentinel on a key OUTSIDE any plausible series
+    // domain (Long.MinValue, not -1: a real negative series id must
+    // flow through like batch q100 does), stripped exactly
     val sentinel = s.range(1).select(
-      lit(-1L).as("user_id"),
+      lit(Long.MinValue).as("user_id"),
       lit(4102444800000000L).as("ts_us")) // 2100-01-01, past all data
     val (out, st) = graft.streaming.StreamingSeasonal
       .seasonalFileRunWithState(s, ev, sentinel, Seq("user_id"), "ts_us",
         bucketSec = 3600L, period = 24, k = 2.0, latenessSec = 0L)
-    (out.where(col("user_id") >= 0) // sentinel window never closes
+    (out.where(col("user_id") =!= Long.MinValue) // sentinel never closes
       .orderBy("user_id", "bucket"), st)
   }
 
@@ -4198,13 +4377,15 @@ object SparkEntry {
       : (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]) = {
     val ev = Tables.events(s, dir).where(pred)
       .select(col("user_id"), col("ts_us"))
+    // sentinel key outside any plausible series domain (see the
+    // seasonal query above): real negative ids must flow through
     val sentinel = s.range(1).select(
-      lit(-1L).as("user_id"),
+      lit(Long.MinValue).as("user_id"),
       lit(4102444800000000L).as("ts_us")) // 2100-01-01, past all data
     val (out, st) = graft.streaming.StreamingSessionize
       .sessionFileRunWithState(s, ev, sentinel, Seq("user_id"), "ts_us",
         gapSec = 21600L, latenessSec = 0L)
-    (out.where(col("user_id") >= 0) // sentinel session never closes
+    (out.where(col("user_id") =!= Long.MinValue) // sentinel never closes
       .orderBy("user_id", "first_us"), st)
   }
 

@@ -40,11 +40,37 @@ object Tables {
   /** Shared warehouse for the bucketed demo tables (q101 family),
     * keyed by user so concurrent users on a shared host never collide
     * on one world-writable /tmp path (cross-JVM writes within one user
-    * are serialized by ensureBucketed's file lock). */
+    * are serialized by ensureBucketed's file lock). The path under a
+    * shared tmp root is predictable, so it is created owner-only (700)
+    * and OWNERSHIP-VERIFIED: a directory (or lock file) pre-planted by
+    * another user fails loudly here instead of feeding attacker-
+    * controlled bytes into the bucketed tables or wedging the lock
+    * path (round-12 hardening). */
   def warehouseDir: String = {
     val user = System.getProperty("user.name", "nouser")
       .replaceAll("[^A-Za-z0-9]", "_")
-    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_warehouse_$user"
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"), s"graft_warehouse_$user")
+    try {
+      try
+        java.nio.file.Files.createDirectory(p,
+          java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+            java.nio.file.attribute.PosixFilePermissions
+              .fromString("rwx------")))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      val owner = java.nio.file.Files.getOwner(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS).getName
+      val me = System.getProperty("user.name", "nouser")
+      require(owner == me,
+        s"warehouse dir $p is owned by '$owner', not '$me' — refusing " +
+          "a pre-planted directory on the shared tmp root")
+      require(java.nio.file.Files.isDirectory(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS),
+        s"warehouse path $p is not a plain directory (symlink planted?)")
+    } catch {
+      case _: UnsupportedOperationException => () // non-POSIX fs: best effort
+    }
+    p.toString
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -777,6 +777,25 @@ object Similarity {
               val used = new Array[Boolean](co.length)
               var best = -1L
               var bestC = Double.NegativeInfinity
+              // fold the coarse seeds in as assignment candidates first:
+              // they ARE centroids (cs.take(g)), so `best` is a real cid
+              // by LOCAL construction — no global argument needed that
+              // the first probed bucket is nonempty (duplicate centroids
+              // leave the later twin's bucket empty; previously only a
+              // probe-order invariant kept such vectors out of the
+              // zero-norm -1 sink). Also a free recall floor: the g
+              // coarse seeds always compete even when unprobed. With
+              // probes >= #coarse the fold is a subset of the member
+              // scan, so the ≡-exact law is untouched.
+              var cj = 0
+              while (cj < co.length) {
+                val ccid = co(cj)._1
+                val cc = gcos(cj)
+                if (cc > bestC || (cc == bestC && ccid < best)) {
+                  bestC = cc; best = ccid
+                }
+                cj += 1
+              }
               var t = 0
               while (t < p) {
                 var bj = -1
@@ -843,6 +862,189 @@ object Similarity {
     semanticNearDupPairs(corpus, cent, id, vec, dim, tau, maxCell)
   }
 
+  /** Deterministic hash-threshold quantizer seeding — the DISTRIBUTED
+    * counterpart of [[kmeansCentroids]]`(iters = 0)` for corpora whose
+    * cell count c ∝ n outgrows any driver materialization: a row is a
+    * centroid iff its md5-uniform falls below `rate`, so the centroid
+    * SET is a pure function of the corpus (partitioning-independent,
+    * engine-replayable — the q63/q106 sampling discipline) and the
+    * expected cell count is n·rate with no `count()` sizing pass and
+    * no collect anywhere. Null/short/zero-norm vectors are excluded
+    * (the [[vecOk]] + cosine-defined contract). Output: (id, vec) —
+    * a FRAME, consumed distributedly by [[ivfIndexDistributed]]. */
+  def seededCentroids(corpus: DataFrame, id: String, vec: String,
+      dim: Int, rate: Double): DataFrame = {
+    require(rate > 0 && rate <= 1, s"rate=$rate must be in (0, 1]")
+    corpus.where(vecOk(vec, dim))
+      .where(Curation.hashUniform(col(id)) < rate)
+      .where(dot(col(vec), col(vec), dim) > 0)
+      .select(col(id), col(vec))
+  }
+
+  /** [[ivfIndex]] against a DISTRIBUTED centroid frame — the 100 TB
+    * assignment shape for quantizers sized c ∝ n, where collecting and
+    * broadcasting all c centroids (the [[ivfIndex]]/[[ivfIndexProbed]]
+    * driver step) cannot exist: at 10⁹ docs and the auto-occupancy
+    * default, the centroid set alone is ~8 GB and still growing with
+    * the corpus. Here the ONLY driver materialization is the
+    * g = ⌈√c⌉ lowest-id COARSE seeds (the [[ivfIndexProbed]] two-level
+    * structure made hierarchical end-to-end — √c-bounded by
+    * construction, ~4 000 rows at c = 16M):
+    *
+    *   1. the centroid FRAME maps to (bucket, cid, cv, cn) against the
+    *      broadcast coarse seeds (ties to the lowest bucket index — the
+    *      probed path's rule) — distributed, never collected;
+    *   2. each corpus vector scans the g coarse seeds, keeps the
+    *      best coarse CANDIDATE (seeds are centroids, so assignment is
+    *      total by local construction) and explodes to its `probes`
+    *      best buckets — the p× corpus exchange that buys the
+    *      no-c-broadcast property;
+    *   3. ONE cogroup per bucket buffers that bucket's ~√c member
+    *      centroids (loudly capped by `maxBucket`) and streams the
+    *      probing vectors through an in-memory argmax kernel;
+    *   4. a map-side-combined reduceGroups picks each vector's best
+    *      (cosine DESC, cid ASC) across its probed buckets.
+    *
+    * Assignment semantics are EXACTLY [[ivfIndexProbed]]'s (same probe
+    * selection, same tie rules, same coarse-candidate floor, same
+    * zero-norm -1 sink), so `probes ≥ g` ≡ exact [[ivfIndex]] holds
+    * here too (spec-pinned), and every cosine is the same strict fold
+    * — the whole path replays in the SQL oracle. */
+  def ivfIndexDistributed(corpus: DataFrame, centroids: DataFrame,
+      id: String, vec: String, dim: Int, probes: Int = 4,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    require(probes >= 1, s"probes=$probes must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val c = centroids.count()
+    require(c > 0, "empty centroid frame")
+    val g = math.ceil(math.sqrt(c.toDouble)).toInt
+    // the ONLY driver materialization: ⌈√c⌉ lowest-id coarse seeds
+    val coarse = collectNormed(
+      centroids.orderBy(col(id).cast("long")).limit(g), id, vec, dim)
+    val bcCo = spark.sparkContext.broadcast(coarse)
+    // centroid frame → (bucket, cid, cv, cn); stays distributed
+    val bucketed = centroids.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val co = bcCo.value
+        it.map { case (cid, cv) =>
+          val cn = math.sqrt(d(cv, cv))
+          var best = 0
+          var bestC = Double.NegativeInfinity
+          var j = 0
+          while (j < co.length) {
+            val cc = d(cv, co(j)._2) / (cn * co(j)._3)
+            if (cc > bestC) { bestC = cc; best = j }
+            j += 1
+          }
+          (best, cid, cv, cn)
+        }
+      }
+    // corpus → `probes` (bucket, vid, v, n, seedCid, seedCos) rows
+    val probedV = corpus.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val co = bcCo.value
+        val p = math.min(probes, co.length)
+        it.flatMap { case (vid, v) =>
+          if (v == null || v.length < dim) Iterator.empty
+          else {
+            val n = math.sqrt(d(v, v))
+            if (n == 0) // the exact path's zero-norm -1 sink
+              Iterator.single((-1, vid, v, 0.0, -1L,
+                Double.NegativeInfinity))
+            else {
+              val gcos = Array.tabulate(co.length)(j =>
+                d(v, co(j)._2) / (n * co(j)._3))
+              // coarse seeds as candidates (the probed-path floor)
+              var sc = -1L
+              var scC = Double.NegativeInfinity
+              var j = 0
+              while (j < co.length) {
+                val cid = co(j)._1
+                val cc = gcos(j)
+                if (cc > scC || (cc == scC && cid < sc)) {
+                  scC = cc; sc = cid
+                }
+                j += 1
+              }
+              val used = new Array[Boolean](co.length)
+              val out = new Array[(Int, Long, Array[Double], Double,
+                Long, Double)](p)
+              var t = 0
+              while (t < p) {
+                var bj = -1
+                var bcos = Double.NegativeInfinity
+                var k = 0
+                while (k < co.length) {
+                  if (!used(k) && gcos(k) > bcos) { bcos = gcos(k); bj = k }
+                  k += 1
+                }
+                used(bj) = true
+                out(t) = (bj, vid, v, n, sc, scC)
+                t += 1
+              }
+              out.iterator
+            }
+          }
+        }
+      }
+    // one bucket cogroup: buffer the ~√c member centroids, stream the
+    // vectors; then a map-side-combined per-vector argmax reduce
+    val localBest = bucketed.groupByKey(_._1)
+      .cogroup(probedV.groupByKey(_._1)) { (bkt, cIt, vIt) =>
+        val mem = cIt.toArray
+        require(mem.length <= maxBucket,
+          s"coarse bucket $bkt holds ${mem.length} centroids > " +
+            s"maxBucket=$maxBucket — skewed coarse seeding; raise " +
+            "maxBucket or re-seed")
+        vIt.map { case (_, vid, v, n, sc, scC) =>
+          if (n == 0) (vid, v, 0.0, -1L, Double.NegativeInfinity)
+          else {
+            var best = sc
+            var bestC = scC
+            var q = 0
+            while (q < mem.length) {
+              val (_, cid, cv, cn) = mem(q)
+              val cc = d(v, cv) / (n * cn)
+              if (cc > bestC || (cc == bestC && cid < best)) {
+                bestC = cc; best = cid
+              }
+              q += 1
+            }
+            (vid, v, n, best, bestC)
+          }
+        }
+      }
+    localBest.groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        if (a._5 > b._5 || (a._5 == b._5 && a._4 < b._4)) a else b
+      }
+      .map { case (_, (vid, v, n, cell, _)) => (cell, vid, v, n) }
+      .toDF("cell", id, vec, "norm")
+  }
+
+  /** The corpus-scale [[semanticNearDupPairs]]: hash-threshold seeding
+    * ([[seededCentroids]] at rate 1/targetOccupancy — expected cell
+    * occupancy flat, pair work linear, the auto-cells law) and
+    * [[ivfIndexDistributed]] assignment, so NOTHING driver-side grows
+    * with the corpus — the ⌈√c⌉ coarse-seed collect is the only
+    * materialization. Fully deterministic (hash seeding, pinned tie
+    * rules, strict folds): oracle-gated end to end, unlike the probed
+    * variant whose caller supplies a trained quantizer. */
+  def semanticNearDupPairsDistributed(corpus: DataFrame, id: String,
+      vec: String, dim: Int, tau: Double, maxCell: Int = 10000,
+      targetOccupancy: Int = 64, probes: Int = 4): DataFrame = {
+    require(targetOccupancy > 0, s"targetOccupancy=$targetOccupancy")
+    val cent = seededCentroids(corpus, id, vec, dim,
+      1.0 / targetOccupancy)
+    withinCellPairs(
+      ivfIndexDistributed(corpus, cent, id, vec, dim, probes),
+      id, vec, dim, tau, maxCell)
+  }
+
   /** Incremental SemDeDup — the batch-vs-index axis the LSH (q46) and
     * SimHash (q56) dedup families already have, for the k-means cell
     * family: an arriving batch assigns against the PERSISTED quantizer
@@ -860,8 +1062,12 @@ object Similarity {
     * (batch + index, bounded buffering — memory ∝ maxCell), so the
     * output is IDENTICAL to a full [[semanticNearDupPairs]] re-mine of
     * the union restricted to batch-touching pairs (the q46 identity
-    * law, spec-pinned). Re-ingested ids (same id on both sides) never
-    * self-pair.
+    * law, spec-pinned). A re-ingested id (same id on both sides) is
+    * SUPERSEDED by its batch row: the index copy neither pairs nor
+    * counts toward the cap — exactly the population a full re-mine of
+    * the id-keyed union would see (round-12; previously the stale copy
+    * double-counted toward `maxCell` and could drop a cell the law
+    * keeps).
     *
     * Output: (id1 < id2, cosine ≥ tau) — each pair exactly once (both
     * members assign to one functional cell). */
@@ -885,26 +1091,36 @@ object Similarity {
       .as[(Long, Long, Array[Double], Double)]
     b.groupByKey(_._1).cogroup(ix.groupByKey(_._1)) { (_, bs, is) =>
       // bounded buffering with the cap on the COMBINED population —
-      // the exact drop rule a full re-mine of the union applies
+      // the exact drop rule a full re-mine of the id-keyed union
+      // applies: a re-ingested id's index copy is superseded (skipped
+      // entirely), so it neither pairs nor counts toward the cap. The
+      // id set costs memory ∝ the retained population (≤ maxCell + 1).
       val bbuf = new scala.collection.mutable.ArrayBuffer[
         (Long, Array[Double], Double)](16)
       val ibuf = new scala.collection.mutable.ArrayBuffer[
         (Long, Array[Double], Double)](16)
+      val batchIds = new scala.collection.mutable.HashSet[Long]
       var total = 0
       var over = false
       def drain(it: Iterator[(Long, Long, Array[Double], Double)],
           buf: scala.collection.mutable.ArrayBuffer[
-            (Long, Array[Double], Double)]): Unit =
+            (Long, Array[Double], Double)],
+          skip: Long => Boolean): Unit =
         while (it.hasNext) {
           val (_, vid, v, n) = it.next()
-          total += 1
-          if (!over) {
-            buf += ((vid, v, n))
-            if (total > maxCell) { over = true; bbuf.clear(); ibuf.clear() }
+          if (!skip(vid)) {
+            total += 1
+            if (!over) {
+              buf += ((vid, v, n))
+              if (total > maxCell) {
+                over = true; bbuf.clear(); ibuf.clear(); batchIds.clear()
+              }
+            }
           }
         }
-      drain(bs, bbuf)
-      drain(is, ibuf)
+      drain(bs, bbuf, _ => false)
+      if (!over) bbuf.foreach(batchIds += _._1)
+      drain(is, ibuf, vid => !over && batchIds.contains(vid))
       if (over || bbuf.isEmpty) Iterator.empty
       else {
         def score(a: (Long, Array[Double], Double),

@@ -251,6 +251,95 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Chained BPE merge TRAINING — the tokenizer-trainer loop
+    * [[bpePairCounts]] is one iteration of: each round ranks adjacent
+    * symbol pairs over the DISTINCT vocabulary (weighted by word
+    * count), applies the single top merge (count DESC, then left ASC,
+    * right ASC — binary UTF-8 order, identical in both engines)
+    * GREEDILY LEFT-TO-RIGHT inside every vocab word, and re-mines.
+    * Greedy semantics pinned: scanning i ascending, a match at i
+    * consumes positions i and i+1, so within a run of consecutive
+    * match positions (only possible when left = right) the merges land
+    * at even offsets — the rule the SQL oracle replays with a
+    * run-grouping window. Symbols start as CODE POINTS (supplementary-
+    * safe, the q90/q108 contract).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count
+    * aggregate); each iteration is one vocab-sized exchange (adjacent
+    * pairs → partial-agg'd counts) plus a ONE-ROW TakeOrdered to the
+    * driver — corpus-independent, the standard BPE-trainer property.
+    * The evolving vocab is cached level-to-level (level m-1 unpersists
+    * once level m is materialized — the connectedComponents iteration
+    * discipline). A corpus with fewer distinct merges than requested
+    * fails loudly rather than silently truncating the merge table.
+    *
+    * Output: (rank, left_sym, right_sym, pair_count) — one row per
+    * merge, pair_count measured at selection time. */
+  def bpeMerges(df: org.apache.spark.sql.DataFrame, text: String,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    require(merges >= 1, s"merges=$merges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = df.select(explode(words(col(text))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .as[(String, Long)]
+      .map { case (w, wc) =>
+        val cps = if (w == null) Array.empty[Int] else w.codePoints().toArray
+        (Array.tabulate(cps.length)(i =>
+          new String(cps, i, 1)).toSeq, wc)
+      }
+      .persist()
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var cur = vocab
+    var prev: org.apache.spark.sql.Dataset[(Seq[String], Long)] = null
+    try {
+      var m = 1
+      while (m <= merges) {
+        val top = cur.flatMap { case (sy, wc) =>
+            if (sy.length < 2) Iterator.empty
+            else (0 until sy.length - 1).iterator
+              .map(i => (sy(i), sy(i + 1), wc))
+          }
+          .toDF("l", "r", "wc")
+          .groupBy("l", "r").agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1)
+          .as[(String, String, Long)]
+          .collect()
+        require(top.nonEmpty,
+          s"vocabulary exhausted after ${m - 1} merges < requested $merges")
+        // the action above materialized cur's cache; the previous level
+        // is now safe to drop
+        if (prev != null) { prev.unpersist(); prev = null }
+        val (l, r, cnt) = top(0)
+        out += ((m.toLong, l, r, cnt))
+        val merged = l + r
+        val next = cur.map { case (sy, wc) =>
+          if (sy.length < 2) (sy, wc)
+          else {
+            val nb = new scala.collection.mutable.ArrayBuffer[String](
+              sy.length)
+            var i = 0
+            while (i < sy.length) {
+              if (i + 1 < sy.length && sy(i) == l && sy(i + 1) == r) {
+                nb += merged; i += 2
+              } else { nb += sy(i); i += 1 }
+            }
+            (nb.toSeq, wc)
+          }
+        }.persist()
+        prev = cur
+        cur = next
+        m += 1
+      }
+    } finally {
+      if (prev != null && (prev ne vocab)) prev.unpersist()
+      if (cur ne vocab) cur.unpersist()
+      vocab.unpersist()
+    }
+    out.result().toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
   /** Character-trigram language-model quality score — the
     * "does this look like language X" filter of a curation pipeline
     * (fastText-style LM filtering), in EXACT RATIONAL form so the

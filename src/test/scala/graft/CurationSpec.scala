@@ -443,6 +443,47 @@ class CurationSpec extends SparkSuite {
       Seq((new String(Array(0x1F600, 'a'.toInt), 0, 2), 1L)))
   }
 
+  test("bpeMerges: chained greedy merges — run parity for left=right, " +
+      "re-mined counts, supplementary-plane symbols, loud exhaustion") {
+    import org.apache.spark.sql.functions.col
+    // vocab: "aaab" x3, "ab" x2 -> round 1 pairs: aa 2x3=6 (two per
+    // "aaab": positions 1,2 -> ONE greedy merge each... counts though
+    // are raw adjacent-pair counts: "aaab" has aa at 1,2 -> 2x3=6),
+    // ab 3+2=5, xx... pick "aa" (6). Greedy rewrite of "aaab" with
+    // (a,a): matches {1,2}, run parity keeps {1} -> [aa, a, b].
+    // round 2 pairs over {[aa,a,b] x3, [a,b] x2}: (aa,a) 3, (a,b) 5,
+    // (aa,b) 0... wait [aa,a,b] has (aa,a) and (a,b): so (a,b) 3+2=5
+    // wins -> merge (a,b) -> {[aa,ab] x3, [ab] x2}.
+    // round 3: (aa,ab) 3 is the only pair.
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val got = ext.TextAnalysis.bpeMerges(docs, "text", 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "a", 6L), (2L, "a", "b", 5L),
+      (3L, "aa", "ab", 3L)), got.toString)
+    // odd self-run: "aaa" matches {1,2}, parity merges only position 1
+    // (one merge per run of 2), so round 1 count is 2 but only ONE
+    // merged symbol lands — visible in round 2's remaining pairs
+    val odd = Seq((1L, "aaa aaa ac")).toDF("doc_id", "text")
+    val got2 = ext.TextAnalysis.bpeMerges(odd, "text", 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // round 1: (a,a) 2x2=4... "aaa" pairs (1,2): 2 per word, x2 words
+    // = 4; (a,c) 1 -> merge (a,a); rewrite "aaa" -> [aa, a]
+    // round 2: (aa,a) 2, (a,c) 1 -> merge (aa,a) count 2
+    assert(got2 == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)),
+      got2.toString)
+    // supplementary-plane: symbols are CODE POINTS end to end
+    val uni = Seq((1L, "😀a 😀a")).toDF("doc_id", "text")
+    val got3 = ext.TextAnalysis.bpeMerges(uni, "text", 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got3 == Seq((1L, new String(Array(0x1F600), 0, 1), "a", 2L)))
+    // merges beyond the vocabulary fail loudly, never truncate
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ext.TextAnalysis.bpeMerges(tiny, "text", 3)
+    }
+    assert(e.getMessage.contains("exhausted"), e.getMessage)
+  }
+
   test("shardManifest: assignment and positions equal the independent " +
       "digest computation; shards partition the corpus") {
     import org.apache.spark.sql.functions.col

@@ -201,6 +201,123 @@ class SessionizeSpec extends SparkSuite {
     assert(pFull == pExact)
   }
 
+  test("ivfIndexProbed with duplicate centroids: every norm>0 vector " +
+      "lands in a real cell (the coarse seeds always compete)") {
+    def vec(xs: (Int, Double)*): Seq[Double] = {
+      val a = Array.fill(64)(0.0); xs.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    // c=5 -> g=3 coarse seeds with cids 0,1,2; cid 1 duplicates cid 0's
+    // direction, so bucket 1 is EMPTY (its only candidate member, cid 1
+    // itself, ties to the earlier twin's bucket 0)
+    val cent = Seq(
+      (0L, vec(0 -> 1.0)), (1L, vec(0 -> 2.0)), (2L, vec(1 -> 1.0)),
+      (3L, vec(2 -> 1.0)), (4L, vec(3 -> 1.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = (
+      (10L until 40L).map(i =>
+        (i, vec((i % 4).toInt -> 1.0, ((i + 1) % 4).toInt -> 0.3))) :+
+        (99L, Seq.fill(64)(0.0))) // zero-norm: the declared -1 sink
+      .toDF("vec_id", "embedding")
+    for (p <- 1 to 3) {
+      val asg = ext.Similarity.ivfIndexProbed(corpus, cent, "vec_id",
+          "embedding", 64, probes = p)
+        .select($"vec_id".cast("long"), $"cell", $"norm")
+        .as[(Long, Long, Double)].collect()
+      asg.foreach { case (id, cell, norm) =>
+        if (norm > 0) assert(cell >= 0L && cell <= 4L, s"p=$p id=$id")
+        else assert(cell == -1L && id == 99L)
+      }
+    }
+    // and at probes >= g the duplicate-centroid frame still satisfies
+    // the ≡-exact law
+    val exact = ext.Similarity.ivfIndex(corpus, cent, "vec_id",
+        "embedding", 64)
+      .select($"vec_id".cast("long"), $"cell")
+      .as[(Long, Long)].collect().toMap
+    val full = ext.Similarity.ivfIndexProbed(corpus, cent, "vec_id",
+        "embedding", 64, probes = 3)
+      .select($"vec_id".cast("long"), $"cell")
+      .as[(Long, Long)].collect().toMap
+    assert(full == exact)
+  }
+
+  test("ivfIndexDistributed ≡ ivfIndexProbed at every probe count on " +
+      "the same centroid frame (and ≡ exact at probes >= g)") {
+    val e = Tables.embeddings(spark, sf)
+    val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      64, c = 25, iters = 1, sampleRate = 0.5)
+    def asg(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select($"vec_id".cast("long"), $"cell")
+        .as[(Long, Long)].collect().toMap
+    // same coarse seeds, same bucketing, same probe selection, same
+    // argmax tie rules — the distributed cogroup path must reproduce
+    // the broadcast path BIT-IDENTICALLY at every probe count
+    for (p <- Seq(1, 2, 5)) {
+      val dist = asg(ext.Similarity.ivfIndexDistributed(e, cent,
+        "vec_id", "embedding", 64, probes = p))
+      val prob = asg(ext.Similarity.ivfIndexProbed(e, cent,
+        "vec_id", "embedding", 64, probes = p))
+      assert(dist == prob, s"probes=$p")
+    }
+    // c=25 -> g=5: probing every bucket IS the exact assignment
+    val exact = asg(ext.Similarity.ivfIndex(e, cent, "vec_id",
+      "embedding", 64))
+    assert(asg(ext.Similarity.ivfIndexDistributed(e, cent, "vec_id",
+      "embedding", 64, probes = 5)) == exact)
+    // and the pair operator composes: distributed assignment feeds the
+    // same within-cell stage, so at full probes the oracle-gated q99
+    // pair set reproduces exactly
+    val pd = ext.Similarity.semanticNearDupPairsDistributed(e, "vec_id",
+        "embedding", 64, tau = 0.30, targetOccupancy = 64, probes = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    val centHash = ext.Similarity.seededCentroids(e, "vec_id",
+      "embedding", 64, 1.0 / 64)
+    val pe = ext.Similarity.semanticNearDupPairs(e, centHash, "vec_id",
+        "embedding", 64, tau = 0.30, maxCell = 10000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pd == pe)
+  }
+
+  test("incrementalSemanticNearDupPairs: a re-ingested id is superseded " +
+      "by its batch row and counts ONCE toward the combined cap") {
+    def vec(xs: (Int, Double)*): Seq[Double] = {
+      val a = Array.fill(64)(0.0); xs.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    val cent = Seq((0L, vec(0 -> 1.0))).toDF("vec_id", "embedding")
+    // fresh id-1 is close to id-3; the STALE index copy of id 1 is
+    // orthogonal to everything, so any pair scored off it would vanish
+    val batch = Seq(
+      (1L, vec(0 -> 1.0, 1 -> 0.1)),
+      (2L, vec(0 -> 1.0, 2 -> 0.9))).toDF("vec_id", "embedding")
+    val index = ext.Similarity.ivfIndex(Seq(
+        (1L, vec(5 -> 1.0)), // stale copy of id 1
+        (3L, vec(0 -> 1.0, 1 -> 0.12))).toDF("vec_id", "embedding"),
+      cent, "vec_id", "embedding", 64)
+    def mine(maxCell: Int): Set[(Long, Long)] =
+      ext.Similarity.incrementalSemanticNearDupPairs(batch, index, cent,
+          "vec_id", "embedding", 64, tau = 0.60, maxCell = maxCell)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    // id-keyed union population is {1, 2, 3} = 3 ids: the cell survives
+    // maxCell = 3 (raw side-row count of 4 would have dropped it), and
+    // pair (1,3) scores off the FRESH vector (stale copy would miss tau)
+    val got = mine(3)
+    assert(got.contains((1L, 3L)), got.toString)
+    assert(!got.contains((1L, 1L)))
+    // the full re-mine of the id-keyed union restricted to
+    // batch-touching pairs — the q46 identity law with overlap
+    val union = batch.unionByName(
+      Seq((3L, vec(0 -> 1.0, 1 -> 0.12))).toDF("vec_id", "embedding"))
+    val full = ext.Similarity.semanticNearDupPairs(union, cent, "vec_id",
+        "embedding", 64, tau = 0.60, maxCell = 3)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 <= 2L || p._2 <= 2L)
+    assert(got == full, s"got=$got full=$full")
+    // below the deduped population the cell still drops
+    assert(mine(2).isEmpty)
+  }
+
   test("semanticNearDupPairs default == explicit seeded chain at the " +
       "derived cell count") {
     val e = Tables.embeddings(spark, sf)
