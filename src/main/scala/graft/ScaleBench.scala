@@ -70,6 +70,7 @@ object ScaleBench {
     "q106_shard_manifest", // md5 shard assign + in-shard positions
     "q107_dup_span_removal", // gram hits + hit-mass explode + HOF rebuild
     "q108_bpe_pairs",      // corpus→vocab agg, pair mining on vocab only
+    "q115_bpe_merges",     // 3 chained merges, each iteration vocab-sized
     "q109_robust_anomaly", // bounded median/MAD aggregates + AQE joins
     "q100_seasonal_anomaly", // integer-exact profile + broadcast join
     "q97_bm25",            // 1-row reduction + scoring projection + top-k
@@ -79,6 +80,8 @@ object ScaleBench {
     "q112_dedup_savings",  // inline LSH+CC mine + integer report aggs
     "q113_training_manifest", // quality gate → sharded budget → packing
     "q114_semdedup_distributed", // distributed quantizer: no c-collect
+    "q116_incr_semdedup_distributed", // distributed incremental assign
+    "q117_kmeans_distributed", // distributed Lloyd: frame-only training
     "q69_video_frames",    // per-row container decode, no shuffle
     "q70_canonical_select", // CC + quality argmax window per component
     "q71_pii_scrub",       // per-row regex detect/redact, no shuffle
@@ -216,6 +219,26 @@ object ScaleBench {
         "vec_id", "embedding", 64).where(col("norm") > 0)
       ext.Similarity.incrementalSemanticNearDupPairs(e.where(rep >= thr),
         index, cent, "vec_id", "embedding", 64, tau = 0.40)
+    }),
+    // q116 with the split WITHIN each replica (the q103_incr_scale /
+    // q46_incr_scale degeneracy fix: the oracle's value threshold puts
+    // replica 0 alone in the index at K×) — the distributed-quantizer
+    // incremental axis at the shape a production pipeline grows on:
+    // index and batch scale together, centroids stay a frame, c ∝ n by
+    // seeding construction, nothing driver-side grows.
+    "q116_incr_scale" -> ((s: SparkSession, dir: String) => {
+      val e = Tables.embeddings(s, dir)
+      val rep = col("vec_id") % 10000000L
+      val thr = e.where(col("vec_id") < 10000000L).count() * 4 / 5
+      val corpus = e.where(rep < thr)
+      val cent = ext.Similarity.seededCentroids(corpus, "vec_id",
+        "embedding", 64, rate = 1.0 / 64)
+      val index = ext.Similarity.ivfIndexDistributed(corpus, cent,
+          "vec_id", "embedding", 64, probes = 2)
+        .where(col("norm") > 0)
+      ext.Similarity.incrementalSemanticNearDupPairsDistributed(
+        e.where(rep >= thr), index, cent, "vec_id", "embedding", 64,
+        tau = 0.40, maxCell = 10000, probes = 2)
     }),
     // q98 with the eval set PINNED to replica 0: the oracle form scales
     // the eval slice with the corpus (x100 eval docs -> x100 broadcast
@@ -418,6 +441,16 @@ object ScaleBench {
     // one-conf-line state-store story across all FIVE streaming
     // executions (state rows must match the in-heap q110 row exactly;
     // bytes are provider-relative).
+    // Same q72 body under Trigger.AvailableNow with input AND sentinel
+    // preloaded: one data batch + the trigger's no-data flush batch
+    // instead of three per-append processAllAvailable cycles. Output is
+    // spec-pinned identical; the wall delta vs q72_stream_scale at the
+    // same factor is pure micro-batch trigger/commit machinery — the
+    // number that says whether q72's standing ~6-8 s bench wall is
+    // cadence overhead or state I/O.
+    "q72_available_now" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.streamingCdpQueryAvailableNow(s, dir,
+        col("user_id") % 1000000L < 30)),
     "q110_stream_rocksdb" -> ((s: SparkSession, dir: String) => {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
@@ -573,14 +606,20 @@ object ScaleBench {
     }
 
     // args(1): comma-separated skip list (e.g. the known-quadratic
-    // fixed-planes q45 at factors where it would run for an hour)
-    val skip = args.lift(1).map(_.split(",").toSet).getOrElse(Set.empty)
+    // fixed-planes q45 at factors where it would run for an hour);
+    // args(2): comma-separated ONLY list — run just these rows (for
+    // re-measuring a new operator without paying the full sweep)
+    val skip = args.lift(1).map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val only = args.lift(2).map(_.split(",").filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val batch = (Selected.map(n => n -> SparkEntry.queries(n)) ++ Extra)
       .map { case (n, fn) =>
         n -> ((s: SparkSession, d: String) => (fn(s, d), None: St))
       }
     val results = (batch ++ Streaming)
       .filterNot { case (name, _) => skip(name) }
+      .filter { case (name, _) => only.forall(_(name)) }
       .map { case (name, fn) =>
         val (b, stB) = time(fn, base)
         val (s, stS) = time(fn, out)

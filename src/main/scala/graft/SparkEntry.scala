@@ -1718,6 +1718,51 @@ object SparkEntry {
           tau = 0.40, maxCell = 10000, targetOccupancy = 64, probes = 2)
         .orderBy("id1", "id2")),
 
+    // The incremental axis of the distributed-quantizer family: the
+    // quantizer is hash-seeded from the CORPUS slice at index-build
+    // time (the batch does not exist yet — production reality), stays
+    // a distributed frame, and serves both the index build and the
+    // arriving batch's ivfIndexDistributed assignment; the mine is the
+    // shared q103 cell cogroup (new×corpus + new×new, combined cap).
+    // Nothing driver-side grows with the corpus anywhere on the
+    // incremental path — q114's property carried to the q103 axis.
+    "q116_incr_semdedup_distributed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val thr = e.count() * 4 / 5
+      val corpus = e.where(col("vec_id") < thr)
+      val cent = ext.Similarity.seededCentroids(corpus, "vec_id",
+        "embedding", 64, rate = 1.0 / 64)
+      val index = ext.Similarity.ivfIndexDistributed(corpus, cent,
+          "vec_id", "embedding", 64, probes = 2)
+        .where(col("norm") > 0)
+      ext.Similarity.incrementalSemanticNearDupPairsDistributed(
+          e.where(col("vec_id") >= thr), index, cent,
+          "vec_id", "embedding", 64, tau = 0.40, maxCell = 10000,
+          probes = 2)
+        .orderBy("id1", "id2")
+    }),
+
+    // Distributed quantizer TRAINING (Lloyd refinement where neither
+    // the corpus nor the centroid set ever materializes driver-side):
+    // hash-threshold seeding, then 2 iterations of probed distributed
+    // assignment + the order-pinned two-level per-cell mean, empty and
+    // zero-norm-mean cells keeping their previous centroid. The output
+    // unnests the refined centroid vectors to (cid, dim, val) rows so
+    // the hash gate certifies every trained coordinate — the q66
+    // replay discipline at the c ∝ n scale shape.
+    "q117_kmeans_distributed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val seed = ext.Similarity.seededCentroids(e, "vec_id",
+        "embedding", 64, rate = 1.0 / 64)
+      val cent = ext.Similarity.lloydRefineDistributed(e, seed,
+        "vec_id", "embedding", 64, iters = 2, probes = 2)
+      cent.select(col("vec_id").as("cid"),
+          posexplode(col("embedding")))
+        .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").as("val"))
+        .orderBy("cid", "dim")
+    }),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2664,51 +2709,12 @@ object SparkEntry {
     // its candidates = probed buckets' members UNION the coarse seeds
     // (the assignment floor), argmax by (cos DESC, cid ASC); then the
     // q99 cap + within-cell pair stage
-    "q114_semdedup_distributed" -> {
-      val u = s"CAST(${sqlHexToLong(
-        "substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)")} AS DOUBLE)" +
-        " / CAST(1152921504606846976 AS DOUBLE)"
+    "q114_semdedup_distributed" ->
       s"""WITH v AS (
         | SELECT vec_id, embedding FROM embeddings
         | WHERE embedding IS NOT NULL AND len(embedding) >= 64
         |   AND ${sqlDot("embedding", "embedding")} > 0),
-        |cent AS (
-        | SELECT vec_id AS cid, embedding AS cv FROM v
-        | WHERE $u < CAST(1 AS DOUBLE) / CAST(64 AS DOUBLE)),
-        |gq AS (SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE)))
-        |   AS BIGINT) AS g FROM cent),
-        |co AS (
-        | SELECT cid, cv, j FROM (
-        |  SELECT cid, cv, row_number() OVER (ORDER BY cid) AS j
-        |  FROM cent), gq WHERE j <= gq.g),
-        |cb AS (
-        | SELECT cid, cv, b FROM (
-        |  SELECT ct.cid, ct.cv, co.j AS b,
-        |   row_number() OVER (PARTITION BY ct.cid ORDER BY
-        |     ${sqlCos("ct.cv", "co.cv")} DESC, co.j) AS rn
-        |  FROM cent ct CROSS JOIN co) WHERE rn = 1),
-        |pv AS (
-        | SELECT v.vec_id, co.j, co.cid,
-        |  ${sqlCos("v.embedding", "co.cv")} AS gc
-        | FROM v CROSS JOIN co),
-        |pb AS (
-        | SELECT vec_id, b FROM (
-        |  SELECT vec_id, j AS b, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY gc DESC, j) AS rn FROM pv) WHERE rn <= 2),
-        |sd AS (
-        | SELECT vec_id, cid, gc FROM (
-        |  SELECT vec_id, cid, gc, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY gc DESC, cid) AS rn FROM pv) WHERE rn = 1),
-        |cand AS (
-        | SELECT p.vec_id, cb.cid, ${sqlCos("v.embedding", "cb.cv")} AS cc
-        | FROM pb p JOIN v ON v.vec_id = p.vec_id JOIN cb ON cb.b = p.b
-        | UNION ALL
-        | SELECT vec_id, cid, gc AS cc FROM sd),
-        |asg AS (
-        | SELECT vec_id, cell FROM (
-        |  SELECT vec_id, cid AS cell, row_number() OVER (
-        |    PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
-        |  FROM cand) WHERE rn = 1),
+        |${sqlDistributedAsgChain(probes = 2)},
         |av AS (
         | SELECT v.vec_id, v.embedding, asg.cell
         | FROM v JOIN asg USING (vec_id)),
@@ -2721,8 +2727,53 @@ object SparkEntry {
         | FROM cap a JOIN cap b
         |  ON a.cell = b.cell AND a.vec_id < b.vec_id)
         |SELECT id1, id2, cosine FROM pr WHERE cosine >= 0.40
-        |ORDER BY id1, id2""".stripMargin
-    },
+        |ORDER BY id1, id2""".stripMargin,
+
+    // the q114 chain with the quantizer seeded from the INDEX slice
+    // only (the batch does not exist at index-build time), assignment
+    // over the full union (per-vector against the same centroid frame,
+    // so index-time and batch-time assignment coincide), the combined
+    // cap, and the q103 batch-touching restriction
+    "q116_incr_semdedup_distributed" ->
+      s"""WITH thr AS (SELECT count(*) * 4 // 5 AS t FROM embeddings),
+        |v AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0),
+        |${sqlDistributedAsgChain(probes = 2,
+           centExtra = " AND vec_id < (SELECT t FROM thr)")},
+        |av AS (
+        | SELECT v.vec_id, v.embedding, asg.cell
+        | FROM v JOIN asg USING (vec_id)),
+        |cap AS (
+        | SELECT vec_id, embedding, cell FROM av
+        | QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
+        |pr AS (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${sqlCos("a.embedding", "b.embedding")} AS cosine
+        | FROM cap a JOIN cap b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT id1, id2, cosine FROM pr, thr
+        |WHERE cosine >= 0.40 AND (id1 >= thr.t OR id2 >= thr.t)
+        |ORDER BY id1, id2""".stripMargin,
+
+    // distributed Lloyd TRAINING replayed end to end: hash-threshold
+    // seeding (cent1), two unrolled iterations of the distributed
+    // assignment chain + the two-level ordered mean + keep-previous
+    // coalesce (cent2, cent3), refined vectors unnested per dimension
+    "q117_kmeans_distributed" ->
+      s"""WITH v AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+        |${sqlSeededCentCte("1")},
+        |${sqlLloydIterCte(1, probes = 2)},
+        |${sqlLloydIterCte(2, probes = 2)}
+        |SELECT cid, CAST(dim AS BIGINT) AS dim,
+        | CAST(cv[dim] AS DOUBLE) AS val
+        |FROM cent3, dims
+        |ORDER BY cid, dim""".stripMargin,
 
     // the two-level mean replayed as nested ordered list_reduce folds
     // (inner: members by vec_id within id-block shards; outer: shard
@@ -4283,6 +4334,21 @@ object SparkEntry {
     * ScaleBench's handle on "does state grow ∝ series". */
   private[graft] def streamingCdpQueryWithState(s: SparkSession,
       dir: String, pred: org.apache.spark.sql.Column)
+      : (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]) =
+    streamingCdpQueryImpl(s, dir, pred, availableNow = false)
+
+  /** The q72 body under `Trigger.AvailableNow` (input + sentinel
+    * preloaded, self-terminating drain) — same output, fewer
+    * trigger/commit cycles; the ScaleBench pair with the per-append
+    * form isolates micro-batch machinery cost from state I/O. */
+  private[graft] def streamingCdpQueryAvailableNow(s: SparkSession,
+      dir: String, pred: org.apache.spark.sql.Column)
+      : (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]) =
+    streamingCdpQueryImpl(s, dir, pred, availableNow = true)
+
+  private def streamingCdpQueryImpl(s: SparkSession,
+      dir: String, pred: org.apache.spark.sql.Column,
+      availableNow: Boolean)
       : (DataFrame, Option[graft.streaming.StreamRun.StateMetrics]) = {
     val ev = Tables.events(s, dir).where(pred)
     val rated = Rates.withRate(ev, Seq("user_id"), "ts_us", "event_id",
@@ -4297,10 +4363,17 @@ object SparkEntry {
       lit(Long.MinValue).as("user_id"),
       lit(4102444800000000L).as("ts_us"), // 2100-01-01, past all data
       lit(null).cast("double").as("pdp"))
-    val (out, st) = graft.streaming.StreamingConsolidate
-      .cdpStreamFileRunWithState(s, pdp,
-        sentinel, Seq("user_id"), "ts_us", "pdp", 300L, 12L,
-        graft.model.Cf.Average, 0.5, latenessSec = 0)
+    val (out, st) =
+      if (availableNow)
+        graft.streaming.StreamingConsolidate
+          .cdpStreamAvailableNowRunWithState(s, pdp,
+            sentinel, Seq("user_id"), "ts_us", "pdp", 300L, 12L,
+            graft.model.Cf.Average, 0.5, latenessSec = 0)
+      else
+        graft.streaming.StreamingConsolidate
+          .cdpStreamFileRunWithState(s, pdp,
+            sentinel, Seq("user_id"), "ts_us", "pdp", 300L, 12L,
+            graft.model.Cf.Average, 0.5, latenessSec = 0)
     (out.where(col("user_id") =!= Long.MinValue) // sentinel never emits
       .orderBy("user_id", "cdp_ts"), st)
   }
@@ -4787,6 +4860,114 @@ object SparkEntry {
     }
     sb ++= s"cent AS (SELECT cid, cv FROM c$iters)"
     sb.toString
+  }
+
+  /** The distributed-quantizer assignment (Similarity.seededCentroids +
+    * ivfIndexDistributed) replayed in SQL — CTEs `cent` through `asg`,
+    * assuming a prior `v(vec_id, embedding)` CTE of cosine-eligible
+    * vectors: hash-threshold seeding at rate 1/64 (`centExtra` narrows
+    * the seed population further, e.g. the incremental family's
+    * index-slice restriction), the ⌈√c⌉ lowest-cid coarse seeds,
+    * centroid bucketing by (cos DESC, bucket ASC) rn=1, per-vector
+    * probe ranking (rn ≤ probes), candidates = probed buckets' members
+    * UNION the coarse seeds (the assignment floor), argmax by
+    * (cos DESC, cid ASC). Shared by q114 and q116. */
+  private def sqlDistributedAsgChain(probes: Int,
+      centExtra: String = ""): String =
+    sqlSeededCentCte("", centExtra) + ",\n" +
+      sqlAsgChainFromCent("", probes)
+
+  /** The `Similarity.seededCentroids` seeding as a CTE named
+    * `cent$sfx`: a row of the prior `v` CTE is a centroid iff its
+    * md5-uniform falls below 1/64 (`centExtra` narrows the seed
+    * population further, e.g. the incremental family's index-slice
+    * restriction). */
+  private def sqlSeededCentCte(sfx: String,
+      centExtra: String = ""): String = {
+    val u = s"CAST(${sqlHexToLong(
+      "substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)")} AS DOUBLE)" +
+      " / CAST(1152921504606846976 AS DOUBLE)"
+    s"""cent$sfx AS (
+      | SELECT vec_id AS cid, embedding AS cv FROM v
+      | WHERE $u < CAST(1 AS DOUBLE) / CAST(64 AS DOUBLE)$centExtra)""".stripMargin
+  }
+
+  /** `Similarity.ivfIndexDistributed` assignment given an existing
+    * `cent$sfx` CTE — CTEs `gq$sfx` through `asg$sfx` over the prior
+    * `v(vec_id, embedding)`: the ⌈√c⌉ lowest-cid coarse seeds,
+    * centroid bucketing by (cos DESC, bucket ASC) rn=1, per-vector
+    * probe ranking (rn ≤ probes), candidates = probed buckets' members
+    * UNION the coarse seeds (the assignment floor), argmax by
+    * (cos DESC, cid ASC). */
+  private def sqlAsgChainFromCent(sfx: String, probes: Int): String =
+    s"""gq$sfx AS (SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE)))
+      |   AS BIGINT) AS g FROM cent$sfx),
+      |co$sfx AS (
+      | SELECT cid, cv, j FROM (
+      |  SELECT cid, cv, row_number() OVER (ORDER BY cid) AS j
+      |  FROM cent$sfx), gq$sfx WHERE j <= gq$sfx.g),
+      |cb$sfx AS (
+      | SELECT cid, cv, b FROM (
+      |  SELECT ct.cid, ct.cv, co$sfx.j AS b,
+      |   row_number() OVER (PARTITION BY ct.cid ORDER BY
+      |     ${sqlCos("ct.cv", s"co$sfx.cv")} DESC, co$sfx.j) AS rn
+      |  FROM cent$sfx ct CROSS JOIN co$sfx) WHERE rn = 1),
+      |pv$sfx AS (
+      | SELECT v.vec_id, co$sfx.j, co$sfx.cid,
+      |  ${sqlCos("v.embedding", s"co$sfx.cv")} AS gc
+      | FROM v CROSS JOIN co$sfx),
+      |pb$sfx AS (
+      | SELECT vec_id, b FROM (
+      |  SELECT vec_id, j AS b, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY gc DESC, j) AS rn FROM pv$sfx) WHERE rn <= $probes),
+      |sd$sfx AS (
+      | SELECT vec_id, cid, gc FROM (
+      |  SELECT vec_id, cid, gc, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY gc DESC, cid) AS rn FROM pv$sfx) WHERE rn = 1),
+      |cand$sfx AS (
+      | SELECT p.vec_id, cb$sfx.cid,
+      |  ${sqlCos("v.embedding", s"cb$sfx.cv")} AS cc
+      | FROM pb$sfx p JOIN v ON v.vec_id = p.vec_id
+      |  JOIN cb$sfx ON cb$sfx.b = p.b
+      | UNION ALL
+      | SELECT vec_id, cid, gc AS cc FROM sd$sfx),
+      |asg$sfx AS (
+      | SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cid AS cell, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+      |  FROM cand$sfx) WHERE rn = 1)""".stripMargin
+
+  /** One `Similarity.lloydRefineDistributed` iteration replayed in
+    * SQL: the distributed assignment chain from `cent$i`, then the
+    * q105 two-level ordered mean per cell (id-block shards of 4096,
+    * shard-ordered outer fold, one divide per dim) and the
+    * keep-previous coalesce (empty cell OR zero-norm mean) into
+    * `cent${i+1}`. Requires prior `v(vec_id, embedding)` and
+    * `dims(dim)` CTEs. */
+  private def sqlLloydIterCte(i: Int, probes: Int): String = {
+    val s = i.toString
+    val n = (i + 1).toString
+    s"""${sqlAsgChainFromCent(s, probes)},
+      |l1_$s AS (
+      | SELECT a.cell, v.vec_id // 4096 AS shard, dim,
+      |  list_reduce(list(CAST(v.embedding[dim] AS DOUBLE)
+      |    ORDER BY v.vec_id), (x, y) -> x + y) AS sm
+      | FROM asg$s a JOIN v USING (vec_id), dims
+      | GROUP BY a.cell, shard, dim),
+      |l2_$s AS (
+      | SELECT cell, dim,
+      |  list_reduce(list(sm ORDER BY shard), (x, y) -> x + y) AS sm
+      | FROM l1_$s GROUP BY cell, dim),
+      |nn_$s AS (SELECT cell, COUNT(*) AS cnt FROM asg$s GROUP BY cell),
+      |m_$s AS (
+      | SELECT cell AS cid,
+      |  list(sm / CAST(cnt AS DOUBLE) ORDER BY dim) AS cv
+      | FROM l2_$s JOIN nn_$s USING (cell) GROUP BY cell, cnt),
+      |cent$n AS (
+      | SELECT c.cid,
+      |  CASE WHEN m.cv IS NOT NULL AND ${sqlDot("m.cv", "m.cv")} > 0
+      |   THEN m.cv ELSE c.cv END AS cv
+      | FROM cent$s c LEFT JOIN m_$s m USING (cid))""".stripMargin
   }
 
   /** Full PQ-ANN replay (q88): per-subspace L2 k-means training

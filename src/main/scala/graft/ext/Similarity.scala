@@ -1076,11 +1076,49 @@ object Similarity {
       tau: Double, maxCell: Int = 10000): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val d = dotK(dim) _
     val b = ivfIndex(batch, centroids, id, vec, dim)
       .where(col("norm") > 0)
       .select(col("cell"), col(id).cast("long"), col(vec), col("norm"))
       .as[(Long, Long, Array[Double], Double)]
+    incrementalCellMine(b, index, id, vec, dim, tau, maxCell)
+  }
+
+  /** [[incrementalSemanticNearDupPairs]] with the batch assigned by
+    * [[ivfIndexDistributed]] — the incremental axis of the
+    * distributed-quantizer family (q114): the persisted centroid FRAME
+    * (c ∝ n, never collected) serves both the original index build and
+    * every arriving batch, so NOTHING driver-side grows with the
+    * corpus on the whole incremental path either. Mining semantics are
+    * shared code with the broadcast form (same combined-population
+    * cap, same re-ingested-id supersede rule), so the q46-law identity
+    * — output ≡ a full re-mine of the union restricted to
+    * batch-touching pairs, for the same centroid set — holds verbatim
+    * and the whole chain replays in the SQL oracle. */
+  def incrementalSemanticNearDupPairsDistributed(batch: DataFrame,
+      index: DataFrame, centroids: DataFrame, id: String, vec: String,
+      dim: Int, tau: Double, maxCell: Int = 10000,
+      probes: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val b = ivfIndexDistributed(batch, centroids, id, vec, dim, probes)
+      .where(col("norm") > 0)
+      .select(col("cell"), col(id).cast("long"), col(vec), col("norm"))
+      .as[(Long, Long, Array[Double], Double)]
+    incrementalCellMine(b, index, id, vec, dim, tau, maxCell)
+  }
+
+  /** The shared incremental mine: ONE cell-key cogroup of an assigned
+    * batch with the persisted index — new×corpus and new×new pairs
+    * only, combined-population `maxCell` cap, re-ingested ids
+    * superseded by their batch row (see
+    * [[incrementalSemanticNearDupPairs]] for the full contract). */
+  private def incrementalCellMine(
+      b: org.apache.spark.sql.Dataset[(Long, Long, Array[Double], Double)],
+      index: DataFrame, id: String, vec: String, dim: Int,
+      tau: Double, maxCell: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
     // cell comes back integer-typed from a partitioned on-disk index
     // (directory inference) — upcast; zero-norm rows were excluded at
     // index build but the filter is idempotent insurance
@@ -1150,6 +1188,59 @@ object Similarity {
     }.toDF("id1", "id2", "cosine")
   }
 
+  /** The DETERMINISTIC DISTRIBUTED MEAN as a contract — the
+    * order-pinned two-level fold shared by [[prototypeScores]] (whose
+    * doc states the law) and [[lloydRefineDistributed]]'s update step:
+    * level 1 folds members ascending-id within monotone id-block
+    * shards (`id div idsPerShard` — at most idsPerShard rows per
+    * (group, shard) task, never a group-sized funnel, folded from 0.0
+    * == the oracle's first-element list_reduce for IEEE addition);
+    * level 2 folds the shard partials in shard order (loudly capped by
+    * `maxShardsPerGroup`); one final divide per dimension. Input:
+    * (group, id, vector); output: (__g, __cent). */
+  private def groupMeans(
+      v: org.apache.spark.sql.Dataset[(Long, Long, Array[Double])],
+      dim: Int, idsPerShard: Long, maxShardsPerGroup: Int,
+      what: String): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val partials = v
+      .groupByKey(t => (t._1, java.lang.Math.floorDiv(t._2, idsPerShard)))
+      .mapGroups { (key: (Long, Long), it) =>
+        val (g, shard) = key
+        val rows = it.toArray.sortBy(_._2)
+        val s = new Array[Double](dim)
+        var r = 0
+        while (r < rows.length) {
+          val x = rows(r)._3
+          var j = 0
+          while (j < dim) { s(j) += x(j); j += 1 }
+          r += 1
+        }
+        (g, shard, rows.length.toLong, s.toSeq)
+      }
+    partials.groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val ps = it.toArray.sortBy(_._2)
+        require(ps.length <= maxShardsPerGroup,
+          s"$what mean for group $g spans ${ps.length} id-block " +
+            s"shards > maxShardsPerGroup=$maxShardsPerGroup — raise " +
+            "idsPerShard to match the id range")
+        val n = ps.iterator.map(_._3).sum
+        val s = new Array[Double](dim)
+        var r = 0
+        while (r < ps.length) {
+          val x = ps(r)._4
+          var j = 0
+          while (j < dim) { s(j) += x(j); j += 1 }
+          r += 1
+        }
+        var j = 0
+        while (j < dim) { s(j) /= n.toDouble; j += 1 }
+        (g, s.toSeq)
+      }.toDF("__g", "__cent")
+  }
+
   /** Per-class prototype scores — the SSL-Prototypes / DataComp-style
     * curation filter that SemDeDup pipelines pair with dedup: each
     * class's (label's) embedding CENTROID is its prototype, and every
@@ -1191,45 +1282,8 @@ object Similarity {
         size(col("__v")) >= dim)
       .as[(Long, Long, Array[Double])]
       .filter(t => d(t._3, t._3) > 0)
-    // level 1: ≤ idsPerShard members per (label, id-block) task,
-    // folded ascending-id from 0.0 (== the oracle's first-element
-    // list_reduce for IEEE addition)
-    val partials = v
-      .groupByKey(t => (t._1, java.lang.Math.floorDiv(t._2, idsPerShard)))
-      .mapGroups { (key: (Long, Long), it) =>
-        val (g, shard) = key
-        val rows = it.toArray.sortBy(_._2)
-        val s = new Array[Double](dim)
-        var r = 0
-        while (r < rows.length) {
-          val x = rows(r)._3
-          var j = 0
-          while (j < dim) { s(j) += x(j); j += 1 }
-          r += 1
-        }
-        (g, shard, rows.length.toLong, s.toSeq)
-      }
-    // level 2: shard partials folded in shard order; one divide per dim
-    val cents = partials.groupByKey(_._1)
-      .mapGroups { (g, it) =>
-        val ps = it.toArray.sortBy(_._2)
-        require(ps.length <= maxShardsPerGroup,
-          s"prototype mean for group $g spans ${ps.length} id-block " +
-            s"shards > maxShardsPerGroup=$maxShardsPerGroup — raise " +
-            "idsPerShard to match the id range")
-        val n = ps.iterator.map(_._3).sum
-        val s = new Array[Double](dim)
-        var r = 0
-        while (r < ps.length) {
-          val x = ps(r)._4
-          var j = 0
-          while (j < dim) { s(j) += x(j); j += 1 }
-          r += 1
-        }
-        var j = 0
-        while (j < dim) { s(j) /= n.toDouble; j += 1 }
-        (g, s.toSeq)
-      }.toDF("__g", "__cent")
+    val cents = groupMeans(v, dim, idsPerShard, maxShardsPerGroup,
+      "prototype")
     // #labels centroid rows: AQE broadcasts the join side from its
     // measured size (the q100/q102 gate — no unconditional hint)
     v.toDF("__g", "__i", "__v").join(cents, "__g")
@@ -1240,6 +1294,88 @@ object Similarity {
         else Some((i, g, d(x, c) / (math.sqrt(d(x, x)) * math.sqrt(nc))))
       }
       .toDF(id, group, "proto_cos")
+  }
+
+  /** Distributed Lloyd refinement — quantizer TRAINING for the c ∝ n
+    * regime, completing the [[seededCentroids]]/[[ivfIndexDistributed]]
+    * family: [[kmeansCentroids]] (the q66/q88 replay discipline) runs
+    * Lloyd driver-local over a collected sample, which cannot exist
+    * when the centroid set itself grows with the corpus; here BOTH
+    * halves of every iteration are distributed and nothing driver-side
+    * ever exceeds the ⌈√c⌉ coarse seeds:
+    *
+    *   - ASSIGN: [[ivfIndexDistributed]] against the current centroid
+    *     FRAME (probed two-level semantics, deterministic tie rules;
+    *     `probes` ≥ ⌈√c⌉ degenerates to exact 1-NN — the spec-pinned
+    *     law). Zero-norm corpus vectors sit out (cosine undefined).
+    *   - UPDATE: each cell's new centroid is the order-pinned two-level
+    *     [[groupMeans]] fold of its members (the q105 deterministic-
+    *     mean contract — id-block shards ≤ `idsPerShard`, shard
+    *     partials in shard order, one divide per dim), so the refined
+    *     vectors are bit-identical across partitionings and engines.
+    *   - An EMPTY cell (nothing assigned) and a ZERO-NORM mean (exact
+    *     cancellation) both KEEP the previous centroid — the
+    *     [[kmeansCentroids]] empty-cell rule, extended to the one mean
+    *     cosine can't consume; centroid ids persist across iterations,
+    *     so cells are stable handles for incremental consumers.
+    *
+    * Each iteration costs one probed assignment (O(n·√c + n·probes·√c)
+    * work through `probes`+1 corpus-sized exchanges) plus two
+    * partial-agg'd mean shuffles and an AQE-gated centroid join —
+    * per-iteration cluster jobs are the price of never materializing
+    * the c ∝ n centroid set (the faiss driver-Lloyd trade reversed,
+    * deliberately). Every level goes through
+    * [[graft.ext.Dedup.materialize]] (eager checkpoint — the plan
+    * would otherwise reference the whole growing iteration chain, the
+    * trap [[graft.ext.Dedup.connectedComponents]] documents), and a
+    * level's local-checkpoint blocks are freed as soon as the next
+    * level materializes (tracked RDD ids, the CC discipline; reliable
+    * checkpoint-dir files follow the `cleanCheckpoints` note there).
+    *
+    * Fully deterministic end to end, so the SQL oracle replays
+    * TRAINING with unrolled per-iteration CTEs: the q114 assignment
+    * chain + the q105 nested list_reduce mean + the keep-previous
+    * coalesce (q117).
+    *
+    * Output: (`id`, `vec`) centroid frame, same ids as the input
+    * centroids, directly usable by every IVF-family operator. */
+  def lloydRefineDistributed(corpus: DataFrame, centroids: DataFrame,
+      id: String, vec: String, dim: Int, iters: Int, probes: Int = 4,
+      idsPerShard: Long = 4096L,
+      maxShardsPerGroup: Int = 1 << 20): DataFrame = {
+    require(iters >= 0, s"iters=$iters must be >= 0")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val sc = spark.sparkContext
+    var cent = centroids.select(col(id).cast("long").as(id), col(vec))
+    var freePrev: () => Unit = () => ()
+    var i = 0
+    while (i < iters) {
+      val members = ivfIndexDistributed(corpus, cent, id, vec, dim,
+          probes)
+        .where(col("norm") > 0)
+        .select(col("cell").as("__g"), col(id).cast("long").as("__i"),
+          col(vec).as("__v"))
+        .as[(Long, Long, Array[Double])]
+      val means = groupMeans(members, dim, idsPerShard,
+          maxShardsPerGroup, "lloyd cell")
+        .as[(Long, Seq[Double])]
+        .filter(t => d(t._2.toArray, t._2.toArray) > 0)
+        .toDF("__g", "__cv")
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val next = Dedup.materialize(
+        cent.join(means, cent(id) === means("__g"), "left")
+          .select(cent(id), coalesce(col("__cv"), cent(vec)).as(vec)))
+      val mine = sc.getPersistentRDDs.keySet.toSet -- before
+      freePrev() // the previous level's blocks are dead now
+      freePrev = () => sc.getPersistentRDDs.collect {
+        case (rid, rdd) if mine(rid) => rdd.unpersist(blocking = false)
+      }: Unit
+      cent = next
+      i += 1
+    }
+    cent
   }
 
   /** Persist an [[ivfIndex]] partitioned by `cell` — the on-disk form a

@@ -118,4 +118,67 @@ object StreamRun {
     deleteTree(ckpt)
     (spark.read.parquet(outDir), metrics)
   }
+
+  /** [[run]] under `Trigger.AvailableNow` — the batch-job-over-a-stream
+    * shape a scheduled 100 TB ingest actually runs: EVERY input frame
+    * (including the watermark sentinel) lands in the source directory
+    * BEFORE the query starts, the trigger drains all of it (one data
+    * batch here — no rate-limit options set), runs the no-data batch
+    * that lets the just-advanced watermark evict/emit closed windows,
+    * and terminates on its own. Versus [[run]]'s per-append
+    * `processAllAvailable` cadence this is the fewer-larger-batches
+    * end of the axis: same transform, same sink, same state
+    * semantics, fewer trigger/commit cycles — the pair of measurements
+    * separates per-batch machinery cost from state I/O (SCALE.md,
+    * q72_available_now).
+    *
+    * Output is identical to [[run]]'s for watermark-evicted operators:
+    * AvailableNow keeps running micro-batches (including no-data ones,
+    * `spark.sql.streaming.noDataMicroBatches.enabled` default true)
+    * until the watermark stabilizes, so windows the sentinel closes are
+    * flushed before termination — spec-pinned against [[run]]. */
+  def runAvailableNow(spark: SparkSession, input: DataFrame,
+      transform: DataFrame => DataFrame,
+      preloaded: Seq[DataFrame]): (DataFrame, Option[StateMetrics]) = {
+    val capKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val capPrev = spark.conf.getOption(capKey)
+    if (spark.conf.get(capKey, "100").toInt < 1000)
+      spark.conf.set(capKey, "1000")
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-")
+    hookInstalled
+    tracked.add(root)
+    val inDir = root.resolve("in")
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt")
+    input.write.parquet(inDir.toString)
+    preloaded.foreach(_.write.mode("append").parquet(inDir.toString))
+    val src = spark.readStream.schema(input.schema).parquet(inDir.toString)
+    val q = transform(src)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val metrics =
+      try {
+        q.awaitTermination()
+        val perBatch = q.recentProgress.toSeq
+          .map(_.stateOperators.toSeq)
+          .filter(_.nonEmpty)
+          .map(ops =>
+            (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum))
+        if (perBatch.isEmpty) None
+        else Some(StateMetrics(
+          perBatch.map(_._1).max, perBatch.map(_._2).max))
+      } finally {
+        q.stop()
+        capPrev match {
+          case Some(v) => spark.conf.set(capKey, v)
+          case None => spark.conf.unset(capKey)
+        }
+      }
+    deleteTree(inDir)
+    deleteTree(ckpt)
+    (spark.read.parquet(outDir), metrics)
+  }
 }

@@ -120,4 +120,23 @@ object StreamingConsolidate {
         cf, xff, latenessSec),
       Seq(advance.select(cols: _*), advance.select(cols: _*)))
   }
+
+  /** [[cdpStreamFileRunWithState]] under `Trigger.AvailableNow` — the
+    * scheduled-drain shape: input AND sentinel land before the query
+    * starts, one data batch ingests everything, the no-data batch the
+    * trigger still runs lets the advanced watermark evict/emit, and the
+    * query terminates on its own. Output is spec-pinned identical to
+    * the per-append cadence; the wall-clock delta between the two forms
+    * is pure trigger/commit machinery (SCALE.md, q72_available_now). */
+  def cdpStreamAvailableNowRunWithState(spark: SparkSession,
+      input: DataFrame, advance: DataFrame, series: Seq[String],
+      tsUsCol: String, valueCol: String, stepSec: Long, pdpCnt: Long,
+      cf: Cf, xff: Double, latenessSec: Long)
+      : (DataFrame, Option[StreamRun.StateMetrics]) = {
+    val cols = series.map(col) :+ col(tsUsCol) :+ col(valueCol)
+    StreamRun.runAvailableNow(spark, input.select(cols: _*),
+      src => cdpStream(src, series, tsUsCol, valueCol, stepSec, pdpCnt,
+        cf, xff, latenessSec),
+      Seq(advance.select(cols: _*)))
+  }
 }

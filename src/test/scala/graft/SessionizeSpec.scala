@@ -318,6 +318,149 @@ class SessionizeSpec extends SparkSuite {
     assert(mine(2).isEmpty)
   }
 
+  test("incremental distributed semdedup == full distributed re-mine " +
+      "restricted to batch-touching pairs, at partial AND full probes") {
+    val e = Tables.embeddings(spark, sf)
+    val thr = e.count() * 4 / 5
+    val corpus = e.where($"vec_id" < thr)
+    val batch = e.where($"vec_id" >= thr)
+    // production seeding: the quantizer exists before the batch does
+    val cent = ext.Similarity.seededCentroids(corpus, "vec_id",
+      "embedding", 64, rate = 1.0 / 16)
+    val g = math.ceil(math.sqrt(cent.count().toDouble)).toInt
+    val tau = 0.30
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      (0 until 64).foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    for (p <- Seq(1, g + 1)) {
+      val index = ext.Similarity.ivfIndexDistributed(corpus, cent,
+        "vec_id", "embedding", 64, probes = p).where($"norm" > 0)
+      val got = ext.Similarity.incrementalSemanticNearDupPairsDistributed(
+          batch, index, cent, "vec_id", "embedding", 64, tau = tau,
+          maxCell = 10000, probes = p)
+        .select($"id1", $"id2", $"cosine")
+        .as[(Long, Long, Double)].collect().toSet
+      // reference: assign the UNION with the same frame + probes, mine
+      // every within-cell pair locally, keep batch-touching ones
+      val asg = ext.Similarity.ivfIndexDistributed(e, cent, "vec_id",
+          "embedding", 64, probes = p)
+        .where($"norm" > 0)
+        .select($"cell", $"vec_id".cast("long"), $"embedding")
+        .as[(Long, Long, Seq[Double])].collect()
+      val want = asg.groupBy(_._1).values.flatMap { cell =>
+        val m = cell.sortBy(_._2)
+        for {
+          i <- m.indices; j <- (i + 1) until m.length
+          c = dot(m(i)._3, m(j)._3) /
+            (math.sqrt(dot(m(i)._3, m(i)._3)) *
+              math.sqrt(dot(m(j)._3, m(j)._3)))
+          if c >= tau && (m(i)._2 >= thr || m(j)._2 >= thr)
+        } yield (m(i)._2, m(j)._2, c)
+      }.toSet
+      assert(got == want, s"probes=$p")
+      if (p > g) assert(got.nonEmpty, "degenerate fixture at full probes")
+    }
+    // at probes >= g both assignment paths are exact, so the
+    // distributed incremental must coincide with the broadcast one
+    val indexExact = ext.Similarity.ivfIndex(corpus, cent, "vec_id",
+      "embedding", 64).where($"norm" > 0)
+    val broadcastForm = ext.Similarity.incrementalSemanticNearDupPairs(
+        batch, indexExact, cent, "vec_id", "embedding", 64, tau = tau,
+        maxCell = 10000)
+      .as[(Long, Long, Double)].collect().toSet
+    val distForm = ext.Similarity.incrementalSemanticNearDupPairsDistributed(
+        batch,
+        ext.Similarity.ivfIndexDistributed(corpus, cent, "vec_id",
+          "embedding", 64, probes = g).where($"norm" > 0),
+        cent, "vec_id", "embedding", 64, tau = tau, maxCell = 10000,
+        probes = g)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(distForm == broadcastForm)
+  }
+
+  test("lloydRefineDistributed at probes >= g == exact local Lloyd " +
+      "(argmax assignment + two-level ordered mean), iters=0 identity") {
+    val e = Tables.embeddings(spark, sf)
+    val seed = ext.Similarity.seededCentroids(e, "vec_id", "embedding",
+      64, rate = 1.0 / 16)
+    val g = math.ceil(math.sqrt(seed.count().toDouble)).toInt
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      (0 until 64).foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val vs = e.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Seq[Double])].collect()
+      .filter(t => t._2 != null && t._2.length >= 64 && dot(t._2, t._2) > 0)
+    // local reference: exact argmax (cos DESC, cid ASC via ascending
+    // scan with strict >), per-cell two-level fold mean (id-block
+    // shards of 4096, shard order), empty/zero-norm keep previous
+    var ref = seed.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(ref.length >= 2, "fixture must seed at least 2 centroids")
+    for (_ <- 1 to 2) {
+      val asg = vs.map { case (vid, v) =>
+        val nv = math.sqrt(dot(v, v))
+        val best = ref.map { case (cid, cv) =>
+          (cid, dot(v, cv) / (nv * math.sqrt(dot(cv, cv))))
+        }.reduceLeft((a, b) => if (b._2 > a._2) b else a)
+        (best._1, vid, v)
+      }
+      ref = ref.map { case (cid, cv) =>
+        val mem = asg.filter(_._1 == cid)
+        if (mem.isEmpty) (cid, cv)
+        else {
+          val s = new Array[Double](64)
+          mem.groupBy(t => java.lang.Math.floorDiv(t._2, 4096L))
+            .toSeq.sortBy(_._1)
+            .foreach { case (_, rows) =>
+              val p = new Array[Double](64)
+              rows.sortBy(_._2).foreach { r =>
+                var j = 0
+                while (j < 64) { p(j) += r._3(j); j += 1 }
+              }
+              var j = 0
+              while (j < 64) { s(j) += p(j); j += 1 }
+            }
+          var j = 0
+          while (j < 64) { s(j) /= mem.length.toDouble; j += 1 }
+          if (dot(s.toSeq, s.toSeq) > 0) (cid, s.toSeq) else (cid, cv)
+        }
+      }
+    }
+    val got = ext.Similarity.lloydRefineDistributed(e, seed, "vec_id",
+        "embedding", 64, iters = 2, probes = g)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got == ref.toMap) // exact double equality, both iterations
+    // iters=0 is the identity on the seed frame
+    val id0 = ext.Similarity.lloydRefineDistributed(e, seed, "vec_id",
+        "embedding", 64, iters = 0)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(id0 == seed.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Seq[Double])].collect().toMap)
+  }
+
+  test("lloydRefineDistributed: empty cell and exact-cancellation mean " +
+      "keep the previous centroid") {
+    def unit(i: Int, s: Double): Seq[Double] =
+      Seq.tabulate(64)(j => if (j == i) s else 0.0)
+    // centroid 2 (-e1) is nobody's argmax -> empty, must survive as-is
+    val corpus = Seq((10L, unit(0, 1.0)), (11L, unit(0, 2.0)),
+      (12L, unit(0, 4.0))).toDF("vec_id", "embedding")
+    val cents = Seq((1L, unit(0, 1.0)), (2L, unit(0, -1.0)))
+      .toDF("vec_id", "embedding")
+    val out = ext.Similarity.lloydRefineDistributed(corpus, cents,
+        "vec_id", "embedding", 64, iters = 1, probes = 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == unit(0, (1.0 + 2.0 + 4.0) / 3.0))
+    assert(out(2L) == unit(0, -1.0))
+    // one centroid, two vectors cancelling exactly: zero-norm mean is
+    // not a usable centroid (cosine undefined) -> keep previous
+    val corpus2 = Seq((10L, unit(3, 1.0)), (11L, unit(3, -1.0)))
+      .toDF("vec_id", "embedding")
+    val cents2 = Seq((1L, unit(3, 1.0))).toDF("vec_id", "embedding")
+    val out2 = ext.Similarity.lloydRefineDistributed(corpus2, cents2,
+        "vec_id", "embedding", 64, iters = 1, probes = 1)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out2(1L) == unit(3, 1.0))
+  }
+
   test("semanticNearDupPairs default == explicit seeded chain at the " +
       "derived cell count") {
     val e = Tables.embeddings(spark, sf)

@@ -100,4 +100,38 @@ class StreamingConsolidateSpec extends SparkSuite {
         } finally q.stop()
     }
   }
+
+  test("AvailableNow drain emits exactly the per-append cadence's rows") {
+    // the q72_available_now claim: preloading input + sentinel and
+    // letting Trigger.AvailableNow run (one data batch + the no-data
+    // flush batch) must produce the SAME sink rows as the three-batch
+    // processAllAvailable cadence — the wall delta between the two
+    // forms is then pure trigger/commit machinery, not semantics
+    val input = Seq(
+      CSample("a", us(300), Some(1.0)), CSample("a", us(600), Some(2.0)),
+      CSample("a", us(1500), Some(5.0)), CSample("a", us(1800), Some(6.0)),
+      CSample("a", us(2100), Some(7.0)), CSample("a", us(3600), Some(8.0)),
+      CSample("b", us(300), None), CSample("b", us(600), None),
+      CSample("b", us(900), None), CSample("b", us(1200), None),
+      CSample("b", us(1500), Some(9.0)), CSample("b", us(1800), Some(11.0))
+    ).map(s => (s.series, s.tsUs, s.v)).toDF("series", "tsUs", "v")
+    val sentinel = Seq(("__wm", us(100000), Option.empty[Double]))
+      .toDF("series", "tsUs", "v")
+    def rows(r: (org.apache.spark.sql.DataFrame,
+        Option[graft.streaming.StreamRun.StateMetrics])) =
+      r._1.as[(String, Long, Option[Double], Long)].collect().toSet
+        .filter(_._1 != "__wm")
+    val perAppend = StreamingConsolidate.cdpStreamFileRunWithState(
+      spark, input, sentinel, Seq("series"), "tsUs", "v", step, pdpCnt,
+      Cf.Average, 0.5, latenessSec = 0)
+    val availNow = StreamingConsolidate.cdpStreamAvailableNowRunWithState(
+      spark, input, sentinel, Seq("series"), "tsUs", "v", step, pdpCnt,
+      Cf.Average, 0.5, latenessSec = 0)
+    val (pa, an) = (rows(perAppend), rows(availNow))
+    assert(pa.nonEmpty, "fixture must emit closed windows")
+    assert(an == pa,
+      s"AvailableNow vs per-append mismatch:\n an=$an\n pa=$pa")
+    assert(availNow._2.nonEmpty,
+      "AvailableNow run must surface state metrics")
+  }
 }
