@@ -1763,6 +1763,55 @@ object SparkEntry {
         .orderBy("cid", "dim")
     }),
 
+    // CCNet-style quality buckets: per-language head/middle/tail
+    // thirds of the q90 trigram-LM score, bucketed by exact tercile
+    // threshold VALUES (the bounded double-quantile aggregate — one
+    // map-side agg to #langs×2 doubles + a per-row compare against the
+    // broadcast threshold frame; never a per-language window sort,
+    // which funnels English through one reducer at corpus scale).
+    "q118_quality_buckets" -> ((s, dir) =>
+      ext.TextAnalysis.lmQualityBuckets(Tables.documents(s, dir),
+          "doc_id", "lang", "text")
+        .orderBy("doc_id")),
+
+    // Cluster-balanced diversity sampling (DataComp selection): at most
+    // 8 keepers per distributed-quantizer cell, chosen by md5-uniform
+    // ascending — flattens embedding-space density instead of
+    // reproducing it. Rides the q114 no-driver-growth assignment and
+    // the bounded per-cell top-k aggregate.
+    "q119_diverse_sample" -> ((s, dir) =>
+      ext.Similarity.clusterBalancedSample(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 64, perCell = 8, targetOccupancy = 64,
+          probes = 2)
+        .orderBy("cell", "rank")),
+
+    // Hard-negative mining (contrastive training data): for each of
+    // the 16 lowest-id anchor vectors, the 5 most-cosine-similar
+    // corpus vectors carrying a DIFFERENT label — top-k among
+    // negatives (filter before rank), the q29 broadcast kernel with a
+    // label-inequality guard.
+    "q120_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      ext.Similarity.hardNegativesTopK(e.where(col("vec_id") < 16), e,
+          "vec_id", "embedding", "label", 64, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Leakage-free train/val split: near-dup components (the q43
+    // chain) move ATOMICALLY to one side, decided by the md5-uniform
+    // of the component key — a randomSplit here would put near-dups on
+    // both sides and leak val text into training. Docs in no component
+    // are their own singleton.
+    "q121_leakage_split" -> ((s, dir) => {
+      val cand = ext.Dedup.lshCandidates(Tables.documents(s, dir),
+          "doc_id", "text", 3, 16, 4)
+        .where(col("sig_agreement") >= 0.25)
+      val comp = ext.Dedup.connectedComponents(cand, "id1", "id2")
+      ext.Curation.leakageFreeSplit(Tables.documents(s, dir), "doc_id",
+          comp, "node", "component", trainFrac = 0.8)
+        .orderBy("doc_id")
+    }),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2728,6 +2777,79 @@ object SparkEntry {
         |  ON a.cell = b.cell AND a.vec_id < b.vec_id)
         |SELECT id1, id2, cosine FROM pr WHERE cosine >= 0.40
         |ORDER BY id1, id2""".stripMargin,
+
+    // the q114 assignment chain + per-cell row_number over (u, vec_id)
+    // — the window form of the bounded per-cell top-k the operator
+    // computes map-side
+    "q119_diverse_sample" ->
+      s"""WITH v AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0),
+        |${sqlDistributedAsgChain(probes = 2)},
+        |au AS (
+        | SELECT asg.cell, v.vec_id,
+        |  CAST(${sqlHexToLong("substr(md5(CAST(v.vec_id AS VARCHAR)), 1, 15)")} AS DOUBLE)
+        |   / CAST(1152921504606846976 AS DOUBLE) AS u
+        | FROM v JOIN asg USING (vec_id)),
+        |rk AS (
+        | SELECT cell, vec_id, u,
+        |  CAST(row_number() OVER (PARTITION BY cell
+        |    ORDER BY u, vec_id) AS BIGINT) AS rank
+        | FROM au)
+        |SELECT cell, rank, vec_id, u FROM rk WHERE rank <= 8
+        |ORDER BY cell, rank""".stripMargin,
+
+    // filter-before-rank: same-label rows never enter the ranking
+    // (top-k AMONG negatives); same strict-fold cosine as q29
+    "q120_hard_negatives" ->
+      s"""WITH v AS (
+        | SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+        | FROM embeddings
+        | WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |   AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0),
+        |q AS (SELECT * FROM v WHERE vec_id < 16),
+        |sc AS (
+        | SELECT q.vec_id AS query_id, q.label AS query_label,
+        |  c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |  ${sqlCos("q.embedding", "c.embedding")} AS cosine
+        | FROM q JOIN v c ON c.label <> q.label),
+        |rk AS (
+        | SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |  cosine, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM sc)
+        |SELECT query_id, query_label, CAST(rank AS INT) AS rank,
+        | neighbor_id, neighbor_label, cosine
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the q43 recursive components + singleton fallback + the
+    // component-keyed md5 uniform — all members of a component get the
+    // same u, so no component ever straddles the split
+    "q121_leakage_split" ->
+      s"""WITH RECURSIVE ${sqlLshCand.stripPrefix("WITH ")},
+        |fcand AS (SELECT id1, id2 FROM cand WHERE sig_agreement >= 0.25),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM fcand
+        |          UNION SELECT id2, id1 FROM fcand),
+        |reach AS (
+        | SELECT a AS node, b AS other FROM edges
+        | UNION
+        | SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other),
+        |comp AS (
+        | SELECT node AS doc_id, LEAST(node, MIN(other)) AS component
+        | FROM reach GROUP BY node),
+        |alld AS (
+        | SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        | FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |wu AS (
+        | SELECT doc_id, component,
+        |  CAST(${sqlHexToLong("substr(md5(CAST(component AS VARCHAR)), 1, 15)")} AS DOUBLE)
+        |   / CAST(1152921504606846976 AS DOUBLE) AS u
+        | FROM alld)
+        |SELECT doc_id, component, u,
+        | CASE WHEN u < 0.8 THEN 'train' ELSE 'val' END AS split
+        |FROM wu ORDER BY doc_id""".stripMargin,
 
     // the q114 chain with the quantizer seeded from the INDEX slice
     // only (the batch does not exist at index-build time), assignment
@@ -3977,6 +4099,62 @@ object SparkEntry {
         | s.sp / s.n_trigrams AS score
         |FROM d LEFT JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the q90 LM chain, then per-language tercile threshold VALUES at
+    // rank CEIL(q·n) of the ascending score order (the window-rank
+    // form of the bounded double-quantile aggregate — rank ties
+    // permute only equal values, so the selected VALUE is
+    // deterministic) and the value-pure bucket compare
+    "q118_quality_buckets" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, lower(trim(text)) AS norm FROM documents),
+        |g0 AS (
+        | SELECT doc_id, lang, norm,
+        |  unnest(generate_series(1, len(norm) - 2)) AS pos
+        | FROM d),
+        |g AS (
+        | SELECT doc_id, lang, pos, substr(norm, pos, 3) AS tri FROM g0),
+        |c3a AS (SELECT lang, tri, COUNT(*) AS n3 FROM g GROUP BY lang, tri
+        |        HAVING COUNT(*) >= 2),
+        |c3 AS (SELECT lang, tri, n3 FROM c3a
+        |       QUALIFY row_number() OVER (PARTITION BY lang
+        |         ORDER BY n3 DESC, tri) <= 65536),
+        |c2 AS (SELECT lang, substr(tri, 1, 2) AS pre, SUM(n3) AS n2
+        |       FROM c3 GROUP BY lang, pre),
+        |pv AS (
+        | SELECT g.doc_id, g.pos,
+        |  CAST(c3.n3 AS DOUBLE) / CAST(c2.n2 AS DOUBLE) AS p
+        | FROM g
+        | JOIN c3 ON c3.lang = g.lang AND c3.tri = g.tri
+        | JOIN c2 ON c2.lang = g.lang AND c2.pre = substr(g.tri, 1, 2)),
+        |s AS (
+        | SELECT doc_id, COUNT(*) AS n_trigrams,
+        |  list_reduce(list(p ORDER BY pos), (x, y) -> x + y) AS sp
+        | FROM pv GROUP BY doc_id),
+        |lm AS (
+        | SELECT d.doc_id, d.lang,
+        |  COALESCE(s.n_trigrams, 0) AS n_trigrams,
+        |  s.sp / s.n_trigrams AS score
+        | FROM d LEFT JOIN s USING (doc_id)),
+        |r AS (
+        | SELECT lang, score,
+        |  row_number() OVER (PARTITION BY lang ORDER BY score) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        | FROM lm WHERE score IS NOT NULL),
+        |th AS (
+        | SELECT lang,
+        |  max(CASE WHEN rn = CAST(ceil((1.0/3.0) * n) AS BIGINT)
+        |      THEN score END) AS t1,
+        |  max(CASE WHEN rn = CAST(ceil((2.0/3.0) * n) AS BIGINT)
+        |      THEN score END) AS t2
+        | FROM r GROUP BY lang)
+        |SELECT lm.doc_id, lm.lang, lm.n_trigrams, lm.score,
+        | CASE WHEN lm.score IS NULL THEN 'unscored'
+        |      WHEN lm.score <= th.t1 THEN 'tail'
+        |      WHEN lm.score <= th.t2 THEN 'middle'
+        |      ELSE 'head' END AS bucket
+        |FROM lm LEFT JOIN th USING (lang)
+        |ORDER BY lm.doc_id""".stripMargin,
 
     // same md5 priority order and integer window cumsum; the BIGINT
     // cast is the q78 HUGEINT-widening lesson

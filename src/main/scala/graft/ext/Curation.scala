@@ -661,6 +661,127 @@ object Curation {
       }: _*)
   }
 
+  /** Growable primitive double buffer for
+    * [[CeilQuantilesAggregatorD]] — the [[QBuf]] discipline at 8 B per
+    * value (a boxed buffer would make the `maxSlots` ceiling
+    * toothless). */
+  final case class DQBuf(n: Int, arr: Array[Double])
+
+  /** The [[CeilQuantilesAggregator]] contract on DOUBLE values: rank
+    * CEIL(q·n), 1-based, over the ascending IEEE order (what both
+    * engines' `ORDER BY` produces for non-NaN doubles). The integral
+    * aggregate refuses doubles because a silent `cast("long")` would
+    * truncate; this variant sorts the doubles themselves —
+    * `java.util.Arrays.sort(double[])` IS ascending IEEE order once
+    * NaN is excluded (refused loudly on entry: SQL sorts NaN last in
+    * DuckDB but greatest-and-equal-to-itself in Spark — the one value
+    * the two engines order differently) and −0.0 normalizes to 0.0
+    * (SQL ordering treats them equal; the TopKAggregator rule). The
+    * selected quantile is a VALUE of the input multiset — exact, never
+    * interpolated — so downstream comparisons against it stay inside
+    * the cross-engine hash contract. */
+  final class CeilQuantilesAggregatorD(qs: Array[Double], maxSlots: Int)
+      extends Aggregator[Double, DQBuf, Array[Double]] {
+    require(maxSlots > 0, s"maxSlots must be positive (got $maxSlots)")
+    private def grown(arr: Array[Double], need: Int): Array[Double] =
+      if (need <= arr.length) arr
+      else java.util.Arrays.copyOf(arr,
+        math.max(need, math.max(8, arr.length * 2)))
+    def zero: DQBuf = DQBuf(0, Array.emptyDoubleArray)
+    def reduce(b: DQBuf, in: Double): DQBuf = {
+      require(!in.isNaN,
+        "exact quantiles: NaN value — Spark and DuckDB order NaN " +
+          "differently (greatest vs last-with-nulls); filter NaNs first")
+      require(b.n < maxSlots,
+        s"exact quantiles exceeded maxSlots=$maxSlots values in one " +
+          "group — use percentile_approx for corpus-sized groups")
+      val a = grown(b.arr, b.n + 1)
+      a(b.n) = if (in == 0.0) 0.0 else in // −0.0 → 0.0
+      DQBuf(b.n + 1, a)
+    }
+    def merge(a: DQBuf, b: DQBuf): DQBuf = {
+      require(a.n.toLong + b.n <= maxSlots,
+        s"exact quantiles exceeded maxSlots=$maxSlots values in one " +
+          "group — use percentile_approx for corpus-sized groups")
+      val m = grown(a.arr, a.n + b.n)
+      System.arraycopy(b.arr, 0, m, a.n, b.n)
+      DQBuf(a.n + b.n, m)
+    }
+    def finish(b: DQBuf): Array[Double] = {
+      val arr = java.util.Arrays.copyOf(b.arr, b.n)
+      java.util.Arrays.sort(arr)
+      qs.map(q => arr((math.ceil(q * b.n) - 1).toInt max 0))
+    }
+    def bufferEncoder: Encoder[DQBuf] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+
+  /** [[exactQuantilesPerGroups]] for DOUBLE value columns (exact
+    * discrete quantiles — the value at rank CEIL(q·n) of the ascending
+    * IEEE order). Same bounded map-side shape, same loud `maxSlots`
+    * ceiling; nulls and NaNs are refused loudly (see
+    * [[CeilQuantilesAggregatorD]] for the NaN cross-engine rationale).
+    */
+  def exactQuantilesPerGroupsDouble(df: DataFrame, groups: Seq[String],
+      value: Column, qs: Seq[(String, Double)],
+      maxSlots: Int = 1 << 24): DataFrame = {
+    require(groups.nonEmpty, "need at least one group column")
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach { case (nme, q) =>
+      require(q > 0.0 && q <= 1.0, s"quantile $nme=$q outside (0, 1]")
+    }
+    val checked = when(value.isNull, raise_error(lit(
+      "exact quantiles: null value (the window-rank reference counts " +
+        "nulls into n; this aggregate has no null slot — filter or " +
+        "coalesce first)"))).otherwise(value).cast("double")
+    val agg = new CeilQuantilesAggregatorD(qs.map(_._2).toArray, maxSlots)
+    val qagg = udaf(agg, org.apache.spark.sql.Encoders.scalaDouble)
+    df.groupBy(groups.map(col): _*)
+      .agg(qagg(checked).as("__qv"))
+      .select(groups.map(col) ++ qs.zipWithIndex.map { case ((nme, _), i) =>
+        element_at(col("__qv"), i + 1).as(nme)
+      }: _*)
+  }
+
+  /** Leakage-free train/validation split — the manifest step a dedup
+    * pipeline must end with: if two near-duplicate documents land on
+    * opposite sides of a train/val split, the validation half leaks
+    * into training (the held-out loss is measured on memorized text).
+    * The fix is to split by near-dup COMPONENT, atomically: every doc
+    * joins its component from the dedup family's connected components
+    * (`components(node, component)` — the q43 output), docs in no
+    * component are their own singleton (component = own id), and the
+    * side is decided by the md5-uniform of the COMPONENT key — so all
+    * members of a component move together by construction, and the
+    * assignment is engine-/partitioning-/retry-independent (the same
+    * replayable-uniform argument as the sampling operators; a
+    * `randomSplit` here would be neither replayable nor
+    * component-atomic).
+    *
+    * Scale shape: the components frame is the (already audited) q43
+    * output — corpus-keyed, so the join is ONE doc_id equi-join (or
+    * exchange-free on the bucketed layout); the split itself is a
+    * per-row md5 + compare, shuffle-free. Expected train mass ≈
+    * `trainFrac` of components (not of docs — a giant dup cluster
+    * moves as one unit; that asymmetry is the point).
+    *
+    * Output: (id, component, u, split) with split ∈ {train, val}. */
+  def leakageFreeSplit(df: DataFrame, id: String,
+      components: DataFrame, node: String, component: String,
+      trainFrac: Double): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1,
+      s"trainFrac=$trainFrac must be in (0, 1)")
+    val comp = components.select(col(node).cast("long").as("__node"),
+      col(component).cast("long").as("__comp"))
+    df.select(col(id))
+      .join(comp, col(id) === col("__node"), "left")
+      .select(col(id),
+        coalesce(col("__comp"), col(id).cast("long")).as("component"))
+      .withColumn("u", hashUniform(col("component")))
+      .withColumn("split",
+        when(col("u") < trainFrac, lit("train")).otherwise(lit("val")))
+  }
+
   /** Deterministic training-shard manifest — the write-the-training-set
     * step of a data pipeline: every row gets a shard
     * (`floor(u · S)` over the md5 uniform, clamped to S−1) and a dense

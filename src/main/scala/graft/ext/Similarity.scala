@@ -460,6 +460,69 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training companion of
+    * [[bruteForceTopK]]: for each labeled query vector, the k corpus
+    * vectors MOST similar to it among those carrying a DIFFERENT
+    * label (the "hard negatives" a contrastive or reranker trainer
+    * pairs with each anchor; same-label rows are positives and are
+    * excluded BEFORE ranking — top-k among negatives, not a filtered
+    * top-k). Null-label and zero-norm rows are excluded on both sides
+    * (a zero vector has no cosine; NaN would rank FIRST under Spark's
+    * NaN-greatest ordering — the silent-poison case this filter
+    * closes).
+    *
+    * Scale shape is [[bruteForceTopK]]'s: the query side is small by
+    * contract (an anchor batch) and broadcasts as primitive arrays;
+    * the corpus streams through ONE typed mapPartitions with a
+    * label-inequality guard inside the tight kernel; the only shuffle
+    * is the final per-query top-k.
+    *
+    * Output: (query_id, query_label, rank, neighbor_id,
+    * neighbor_label, cosine), rank 1..k by (cosine DESC, neighbor_id).
+    */
+  def hardNegativesTopK(queries: DataFrame, corpus: DataFrame,
+      id: String, vec: String, label: String, dim: Int,
+      k: Int): DataFrame = {
+    require(k > 0, s"top-k needs k > 0 (got $k)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val qrows = queries.where(col(label).isNotNull)
+      .select(col(id).cast("long"), col(vec), col(label).cast("long"))
+      .as[(Long, Array[Double], Long)].collect()
+      .map { case (i, v, l) =>
+        require(v != null && v.length >= dim,
+          s"query vector $i is null or shorter than dim=$dim")
+        val n = math.sqrt(d(v, v))
+        require(n > 0, s"query vector $i has zero norm — no cosine")
+        (i, v, n, l)
+      }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qrows)
+    val scored = corpus.where(col(label).isNotNull)
+      .select(col(id).cast("long"), col(vec), col(label).cast("long"))
+      .as[(Long, Array[Double], Long)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, cv, nl) =>
+          if (cv == null || cv.length < dim) Iterator.empty
+          else {
+            val cn = math.sqrt(d(cv, cv))
+            if (cn == 0) Iterator.empty
+            else qs.iterator.collect {
+              case (qid, qv, qn, ql) if ql != nl =>
+                (qid, ql, nid, nl, d(qv, cv) / (qn * cn))
+            }
+          }
+        }
+      }
+      .toDF("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "cosine")
+    topK(scored, k)
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("neighbor_id"), col("neighbor_label"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding leg
     * of the north-star): hyperplane buckets propose candidates — the
     * left side probes its bucket plus every single-bit flip, so pairs
@@ -1043,6 +1106,49 @@ object Similarity {
     withinCellPairs(
       ivfIndexDistributed(corpus, cent, id, vec, dim, probes),
       id, vec, dim, tau, maxCell)
+  }
+
+  /** Cluster-balanced diversity sampling — the DataComp/SSL-curation
+    * selection step the SemDeDup family pairs with: instead of keeping
+    * a uniform fraction of the corpus (which reproduces its redundancy
+    * — dense regions stay dense), keep at most `perCell` vectors from
+    * EVERY quantizer cell, so coverage of the embedding space is flat
+    * by construction. Selection within a cell is the md5-uniform
+    * ascending (ties to the lower id) — deterministic, replayable, and
+    * independent of partitioning, the same argument as every sampling
+    * operator here.
+    *
+    * Scale shape: the quantizer is the no-driver-growth distributed
+    * family ([[seededCentroids]] at rate 1/targetOccupancy +
+    * [[ivfIndexDistributed]] — c ∝ n, only the ⌈√c⌉ coarse seeds ever
+    * materialize), and the per-cell keep is the bounded
+    * [[Curation.topKPerGroup]] aggregate — at most `perCell` rows per
+    * (cell, map task) cross the wire, never a window sort over cell
+    * partitions. Expected cell occupancy is `targetOccupancy`, so the
+    * kept fraction self-tunes to ≈ perCell/targetOccupancy of the
+    * corpus while flattening density. Zero-norm vectors (cell −1, no
+    * cosine geometry) are excluded.
+    *
+    * Output: (cell, rank, id, u) — rank 1..perCell by (u ASC, id ASC)
+    * within each cell. */
+  def clusterBalancedSample(corpus: DataFrame, id: String, vec: String,
+      dim: Int, perCell: Int, targetOccupancy: Int = 64,
+      probes: Int = 4): DataFrame = {
+    require(perCell > 0, s"perCell=$perCell must be >= 1")
+    require(targetOccupancy > 0, s"targetOccupancy=$targetOccupancy")
+    val cent = seededCentroids(corpus, id, vec, dim,
+      1.0 / targetOccupancy)
+    val asg = ivfIndexDistributed(corpus, cent, id, vec, dim, probes)
+      .where(col("norm") > 0)
+    // lowest-u-first via the bounded top-k aggregate: score = −u keeps
+    // the k largest (−u DESC = u ASC, ties id ASC — the oracle's
+    // row_number order). u > 0 almost surely, but −0.0 → 0.0 on the
+    // way back keeps a u=0 collision inside the hash contract.
+    Curation.topKPerGroup(asg, "cell", id,
+        -Curation.hashUniform(col(id)), perCell)
+      .select(col("cell").cast("long").as("cell"), col("rank"), col(id),
+        when(col("score") === 0.0, lit(0.0)).otherwise(-col("score"))
+          .as("u"))
   }
 
   /** Incremental SemDeDup — the batch-vs-index axis the LSH (q46) and

@@ -424,6 +424,44 @@ object TextAnalysis {
       .toDF(id, lang, "n_trigrams", "score")
   }
 
+  /** CCNet-style quality buckets: every document lands in the
+    * head / middle / tail third of its LANGUAGE's [[trigramLmScore]]
+    * distribution (CCNet buckets by LM perplexity terciles; this score
+    * is a mean probability, so HIGH = head). The bucketing is by
+    * per-language threshold VALUES — the exact score at rank CEIL(n/3)
+    * and CEIL(2n/3) of the ascending order ([[Curation.exactQuantilesPerGroupsDouble]]) —
+    * not by per-document rank, which is the scale-correct shape: the
+    * thresholds come from one bounded map-side aggregate (#langs × 2
+    * doubles), and bucket assignment is a per-row compare against a
+    * broadcast-eligible #langs-row frame — no corpus-wide window, no
+    * per-language sort (a `ntile` over `PARTITION BY lang` funnels
+    * each language through one reducer; English IS the corpus at
+    * 100 TB). Under ties the buckets are value-pure (equal scores land
+    * in the same bucket) rather than exactly equal-sized — the
+    * documented production trade.
+    *
+    * Scoreless documents (no modeled trigram — [[trigramLmScore]]
+    * yields null) bucket as 'unscored' and never enter the thresholds.
+    *
+    * Output: (id, lang, n_trigrams, score, bucket),
+    * bucket ∈ {head, middle, tail, unscored}:
+    * score ≤ t(1/3) → tail, ≤ t(2/3) → middle, else head. */
+  def lmQualityBuckets(df: org.apache.spark.sql.DataFrame, id: String,
+      lang: String, text: String, minCount: Long = 2L,
+      maxTrigramsPerLang: Int = 65536): org.apache.spark.sql.DataFrame = {
+    val lm = trigramLmScore(df, id, lang, text, minCount,
+      maxTrigramsPerLang)
+    val th = Curation.exactQuantilesPerGroupsDouble(
+      lm.where(col("score").isNotNull), Seq(lang), col("score"),
+      Seq(("__t1", 1.0 / 3), ("__t2", 2.0 / 3)))
+    lm.join(broadcast(th), Seq(lang), "left")
+      .select(col(id), col(lang), col("n_trigrams"), col("score"),
+        when(col("score").isNull, lit("unscored"))
+          .when(col("score") <= col("__t1"), lit("tail"))
+          .when(col("score") <= col("__t2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   /** BM25 relevance scoring with ODDS-form IDF — the ranking leg of a
     * corpus search/selection pipeline (keyword-targeted training-data
     * selection, eval-set retrieval), kept log-free so the scores
