@@ -82,6 +82,10 @@ object ScaleBench {
     "q114_semdedup_distributed", // distributed quantizer: no c-collect
     "q116_incr_semdedup_distributed", // distributed incremental assign
     "q117_kmeans_distributed", // distributed Lloyd: frame-only training
+    "q118_quality_buckets", // LM chain + bounded double-quantile thresholds
+    "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
+    "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
+    "q121_leakage_split",  // q43 components + component-keyed md5 split
     "q69_video_frames",    // per-row container decode, no shuffle
     "q70_canonical_select", // CC + quality argmax window per component
     "q71_pii_scrub",       // per-row regex detect/redact, no shuffle
@@ -365,6 +369,33 @@ object ScaleBench {
       }
       SparkEntry.dedupSavingsFrom(s, dir,
         s.read.parquet(s"$out/comp.parquet"))
+    }),
+    // q121 over PERSISTED components (the q112_persisted idiom, same
+    // cached component store): the production split is a report over
+    // the dedup run's output, not an inline re-mine — the warm pass
+    // times the doc_id join + per-row md5/compare alone.
+    "q121_persisted" -> ((s: SparkSession, dir: String) => {
+      val out = java.nio.file.Paths.get("/tmp/graft_scale",
+        s"q112_comp_${new java.io.File(dir).getName}")
+      val marker = out.resolve("_built")
+      val stamp = sourceFingerprint(dir)
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker),
+          "UTF-8") == stamp
+      if (!fresh) {
+        store.RrdStore.deleteTree(out.toString)
+        java.nio.file.Files.createDirectories(out)
+        val cand = ext.Dedup.lshCandidates(Tables.documents(s, dir),
+            "doc_id", "text", 3, 16, 4)
+          .where(col("sig_agreement") >= 0.25)
+        ext.Dedup.connectedComponents(cand, "id1", "id2")
+          .select(col("node").as("doc_id"), col("component"))
+          .write.mode("overwrite").parquet(s"$out/comp.parquet")
+        java.nio.file.Files.write(marker, stamp.getBytes("UTF-8")): Unit
+      }
+      ext.Curation.leakageFreeSplit(Tables.documents(s, dir), "doc_id",
+        s.read.parquet(s"$out/comp.parquet"), "doc_id", "component",
+        trainFrac = 0.8)
     }),
     )
 
