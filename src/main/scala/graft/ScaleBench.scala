@@ -83,6 +83,9 @@ object ScaleBench {
     "q116_incr_semdedup_distributed", // distributed incremental assign
     "q117_kmeans_distributed", // distributed Lloyd: frame-only training
     "q118_quality_buckets", // LM chain + bounded double-quantile thresholds
+    "q122_embed_standardize", // two-level moment folds + broadcast stats map
+    "q123_oov_rate",       // one word-count exchange + broadcast-set probe
+    "q124_tfidf_terms",    // distinct-pair DF agg + vocab join + doc window
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
     "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
     "q121_leakage_split",  // q43 components + component-keyed md5 split

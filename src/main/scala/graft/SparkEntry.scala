@@ -1812,6 +1812,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Embedding standardization (z-score per dimension): corpus
+    // moments via the q105 order-pinned two-level folds (Σx, Σx² per
+    // dim), then one shuffle-free typed map — the stats frame is dim
+    // rows (bounded by WIDTH, so it broadcasts by construction, unlike
+    // the corpus-growing centroid frames). Output: the standardized
+    // slice vec_id < 50, unnested so the hash gate certifies every
+    // mean/std through the transform.
+    "q122_embed_standardize" -> ((s, dir) =>
+      ext.Similarity.standardizeEmbeddings(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 64)
+        .where(col("vec_id") < 50)
+        .select(col("vec_id"), posexplode(col("vec_std")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").as("zval"))
+        .orderBy("vec_id", "dim")),
+
+    // Tokenizer-coverage report: the corpus's top-16 words (count
+    // DESC, word ASC — deterministic set) as the vocabulary, per-doc
+    // OOV token counts/rate. One corpus word-count exchange + a
+    // bounded TakeOrdered; scoring is a shuffle-free typed map with a
+    // broadcast hash-set probe per token.
+    "q123_oov_rate" -> ((s, dir) =>
+      ext.TextAnalysis.oovRateReport(Tables.documents(s, dir),
+          "doc_id", "lang", "text", vocabSize = 16)
+        .orderBy("doc_id")),
+
+    // TF-IDF keyword extraction: top-3 terms per doc by tf · odds-IDF
+    // (the q97 log-free discipline — integer counts + one divide + one
+    // multiply, hash-exact). DF frame is vocabulary-sized; the per-doc
+    // top-k window partitions on the HIGH-cardinality doc key.
+    "q124_tfidf_terms" -> ((s, dir) =>
+      ext.TextAnalysis.tfidfTopTerms(Tables.documents(s, dir),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2777,6 +2812,40 @@ object SparkEntry {
         |  ON a.cell = b.cell AND a.vec_id < b.vec_id)
         |SELECT id1, id2, cosine FROM pr WHERE cosine >= 0.40
         |ORDER BY id1, id2""".stripMargin,
+
+    // the two-level ordered Σx/Σx² folds (the q105 idiom), the fixed
+    // one-pass std chain (ss/n − mean², clamp ≤ 0 → 0, sqrt), and the
+    // std=0 → 0.0 transform rule — every op a single IEEE instruction
+    // both engines replay
+    "q122_embed_standardize" ->
+      s"""WITH v AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+        |l1 AS (
+        | SELECT vec_id // 4096 AS shard, dim, COUNT(*) AS n,
+        |  list_reduce(list(CAST(embedding[dim] AS DOUBLE)
+        |    ORDER BY vec_id), (x, y) -> x + y) AS s,
+        |  list_reduce(list(CAST(embedding[dim] AS DOUBLE) *
+        |      CAST(embedding[dim] AS DOUBLE)
+        |    ORDER BY vec_id), (x, y) -> x + y) AS ss
+        | FROM v, dims GROUP BY shard, dim),
+        |l2 AS (
+        | SELECT dim, CAST(SUM(n) AS BIGINT) AS n,
+        |  list_reduce(list(s ORDER BY shard), (x, y) -> x + y) AS s,
+        |  list_reduce(list(ss ORDER BY shard), (x, y) -> x + y) AS ss
+        | FROM l1 GROUP BY dim),
+        |st AS (
+        | SELECT dim, s / n AS mean,
+        |  CASE WHEN ss / n - (s / n) * (s / n) <= 0 THEN 0.0
+        |       ELSE sqrt(ss / n - (s / n) * (s / n)) END AS std
+        | FROM l2)
+        |SELECT v.vec_id, CAST(st.dim AS BIGINT) AS dim,
+        | CASE WHEN st.std = 0 THEN 0.0
+        |      ELSE (CAST(v.embedding[st.dim] AS DOUBLE) - st.mean)
+        |             / st.std END AS zval
+        |FROM v, st WHERE v.vec_id < 50
+        |ORDER BY v.vec_id, st.dim""".stripMargin,
 
     // the q114 assignment chain + per-cell row_number over (u, vec_id)
     // — the window form of the bounded per-cell top-k the operator
@@ -4155,6 +4224,50 @@ object SparkEntry {
         |      ELSE 'head' END AS bucket
         |FROM lm LEFT JOIN th USING (lang)
         |ORDER BY lm.doc_id""".stripMargin,
+
+    // the same top-16 (count DESC, word ASC) vocabulary via window
+    // rank; OOV counted through a left join, one IEEE divide
+    "q123_oov_rate" ->
+      s"""$sqlDocWords,
+        |t AS (SELECT unnest(ws) AS w FROM d),
+        |vc AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS c FROM t GROUP BY w)
+        |  ORDER BY c DESC, w LIMIT 16),
+        |tk AS (SELECT doc_id, lang, unnest(ws) AS w FROM d),
+        |sc AS (
+        | SELECT tk.doc_id, tk.lang, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE vc.w IS NULL) AS oov
+        | FROM tk LEFT JOIN vc ON vc.w = tk.w
+        | GROUP BY tk.doc_id, tk.lang)
+        |SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+        | CAST(oov AS BIGINT) AS oov_tokens,
+        | CAST(oov AS DOUBLE) / CAST(n AS DOUBLE) AS oov_frac
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // integer tf/df counts, the odds-IDF chain written with the same
+    // op order as the operator, (score DESC, term ASC) ranking
+    "q124_tfidf_terms" ->
+      s"""$sqlDocWords,
+        |tk AS (SELECT doc_id, unnest(ws) AS term FROM d),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tk GROUP BY doc_id, term),
+        |dfq AS (SELECT term,
+        |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM tk GROUP BY term),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (
+        | SELECT tf.doc_id, tf.term, tf.tf,
+        |  CAST(tf.tf AS DOUBLE) *
+        |   ((CAST(nn.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |     / (CAST(dfq.df AS DOUBLE) + 0.5)) AS score
+        | FROM tf JOIN dfq USING (term), nn),
+        |rk AS (
+        | SELECT doc_id, term, tf, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS BIGINT) AS rank
+        | FROM sc)
+        |SELECT doc_id, rank, term, tf, score FROM rk WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     // same md5 priority order and integer window cumsum; the BIGINT
     // cast is the q78 HUGEINT-widening lesson

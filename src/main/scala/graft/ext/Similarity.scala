@@ -1347,6 +1347,126 @@ object Similarity {
       }.toDF("__g", "__cent")
   }
 
+  /** Per-dimension corpus moments of an embedding column — the
+    * preprocessing statistics every standardization/whitening step
+    * needs (and the q105 deterministic-distributed-double-sum contract
+    * applied to the GLOBAL group): Σx and Σx² per dimension via the
+    * same order-pinned two-level fold (ascending-id within ≤idsPerShard
+    * id-block shards, shard partials in shard order, loud
+    * maxShards ceiling — size idsPerShard ∝ the id range, the q78
+    * block-shard law), then mean = Σx/n and
+    * std = sqrt(Σx²/n − mean²) as a FIXED IEEE op chain (one divide,
+    * one multiply, one subtract, one sqrt — replayed identically by
+    * the SQL oracle; negative cancellation residue clamps to 0 the
+    * same way in both engines). The textbook two-pass formula would
+    * need a second corpus scan; the one-pass ss/n − mean² form is the
+    * documented trade (cancellation-prone for tiny true variance, but
+    * exact-identical cross-engine — determinism is the contract here,
+    * same as every fold in this family).
+    *
+    * Null/short vectors are excluded; zero-norm vectors participate
+    * (moments need no cosine geometry). Output: (dim, n, mean, std),
+    * dim 1-based. */
+  def embeddingDimStats(df: DataFrame, id: String, vec: String,
+      dim: Int, idsPerShard: Long = 4096L,
+      maxShards: Int = 1 << 20): DataFrame = {
+    require(idsPerShard >= 1, s"idsPerShard=$idsPerShard must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(id).cast("long").as("__i"), col(vec).as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) >= dim)
+      .as[(Long, Array[Double])]
+    val partials = v
+      .groupByKey(t => java.lang.Math.floorDiv(t._1, idsPerShard))
+      .mapGroups { (shard, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val s = new Array[Double](dim)
+        val ss = new Array[Double](dim)
+        var r = 0
+        while (r < rows.length) {
+          val x = rows(r)._2
+          var j = 0
+          while (j < dim) {
+            s(j) += x(j)
+            ss(j) += x(j) * x(j)
+            j += 1
+          }
+          r += 1
+        }
+        (shard, rows.length.toLong, s.toSeq, ss.toSeq)
+      }
+    partials.groupByKey(_ => 0L)
+      .flatMapGroups { (_, it) =>
+        val ps = it.toArray.sortBy(_._1)
+        require(ps.length <= maxShards,
+          s"dim stats span ${ps.length} id-block shards > " +
+            s"maxShards=$maxShards — raise idsPerShard to match the " +
+            "id range")
+        val n = ps.iterator.map(_._2).sum
+        val s = new Array[Double](dim)
+        val ss = new Array[Double](dim)
+        var r = 0
+        while (r < ps.length) {
+          var j = 0
+          while (j < dim) {
+            s(j) += ps(r)._3(j)
+            ss(j) += ps(r)._4(j)
+            j += 1
+          }
+          r += 1
+        }
+        (0 until dim).iterator.map { j =>
+          val mean = s(j) / n.toDouble
+          val v2 = ss(j) / n.toDouble - mean * mean
+          val std = if (v2 <= 0) 0.0 else math.sqrt(v2)
+          ((j + 1).toLong, n, mean, std)
+        }
+      }
+      .toDF("dim", "n", "mean", "std")
+  }
+
+  /** Standardized (z-scored) embeddings — the whitening-diagonal
+    * preprocessing step quantizer/ANN pipelines run before training
+    * (per-dimension zero mean, unit variance): every coordinate maps
+    * to (x − mean_d)/std_d against the [[embeddingDimStats]] corpus
+    * moments. A constant dimension (std = 0) maps to 0.0 — the rule
+    * both engines replay identically, where the naive divide would
+    * poison the vector with NaN/Inf.
+    *
+    * Scale shape: the stats frame is `dim` rows — bounded by the
+    * embedding WIDTH, not the corpus — so it collects and broadcasts
+    * by construction (unlike the centroid frames, which grow with the
+    * corpus and must stay distributed); the transform is then ONE
+    * shuffle-free typed map over the corpus.
+    *
+    * Output: (id, vec_std: array<double>). */
+  def standardizeEmbeddings(df: DataFrame, id: String, vec: String,
+      dim: Int, idsPerShard: Long = 4096L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val st = embeddingDimStats(df, id, vec, dim, idsPerShard)
+      .select(col("dim"), col("mean"), col("std"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    require(st.length == dim, s"expected $dim stat rows, got ${st.length}")
+    val means = st.map(_._2)
+    val stds = st.map(_._3)
+    val bc = spark.sparkContext.broadcast((means, stds))
+    df.select(col(id).cast("long").as("__i"), col(vec).as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) >= dim)
+      .as[(Long, Array[Double])]
+      .map { case (i, x) =>
+        val (m, sd) = bc.value
+        val z = new Array[Double](dim)
+        var j = 0
+        while (j < dim) {
+          z(j) = if (sd(j) == 0) 0.0 else (x(j) - m(j)) / sd(j)
+          j += 1
+        }
+        (i, z.toSeq)
+      }
+      .toDF(id, "vec_std")
+  }
+
   /** Per-class prototype scores — the SSL-Prototypes / DataComp-style
     * curation filter that SemDeDup pipelines pair with dedup: each
     * class's (label's) embedding CENTROID is its prototype, and every

@@ -205,6 +205,94 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Tokenizer-coverage (OOV-rate) report — the vocabulary-fit check a
+    * pipeline runs before committing to a tokenizer budget: the
+    * corpus's top-`vocabSize` words by frequency (count DESC, word ASC
+    * — the engine-independent tiebreak, so the selected SET is
+    * identical in the oracle) form the vocabulary, and every document
+    * reports how many of its tokens fall outside it. High OOV = the
+    * vocabulary under-covers that document's domain/language.
+    *
+    * Scale shape: the vocabulary comes from ONE partial-aggregated
+    * word count (the only corpus-sized exchange) + a bounded
+    * TakeOrdered (never a full sort); it is `vocabSize` rows by
+    * construction, so it collects into a broadcast hash set and the
+    * scoring pass is a shuffle-free typed map with an O(1) probe per
+    * token — the `size(filter(array_contains))` column form would be
+    * O(len·V) per document and collapse at a real 100k-word
+    * vocabulary. Counts are integers; the rate is one IEEE divide.
+    *
+    * Output: (id, lang, n_tokens, oov_tokens, oov_frac). */
+  def oovRateReport(df: org.apache.spark.sql.DataFrame, id: String,
+      lang: String, text: String,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, s"vocabSize=$vocabSize must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(words(col(text))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select("w").as[String].collect().toSet
+    val bc = spark.sparkContext.broadcast(vocab)
+    df.select(col(id).cast("long"), col(lang), normalize(col(text)))
+      .as[(Long, String, String)]
+      .map { case (docId, lg, norm) =>
+        val v = bc.value
+        val ws = norm.split(" ", -1)
+        var oov = 0
+        var i = 0
+        while (i < ws.length) {
+          if (!v.contains(ws(i))) oov += 1
+          i += 1
+        }
+        (docId, lg, ws.length.toLong, oov.toLong,
+          oov.toDouble / ws.length.toDouble)
+      }
+      .toDF(id, lang, "n_tokens", "oov_tokens", "oov_frac")
+  }
+
+  /** TF-IDF top-k keyword extraction per document — the per-doc
+    * keyword/topic tagging step of a curation pipeline (domain
+    * routing, index cards, dedup explanations). IDF uses the q97
+    * odds form, idf(t) = (N − df_t + 0.5)/(df_t + 0.5), which is
+    * order-equivalent to log-IDF per term but log-free, so every
+    * score is integer counts + one divide + one multiply — inside the
+    * cross-engine hash gate (`ln` differs across libms, the q90/q97
+    * discipline). score(d, t) = tf_{d,t} · idf(t); ranking breaks
+    * ties (score DESC, term ASC).
+    *
+    * Scale shape: document frequencies come from one distinct-pair
+    * aggregation (the corpus-positions exchange); the DF frame is
+    * vocabulary-sized and joins the per-doc term counts on the term
+    * key (AQE picks broadcast under threshold, plain equi-join past
+    * it); the final per-doc top-k is a window over doc_id — a
+    * HIGH-cardinality partition key whose groups are bounded by
+    * document length, the non-skewed window case.
+    *
+    * Output: (id, rank, term, tf, score). */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"top-k needs k > 0 (got $k)")
+    val n = df.count()
+    val tk = df.select(col(id), explode(words(col(text))).as("term"))
+    val tf = tk.groupBy(col(id), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    // document frequency FROM the tf frame: tf's rows ARE the distinct
+    // (doc, term) pairs, so df needs no second corpus-positions
+    // explode+distinct — one vocab-sized aggregation over tf instead
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val idf = (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val scored = tf.join(dfreq, "term")
+      .select(col(id), col("term"), col("tf"),
+        (col("tf").cast("double") * idf).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(id), col("rank"), col("term"), col("tf"), col("score"))
+  }
+
   /** Char-trigram CODE-POINT triples of a normalized string, in
     * position order — code points, not UTF-16 chars, so the extraction
     * agrees with DuckDB's character-based `substr` on any BMP or

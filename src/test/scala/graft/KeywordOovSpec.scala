@@ -1,0 +1,85 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** OOV-rate report and TF-IDF keyword extraction: closed-form cases,
+  * the vocabulary tiebreak at the size boundary, kernel-vs-column
+  * parity, and the distinct-doc DF contract.
+  */
+class KeywordOovSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("oov rate: closed-form with a known vocabulary") {
+    val docs = Seq(
+      (1L, "en", "a a b c"), // a,b in vocab2 -> oov = 1 (c)
+      (2L, "en", "a b"), // all in vocab -> 0
+      (3L, "fr", "x y z")) // none -> 3
+      .toDF("doc_id", "lang", "text")
+    // counts: a=3, b=2, c=1, x=1, y=1, z=1 -> top-2 = {a, b}
+    val got = TextAnalysis.oovRateReport(docs, "doc_id", "lang",
+        "text", vocabSize = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "en", 4L, 1L, 0.25),
+      (2L, "en", 2L, 0L, 0.0),
+      (3L, "fr", 3L, 3L, 1.0)))
+  }
+
+  test("oov vocabulary boundary breaks ties by word ascending") {
+    // b and c tie at count 1; vocabSize 2 with a(2) -> {a, b} not {a, c}
+    val docs = Seq((1L, "en", "a a b c")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.oovRateReport(docs, "doc_id", "lang",
+        "text", vocabSize = 2)
+      .as[(Long, String, Long, Long, Double)].head()
+    assert(got == ((1L, "en", 4L, 1L, 0.25))) // only c is OOV
+  }
+
+  test("oov kernel equals the column form on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val got = TextAnalysis.oovRateReport(docs, "doc_id", "lang",
+        "text", vocabSize = 16)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    // column-form reference with the same deterministic vocabulary
+    val vocab = docs
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(16)
+      .select("w").as[String].collect().toSeq
+    val ws = TextAnalysis.words(col("text"))
+    val ref = docs.select(col("doc_id"), col("lang"),
+        size(ws).cast("long").as("n"),
+        size(filter(ws, w => !w.isin(vocab: _*))).cast("long").as("oov"))
+      .select(col("doc_id"), col("lang"), col("n"), col("oov"),
+        (col("oov").cast("double") / col("n").cast("double")).as("f"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got == ref)
+  }
+
+  test("tf-idf: closed-form scores, distinct-doc df, tie by term") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "c c d")).toDF("doc_id", "text")
+    // N=3; df: a=2, b=1, c=2, d=1
+    // idf(a) = (3-2+0.5)/(2+0.5) = 1.5/2.5 = 0.6 ; idf(b) = 2.5/1.5
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Long, String, Long, Double)].collect().toSeq
+    val idfA = (3.0 - 2.0 + 0.5) / (2.0 + 0.5)
+    val idfB = (3.0 - 1.0 + 0.5) / (1.0 + 0.5)
+    // doc 1: b -> 1*idfB ≈ 1.667 beats a -> 2*idfA = 1.2
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)) ==
+      Seq((1L, "b", 1L), (2L, "a", 2L)))
+    assert(got.find(r => r._1 == 1L && r._3 == "a").get._5 == 2.0 * idfA)
+    assert(got.find(r => r._1 == 1L && r._3 == "b").get._5 == 1.0 * idfB)
+    // doc 2: a and c both tf=1, df=2 -> equal scores; tie breaks to "a"
+    assert(got.filter(_._1 == 2L).map(r => (r._2, r._3)) ==
+      Seq((1L, "a"), (2L, "c")))
+    // doc 3: d (rare) outranks c despite tf 1 vs 2
+    assert(got.filter(_._1 == 3L).head._3 == "d")
+  }
+}
