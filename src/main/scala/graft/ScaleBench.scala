@@ -86,6 +86,7 @@ object ScaleBench {
     "q122_embed_standardize", // two-level moment folds + broadcast stats map
     "q123_oov_rate",       // one word-count exchange + broadcast-set probe
     "q124_tfidf_terms",    // distinct-pair DF agg + vocab join + doc window
+    "q125_exact_ledger",   // digest-index probe + batch min (q46 exact axis)
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
     "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
     "q121_leakage_split",  // q43 components + component-keyed md5 split

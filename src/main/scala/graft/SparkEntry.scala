@@ -1847,6 +1847,25 @@ object SparkEntry {
           "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 
+    // Incremental exact-dedup ingest ledger: the batch-vs-index axis
+    // for the EXACT family (q46/q56/q103 have it for LSH/SimHash/
+    // semantic) — every arriving doc verdicts against the persisted
+    // digest index + its own batch (dup_of_corpus wins, then
+    // dup_in_batch by min id, else new_unique). The 2-hex prefix
+    // digest stands in for the full md5 so the tiny test corpus
+    // exercises all three statuses (full-text digests are all unique
+    // here); the operator is digest-agnostic.
+    "q125_exact_ledger" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thr = docs.count() * 4 / 5
+      val dg = ext.TextAnalysis.fingerprintPrefix(col("text"), 2)
+      val idx = ext.Dedup.digestIndex(docs.where(col("doc_id") < thr),
+        "doc_id", dg)
+      ext.Dedup.exactDedupLedger(docs.where(col("doc_id") >= thr), idx,
+          "doc_id", dg)
+        .orderBy("doc_id")
+    }),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -4224,6 +4243,31 @@ object SparkEntry {
         |      ELSE 'head' END AS bucket
         |FROM lm LEFT JOIN th USING (lang)
         |ORDER BY lm.doc_id""".stripMargin,
+
+    // the same 2-hex prefix digest, the corpus-slice min-id index,
+    // the batch min, and the dup_of_corpus > dup_in_batch > new_unique
+    // verdict chain
+    "q125_exact_ledger" ->
+      """WITH thr AS (SELECT count(*) * 4 // 5 AS t FROM documents),
+        |dg AS (
+        | SELECT doc_id,
+        |  substr(md5(lower(trim(text))), 1, 2) AS digest
+        | FROM documents),
+        |idx AS (
+        | SELECT digest, MIN(doc_id) AS canonical
+        | FROM dg, thr WHERE doc_id < thr.t GROUP BY digest),
+        |b AS (SELECT doc_id, digest FROM dg, thr
+        |      WHERE doc_id >= thr.t),
+        |bm AS (SELECT digest, MIN(doc_id) AS bmin FROM b GROUP BY digest)
+        |SELECT b.doc_id, b.digest,
+        | CASE WHEN idx.canonical IS NOT NULL THEN 'dup_of_corpus'
+        |      WHEN b.doc_id > bm.bmin THEN 'dup_in_batch'
+        |      ELSE 'new_unique' END AS status,
+        | CASE WHEN idx.canonical IS NOT NULL THEN idx.canonical
+        |      WHEN b.doc_id > bm.bmin THEN bm.bmin
+        |      ELSE b.doc_id END AS canonical_id
+        |FROM b LEFT JOIN idx USING (digest) JOIN bm USING (digest)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // the same top-16 (count DESC, word ASC) vocabulary via window
     // rank; OOV counted through a left join, one IEEE divide

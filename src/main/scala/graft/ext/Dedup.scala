@@ -22,6 +22,66 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(text)).as("fp"))
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
+  /** Digest index for [[exactDedupLedger]]: one (digest, canonical)
+    * row per distinct digest, canonical = the min id carrying it —
+    * the persisted artifact an exact-dedup ingest gate probes (the
+    * [[exactGroups]] key side, shaped for the incremental axis). */
+  def digestIndex(corpus: DataFrame, id: String,
+      digest: Column): DataFrame =
+    corpus.groupBy(digest.as("digest"))
+      .agg(min(col(id).cast("long")).as("canonical"))
+
+  /** Incremental EXACT-dedup ingest ledger — the batch-vs-index axis
+    * the LSH (q46), SimHash (q56), and semantic (q103/q116) families
+    * already have, for the exact-digest family ([[exactGroups]] is the
+    * full-corpus form): every arriving batch document gets a verdict
+    * against the PERSISTED corpus digest index ([[digestIndex]]) plus
+    * its own batch:
+    *
+    *   - `dup_of_corpus`: its digest is in the index → canonical = the
+    *     corpus canonical (a corpus hit wins even when the batch also
+    *     duplicates internally — both copies point at the one id the
+    *     lake already stores, the rule an idempotent re-ingest needs);
+    *   - `dup_in_batch`: digest absent from the index but an
+    *     earlier (smaller-id) batch doc carries it → canonical = that
+    *     batch min id;
+    *   - `new_unique`: first carrier anywhere → canonical = own id.
+    *
+    * Under the append-only id convention (batch ids > every index id —
+    * how a lake assigns them, and how every incremental family here
+    * slices) this is exactly [[exactGroups]] over (corpus ∪ batch)
+    * restricted to batch rows (the q46 identity law, spec-pinned): the
+    * group's canonical is the same min-id in both forms. A batch id
+    * SMALLER than its group's corpus canonical would win the union
+    * min but not the ledger (the lake keeps what it already stores) —
+    * out of contract, like re-ingested ids in the semantic family.
+    * The digest column is caller-supplied
+    * ([[TextAnalysis.fingerprint]] in production; any engine-portable
+    * key expression works).
+    *
+    * Scale shape: the index is corpus-sized but the join is ONE
+    * digest equi-join (the batch side is small by contract — AQE
+    * broadcasts it into the index scan); the intra-batch min is a
+    * batch-sized aggregate. The corpus is never re-digested — the
+    * point of the incremental axis.
+    *
+    * Output: (id, digest, status, canonical_id). */
+  def exactDedupLedger(batch: DataFrame, index: DataFrame, id: String,
+      digest: Column): DataFrame = {
+    val b = batch.select(col(id).cast("long").as(id), digest.as("digest"))
+    val bm = b.groupBy(col("digest"))
+      .agg(min(col(id)).as("__bmin"))
+    b.join(index, Seq("digest"), "left")
+      .join(bm, Seq("digest"))
+      .select(col(id), col("digest"),
+        when(col("canonical").isNotNull, lit("dup_of_corpus"))
+          .when(col(id) > col("__bmin"), lit("dup_in_batch"))
+          .otherwise(lit("new_unique")).as("status"),
+        when(col("canonical").isNotNull, col("canonical"))
+          .when(col(id) > col("__bmin"), col("__bmin"))
+          .otherwise(col(id)).as("canonical_id"))
+  }
+
   /** Distinct k-word shingles of the normalized text; documents shorter
     * than k words contribute their whole text as one shingle. */
   def shingles(text: Column, k: Int): Column = {
