@@ -1866,6 +1866,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Hashing-trick vectorizer (feature hashing): 16-dim signed-bucket
+    // bag-of-words vectors, L2-normalized — ONE shuffle-free typed map
+    // (no explode, no (doc, bucket) exchange); unnested so the hash
+    // gate certifies every coordinate incl. the sqrt/divide chain.
+    "q126_hashing_vectorize" -> ((s, dir) =>
+      ext.TextAnalysis.hashingVectorize(Tables.documents(s, dir),
+          "doc_id", "text", dim = 16)
+        .select(col("doc_id"), posexplode(col("vec")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").as("val"))
+        .orderBy("doc_id", "dim")),
+
+    // Text → features → semantic dedup, cross-family composition: the
+    // q126 hashed bag-of-words vectors (64-dim, normalized) feed the
+    // q114 distributed-quantizer mine directly — fuzzy bag-of-words
+    // near-dup without any pretrained embedding, nothing driver-side
+    // growing with the corpus anywhere on the chain. tau = 0.88 is the
+    // measured p99 of this corpus's hashed-cosine distribution.
+    "q127_hashed_semantic_dedup" -> ((s, dir) => {
+      val vec = ext.TextAnalysis.hashingVectorize(
+        Tables.documents(s, dir), "doc_id", "text", dim = 64)
+      ext.Similarity.semanticNearDupPairsDistributed(vec, "doc_id",
+          "vec", 64, tau = 0.88, maxCell = 10000, targetOccupancy = 64,
+          probes = 2)
+        .orderBy("id1", "id2")
+    }),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -4244,6 +4271,38 @@ object SparkEntry {
         |FROM lm LEFT JOIN th USING (lang)
         |ORDER BY lm.doc_id""".stripMargin,
 
+    // the kernel's bucket/sign md5 rules, exact-integer bucket sums,
+    // index-ordered Σv² fold, sqrt + per-coordinate divide
+    "q126_hashing_vectorize" ->
+      s"""WITH ${sqlHashedVecCte(16)}
+        |SELECT hvec.doc_id, CAST(hdims.hd AS BIGINT) AS dim,
+        | hvec.e[hdims.hd] AS val
+        |FROM hvec CROSS JOIN hdims
+        |ORDER BY hvec.doc_id, hdims.hd""".stripMargin,
+
+    // the hashed vectors (64-dim, normalized) through the q114
+    // distributed-quantizer chain verbatim — seeding, coarse buckets,
+    // probes, argmax, cap, within-cell pair mine at tau 0.88
+    "q127_hashed_semantic_dedup" ->
+      s"""WITH ${sqlHashedVecCte(64)},
+        |v AS (
+        | SELECT doc_id AS vec_id, e AS embedding FROM hvec
+        | WHERE ${sqlDot("e", "e")} > 0),
+        |${sqlDistributedAsgChain(probes = 2)},
+        |av AS (
+        | SELECT v.vec_id, v.embedding, asg.cell
+        | FROM v JOIN asg USING (vec_id)),
+        |cap AS (
+        | SELECT vec_id, embedding, cell FROM av
+        | QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
+        |pr AS (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${sqlCos("a.embedding", "b.embedding")} AS cosine
+        | FROM cap a JOIN cap b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT id1, id2, cosine FROM pr WHERE cosine >= 0.88
+        |ORDER BY id1, id2""".stripMargin,
+
     // the same 2-hex prefix digest, the corpus-slice min-id index,
     // the batch min, and the dup_of_corpus > dup_in_batch > new_unique
     // verdict chain
@@ -5196,6 +5255,39 @@ object SparkEntry {
     sb ++= s"cent AS (SELECT cid, cv FROM c$iters)"
     sb.toString
   }
+
+  /** The hashing-trick vectorizer (TextAnalysis.hashingVectorize)
+    * replayed in SQL — CTEs ending in `hvec(doc_id, e)` of L2-normalized
+    * `dim`-wide double lists: token bucket = md5-top-60-bits mod dim,
+    * sign = hex digit 16 ≥ '8' (exactly the kernel's nibble rule),
+    * exact-integer bucket sums densified against a dim grid, Σv² fold
+    * in index order, one sqrt, one divide per coordinate (zero vectors
+    * stay zero). Also leaves `hdims(hd)` for unnesting. */
+  private def sqlHashedVecCte(dim: Int): String =
+    s"""d AS (
+      | SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+      | FROM documents),
+      |tk AS (SELECT doc_id, unnest(ws) AS w FROM d),
+      |hb AS (SELECT doc_id,
+      |  CAST(${sqlHexToLong("substr(md5(w), 1, 15)")} % $dim AS BIGINT) AS b,
+      |  CASE WHEN substr(md5(w), 16, 1) >= '8' THEN 1 ELSE -1 END AS s
+      | FROM tk),
+      |v0 AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS vv
+      |       FROM hb GROUP BY doc_id, b),
+      |hdims AS (SELECT unnest(generate_series(1, $dim)) AS hd),
+      |dv AS (SELECT d.doc_id, hdims.hd, COALESCE(v0.vv, 0) AS val
+      |       FROM d CROSS JOIN hdims
+      |       LEFT JOIN v0 ON v0.doc_id = d.doc_id AND v0.b = hdims.hd - 1),
+      |hraw AS (SELECT doc_id, list(CAST(val AS DOUBLE) ORDER BY hd) AS e
+      |         FROM dv GROUP BY doc_id),
+      |hnrm AS (SELECT doc_id, e,
+      |  sqrt(list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y))
+      |    AS nrm
+      | FROM hraw),
+      |hvec AS (SELECT doc_id,
+      |  CASE WHEN nrm = 0 THEN e
+      |       ELSE list_transform(e, x -> x / nrm) END AS e
+      | FROM hnrm)""".stripMargin
 
   /** The distributed-quantizer assignment (Similarity.seededCentroids +
     * ivfIndexDistributed) replayed in SQL — CTEs `cent` through `asg`,

@@ -293,6 +293,79 @@ object TextAnalysis {
       .select(col(id), col("rank"), col("term"), col("tf"), col("score"))
   }
 
+  /** Hashing-trick text vectorizer — the text→feature bridge into the
+    * embedding families (the classic hashing vectorizer / feature
+    * hashing): every token maps to bucket = md5-top-60-bits mod `dim`
+    * with a ±1 sign from md5 hex digit 16 (the q39 projection idiom —
+    * signs make collisions cancel in expectation instead of
+    * accumulating), buckets accumulate token multiplicity, and the
+    * vector optionally L2-normalizes (Σv² is an exact small-integer
+    * sum in double; norm = one sqrt; one divide per coordinate; a
+    * zero vector stays zero). Everything is engine-portable md5
+    * arithmetic + fixed IEEE ops, so the full vector — and anything
+    * computed FROM it downstream (cosines, cells) — sits inside the
+    * cross-engine hash gate.
+    *
+    * Scale shape: ONE shuffle-free typed map — each document's vector
+    * assembles in-row (no explode, no (doc, bucket) exchange, no
+    * pivot); a per-partition token→(bucket, sign) memo skips repeat
+    * md5s (corpora repeat tokens heavily). Output vectors feed the
+    * ANN/quantizer family directly: hashed bag-of-words near-dup via
+    * the distributed-quantizer mine is the q127 composition.
+    *
+    * Output: (id, vec: array<double>). */
+  def hashingVectorize(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, dim: Int,
+      l2Normalize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim=$dim must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), normalize(col(text)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new java.util.HashMap[String, (Int, Int)]()
+        it.map { case (docId, norm) =>
+          val ws = norm.split(" ", -1)
+          val v = new Array[Double](dim)
+          var i = 0
+          while (i < ws.length) {
+            var bs = memo.get(ws(i))
+            if (bs == null) {
+              md.reset()
+              val b = md.digest(ws(i).getBytes("UTF-8"))
+              // hex chars 1..15 = nibbles 0..14 (md5 top 60 bits)
+              var u = 0L
+              var q = 0
+              while (q < 15) {
+                val by = b(q / 2) & 0xff
+                u = u * 16 + (if (q % 2 == 0) by >>> 4 else by & 0xf)
+                q += 1
+              }
+              // hex char 16 = low nibble of byte 7; '8'..'f' → +1
+              val s = if ((b(7) & 0xf) >= 8) 1 else -1
+              bs = ((u % dim).toInt, s)
+              memo.put(ws(i), bs)
+            }
+            v(bs._1) += bs._2
+            i += 1
+          }
+          if (l2Normalize) {
+            var n2 = 0.0
+            var j = 0
+            while (j < dim) { n2 += v(j) * v(j); j += 1 }
+            val n = math.sqrt(n2)
+            if (n > 0) {
+              j = 0
+              while (j < dim) { v(j) /= n; j += 1 }
+            }
+          }
+          (docId, v.toSeq)
+        }
+      }
+      .toDF(id, "vec")
+  }
+
   /** Char-trigram CODE-POINT triples of a normalized string, in
     * position order — code points, not UTF-16 chars, so the extraction
     * agrees with DuckDB's character-based `substr` on any BMP or

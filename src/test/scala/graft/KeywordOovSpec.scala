@@ -82,4 +82,51 @@ class KeywordOovSpec extends SparkSuite {
     // doc 3: d (rare) outranks c despite tf 1 vs 2
     assert(got.filter(_._1 == 3L).head._3 == "d")
   }
+
+  test("hashing vectorizer kernel equals the column-form md5 rules") {
+    val docs = Tables.documents(spark, sf)
+    val dim = 16
+    val got = TextAnalysis.hashingVectorize(docs, "doc_id", "text",
+        dim, l2Normalize = false)
+      .select(col("doc_id"), posexplode(col("vec")))
+      .select(col("doc_id"), col("pos"), col("col"))
+      .where(col("col") =!= 0.0)
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, Double)].collect().toSeq
+    // independent column-form reference: Spark SQL md5/conv expressions
+    val w = col("w")
+    val ref = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(w), 1, 15), 16, 10).cast("long") % dim)
+          .cast("int").as("pos"),
+        when(substring(md5(w), 16, 1) >= "8", 1.0).otherwise(-1.0)
+          .as("s"))
+      .groupBy("doc_id", "pos").agg(sum("s").as("v"))
+      .where(col("v") =!= 0.0)
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got == ref)
+  }
+
+  test("hashing vectorizer: multiplicity, L2 law, zero-vector rule") {
+    val docs = Seq((1L, "x x x"), (2L, "y")).toDF("doc_id", "text")
+    val raw = TextAnalysis.hashingVectorize(docs, "doc_id", "text", 8,
+        l2Normalize = false)
+      .as[(Long, Seq[Double])].collect().toMap
+    // one token thrice -> a single bucket at ±3
+    assert(raw(1L).map(math.abs).sum == 3.0)
+    assert(raw(1L).count(_ != 0.0) == 1)
+    val nrm = TextAnalysis.hashingVectorize(docs, "doc_id", "text", 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    // normalized = raw / ||raw||, coordinate by coordinate
+    raw.foreach { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.zip(nrm(id)).foreach { case (r, z) =>
+        assert(java.lang.Double.compare(z,
+          if (n == 0) r else r / n) == 0)
+      }
+    }
+  }
 }
