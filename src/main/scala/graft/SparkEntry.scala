@@ -1893,6 +1893,28 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Corpus-health report, composition: q118's quality buckets joined
+    // back to token counts, rolled up per (lang, bucket) — the
+    // dashboard a curation run is judged by (where is the mass, how do
+    // the terciles differ). Integer counts/sums + exact min/max order
+    // stats (no float mean — the unscored bucket's all-null scores
+    // aggregate to null identically in both engines).
+    "q128_corpus_health" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val buckets = ext.TextAnalysis.lmQualityBuckets(docs, "doc_id",
+        "lang", "text")
+      val toks = docs.select(col("doc_id"),
+        ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
+          .as("n_tokens"))
+      buckets.join(toks, "doc_id")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy("lang", "bucket")
+    }),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -4221,55 +4243,26 @@ object SparkEntry {
     // permute only equal values, so the selected VALUE is
     // deterministic) and the value-pure bucket compare
     "q118_quality_buckets" ->
-      """WITH d AS (
-        | SELECT doc_id, lang, lower(trim(text)) AS norm FROM documents),
-        |g0 AS (
-        | SELECT doc_id, lang, norm,
-        |  unnest(generate_series(1, len(norm) - 2)) AS pos
-        | FROM d),
-        |g AS (
-        | SELECT doc_id, lang, pos, substr(norm, pos, 3) AS tri FROM g0),
-        |c3a AS (SELECT lang, tri, COUNT(*) AS n3 FROM g GROUP BY lang, tri
-        |        HAVING COUNT(*) >= 2),
-        |c3 AS (SELECT lang, tri, n3 FROM c3a
-        |       QUALIFY row_number() OVER (PARTITION BY lang
-        |         ORDER BY n3 DESC, tri) <= 65536),
-        |c2 AS (SELECT lang, substr(tri, 1, 2) AS pre, SUM(n3) AS n2
-        |       FROM c3 GROUP BY lang, pre),
-        |pv AS (
-        | SELECT g.doc_id, g.pos,
-        |  CAST(c3.n3 AS DOUBLE) / CAST(c2.n2 AS DOUBLE) AS p
-        | FROM g
-        | JOIN c3 ON c3.lang = g.lang AND c3.tri = g.tri
-        | JOIN c2 ON c2.lang = g.lang AND c2.pre = substr(g.tri, 1, 2)),
-        |s AS (
-        | SELECT doc_id, COUNT(*) AS n_trigrams,
-        |  list_reduce(list(p ORDER BY pos), (x, y) -> x + y) AS sp
-        | FROM pv GROUP BY doc_id),
-        |lm AS (
-        | SELECT d.doc_id, d.lang,
-        |  COALESCE(s.n_trigrams, 0) AS n_trigrams,
-        |  s.sp / s.n_trigrams AS score
-        | FROM d LEFT JOIN s USING (doc_id)),
-        |r AS (
-        | SELECT lang, score,
-        |  row_number() OVER (PARTITION BY lang ORDER BY score) AS rn,
-        |  COUNT(*) OVER (PARTITION BY lang) AS n
-        | FROM lm WHERE score IS NOT NULL),
-        |th AS (
-        | SELECT lang,
-        |  max(CASE WHEN rn = CAST(ceil((1.0/3.0) * n) AS BIGINT)
-        |      THEN score END) AS t1,
-        |  max(CASE WHEN rn = CAST(ceil((2.0/3.0) * n) AS BIGINT)
-        |      THEN score END) AS t2
-        | FROM r GROUP BY lang)
-        |SELECT lm.doc_id, lm.lang, lm.n_trigrams, lm.score,
-        | CASE WHEN lm.score IS NULL THEN 'unscored'
-        |      WHEN lm.score <= th.t1 THEN 'tail'
-        |      WHEN lm.score <= th.t2 THEN 'middle'
-        |      ELSE 'head' END AS bucket
-        |FROM lm LEFT JOIN th USING (lang)
-        |ORDER BY lm.doc_id""".stripMargin,
+      s"""WITH $sqlQualityBucketsCte
+        |SELECT doc_id, lang, n_trigrams, score, bucket FROM bk
+        |ORDER BY doc_id""".stripMargin,
+
+    // the q118 bucket chain + integer token sums rolled up per
+    // (lang, bucket); min/max are exact order stats, the unscored
+    // bucket's all-null scores aggregate to null in both engines
+    "q128_corpus_health" ->
+      s"""WITH $sqlQualityBucketsCte,
+        |tok AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+        |    AS n_tokens
+        | FROM documents)
+        |SELECT bk.lang, bk.bucket, COUNT(*) AS n_docs,
+        | CAST(SUM(tok.n_tokens) AS BIGINT) AS sum_tokens,
+        | MIN(bk.score) AS min_score, MAX(bk.score) AS max_score
+        |FROM bk JOIN tok USING (doc_id)
+        |GROUP BY bk.lang, bk.bucket
+        |ORDER BY bk.lang, bk.bucket""".stripMargin,
 
     // the kernel's bucket/sign md5 rules, exact-integer bucket sums,
     // index-ordered Σv² fold, sqrt + per-coordinate divide
@@ -5255,6 +5248,63 @@ object SparkEntry {
     sb ++= s"cent AS (SELECT cid, cv FROM c$iters)"
     sb.toString
   }
+
+  /** The q118 quality-bucket chain (TextAnalysis.lmQualityBuckets) as
+    * CTEs ending in `bk(doc_id, lang, n_trigrams, score, bucket)`:
+    * the q90 trigram-LM scoring chain, per-language tercile threshold
+    * VALUES at rank CEIL(q·n) (the window-rank form of the bounded
+    * double-quantile aggregate), and the value-pure bucket compare.
+    * Shared by q118 and the q128 health rollup. */
+  private val sqlQualityBucketsCte: String =
+    """d AS (
+      | SELECT doc_id, lang, lower(trim(text)) AS norm FROM documents),
+      |g0 AS (
+      | SELECT doc_id, lang, norm,
+      |  unnest(generate_series(1, len(norm) - 2)) AS pos
+      | FROM d),
+      |g AS (
+      | SELECT doc_id, lang, pos, substr(norm, pos, 3) AS tri FROM g0),
+      |c3a AS (SELECT lang, tri, COUNT(*) AS n3 FROM g GROUP BY lang, tri
+      |        HAVING COUNT(*) >= 2),
+      |c3 AS (SELECT lang, tri, n3 FROM c3a
+      |       QUALIFY row_number() OVER (PARTITION BY lang
+      |         ORDER BY n3 DESC, tri) <= 65536),
+      |c2 AS (SELECT lang, substr(tri, 1, 2) AS pre, SUM(n3) AS n2
+      |       FROM c3 GROUP BY lang, pre),
+      |pv AS (
+      | SELECT g.doc_id, g.pos,
+      |  CAST(c3.n3 AS DOUBLE) / CAST(c2.n2 AS DOUBLE) AS p
+      | FROM g
+      | JOIN c3 ON c3.lang = g.lang AND c3.tri = g.tri
+      | JOIN c2 ON c2.lang = g.lang AND c2.pre = substr(g.tri, 1, 2)),
+      |s AS (
+      | SELECT doc_id, COUNT(*) AS n_trigrams,
+      |  list_reduce(list(p ORDER BY pos), (x, y) -> x + y) AS sp
+      | FROM pv GROUP BY doc_id),
+      |lm AS (
+      | SELECT d.doc_id, d.lang,
+      |  COALESCE(s.n_trigrams, 0) AS n_trigrams,
+      |  s.sp / s.n_trigrams AS score
+      | FROM d LEFT JOIN s USING (doc_id)),
+      |r AS (
+      | SELECT lang, score,
+      |  row_number() OVER (PARTITION BY lang ORDER BY score) AS rn,
+      |  COUNT(*) OVER (PARTITION BY lang) AS n
+      | FROM lm WHERE score IS NOT NULL),
+      |th AS (
+      | SELECT lang,
+      |  max(CASE WHEN rn = CAST(ceil((1.0/3.0) * n) AS BIGINT)
+      |      THEN score END) AS t1,
+      |  max(CASE WHEN rn = CAST(ceil((2.0/3.0) * n) AS BIGINT)
+      |      THEN score END) AS t2
+      | FROM r GROUP BY lang),
+      |bk AS (
+      | SELECT lm.doc_id, lm.lang, lm.n_trigrams, lm.score,
+      |  CASE WHEN lm.score IS NULL THEN 'unscored'
+      |       WHEN lm.score <= th.t1 THEN 'tail'
+      |       WHEN lm.score <= th.t2 THEN 'middle'
+      |       ELSE 'head' END AS bucket
+      | FROM lm LEFT JOIN th USING (lang))""".stripMargin
 
   /** The hashing-trick vectorizer (TextAnalysis.hashingVectorize)
     * replayed in SQL — CTEs ending in `hvec(doc_id, e)` of L2-normalized
