@@ -765,6 +765,11 @@ object Curation {
     * `trainFrac` of components (not of docs — a giant dup cluster
     * moves as one unit; that asymmetry is the point).
     *
+    * Contract: `components` carries AT MOST ONE row per node (the
+    * connectedComponents shape) — a node listed twice would duplicate
+    * its document through the join, so duplicates fail loudly here
+    * rather than silently double-counting the manifest.
+    *
     * Output: (id, component, u, split) with split ∈ {train, val}. */
   def leakageFreeSplit(df: DataFrame, id: String,
       components: DataFrame, node: String, component: String,
@@ -772,7 +777,16 @@ object Curation {
     require(trainFrac > 0 && trainFrac < 1,
       s"trainFrac=$trainFrac must be in (0, 1)")
     val comp = components.select(col(node).cast("long").as("__node"),
-      col(component).cast("long").as("__comp"))
+        col(component).cast("long").as("__comp"))
+      // loud one-row-per-node guard: window count beats a separate
+      // corpus-pass assertion; raise_error fires only on the dup row
+      .withColumn("__k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__node")))
+      .select(col("__node"),
+        when(col("__k") > 1, raise_error(lit(
+          "leakageFreeSplit: components frame has more than one row " +
+            "for a node — dedup it to the connectedComponents shape " +
+            "first"))).otherwise(col("__comp")).as("__comp"))
     df.select(col(id))
       .join(comp, col(id) === col("__node"), "left")
       .select(col(id),

@@ -324,6 +324,11 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        // memo is CAPPED: a partition's distinct-token set grows with
+        // the data it scans (unbounded at 100 TB partition sizes), so
+        // past 2^20 entries new tokens hash uncached instead of
+        // growing the map — a cache, never a memory liability
+        val memoCap = 1 << 20
         val memo = new java.util.HashMap[String, (Int, Int)]()
         it.map { case (docId, norm) =>
           val ws = norm.split(" ", -1)
@@ -345,7 +350,7 @@ object TextAnalysis {
               // hex char 16 = low nibble of byte 7; '8'..'f' → +1
               val s = if ((b(7) & 0xf) >= 8) 1 else -1
               bs = ((u % dim).toInt, s)
-              memo.put(ws(i), bs)
+              if (memo.size < memoCap) memo.put(ws(i), bs)
             }
             v(bs._1) += bs._2
             i += 1
@@ -603,6 +608,11 @@ object TextAnalysis {
     *
     * Scoreless documents (no modeled trigram — [[trigramLmScore]]
     * yields null) bucket as 'unscored' and never enter the thresholds.
+    * A NULL `lang` is out of contract: its scored docs would find no
+    * threshold row (null joins nothing in either engine) and the
+    * compare chain would fall through to 'head' — identically on both
+    * sides, so the hash gate still holds, but filter null langs first
+    * if the label is meaningful.
     *
     * Output: (id, lang, n_trigrams, score, bucket),
     * bucket ∈ {head, middle, tail, unscored}:

@@ -197,4 +197,17 @@ class SelectionOpsSpec extends SparkSuite {
     // both sides non-empty on this corpus
     assert(got.map(_._4).distinct.sorted == Seq("train", "val"))
   }
+
+  test("leakage split refuses a components frame with duplicate nodes") {
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("node", "component")
+    val e = intercept[Exception] {
+      Curation.leakageFreeSplit(docs, "doc_id", dup, "node",
+        "component", 0.8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m =>
+      m != null && m.contains("more than one row")))
+  }
 }
