@@ -90,6 +90,8 @@ object ScaleBench {
     "q126_hashing_vectorize", // one shuffle-free typed map, per-row assembly
     "q127_hashed_semantic_dedup", // text→features→q114 chain composition
     "q128_corpus_health",  // q118 buckets + token rollup (integer report)
+    "q129_triplet_mine",   // one broadcast scan scores both triplet sides
+    "q130_padding_efficiency", // codegen'd CASE + #buckets-row agg
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
     "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
     "q121_leakage_split",  // q43 components + component-keyed md5 split

@@ -1915,6 +1915,31 @@ object SparkEntry {
         .orderBy("lang", "bucket")
     }),
 
+    // Triplet mining (metric-learning training data): per anchor, the
+    // hardest positive (same label, LOWEST cosine) + hardest negative
+    // (different label, HIGHEST cosine) + margin — one broadcast
+    // corpus scan scores both sides, windows pick the extremes.
+    "q129_triplet_mine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      ext.Similarity.tripletMine(e.where(col("vec_id") < 16), e,
+          "vec_id", "embedding", "label", 64)
+        .orderBy("anchor_id")
+    }),
+
+    // Padding-efficiency report: docs classified into the smallest
+    // length bucket ≥ n_tokens over a {16,32,64,128,256} grid (longer
+    // docs truncate to 256), per-bucket real/padded token volumes —
+    // the batch-geometry number an inference scheduler tunes against.
+    // Per-row codegen'd CASE + one #buckets-row aggregation.
+    "q130_padding_efficiency" -> ((s, dir) => {
+      val toks = ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
+      ext.Curation.paddingEfficiency(
+          Tables.documents(s, dir).select(col("doc_id"),
+            toks.as("__n")),
+          "doc_id", col("__n"), Seq(16, 32, 64, 128, 256))
+        .orderBy("bucket")
+    }),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2936,6 +2961,55 @@ object SparkEntry {
         | FROM au)
         |SELECT cell, rank, vec_id, u FROM rk WHERE rank <= 8
         |ORDER BY cell, rank""".stripMargin,
+
+    // per-anchor extremes over the same labeled-cosine frame: pos =
+    // (cosine ASC, cand ASC) rn 1 among same-label, neg = (cosine
+    // DESC, cand ASC) rn 1 among cross-label, margin one subtract
+    "q129_triplet_mine" ->
+      s"""WITH v AS (
+        | SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+        | FROM embeddings
+        | WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |   AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0),
+        |q AS (SELECT * FROM v WHERE vec_id < 16),
+        |sc AS (
+        | SELECT q.vec_id AS anchor_id, q.label,
+        |  c.vec_id AS cand_id, c.label = q.label AS same,
+        |  ${sqlCos("q.embedding", "c.embedding")} AS cosine
+        | FROM q JOIN v c ON c.vec_id <> q.vec_id),
+        |p AS (
+        | SELECT anchor_id, label, cand_id AS pos_id, cosine AS pos_cos
+        | FROM sc WHERE same
+        | QUALIFY row_number() OVER (PARTITION BY anchor_id
+        |   ORDER BY cosine ASC, cand_id) = 1),
+        |ng AS (
+        | SELECT anchor_id, cand_id AS neg_id, cosine AS neg_cos
+        | FROM sc WHERE NOT same
+        | QUALIFY row_number() OVER (PARTITION BY anchor_id
+        |   ORDER BY cosine DESC, cand_id) = 1)
+        |SELECT p.anchor_id, p.label, p.pos_id, p.pos_cos,
+        | ng.neg_id, ng.neg_cos, p.pos_cos - ng.neg_cos AS margin
+        |FROM p JOIN ng USING (anchor_id)
+        |ORDER BY p.anchor_id""".stripMargin,
+
+    // smallest-bucket-≥n classification, integer sums, one divide
+    "q130_padding_efficiency" ->
+      s"""$sqlDocWords,
+        |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM d),
+        |b AS (
+        | SELECT doc_id, n,
+        |  CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |       WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |       ELSE 256 END AS bucket,
+        |  LEAST(n, 256) AS real
+        | FROM t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+        | CAST(SUM(real) AS BIGINT) AS real_tokens,
+        | CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+        | CAST(SUM(real) AS DOUBLE) / CAST(COUNT(*) * bucket AS DOUBLE)
+        |   AS efficiency
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // filter-before-rank: same-label rows never enter the ranking
     // (top-k AMONG negatives); same strict-fold cosine as q29

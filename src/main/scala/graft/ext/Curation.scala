@@ -827,6 +827,43 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Padding-efficiency report — the batch-geometry check before
+    * committing an inference/training batching scheme: every document
+    * lands in the SMALLEST length bucket ≥ its token count (documents
+    * past the largest bucket truncate to it), and each bucket reports
+    * how much of its padded volume is real tokens,
+    * efficiency = Σ min(n_tokens, bucket) / (n_docs · bucket).
+    * Low efficiency = the bucket grid wastes compute on pad tokens;
+    * comparing grids is how the bucket boundaries get chosen. All
+    * integers + one IEEE divide per bucket row (hash-exact).
+    *
+    * Scale shape: a per-row bucket classification (codegen'd CASE —
+    * no shuffle) + one #buckets-row aggregation.
+    *
+    * Output: (bucket, n_docs, real_tokens, padded_tokens, efficiency),
+    * ordered by bucket. */
+  def paddingEfficiency(df: DataFrame, id: String, nTokens: Column,
+      buckets: Seq[Int]): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted &&
+      buckets.distinct == buckets && buckets.head > 0,
+      s"buckets must be positive, ascending, distinct (got $buckets)")
+    val top = buckets.last
+    val bucket = buckets.init.reverse.foldLeft(
+      lit(top.toLong): Column) { (acc, b) =>
+      when(nTokens <= b, lit(b.toLong)).otherwise(acc)
+    }
+    val real = least(nTokens.cast("long"), lit(top.toLong))
+    df.select(col(id), bucket.as("bucket"), real.as("__real"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__real")).as("real_tokens"))
+      .select(col("bucket"), col("n_docs"), col("real_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_tokens"),
+        (col("real_tokens").cast("double") /
+          (col("n_docs") * col("bucket")).cast("double"))
+          .as("efficiency"))
+  }
+
   /** Group-wise top-k rows: for each value of `group`, the k rows with
     * the largest `score` (ties to the smaller `id`), ranked 1..k.
     * Output: (group, rank, id, score) — the exploded, ranked form a

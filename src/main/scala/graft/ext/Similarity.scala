@@ -523,6 +523,81 @@ object Similarity {
         col("neighbor_id"), col("neighbor_label"), col("cosine"))
   }
 
+  /** Triplet mining — the (anchor, positive, negative) table a
+    * metric-learning / contrastive trainer consumes, built on the
+    * [[hardNegativesTopK]] kernel: for each labeled anchor, the
+    * HARDEST positive (same label, LOWEST cosine — the pair the loss
+    * must pull together) and the HARDEST negative (different label,
+    * HIGHEST cosine — the pair it must push apart), with
+    * margin = pos_cos − neg_cos (negative margin = the triplet is
+    * currently violated, exactly what semi-hard mining selects on).
+    * Ties break to the lower candidate id; the anchor never pairs
+    * with itself; anchors whose label has no second member emit
+    * nothing (no positive exists — inner-join semantics, documented).
+    * Zero-norm / null-label rows are excluded on both sides (the
+    * [[hardNegativesTopK]] NaN rationale).
+    *
+    * Scale shape: the anchor batch broadcasts; ONE corpus scan scores
+    * both sides in the same typed kernel; two per-anchor extremes via
+    * windows over the high-cardinality anchor key.
+    *
+    * Output: (anchor_id, label, pos_id, pos_cos, neg_id, neg_cos,
+    * margin). */
+  def tripletMine(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, label: String, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val qrows = queries.where(col(label).isNotNull)
+      .select(col(id).cast("long"), col(vec), col(label).cast("long"))
+      .as[(Long, Array[Double], Long)].collect()
+      .map { case (i, v, l) =>
+        require(v != null && v.length >= dim,
+          s"anchor vector $i is null or shorter than dim=$dim")
+        val n = math.sqrt(d(v, v))
+        require(n > 0, s"anchor vector $i has zero norm — no cosine")
+        (i, v, n, l)
+      }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qrows)
+    val scored = corpus.where(col(label).isNotNull)
+      .select(col(id).cast("long"), col(vec), col(label).cast("long"))
+      .as[(Long, Array[Double], Long)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, cv, nl) =>
+          if (cv == null || cv.length < dim) Iterator.empty
+          else {
+            val cn = math.sqrt(d(cv, cv))
+            if (cn == 0) Iterator.empty
+            else qs.iterator.collect {
+              case (qid, qv, qn, ql) if qid != nid =>
+                (qid, ql, nid, ql == nl, d(qv, cv) / (qn * cn))
+            }
+          }
+        }
+      }
+      .toDF("anchor_id", "label", "cand_id", "same", "cosine")
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").asc, col("cand_id"))
+    val wNeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val pos = scored.where(col("same"))
+      .withColumn("__r", row_number().over(wPos)).where(col("__r") === 1)
+      .select(col("anchor_id"), col("label"),
+        col("cand_id").as("pos_id"), col("cosine").as("pos_cos"))
+    val neg = scored.where(!col("same"))
+      .withColumn("__r", row_number().over(wNeg)).where(col("__r") === 1)
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        col("cosine").as("neg_cos"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("label"), col("pos_id"),
+        col("pos_cos"), col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding leg
     * of the north-star): hyperplane buckets propose candidates — the
     * left side probes its bucket plus every single-bit flip, so pairs

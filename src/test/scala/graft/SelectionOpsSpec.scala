@@ -169,6 +169,51 @@ class SelectionOpsSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------ triplet mining
+
+  test("triplets: hardest positive is LOWEST same-label cosine; violated margin") {
+    def v(head: Double*) =
+      (head ++ Seq.fill(64 - head.length)(0.0)).toArray
+    val rows = Seq(
+      (0L, v(1.0), 0L), // anchor
+      (1L, v(1.0, 0.1), 0L), // positive, cos ≈ .995
+      (2L, v(1.0, 2.0), 0L), // positive, cos ≈ .447 — the HARDEST
+      (3L, v(1.0, 0.5), 1L), // negative, cos ≈ .894 — the hardest
+      (4L, v(0.0, 1.0), 1L), // negative, cos 0
+      (5L, v(0.0), 2L), // zero norm — ignored
+      (9L, v(0.0, 0.0, 1.0), 7L)) // unique label (orthogonal to the
+        // anchor, so it is not the hardest negative either): anchor 9
+        // emits nothing, candidate 9 never wins
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.tripletMine(
+        rows.where(col("vec_id").isin(0L, 9L)), rows, "vec_id",
+        "embedding", "label", 64)
+      .as[(Long, Long, Long, Double, Long, Double, Double)]
+      .collect().toSeq
+    assert(got.length == 1) // anchor 9 has no positive
+    val t = got.head
+    assert((t._1, t._3, t._5) == ((0L, 2L, 3L)))
+    assert(math.abs(t._4 - 1.0 / math.sqrt(5)) < 1e-15)
+    assert(math.abs(t._6 - 1.0 / math.sqrt(1.25)) < 1e-15)
+    assert(t._7 == t._4 - t._6 && t._7 < 0) // violated triplet
+  }
+
+  // ------------------------------------------- padding efficiency
+
+  test("padding report: smallest-bucket rule, truncation, exact ratios") {
+    val docs = Seq((1L, 10L), (2L, 16L), (3L, 17L), (4L, 100L),
+      (5L, 300L)).toDF("doc_id", "n")
+    val got = graft.ext.Curation.paddingEfficiency(docs, "doc_id",
+        col("n"), Seq(16, 32, 64, 128, 256))
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (16L, 2L, 26L, 32L, 26.0 / 32.0), // 10 and the boundary 16
+      (32L, 1L, 17L, 32L, 17.0 / 32.0),
+      (128L, 1L, 100L, 128L, 100.0 / 128.0),
+      (256L, 1L, 256L, 256L, 1.0))) // 300 truncates to 256
+  }
+
   // ------------------------------------------- leakage-free split
 
   test("leakage split: component-atomic, total, singleton = own id") {
