@@ -92,6 +92,10 @@ object ScaleBench {
     "q128_corpus_health",  // q118 buckets + token rollup (integer report)
     "q129_triplet_mine",   // one broadcast scan scores both triplet sides
     "q130_padding_efficiency", // codegen'd CASE + #buckets-row agg
+    "q131_boilerplate_chunks", // chunk-hash DF agg + keyed join + doc rebuild
+    "q132_weighted_sample", // per-row min-ticket digest + TakeOrdered heap
+    "q133_selfdedup_chunks", // per-row HOF first-occurrence filter, no shuffle
+    "q134_knn_graph",      // q114 assignment + per-cell pair kernel, k-heaps
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
     "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
     "q121_leakage_split",  // q43 components + component-keyed md5 split

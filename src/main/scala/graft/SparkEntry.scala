@@ -1940,6 +1940,41 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // Cross-document boilerplate removal (RefinedWeb line-dedup on the
+    // chunk grid): 4-token chunks occurring in >= 2 distinct docs are
+    // excised everywhere; doc frequency travels as a 60-bit md5 key.
+    "q131_boilerplate_chunks" -> ((s, dir) =>
+      ext.Dedup.boilerplateChunkRemoval(Tables.documents(s, dir),
+          "doc_id", "text", size = 4, minDocs = 2)
+        .orderBy("doc_id")),
+
+    // Deterministic weighted sampling without replacement: integer
+    // tickets (w = clamp(n_chars div 100, 1..8)), min-digest key,
+    // global bottom-50 — weight-proportional inclusion with no
+    // transcendental anywhere (cross-engine bit-exact by design).
+    "q132_weighted_sample" -> ((s, dir) =>
+      ext.Curation.weightedSample(Tables.documents(s, dir), "doc_id",
+        least(greatest(expr("n_chars div 100"), lit(1L)), lit(8L)),
+        k = 50)),
+
+    // Within-document chunk self-dedup: repeats of an earlier 2-token
+    // chunk in the SAME doc drop (first occurrence wins) — pure
+    // per-row HOF work, shuffle-free at any corpus size.
+    "q133_selfdedup_chunks" -> ((s, dir) =>
+      ext.TextAnalysis.selfDedupChunks(Tables.documents(s, dir),
+          "doc_id", "text", size = 2)
+        .orderBy("doc_id")),
+
+    // Approximate kNN graph (fixed-degree neighbor lists within
+    // distributed-quantizer cells): the q114 assignment + one cell
+    // cogroup whose kernel computes each pair's cosine once and feeds
+    // both endpoints' bounded k-selections.
+    "q134_knn_graph" -> ((s, dir) =>
+      ext.Similarity.knnGraphDistributed(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 64, k = 5, targetOccupancy = 64,
+          probes = 2)
+        .orderBy("vec_id", "rank")),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2906,6 +2941,34 @@ object SparkEntry {
         |SELECT id1, id2, cosine FROM pr WHERE cosine >= 0.40
         |ORDER BY id1, id2""".stripMargin,
 
+    // the q114 assignment chain, then per-node (cosine DESC,
+    // neighbor_id) row_number <= k over BOTH directions of each
+    // within-cell pair (the cosine is symmetric bit-for-bit:
+    // commutative IEEE multiply, same strict fold)
+    "q134_knn_graph" ->
+      s"""WITH v AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0),
+        |${sqlDistributedAsgChain(probes = 2)},
+        |av AS (
+        | SELECT v.vec_id, v.embedding, asg.cell
+        | FROM v JOIN asg USING (vec_id)),
+        |cap AS (
+        | SELECT vec_id, embedding, cell FROM av
+        | QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
+        |pr AS (
+        | SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |  ${sqlCos("a.embedding", "b.embedding")} AS cosine
+        | FROM cap a JOIN cap b
+        |  ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |rk AS (
+        | SELECT vec_id, neighbor_id, cosine, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rn
+        | FROM pr)
+        |SELECT vec_id, rn AS rank, neighbor_id, cosine FROM rk
+        |WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin,
+
     // the two-level ordered Σx/Σx² folds (the q105 idiom), the fixed
     // one-pass std chain (ss/n − mean², clamp ≤ 0 → 0, sqrt), and the
     // std=0 → 0.0 transform rule — every op a single IEEE instruction
@@ -3010,6 +3073,61 @@ object SparkEntry {
         | CAST(SUM(real) AS DOUBLE) / CAST(COUNT(*) * bucket AS DOUBLE)
         |   AS efficiency
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // boilerplate = chunk in >= 2 distinct docs (the oracle groups on
+    // chunk TEXT where Spark groups on its 60-bit md5 — the documented
+    // conv() collision caveat); rebuild = ordered string_agg of kept
+    "q131_boilerplate_chunks" ->
+      s"""$sqlDocWords,
+        |c AS (
+        | SELECT doc_id, CAST((start - 1) // 4 AS BIGINT) AS chunk_id,
+        |  array_to_string(ws[start : start + 3], ' ') AS chunk_text
+        | FROM (SELECT doc_id, ws,
+        |        unnest(generate_series(1, len(ws), 4)) AS start
+        |       FROM d WHERE len(ws) > 0)),
+        |bl AS (SELECT chunk_text FROM c GROUP BY chunk_text
+        |       HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT c.doc_id, COUNT(*) AS n_chunks,
+        | CAST(COALESCE(SUM(CASE WHEN bl.chunk_text IS NOT NULL
+        |   THEN 1 END), 0) AS BIGINT) AS removed_chunks,
+        | COALESCE(string_agg(CASE WHEN bl.chunk_text IS NULL
+        |   THEN c.chunk_text END, ' ' ORDER BY c.chunk_id), '')
+        |   AS clean_text
+        |FROM c LEFT JOIN bl USING (chunk_text)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // same integer ticket fan-out + lexicographic min over lowercase
+    // hex digests; selection replayed exactly (no transcendental key)
+    "q132_weighted_sample" ->
+      """WITH w AS (
+        | SELECT doc_id,
+        |  CAST(LEAST(GREATEST(n_chars // 100, 1), 8) AS INT) AS weight
+        | FROM documents)
+        |SELECT doc_id, weight,
+        | list_aggregate(list_transform(generate_series(1, weight),
+        |   x -> md5(doc_id::VARCHAR || ':' || x::VARCHAR)), 'min')
+        |   AS ticket
+        |FROM w ORDER BY ticket, doc_id LIMIT 50""".stripMargin,
+
+    // first-occurrence-wins == rn 1 per (doc, chunk_text) in chunk
+    // order; rebuild = ordered string_agg of the rn-1 chunks
+    "q133_selfdedup_chunks" ->
+      s"""$sqlDocWords,
+        |c AS (
+        | SELECT doc_id, CAST((start - 1) // 2 AS BIGINT) AS chunk_id,
+        |  array_to_string(ws[start : start + 1], ' ') AS chunk_text
+        | FROM (SELECT doc_id, ws,
+        |        unnest(generate_series(1, len(ws), 2)) AS start
+        |       FROM d WHERE len(ws) > 0)),
+        |r AS (SELECT doc_id, chunk_id, chunk_text,
+        |  row_number() OVER (PARTITION BY doc_id, chunk_text
+        |    ORDER BY chunk_id) AS rn FROM c)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        | CAST(SUM(CASE WHEN rn = 1 THEN 1 END) AS BIGINT)
+        |   AS kept_chunks,
+        | string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+        |   ORDER BY chunk_id) AS clean_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // filter-before-rank: same-label rows never enter the ranking
     // (top-k AMONG negatives); same strict-fold cosine as q29

@@ -893,4 +893,47 @@ object Curation {
       }
       .toDF(group, "rank", id, "score")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement by integer
+    * tickets: row i with weight w_i holds tickets t = 1..w_i, each
+    * ticket draws the uniform md5(id ":" t), the row's key is its
+    * MINIMUM ticket digest, and the k smallest keys corpus-wide win —
+    * so a row's chance of holding the next global minimum is
+    * proportional to its ticket count, giving weight-proportional
+    * inclusion exactly the way priority/bottom-k weighted sampling
+    * (Efraimidis–Spirakis A-Res) does, but with NO transcendental in
+    * the key: `u^(1/w)` keys need ln/exp, whose last-ulp differences
+    * across libms break cross-engine bit-exactness at selection
+    * boundaries, while a lexicographic min over lowercase-hex digests
+    * replays identically anywhere ([[hashUniform]]'s portability
+    * discipline, applied to sampling DESIGN rather than just the
+    * uniform).
+    *
+    * Scale shape: the per-row key is an `array_min` over a
+    * `transform(sequence(1, w))` — per-row column work, O(w) digests,
+    * NO explode and no shuffle; the global top-k compiles to
+    * TakeOrderedAndProject (per-partition heaps). `maxWeight` bounds
+    * the per-row work loudly: a row whose weight exceeds it (or is
+    * < 1, which would make `sequence` count DOWN) fails the declared
+    * way via a codegen'd `raise_error` branch, not a silent skew.
+    *
+    * Output: the k winners as (id, weight, ticket), `ticket` the
+    * winning digest (ordering/audit handle), ties broken by id. */
+  def weightedSample(df: DataFrame, id: String, weight: Column, k: Int,
+      maxWeight: Int = 64): DataFrame = {
+    require(k > 0, s"k=$k must be >= 1")
+    require(maxWeight >= 1, s"maxWeight=$maxWeight must be >= 1")
+    val w = when(weight < 1 || weight > maxWeight,
+      raise_error(concat(
+        lit(s"weightedSample: weight outside [1, $maxWeight] at $id="),
+        col(id).cast("string"))))
+      .otherwise(weight).cast("int")
+    df.select(col(id), w.as("weight"))
+      .withColumn("ticket", array_min(transform(
+        sequence(lit(1), col("weight")),
+        t => md5(concat(col(id).cast("string"), lit(":"),
+          t.cast("string"))))))
+      .orderBy(col("ticket"), col(id))
+      .limit(k)
+  }
 }

@@ -1028,4 +1028,56 @@ object Dedup {
           size(col("__ws")).cast("double")).as("kept_frac"),
         array_join(col("__keep"), " ").as("clean_text"))
   }
+
+  /** Boilerplate removal by cross-document line dedup (the
+    * RefinedWeb/CCNet curation stage: a "line" occurring in many
+    * documents is navigation/footer/licence boilerplate, not content —
+    * Penedo et al. 2023 §4.2, Wenzek et al. 2019 §3): documents are
+    * segmented into non-overlapping `size`-token chunks (the corpus has
+    * no newlines, so the chunk grid plays the line; a real corpus would
+    * pass its line splitter upstream and `size`-gram the residue), any
+    * chunk whose text occurs in ≥ `minDocs` DISTINCT documents is
+    * excised from every document carrying it, and the survivors rejoin
+    * in token order.
+    *
+    * Scale shape: the chunk frame is one map-side explode (shared
+    * [[graft.ext.TextAnalysis.chunkTokens]] machinery — `sequence` +
+    * `slice`, no shuffle to produce); document frequency is ONE
+    * partial-agg'd exchange on a 60-bit md5 of the chunk text (longs on
+    * the wire, never chunk bodies — the [[minhashSignatures]] conv()
+    * discipline, same cosmically-unlikely-collision caveat), the
+    * boilerplate set joins back on that same key (both sides leave the
+    * exchange hash-partitioned on it — AQE broadcasts when the set is
+    * small, which at real-corpus skew it is), and the rebuild is a
+    * per-doc sort_array over collect_list, bounded by doc length.
+    * "≥ minDocs distinct" aggregates as countDistinct, which
+    * partial-aggregates map-side; minDocs = 2 additionally plans as the
+    * min≠max trick via the same exchange. Nothing driver-side, nothing
+    * ∝ corpus beyond the two keyed exchanges.
+    *
+    * Output: (id, n_chunks, removed_chunks, clean_text) — one row per
+    * document with ≥ 1 token; a fully-boilerplate document keeps its
+    * row with clean_text = "" (the caller's floor policy, as in
+    * [[removeDuplicateSpans]]). */
+  def boilerplateChunkRemoval(df: DataFrame, id: String, text: String,
+      size: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2 (a chunk is " +
+      "boilerplate only if it repeats across documents)")
+    val chunks = TextAnalysis.chunkTokens(df, id, text, size, stride = size)
+      .withColumn("__h",
+        conv(substring(md5(col("chunk_text")), 1, 15), 16, 10)
+          .cast("long"))
+    val boiler = chunks.groupBy(col("__h"))
+      .agg(countDistinct(col(id)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("__h"), lit(true).as("__b"))
+    chunks.join(boiler, Seq("__h"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("removed_chunks"),
+        array_join(transform(
+          sort_array(collect_list(when(col("__b").isNull,
+            struct(col("chunk_id"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
+  }
 }

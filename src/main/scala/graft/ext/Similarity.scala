@@ -1226,6 +1226,96 @@ object Similarity {
           .as("u"))
   }
 
+  /** Approximate kNN GRAPH over the corpus — every vector's k nearest
+    * neighbors restricted to its quantizer cell (the adjacency the
+    * SemDeDup/SSL-curation literature clusters, scores density, and
+    * propagates labels over; [[semanticNearDupPairs]] is its
+    * τ-thresholded edge set, this is the fixed-degree form): the
+    * no-driver-growth distributed quantizer ([[seededCentroids]] +
+    * [[ivfIndexDistributed]]) assigns, then ONE cell-key shuffle into
+    * the [[withinCellPairs]]-style grouped kernel, which computes each
+    * unordered pair's strict-fold cosine ONCE and feeds both endpoints'
+    * bounded k-selections — per-cell cost m²/2 cosines + m·k selection
+    * state, never a corpus-wide candidate join. Mega-cells past
+    * `maxCell` drain to nothing before quadratic work (the q99 cap
+    * discipline, replayed by the oracle's QUALIFY); their mass is
+    * [[graft.ext.Dedup.exactGroups]] territory. Neighbor order is
+    * (cosine DESC, neighbor id ASC) — deterministic, and the cosine is
+    * symmetric bit-for-bit (commutative IEEE multiply), so the graph
+    * needs no direction canonicalization.
+    *
+    * Output: (id, rank 1..k, neighbor id, cosine); vectors alone in
+    * their cell emit no rows (degree 0), zero-norm vectors are
+    * excluded (no cosine geometry). */
+  def knnGraphDistributed(corpus: DataFrame, id: String, vec: String,
+      dim: Int, k: Int, targetOccupancy: Int = 64, probes: Int = 4,
+      maxCell: Int = 10000): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(targetOccupancy > 0, s"targetOccupancy=$targetOccupancy")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dotK(dim) _
+    val cent = seededCentroids(corpus, id, vec, dim,
+      1.0 / targetOccupancy)
+    ivfIndexDistributed(corpus, cent, id, vec, dim, probes)
+      .where(col("norm") > 0)
+      .select(col("cell"), col(id).cast("long"), col(vec), col("norm"))
+      .as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[
+          (Long, Array[Double], Double)](16)
+        var over = false
+        while (it.hasNext) {
+          val (_, vid, v, n) = it.next()
+          if (!over) {
+            buf += ((vid, v, n))
+            if (buf.length > maxCell) { over = true; buf.clear() }
+          }
+        }
+        if (over || buf.length < 2) Iterator.empty
+        else {
+          val m = buf.length
+          val kk = math.min(k, m - 1)
+          // per-node bounded selection: parallel (cosine, id) arrays,
+          // insertion by (cos DESC, id ASC), fixed k slots
+          val topC = Array.fill(m, kk)(Double.NegativeInfinity)
+          val topI = Array.fill(m, kk)(Long.MaxValue)
+          val size = new Array[Int](m)
+          def offer(i: Int, nid: Long, c: Double): Unit = {
+            val tc = topC(i); val ti = topI(i)
+            var s = size(i)
+            if (s == kk && (c < tc(s - 1) ||
+              (c == tc(s - 1) && nid > ti(s - 1)))) return
+            var p = if (s < kk) s else kk - 1
+            while (p > 0 && (c > tc(p - 1) ||
+                (c == tc(p - 1) && nid < ti(p - 1)))) {
+              tc(p) = tc(p - 1); ti(p) = ti(p - 1); p -= 1
+            }
+            tc(p) = c; ti(p) = nid
+            if (s < kk) size(i) = s + 1
+          }
+          var i = 0
+          while (i < m) {
+            var j = i + 1
+            while (j < m) {
+              val c = d(buf(i)._2, buf(j)._2) / (buf(i)._3 * buf(j)._3)
+              offer(i, buf(j)._1, c)
+              offer(j, buf(i)._1, c)
+              j += 1
+            }
+            i += 1
+          }
+          buf.indices.iterator.flatMap { q =>
+            (0 until size(q)).iterator.map { r =>
+              (buf(q)._1, (r + 1).toLong, topI(q)(r), topC(q)(r))
+            }
+          }
+        }
+      }
+      .toDF(id, "rank", "neighbor_id", "cosine")
+  }
+
   /** Incremental SemDeDup — the batch-vs-index axis the LSH (q46) and
     * SimHash (q56) dedup families already have, for the k-means cell
     * family: an arriving batch assigns against the PERSISTED quantizer

@@ -723,4 +723,42 @@ object TextAnalysis {
       .where(col("__r") <= maxTrigramsPerLang)
       .select(col("lang"), col("tri"), col("count").as("n3"))
   }
+
+  /** Within-document chunk self-dedup — the intra-doc counterpart of
+    * [[graft.ext.Dedup.boilerplateChunkRemoval]] (scraped pages repeat
+    * their own nav blocks / list items; machine-generated text loops):
+    * the document is segmented into non-overlapping `size`-token
+    * chunks, every repeat of an earlier chunk IN THE SAME DOCUMENT is
+    * dropped (first occurrence wins — order-deterministic, no
+    * tie-break), and the survivors rejoin in order.
+    *
+    * Scale shape: pure per-row column work, shuffle-free at any corpus
+    * size — the chunk array is built with `sequence`/`slice`/
+    * `array_join` and the first-occurrence test is `array_position`
+    * inside an indexed `filter` HOF. That test is O(c²) per document
+    * (c = chunk count), bounded by doc length, never corpus size — the
+    * [[repetitionExprs]] cost discipline; a doc at the q89-style token
+    * caps has c ≤ a few thousand. All arithmetic integer/string:
+    * cross-engine hash-exact.
+    *
+    * Output: (id, n_chunks, kept_chunks, clean_text); null-text and
+    * token-less docs emit nothing (the [[chunkTokens]] contract). */
+  def selfDedupChunks(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, size: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0, s"size=$size must be >= 1")
+    val ws = words(col(text))
+    val sz = org.apache.spark.sql.functions.size _
+    df.where(col(text).isNotNull)
+      .select(col(id), ws.as("__ws"))
+      .where(sz(col("__ws")) > 0)
+      .withColumn("__cs", transform(
+        sequence(lit(1), sz(col("__ws")), lit(size)),
+        s => array_join(slice(col("__ws"), s, lit(size)), " ")))
+      .withColumn("__keep", filter(col("__cs"),
+        (x, i) => array_position(col("__cs"), x) === (i + 1).cast("long")))
+      .select(col(id),
+        sz(col("__cs")).cast("long").as("n_chunks"),
+        sz(col("__keep")).cast("long").as("kept_chunks"),
+        array_join(col("__keep"), " ").as("clean_text"))
+  }
 }

