@@ -96,6 +96,9 @@ object ScaleBench {
     "q132_weighted_sample", // per-row min-ticket digest + TakeOrdered heap
     "q133_selfdedup_chunks", // per-row HOF first-occurrence filter, no shuffle
     "q134_knn_graph",      // q114 assignment + per-cell pair kernel, k-heaps
+    "q135_cluster_terms",  // vectorize+assign + (cell, term) agg + cell window
+    "q136_weighted_stratified", // per-row O(w) digests + bounded top-k agg
+    "q137_vocab_spectrum", // one word-count exchange + 100-row head window
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
     "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
     "q121_leakage_split",  // q43 components + component-keyed md5 split

@@ -1975,6 +1975,31 @@ object SparkEntry {
           probes = 2)
         .orderBy("vec_id", "rank")),
 
+    // Cluster labeling: docs → hashed vectors → distributed-quantizer
+    // cells → per-cell size + top-3 terms by (count DESC, term ASC).
+    // The corpus map a curation run reads cluster-by-cluster.
+    "q135_cluster_terms" -> ((s, dir) =>
+      ext.TextAnalysis.clusterTopTerms(Tables.documents(s, dir),
+          "doc_id", "text", dim = 64, k = 3, targetOccupancy = 64,
+          probes = 2)
+        .orderBy("cell", "rank")),
+
+    // Per-language fixed-size weighted sampling (the q132 ticket key,
+    // 52-bit so it rides the bounded top-k aggregate exactly).
+    "q136_weighted_stratified" -> ((s, dir) =>
+      ext.Curation.weightedSamplePerGroup(Tables.documents(s, dir),
+          "doc_id", "lang",
+          least(greatest(expr("n_chars div 100"), lit(1L)), lit(8L)),
+          k = 8)
+        .orderBy("lang", "rank")),
+
+    // Vocabulary spectrum: exact rank-frequency head + cumulative
+    // token-mass fraction (the Zipf table as integers, no log fit).
+    "q137_vocab_spectrum" -> ((s, dir) =>
+      ext.TextAnalysis.vocabSpectrum(Tables.documents(s, dir), "text",
+          topN = 100)
+        .orderBy("rank")),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2968,6 +2993,61 @@ object SparkEntry {
         | FROM pr)
         |SELECT vec_id, rn AS rank, neighbor_id, cosine FROM rk
         |WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin,
+
+    // the q127 vectorize+assign chain, then per-cell sizes + term
+    // counts from the shared tk token CTE, rn <= 3 by (n DESC, term)
+    "q135_cluster_terms" ->
+      s"""WITH ${sqlHashedVecCte(64)},
+        |v AS (
+        | SELECT doc_id AS vec_id, e AS embedding FROM hvec
+        | WHERE ${sqlDot("e", "e")} > 0),
+        |${sqlDistributedAsgChain(probes = 2)},
+        |sz AS (SELECT cell, COUNT(*) AS n_docs FROM asg GROUP BY cell),
+        |wc AS (
+        | SELECT asg.cell, tk.w AS term, COUNT(*) AS n
+        | FROM tk JOIN asg ON asg.vec_id = tk.doc_id
+        | GROUP BY asg.cell, tk.w),
+        |rk AS (
+        | SELECT cell, term, n, row_number() OVER (PARTITION BY cell
+        |   ORDER BY n DESC, term) AS rn FROM wc)
+        |SELECT rk.cell, sz.n_docs, rk.rn AS rank, rk.term,
+        | CAST(rk.n AS BIGINT) AS term_count
+        |FROM rk JOIN sz USING (cell) WHERE rn <= 3
+        |ORDER BY cell, rank""".stripMargin,
+
+    // same 52-bit min-ticket key on integers; rn per lang replays the
+    // bounded aggregate's (key ASC, id ASC) order exactly
+    "q136_weighted_stratified" ->
+      s"""WITH w AS (
+        | SELECT doc_id, lang,
+        |  CAST(LEAST(GREATEST(n_chars // 100, 1), 8) AS INT) AS weight
+        | FROM documents),
+        |t AS (
+        | SELECT doc_id, lang,
+        |  list_aggregate(list_transform(generate_series(1, weight),
+        |    x -> ${sqlHexToLong(
+        "substr(md5(doc_id::VARCHAR || ':' || x::VARCHAR), 1, 13)")}),
+        |   'min') AS tkey
+        | FROM w),
+        |rk AS (SELECT lang, doc_id, tkey, row_number() OVER (
+        |  PARTITION BY lang ORDER BY tkey, doc_id) AS rn FROM t)
+        |SELECT lang, rn AS rank, doc_id, CAST(tkey AS BIGINT) AS tkey
+        |FROM rk WHERE rn <= 8 ORDER BY lang, rank""".stripMargin,
+
+    // exact rank-frequency head; cumulative sum over the 100 selected
+    // rows only, one divide per row
+    "q137_vocab_spectrum" ->
+      s"""$sqlDocWords,
+        |t AS (SELECT unnest(ws) AS w FROM d),
+        |wc AS (SELECT w AS term, COUNT(*) AS n FROM t GROUP BY w),
+        |tot AS (SELECT SUM(n) AS total FROM wc),
+        |top AS (SELECT term, n, row_number() OVER (
+        |  ORDER BY n DESC, term) AS rank
+        | FROM wc ORDER BY n DESC, term LIMIT 100)
+        |SELECT rank, term, CAST(n AS BIGINT) AS n,
+        | CAST(SUM(n) OVER (ORDER BY rank) AS DOUBLE) /
+        |   CAST(tot.total AS DOUBLE) AS cum_frac
+        |FROM top, tot ORDER BY rank""".stripMargin,
 
     // the two-level ordered Σx/Σx² folds (the q105 idiom), the fixed
     // one-pass std chain (ss/n − mean², clamp ≤ 0 → 0, sqrt), and the

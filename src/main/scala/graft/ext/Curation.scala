@@ -936,4 +936,38 @@ object Curation {
       .orderBy(col("ticket"), col(id))
       .limit(k)
   }
+
+  /** Per-group [[weightedSample]] — fixed-size weighted sampling
+    * without replacement WITHIN each stratum (the per-language /
+    * per-source epoch builder: [[fixedSizeSample]]'s uniform seats,
+    * weighted): same integer-ticket min-digest key, but truncated to
+    * the digest's first 13 hex nibbles = 52 bits so it rides the
+    * bounded [[topKPerGroup]] aggregate EXACTLY through its double
+    * score (52 bits < the 53-bit mantissa — no rounding, so the
+    * (key ASC, id ASC) selection order survives the double round-trip
+    * bit-for-bit and the oracle replays it on integers).
+    *
+    * Scale shape: per-row O(w) digests (no explode), then at most `k`
+    * rows per (group, map task) cross the wire — never a per-group
+    * window sort. Output: (group, rank 1..k, id, tkey). */
+  def weightedSamplePerGroup(df: DataFrame, id: String, group: String,
+      weight: Column, k: Int, maxWeight: Int = 64): DataFrame = {
+    require(k > 0, s"k=$k must be >= 1")
+    require(maxWeight >= 1, s"maxWeight=$maxWeight must be >= 1")
+    val w = when(weight < 1 || weight > maxWeight,
+      raise_error(concat(
+        lit(s"weightedSamplePerGroup: weight outside [1, $maxWeight] " +
+          s"at $id="), col(id).cast("string"))))
+      .otherwise(weight).cast("int")
+    val key = array_min(transform(sequence(lit(1), w),
+      t => conv(substring(md5(concat(col(id).cast("string"), lit(":"),
+        t.cast("string"))), 1, 13), 16, 10).cast("long")))
+    // smallest key wins = largest −key; −0.0 → 0.0 on the way back
+    // (the clusterBalancedSample u=0 rule)
+    topKPerGroup(df.withColumn("__tk", key), group, id,
+        -col("__tk").cast("double"), k)
+      .select(col(group), col("rank"), col(id),
+        when(col("score") === 0.0, lit(0L))
+          .otherwise(-col("score")).cast("long").as("tkey"))
+  }
 }

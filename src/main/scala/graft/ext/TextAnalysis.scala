@@ -724,6 +724,94 @@ object TextAnalysis {
       .select(col("lang"), col("tri"), col("count").as("n3"))
   }
 
+  /** Cluster labeling — the "what is in my clusters" report a corpus
+    * map needs after any cell-quantized family (SemDeDup cells, the
+    * q119 diversity sampler, the q134 kNN graph): documents vectorize
+    * through the [[hashingVectorize]] bridge, assign to cells through
+    * the no-driver-growth distributed quantizer
+    * ([[graft.ext.Similarity.seededCentroids]] +
+    * [[graft.ext.Similarity.ivfIndexDistributed]]), and each cell
+    * reports its size and its top-`k` terms by raw frequency
+    * (count DESC, term ASC — the engine-independent tiebreak).
+    *
+    * Scale shape: assignment is the measured q114/q127 chain; the
+    * assignment joins to the documents at DOC level (doc-sized rows)
+    * and tokens explode AFTER the join, map-side, directly into the
+    * partial-agg'd (cell, term) aggregate — so corpus POSITIONS cross
+    * the wire exactly once (the q124 cost family; exploding before
+    * the join would pay the positions exchange twice, measured 3× the
+    * wall at 100×). The top-k window partitions on the CELL key: cells
+    * are occupancy-bounded by seeding design (E[occupancy] =
+    * targetOccupancy), so no partition outgrows ~occupancy · doclen
+    * distinct terms — this is the one window in the family whose
+    * partition count GROWS with the corpus while partition SIZE stays
+    * flat, the shape a window wants.
+    *
+    * Output: (cell, n_docs, rank 1..k, term, term_count); zero-vector
+    * docs (no cosine geometry, unassignable) are excluded. */
+  def clusterTopTerms(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, dim: Int, k: Int, targetOccupancy: Int = 64,
+      probes: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val vec = hashingVectorize(df, id, text, dim)
+    val cent = Similarity.seededCentroids(vec, id, "vec", dim,
+      1.0 / targetOccupancy)
+    val asg = Similarity.ivfIndexDistributed(vec, cent, id, "vec", dim,
+        probes)
+      .where(col("norm") > 0)
+      .select(col("cell"), col(id))
+    val sz = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    val wc = df.select(col(id), col(text))
+      .join(asg, id)
+      .select(col("cell"), explode(words(col(text))).as("term"))
+      .groupBy(col("cell"), col("term"))
+      .agg(count(lit(1)).as("term_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(col("term_count").desc, col("term"))
+    wc.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .join(sz, "cell")
+      .select(col("cell"), col("n_docs"), col("rank"), col("term"),
+        col("term_count"))
+  }
+
+  /** Vocabulary spectrum — the rank-frequency head a tokenizer/vocab
+    * budget is planned against (the Zipf table, reported as exact
+    * integers rather than a log-log fit whose ln() would break
+    * cross-engine bit-exactness): the corpus's top-`topN` words with
+    * rank, count, and cumulative token-mass fraction.
+    *
+    * Scale shape: ONE partial-agg'd word-count exchange (the q123
+    * vocabulary pass) + a bounded TakeOrdered for the head + a 1-row
+    * total; the cumulative sum windows over the `topN` selected rows
+    * only (a driver-bounded single partition of ≤ topN rows — NOT a
+    * corpus sort). Counts integer-exact; the fraction is one IEEE
+    * divide per row.
+    *
+    * Output: (rank 1..topN, term, n, cum_frac), rank by
+    * (n DESC, term ASC). */
+  def vocabSpectrum(df: org.apache.spark.sql.DataFrame, text: String,
+      topN: Int): org.apache.spark.sql.DataFrame = {
+    require(topN >= 1, s"topN=$topN must be >= 1")
+    val wc = df.select(explode(words(col(text))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = wc.agg(sum(col("n")).as("__total"))
+    val top = wc.orderBy(col("n").desc, col("term")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("term"))).cast("long"))
+      .withColumn("cum_frac",
+        sum(col("n")).over(w).cast("double") /
+          col("__total").cast("double"))
+      .select(col("rank"), col("term"), col("n"), col("cum_frac"))
+  }
+
   /** Within-document chunk self-dedup — the intra-doc counterpart of
     * [[graft.ext.Dedup.boilerplateChunkRemoval]] (scraped pages repeat
     * their own nav blocks / list items; machine-generated text loops):
