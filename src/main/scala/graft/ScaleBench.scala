@@ -99,6 +99,9 @@ object ScaleBench {
     "q135_cluster_terms",  // vectorize+assign + (cell, term) agg + cell window
     "q136_weighted_stratified", // per-row O(w) digests + bounded top-k agg
     "q137_vocab_spectrum", // one word-count exchange + 100-row head window
+    "q138_mutual_knn",     // q134 mine + bounded edge-frame self-join
+    "q139_label_audit",    // q134 mine + scalar label joins + vote argmax
+    "q140_density_outliers", // q134 mine + per-node rank-ordered fold
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
     "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
     "q121_leakage_split",  // q43 components + component-keyed md5 split

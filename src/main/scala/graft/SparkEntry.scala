@@ -2000,6 +2000,32 @@ object SparkEntry {
           topN = 100)
         .orderBy("rank")),
 
+    // Mutual-kNN edges: the strong-tie symmetrized graph (u lists v
+    // AND v lists u) from the q134 edge frame — the edge-frame
+    // self-join is bounded by n·k rows, never the corpus.
+    "q138_mutual_knn" -> ((s, dir) => {
+      val knn = ext.Similarity.knnGraphDistributed(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 64, k = 5,
+        targetOccupancy = 64, probes = 2)
+      ext.Similarity.mutualKnnEdges(knn, "vec_id").orderBy("id1", "id2")
+    }),
+
+    // kNN label-consistency audit (mislabel detection): neighbors
+    // vote with their labels; disagreement rows are labeling suspects.
+    "q139_label_audit" -> ((s, dir) =>
+      ext.Similarity.knnLabelAudit(Tables.embeddings(s, dir), "vec_id",
+          "embedding", "label", 64, k = 5, targetOccupancy = 64,
+          probes = 2)
+        .orderBy("vec_id")),
+
+    // kNN density scores (embedding-space outlier detection): per
+    // node, degree + mean cosine to its neighbors, rank-ordered fold.
+    "q140_density_outliers" -> ((s, dir) =>
+      ext.Similarity.knnDensityScores(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 64, k = 5, targetOccupancy = 64,
+          probes = 2)
+        .orderBy("vec_id")),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2971,28 +2997,48 @@ object SparkEntry {
     // within-cell pair (the cosine is symmetric bit-for-bit:
     // commutative IEEE multiply, same strict fold)
     "q134_knn_graph" ->
-      s"""WITH v AS (
-        | SELECT vec_id, embedding FROM embeddings
-        | WHERE embedding IS NOT NULL AND len(embedding) >= 64
-        |   AND ${sqlDot("embedding", "embedding")} > 0),
-        |${sqlDistributedAsgChain(probes = 2)},
-        |av AS (
-        | SELECT v.vec_id, v.embedding, asg.cell
-        | FROM v JOIN asg USING (vec_id)),
-        |cap AS (
-        | SELECT vec_id, embedding, cell FROM av
-        | QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
-        |pr AS (
-        | SELECT a.vec_id, b.vec_id AS neighbor_id,
-        |  ${sqlCos("a.embedding", "b.embedding")} AS cosine
-        | FROM cap a JOIN cap b
-        |  ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-        |rk AS (
-        | SELECT vec_id, neighbor_id, cosine, row_number() OVER (
-        |   PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rn
-        | FROM pr)
-        |SELECT vec_id, rn AS rank, neighbor_id, cosine FROM rk
-        |WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin,
+      s"""WITH ${sqlKnnCte(5)}
+        |SELECT vec_id, rn AS rank, neighbor_id, cosine FROM kn
+        |ORDER BY vec_id, rank""".stripMargin,
+
+    // mutual edge = listed in BOTH directions; cosine from the
+    // forward row (symmetric bit-for-bit)
+    "q138_mutual_knn" ->
+      s"""WITH ${sqlKnnCte(5)},
+        |f AS (SELECT vec_id AS id1, neighbor_id AS id2, cosine
+        |      FROM kn WHERE vec_id < neighbor_id),
+        |r AS (SELECT neighbor_id AS id1, vec_id AS id2
+        |      FROM kn WHERE vec_id > neighbor_id)
+        |SELECT f.id1, f.id2, f.cosine FROM f JOIN r USING (id1, id2)
+        |ORDER BY id1, id2""".stripMargin,
+
+    // neighbor labels vote; majority = (votes DESC, label ASC) rn 1;
+    // agree compares against the node's own label
+    "q139_label_audit" ->
+      s"""WITH ${sqlKnnCte(5, " AND label IS NOT NULL")},
+        |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl
+        |       FROM embeddings WHERE label IS NOT NULL),
+        |vt AS (SELECT kn.vec_id, lb.lbl, COUNT(*) AS votes
+        |       FROM kn JOIN lb ON lb.vec_id = kn.neighbor_id
+        |       GROUP BY kn.vec_id, lb.lbl),
+        |mj AS (SELECT vec_id, lbl, votes FROM (
+        |  SELECT vec_id, lbl, votes, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY votes DESC, lbl) AS rn
+        |  FROM vt) WHERE rn = 1)
+        |SELECT mj.vec_id, own.lbl AS label, mj.lbl AS majority_label,
+        | CAST(mj.votes AS BIGINT) AS votes, own.lbl = mj.lbl AS agree
+        |FROM mj JOIN lb own ON own.vec_id = mj.vec_id
+        |ORDER BY mj.vec_id""".stripMargin,
+
+    // rank-ordered cosine fold (the sqlDot list_reduce discipline),
+    // one divide per node
+    "q140_density_outliers" ->
+      s"""WITH ${sqlKnnCte(5)},
+        |g AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS degree,
+        |  list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) AS s
+        | FROM kn GROUP BY vec_id)
+        |SELECT vec_id, degree, s / CAST(degree AS DOUBLE) AS mean_cos
+        |FROM g ORDER BY vec_id""".stripMargin,
 
     // the q127 vectorize+assign chain, then per-cell sizes + term
     // counts from the shared tk token CTE, rn <= 3 by (n DESC, term)
@@ -5465,6 +5511,35 @@ object SparkEntry {
   /** Shared cosine expression for the ANN oracles. */
   private def sqlCos(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  /** The q134 kNN-graph replay as CTEs ending in
+    * `kn(vec_id, neighbor_id, cosine, rn)` with rn ≤ `k`: the
+    * embeddings `v` population (`extraV` narrows it, e.g. q139's
+    * labeled-only restriction), the distributed assignment chain, the
+    * q99 mega-cell QUALIFY cap, both directions of every within-cell
+    * pair, and the per-node (cosine DESC, neighbor_id) ranking. */
+  private def sqlKnnCte(k: Int, extraV: String = ""): String =
+    s"""v AS (
+      | SELECT vec_id, embedding FROM embeddings
+      | WHERE embedding IS NOT NULL AND len(embedding) >= 64
+      |   AND ${sqlDot("embedding", "embedding")} > 0$extraV),
+      |${sqlDistributedAsgChain(probes = 2)},
+      |av AS (
+      | SELECT v.vec_id, v.embedding, asg.cell
+      | FROM v JOIN asg USING (vec_id)),
+      |cap AS (
+      | SELECT vec_id, embedding, cell FROM av
+      | QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
+      |pr AS (
+      | SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |  ${sqlCos("a.embedding", "b.embedding")} AS cosine
+      | FROM cap a JOIN cap b
+      |  ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |kn AS (
+      | SELECT vec_id, neighbor_id, cosine, rn FROM (
+      |  SELECT vec_id, neighbor_id, cosine, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM pr) WHERE rn <= $k)""".stripMargin
 
   /** Unrolled k-means training CTEs ending in `cent(cid, cv)` — replays
     * Similarity.kmeansCentroids step for step: the md5-uniform sample

@@ -1316,6 +1316,95 @@ object Similarity {
       .toDF(id, "rank", "neighbor_id", "cosine")
   }
 
+  /** Mutual-kNN edge set over a [[knnGraphDistributed]] edge frame:
+    * the undirected pairs (u < v) where u lists v AND v lists u — the
+    * symmetrized graph density-based clustering and robust dedup
+    * verification want (a directed kNN edge into a hub says little; a
+    * MUTUAL edge is the strong-tie signal). A production pipeline
+    * passes its PERSISTED kNN edges; composing inline re-pays the
+    * mine, the q112-inline note.
+    *
+    * Scale shape: the edge frame is ≤ n·k rows of 3 scalars by
+    * construction — the self-join on the (src, dst) pair key is two
+    * bounded exchanges of that small frame, never the corpus. The
+    * cosine is symmetric bit-for-bit (see [[knnGraphDistributed]]),
+    * so either direction's value serves. Output: (id1 < id2, cosine). */
+  def mutualKnnEdges(knn: DataFrame, id: String): DataFrame = {
+    val fwd = knn.where(col(id) < col("neighbor_id"))
+      .select(col(id).as("id1"), col("neighbor_id").as("id2"),
+        col("cosine"))
+    val rev = knn.where(col(id) > col("neighbor_id"))
+      .select(col("neighbor_id").as("id1"), col(id).as("id2"))
+    fwd.join(rev, Seq("id1", "id2"))
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** kNN label-consistency audit — the mislabel/contamination detector
+    * (confident-learning-lite: a vector whose neighborhood votes for a
+    * DIFFERENT label is a labeling suspect, and the agreement rate is
+    * the standard embedding-quality probe): each labeled vector's
+    * k nearest within-cell neighbors ([[knnGraphDistributed]]) vote
+    * with their labels; majority by (votes DESC, label ASC).
+    *
+    * Scale shape: the kNN mine (measured family) + TWO equi-joins of
+    * the ≤ n·k edge frame to the (id, label) projection — label
+    * payloads are scalars, never vectors — then a per-node vote
+    * aggregate and an argmax window on the NODE key (≤ #labels rows
+    * per node after the vote agg; partition size bounded by k).
+    *
+    * Output: (id, label, majority_label, votes, agree); vectors with
+    * no within-cell neighbor are absent (no evidence either way —
+    * inner-join semantics, like degree-0 nodes in the graph). */
+  def knnLabelAudit(corpus: DataFrame, id: String, vec: String,
+      label: String, dim: Int, k: Int, targetOccupancy: Int = 64,
+      probes: Int = 4, maxCell: Int = 10000): DataFrame = {
+    val labeled = corpus.where(col(label).isNotNull)
+    val knn = knnGraphDistributed(labeled, id, vec, dim, k,
+      targetOccupancy, probes, maxCell)
+    val lbl = labeled.select(col(id).cast("long").as("__lid"),
+      col(label).cast("long").as("__lbl"))
+    val votes = knn
+      .join(lbl, knn("neighbor_id") === col("__lid"))
+      .groupBy(col(id), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id))
+      .orderBy(col("votes").desc, col("__lbl"))
+    votes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .join(lbl.select(col("__lid").as(id), col("__lbl").as(label)),
+        id)
+      .select(col(id), col(label),
+        col("__lbl").as("majority_label"), col("votes"),
+        (col(label) === col("__lbl")).as("agree"))
+  }
+
+  /** kNN density scores — embedding-space outlier detection (DataComp/
+    * SSL-curation: a vector whose neighborhood is FAR — low mean
+    * cosine to its k nearest — is isolated noise; a near-1 mean sits
+    * in a dense clone cluster): per node, its degree and the mean
+    * cosine over its [[knnGraphDistributed]] neighbor list, folded in
+    * RANK order (sort_array over the collected (rank, cosine) structs
+    * — deterministic sum order, the sqlDot discipline; degree ≤ k
+    * bounds the per-node state).
+    *
+    * Output: (id, degree, mean_cos); degree-0 nodes are absent. */
+  def knnDensityScores(corpus: DataFrame, id: String, vec: String,
+      dim: Int, k: Int, targetOccupancy: Int = 64, probes: Int = 4,
+      maxCell: Int = 10000): DataFrame = {
+    val knn = knnGraphDistributed(corpus, id, vec, dim, k,
+      targetOccupancy, probes, maxCell)
+    knn.groupBy(col(id))
+      .agg(count(lit(1)).as("degree"),
+        aggregate(
+          transform(sort_array(collect_list(
+            struct(col("rank"), col("cosine")))),
+            s => s.getField("cosine")),
+          lit(0.0), (acc, x) => acc + x).as("__s"))
+      .select(col(id), col("degree"),
+        (col("__s") / col("degree").cast("double")).as("mean_cos"))
+  }
+
   /** Incremental SemDeDup — the batch-vs-index axis the LSH (q46) and
     * SimHash (q56) dedup families already have, for the k-means cell
     * family: an arriving batch assigns against the PERSISTED quantizer

@@ -669,4 +669,54 @@ class SimilaritySpec extends SparkSuite {
       maxCell = 1)
     assert(drained.count() == 0L)
   }
+
+  test("mutualKnnEdges: exactly the bidirectional pairs of a planted " +
+      "edge frame, id1 < id2, forward cosine") {
+    import spark.implicits._
+    // 1->2 and 2->1 (mutual); 1->3 only (not); 4->5 and 5->4 (mutual)
+    val edges = Seq(
+      (1L, 1L, 2L, 0.9), (2L, 1L, 1L, 0.9), (1L, 2L, 3L, 0.8),
+      (3L, 1L, 5L, 0.7), (4L, 1L, 5L, 0.6), (5L, 1L, 4L, 0.6))
+      .toDF("vec_id", "rank", "neighbor_id", "cosine")
+    val got = Similarity.mutualKnnEdges(edges, "vec_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 0.9), (4L, 5L, 0.6)))
+  }
+
+  test("knnLabelAudit + knnDensityScores: driver replay over the " +
+      "operator's own kNN edges (votes, majority ties, ordered fold)") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val knn = Similarity.knnGraphDistributed(e, "vec_id", "embedding",
+        64, k = 5, targetOccupancy = 16, probes = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(knn.nonEmpty)
+    val labels = e.select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // label audit replay: per node, count neighbor labels, majority by
+    // (votes DESC, label ASC), agree vs own label
+    val wantAudit = knn.groupBy(_._1).map { case (id, edges) =>
+      val votes = edges.map(ed => labels(ed._3))
+        .groupBy(identity).map { case (l, xs) => (l, xs.length.toLong) }
+      val (ml, mv) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      (id, labels(id), ml, mv, labels(id) == ml)
+    }.toSeq.sortBy(_._1)
+    val gotAudit = Similarity.knnLabelAudit(e, "vec_id", "embedding",
+        "label", 64, k = 5, targetOccupancy = 16, probes = 2)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(gotAudit.toSeq == wantAudit)
+    assert(gotAudit.exists(!_._5) || gotAudit.forall(_._5)) // sanity
+    // density replay: rank-ordered fold from 0.0, one divide
+    val wantDens = knn.groupBy(_._1).map { case (id, edges) =>
+      val cs = edges.sortBy(_._2).map(_._4)
+      (id, cs.length.toLong, cs.foldLeft(0.0)(_ + _) / cs.length)
+    }.toSeq.sortBy(_._1)
+    val gotDens = Similarity.knnDensityScores(e, "vec_id", "embedding",
+        64, k = 5, targetOccupancy = 16, probes = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(gotDens.toSeq == wantDens)
+    gotDens.foreach { case (id, deg, mc) =>
+      assert(deg >= 1 && deg <= 5 && mc <= 1.0000000001, s"node $id")
+    }
+  }
 }
