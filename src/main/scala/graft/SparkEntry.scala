@@ -2026,6 +2026,51 @@ object SparkEntry {
           probes = 2)
         .orderBy("vec_id")),
 
+    // Incremental boilerplate gate: the last 20% of docs arrive as a
+    // batch against the first 80%'s persisted chunk-frequency index;
+    // combined df >= 2 excises — identical to a full re-mine of the
+    // union restricted to batch docs (the oracle's form).
+    "q141_incr_boilerplate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thr = docs.count() * 4 / 5
+      val idx = ext.Dedup.boilerplateChunkIndex(
+        docs.where(col("doc_id") < thr), "doc_id", "text", size = 4)
+      ext.Dedup.incrementalBoilerplateRemoval(
+          docs.where(col("doc_id") >= thr), idx, "doc_id", "text",
+          size = 4, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Curation funnel: raw -> quality gate -> exact-canonical ->
+    // decontaminated, as the one-scan observability report. The
+    // keeper digest is the q125 2-hex prefix (the tiny corpus has no
+    // full-digest collisions to exercise); quality thresholds are
+    // integer-form (distinct*2 >= n — no float compare).
+    "q142_filter_funnel" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val ws = ext.TextAnalysis.words(col("text"))
+      val nw = size(ws)
+      val base = d.select(col("doc_id"),
+        nw.cast("long").as("__nt"),
+        (nw >= 20 && size(array_distinct(ws)) * 2 >= nw).as("__q"),
+        ext.TextAnalysis.fingerprintPrefix(col("text"), 2).as("__fp"))
+      val withK = base.withColumn("__k",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp")).orderBy(col("doc_id"))) === 1)
+      val cont = ext.Curation.decontaminate(
+          d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", k = 3, minHits = 2)
+        .select(col("doc_id"), lit(true).as("__c"))
+      ext.Curation.filterFunnel(
+          withK.join(cont, Seq("doc_id"), "left"), col("__nt"), Seq(
+            ("quality", col("__q")),
+            ("canonical", col("__k")),
+            ("decontaminated",
+              col("doc_id") % 20 =!= 0 && col("__c").isNull)))
+        .orderBy("stage_idx")
+    }),
+
     // Embedding corpus stats per label (norms via deterministic folds).
     "q30_embed_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -3029,6 +3074,68 @@ object SparkEntry {
         | CAST(mj.votes AS BIGINT) AS votes, own.lbl = mj.lbl AS agree
         |FROM mj JOIN lb own ON own.vec_id = mj.vec_id
         |ORDER BY mj.vec_id""".stripMargin,
+
+    // the identity law AS the oracle: boilerplate from the FULL union's
+    // distinct-doc chunk frequency (combined df over disjoint splits ==
+    // index df + batch df), output restricted to batch docs
+    "q141_incr_boilerplate" ->
+      s"""$sqlDocWords,
+        |c AS (
+        | SELECT doc_id, CAST((start - 1) // 4 AS BIGINT) AS chunk_id,
+        |  array_to_string(ws[start : start + 3], ' ') AS chunk_text
+        | FROM (SELECT doc_id, ws,
+        |        unnest(generate_series(1, len(ws), 4)) AS start
+        |       FROM d WHERE len(ws) > 0)),
+        |bl AS (SELECT chunk_text FROM c GROUP BY chunk_text
+        |       HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT c.doc_id, COUNT(*) AS n_chunks,
+        | CAST(COALESCE(SUM(CASE WHEN bl.chunk_text IS NOT NULL
+        |   THEN 1 END), 0) AS BIGINT) AS removed_chunks,
+        | COALESCE(string_agg(CASE WHEN bl.chunk_text IS NULL
+        |   THEN c.chunk_text END, ' ' ORDER BY c.chunk_id), '')
+        |   AS clean_text
+        |FROM c LEFT JOIN bl USING (chunk_text)
+        |WHERE c.doc_id >= $sqlBatchThr
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // cumulative-conjunction stage flags over one flagged frame; the
+    // contamination CTE is q62's, the keeper the q125 2-hex digest;
+    // quality is the integer form (distinct*2 >= n, no float compare)
+    "q142_filter_funnel" ->
+      s"""$sqlShingles,
+        |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+        |        WHERE doc_id % 20 = 0),
+        |csh AS (SELECT doc_id, unnest(sh) AS s FROM sh
+        |        WHERE doc_id % 20 <> 0),
+        |cont AS (SELECT doc_id FROM csh JOIN bsh USING (s)
+        |         GROUP BY doc_id HAVING COUNT(*) >= 2),
+        |k AS (
+        | SELECT doc_id, CAST(len(ws) AS BIGINT) AS nt,
+        |  (len(ws) >= 20 AND len(list_distinct(ws)) * 2 >= len(ws))
+        |    AS q,
+        |  row_number() OVER (PARTITION BY substr(md5(norm), 1, 2)
+        |    ORDER BY doc_id) AS rn
+        | FROM d),
+        |f AS (
+        | SELECT k.doc_id, k.nt, k.q AS s1, k.q AND k.rn = 1 AS s2,
+        |  k.q AND k.rn = 1 AND k.doc_id % 20 <> 0
+        |    AND cont.doc_id IS NULL AS s3
+        | FROM k LEFT JOIN cont USING (doc_id)),
+        |st AS (
+        | SELECT 0 AS i, 'raw' AS stage, COUNT(*) AS n,
+        |   CAST(SUM(nt) AS BIGINT) AS t FROM f
+        | UNION ALL SELECT 1, 'quality', COUNT(*) FILTER (WHERE s1),
+        |   CAST(COALESCE(SUM(nt) FILTER (WHERE s1), 0) AS BIGINT) FROM f
+        | UNION ALL SELECT 2, 'canonical', COUNT(*) FILTER (WHERE s2),
+        |   CAST(COALESCE(SUM(nt) FILTER (WHERE s2), 0) AS BIGINT) FROM f
+        | UNION ALL SELECT 3, 'decontaminated',
+        |   COUNT(*) FILTER (WHERE s3),
+        |   CAST(COALESCE(SUM(nt) FILTER (WHERE s3), 0) AS BIGINT) FROM f)
+        |SELECT CAST(i AS BIGINT) AS stage_idx, stage,
+        | CAST(n AS BIGINT) AS n_docs, t AS n_tokens,
+        | CAST(COALESCE(lag(n) OVER (ORDER BY i) - n, 0) AS BIGINT)
+        |   AS removed_docs
+        |FROM st ORDER BY stage_idx""".stripMargin,
 
     // rank-ordered cosine fold (the sqlDot list_reduce discipline),
     // one divide per node

@@ -970,4 +970,46 @@ object Curation {
         when(col("score") === 0.0, lit(0L))
           .otherwise(-col("score")).cast("long").as("tkey"))
   }
+
+  /** Curation funnel report — the pipeline-observability table every
+    * data run is reviewed with: how many documents (and tokens)
+    * survive each successive curation stage. Stage predicates are
+    * CUMULATIVE conjunctions in the given order (a doc counts at stage
+    * i iff it passes stages 1..i); an implicit stage 0 ("raw") counts
+    * everything. Predicates are plain Columns over the input frame —
+    * stages that need non-per-row evidence (dedup keeper flags,
+    * contamination hits) join their flag columns onto the frame FIRST
+    * and the funnel stays one scan.
+    *
+    * Scale shape: ONE pass over the corpus into a single 1-row
+    * aggregate (2·(stages+1) partial-agg'd sums — map-side combined,
+    * no keyed exchange at all), exploded to stage rows driver-cheap;
+    * the removed-docs lag windows over the ≤ stages+1 rows (bounded
+    * single partition). Counts/sums integer-exact.
+    *
+    * Output: (stage_idx, stage, n_docs, n_tokens, removed_docs). */
+  def filterFunnel(df: DataFrame, tokens: Column,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val cum = stages.scanLeft(lit(true): Column) {
+      case (acc, (_, p)) => acc && p
+    }
+    val aggs = cum.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(when(c, 1L).otherwise(0L)).as(s"__n$i"),
+        sum(when(c, tokens).otherwise(0L)).as(s"__t$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val names = "raw" +: stages.map(_._1)
+    val stageStructs = names.zipWithIndex.map { case (nm, i) =>
+      struct(lit(i.toLong).as("stage_idx"), lit(nm).as("stage"),
+        col(s"__n$i").as("n_docs"), col(s"__t$i").as("n_tokens"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("stage_idx"))
+    row.select(explode(array(stageStructs: _*)).as("__s"))
+      .select(col("__s.*"))
+      .withColumn("removed_docs",
+        coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"),
+          lit(0L)))
+  }
 }

@@ -1063,14 +1063,28 @@ object Dedup {
       size: Int, minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2 (a chunk is " +
       "boilerplate only if it repeats across documents)")
-    val chunks = TextAnalysis.chunkTokens(df, id, text, size, stride = size)
-      .withColumn("__h",
-        conv(substring(md5(col("chunk_text")), 1, 15), 16, 10)
-          .cast("long"))
+    val chunks = hashedChunks(df, id, text, size)
     val boiler = chunks.groupBy(col("__h"))
       .agg(countDistinct(col(id)).as("__df"))
       .where(col("__df") >= minDocs)
       .select(col("__h"), lit(true).as("__b"))
+    exciseChunks(chunks, boiler, id)
+  }
+
+  /** The grid chunks of [[boilerplateChunkRemoval]] keyed by their
+    * 60-bit md5 (longs on the wire, never chunk bodies). */
+  private def hashedChunks(df: DataFrame, id: String, text: String,
+      size: Int): DataFrame =
+    TextAnalysis.chunkTokens(df, id, text, size, stride = size)
+      .withColumn("__h",
+        conv(substring(md5(col("chunk_text")), 1, 15), 16, 10)
+          .cast("long"))
+
+  /** Shared excision/rebuild: flag chunks against the boilerplate set
+    * `boiler(__h, __b)` and reassemble each doc from its kept chunks
+    * in order (bounded by doc length). */
+  private def exciseChunks(chunks: DataFrame, boiler: DataFrame,
+      id: String): DataFrame =
     chunks.join(boiler, Seq("__h"), "left")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_chunks"),
@@ -1079,5 +1093,44 @@ object Dedup {
           sort_array(collect_list(when(col("__b").isNull,
             struct(col("chunk_id"), col("chunk_text"))))),
           s => s.getField("chunk_text")), " ").as("clean_text"))
+
+  /** Chunk document-frequency index — the persisted half of the
+    * incremental boilerplate axis: (60-bit chunk hash, distinct-doc
+    * frequency) for a corpus, built with the same one partial-agg'd
+    * exchange as the batch mine and written wherever the pipeline
+    * keeps its dedup state (the [[digestIndex]] discipline). */
+  def boilerplateChunkIndex(corpus: DataFrame, id: String, text: String,
+      size: Int): DataFrame =
+    hashedChunks(corpus, id, text, size)
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(id)).as("df"))
+
+  /** Incremental [[boilerplateChunkRemoval]] — the batch-vs-index axis
+    * (q46/q56/q103/q125 discipline) for the boilerplate family: an
+    * arriving batch's chunks count their own document frequency, add
+    * the PERSISTED corpus frequency from [[boilerplateChunkIndex]],
+    * and any chunk whose COMBINED frequency reaches `minDocs` is
+    * excised from the batch — identical to a full re-mine of
+    * corpus ∪ batch restricted to batch documents (the identity law,
+    * spec-pinned), provided batch and corpus ids are disjoint (the
+    * q46 contract). The corpus documents are never re-paid: the index
+    * side contributes one long per distinct chunk.
+    *
+    * Scale shape: one batch-sized chunk exchange + an equi-join to the
+    * index on the SAME 60-bit key (index side is distinct-chunk-sized;
+    * AQE broadcasts when the batch's chunk set is small) + the bounded
+    * per-doc rebuild. Output: [[boilerplateChunkRemoval]]'s schema,
+    * batch docs only. */
+  def incrementalBoilerplateRemoval(batch: DataFrame, index: DataFrame,
+      id: String, text: String, size: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    val chunks = hashedChunks(batch, id, text, size)
+    val boiler = chunks.groupBy(col("__h"))
+      .agg(countDistinct(col(id)).as("__bdf"))
+      .join(index.select(col("__h"), col("df").as("__idf")),
+        Seq("__h"), "left")
+      .where(coalesce(col("__idf"), lit(0L)) + col("__bdf") >= minDocs)
+      .select(col("__h"), lit(true).as("__b"))
+    exciseChunks(chunks, boiler, id)
   }
 }

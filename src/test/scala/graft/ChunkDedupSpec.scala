@@ -116,6 +116,66 @@ class ChunkDedupSpec extends SparkSuite {
       Option(err.getCause).exists(_.getMessage.contains("weightedSample")))
   }
 
+  test("incrementalBoilerplateRemoval: identity law (== full union " +
+      "re-mine restricted to batch docs) on planted split and corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // planted: "nav bar" once in corpus + once in batch => combined 2
+    // (boiler for the batch); "x y" twice in batch only => boiler;
+    // "k l" twice in corpus, absent from batch => irrelevant
+    val corpus = Seq(1L -> "nav bar a b", 2L -> "k l c d",
+      3L -> "k l e f").toDF("doc_id", "text")
+    val batch = Seq(10L -> "nav bar g h", 11L -> "x y i j",
+      12L -> "x y m n").toDF("doc_id", "text")
+    def run(b: DataFrame, idx: DataFrame) =
+      Dedup.incrementalBoilerplateRemoval(b, idx, "doc_id", "text",
+          size = 2, minDocs = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val idx = Dedup.boilerplateChunkIndex(corpus, "doc_id", "text", 2)
+    val got = run(batch, idx)
+    assert(got(10L) == ((2L, 1L, "g h")),
+      "corpus df 1 + batch df 1 reaches minDocs")
+    assert(got(11L) == ((2L, 1L, "i j")))
+    assert(got(12L) == ((2L, 1L, "m n")))
+    // identity vs the union mine, planted + real corpus split
+    val d = Tables.documents(spark, sf)
+    val thr = d.count() * 4 / 5
+    for ((c, b) <- Seq(
+        (corpus, batch),
+        (d.where(col("doc_id") < thr), d.where(col("doc_id") >= thr)))) {
+      val inc = run(b, Dedup.boilerplateChunkIndex(c, "doc_id", "text", 2))
+      val batchIds = b.select("doc_id").as[Long].collect().toSet
+      val full = Dedup.boilerplateChunkRemoval(c.unionByName(b),
+          "doc_id", "text", size = 2, minDocs = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+        .filter { case (id, _) => batchIds(id) }
+      assert(inc == full, "identity law")
+    }
+  }
+
+  test("filterFunnel: cumulative conjunction, exact counts, " +
+      "removed_docs deltas, implicit raw stage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 6 docs: a passes both, b passes p1 only, c passes p2 only (does
+    // NOT count at stage 2: conjunction is cumulative), d/e/f fail p1
+    val rows = Seq(
+      (1L, 10L, true, true), (2L, 20L, true, false),
+      (3L, 30L, false, true), (4L, 40L, false, false),
+      (5L, 50L, false, false), (6L, 60L, true, true))
+    val got = graft.ext.Curation.filterFunnel(
+        rows.toDF("doc_id", "nt", "p1", "p2"), col("nt"),
+        Seq(("one", col("p1")), ("two", col("p2"))))
+      .orderBy("stage_idx")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "raw", 6L, 210L, 0L),
+      (1L, "one", 3L, 90L, 3L),
+      (2L, "two", 2L, 70L, 1L)))
+  }
+
   test("real corpus: boilerplate removal finds planted cross-doc mass " +
       "and kept + removed == n_chunks everywhere") {
     import spark.implicits._
