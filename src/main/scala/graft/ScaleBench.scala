@@ -104,6 +104,8 @@ object ScaleBench {
     "q140_density_outliers", // q134 mine + per-node rank-ordered fold
     "q141_incr_boilerplate", // batch chunk exchange + index equi-join
     "q142_filter_funnel",  // flag joins + ONE scan into a 1-row agg
+    "q143_decontaminate_spans", // gram kernel both sides + bench probe join
+    "q144_source_overlap", // distinct (chunk, source) + bounded self-join
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
     "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
     "q121_leakage_split",  // q43 components + component-keyed md5 split

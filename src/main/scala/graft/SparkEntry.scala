@@ -2041,6 +2041,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Contaminated-span excision: every corpus token under a 3-gram
+    // that occurs anywhere in the benchmark slice is excised (the q107
+    // rewrite with benchmark membership replacing the dup relation).
+    "q143_decontaminate_spans" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      ext.Dedup.removeContaminatedSpans(
+          d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Cross-source chunk-overlap matrix: distinct shared 4-token grid
+    // chunks per unordered source pair — the provenance report a
+    // dedup run is planned with.
+    "q144_source_overlap" -> ((s, dir) =>
+      ext.Dedup.sourceOverlapMatrix(Tables.documents(s, dir), "doc_id",
+          "text", "source", size = 4)
+        .orderBy("source1", "source2")),
+
     // Curation funnel: raw -> quality gate -> exact-canonical ->
     // decontaminated, as the one-scan observability report. The
     // keeper digest is the q125 2-hex prefix (the tiny corpus has no
@@ -3097,6 +3117,59 @@ object SparkEntry {
         |FROM c LEFT JOIN bl USING (chunk_text)
         |WHERE c.doc_id >= $sqlBatchThr
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // the q107 rewrite replay with benchmark membership (same 60-bit
+    // gram hash both sides) instead of the min<>max dup relation
+    "q143_decontaminate_spans" ->
+      s"""$sqlDocWords,
+        |g1 AS (SELECT doc_id, ws,
+        |       unnest(generate_series(1, len(ws) - 2)) AS pos FROM d),
+        |g AS (SELECT doc_id, pos,
+        |  ${sqlHexToLong("substr(md5(array_to_string(" +
+             "list_slice(ws, pos, pos + 2), ' ')), 1, 15)")} AS h
+        | FROM g1),
+        |bh AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0),
+        |cov AS (SELECT DISTINCT doc_id, tok FROM (
+        |        SELECT g.doc_id,
+        |          unnest(generate_series(g.pos, g.pos + 2)) AS tok
+        |        FROM g JOIN bh USING (h)
+        |        WHERE g.doc_id % 20 <> 0)),
+        |tk AS (SELECT doc_id, ws, len(ws) AS m,
+        |       unnest(generate_series(1, len(ws))) AS i FROM d
+        |       WHERE doc_id % 20 <> 0),
+        |cl AS (SELECT tk.doc_id, tk.m,
+        |        count(*) FILTER (WHERE cov.tok IS NULL) AS kept,
+        |        coalesce(array_to_string(
+        |          list(tk.ws[tk.i] ORDER BY tk.i)
+        |            FILTER (WHERE cov.tok IS NULL), ' '), '')
+        |          AS clean_text
+        |       FROM tk LEFT JOIN cov
+        |         ON tk.doc_id = cov.doc_id AND tk.i = cov.tok
+        |       GROUP BY tk.doc_id, tk.m)
+        |SELECT doc_id, CAST(m AS BIGINT) AS n_tok,
+        | CAST(kept AS BIGINT) AS kept_tokens,
+        | CAST(kept AS DOUBLE) / CAST(m AS DOUBLE) AS kept_frac,
+        | clean_text
+        |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // distinct (chunk, source) pairs self-joined on the chunk text
+    // (the Spark side keys the same relation by its 60-bit md5)
+    "q144_source_overlap" ->
+      s"""$sqlDocWords,
+        |c AS (
+        | SELECT doc_id,
+        |  array_to_string(ws[start : start + 3], ' ') AS chunk_text
+        | FROM (SELECT doc_id, ws,
+        |        unnest(generate_series(1, len(ws), 4)) AS start
+        |       FROM d WHERE len(ws) > 0)),
+        |hs AS (SELECT DISTINCT c.chunk_text, doc.source
+        |       FROM c JOIN documents doc USING (doc_id))
+        |SELECT a.source AS source1, b.source AS source2,
+        | CAST(COUNT(*) AS BIGINT) AS shared_chunks
+        |FROM hs a JOIN hs b
+        | ON a.chunk_text = b.chunk_text AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY source1, source2""".stripMargin,
 
     // cumulative-conjunction stage flags over one flagged frame; the
     // contamination CTE is q62's, the keeper the q125 2-hex digest;

@@ -938,9 +938,23 @@ object Dedup {
     * once for the aggregate and the join probe. */
   private def dupGramHits(df: DataFrame, id: String, text: String,
       n: Int): DataFrame = {
+    val grams = gramPositions(df, id, text, n)
+    val dup = grams.groupBy(col("h"))
+      .agg(min(col(id)).as("__mn"), max(col(id)).as("__mx"))
+      .where(col("__mn") =!= col("__mx"))
+      .select(col("h"))
+    grams.join(dup, "h")
+  }
+
+  /** The shared gram-position kernel: one row per (doc, position) —
+    * (id, n_tok, pos, h), pos 1-based, h the 60-bit md5 of the n-gram
+    * text (longs on the wire, never gram bodies — the exchange that
+    * follows carries 4 longs/row). */
+  private def gramPositions(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val grams = df.select(col(id), TextAnalysis.words(col(text)))
+    df.select(col(id), TextAnalysis.words(col(text)))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -964,11 +978,6 @@ object Dedup {
           }
         }
       }.toDF(id, "n_tok", "pos", "h")
-    val dup = grams.groupBy(col("h"))
-      .agg(min(col(id)).as("__mn"), max(col(id)).as("__mx"))
-      .where(col("__mn") =!= col("__mx"))
-      .select(col("h"))
-    grams.join(dup, "h")
   }
 
   /** Duplicate-span REMOVAL — the rewrite step [[ngramDupCoverage]]
@@ -998,8 +1007,43 @@ object Dedup {
     *
     * Output: (id, n_tok, kept_tokens, kept_frac, clean_text). */
   def removeDuplicateSpans(df: DataFrame, id: String, text: String,
-      n: Int): DataFrame = {
-    val hits = dupGramHits(df, id, text, n)
+      n: Int): DataFrame =
+    exciseCovered(df, dupGramHits(df, id, text, n), id, text, n)
+
+  /** Contaminated-span EXCISION — the surgical form of
+    * [[graft.ext.Curation.decontaminate]] (which flags whole documents)
+    * for pipelines that cannot afford to drop a long document over one
+    * quoted benchmark item: every corpus token under ≥ 1 n-gram that
+    * occurs ANYWHERE in the benchmark set is excised (the
+    * [[removeDuplicateSpans]] rewrite, with benchmark membership
+    * replacing the cross-document duplicate relation), and the
+    * survivors rejoin in order.
+    *
+    * Scale shape: both sides run the shared 60-bit gram kernel; the
+    * benchmark side reduces to its DISTINCT gram hashes (bounded by
+    * benchmark size — eval suites are small, so the corpus-side probe
+    * join is AQE-broadcast-eligible), the corpus side pays the
+    * [[dupGramHits]] exchange profile, and the rebuild is the shared
+    * linear `array_except` gather. Uncontaminated docs pass through
+    * whitespace-normalized; a fully-quoted doc keeps its row with
+    * kept_tokens = 0.
+    *
+    * Output: (id, n_tok, kept_tokens, kept_frac, clean_text) — corpus
+    * docs only. */
+  def removeContaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, n: Int): DataFrame = {
+    val bh = gramPositions(benchmark, id, text, n).select(col("h"))
+      .distinct()
+    exciseCovered(corpus,
+      gramPositions(corpus, id, text, n).join(bh, "h"), id, text, n)
+  }
+
+  /** Shared excision/rebuild over a hit-position relation
+    * `hits(id, pos, …)`: union the n-token spans into per-doc covered
+    * sets (bounded by doc length) and reassemble each doc through the
+    * linear `array_except` gather. */
+  private def exciseCovered(df: DataFrame, hits: DataFrame, id: String,
+      text: String, n: Int): DataFrame = {
     val cov = hits
       .select(col(id),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("__t"))
@@ -1121,6 +1165,31 @@ object Dedup {
     * AQE broadcasts when the batch's chunk set is small) + the bounded
     * per-doc rebuild. Output: [[boilerplateChunkRemoval]]'s schema,
     * batch docs only. */
+  /** Cross-source chunk-overlap matrix — the dataset-provenance report
+    * a dedup run is PLANNED with (how much does source A duplicate
+    * source B: two crawls of the same sites, a dataset repackaging
+    * another, a mirror): for every unordered source pair, the number
+    * of distinct grid chunks they share.
+    *
+    * Scale shape: the chunk relation reduces to DISTINCT
+    * (60-bit hash, source) rows — one partial-agg'd exchange; the
+    * self-join fans out ≤ #sources rows per hash and the result is
+    * ≤ #sources² rows. Nothing driver-side; the matrix is the only
+    * small thing here and it is the OUTPUT. Output:
+    * (source1 < source2, shared_chunks). */
+  def sourceOverlapMatrix(df: DataFrame, id: String, text: String,
+      source: String, size: Int): DataFrame = {
+    val hs = hashedChunks(df, id, text, size)
+      .join(df.select(col(id), col(source)), id)
+      .select(col("__h"), col(source)).distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.__h") === col("b.__h") &&
+          col(s"a.$source") < col(s"b.$source"))
+      .groupBy(col(s"a.$source").as("source1"),
+        col(s"b.$source").as("source2"))
+      .agg(count(lit(1)).as("shared_chunks"))
+  }
+
   def incrementalBoilerplateRemoval(batch: DataFrame, index: DataFrame,
       id: String, text: String, size: Int, minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")

@@ -160,6 +160,54 @@ class DupSpanSpec extends SparkSuite {
     cov.toSeq.toDF("doc_id", "__cov")
   }
 
+  test("removeContaminatedSpans: benchmark grams excise from corpus " +
+      "docs only; corpus-internal dups stay; fully quoted doc empties") {
+    import spark.implicits._
+    val bench = Seq(100L -> "eval item a b c d").toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> "x a b c d y",        // carries bench 4-gram "a b c d"
+      2L -> "p q r s p q r s",    // internal repeat, NOT in bench
+      3L -> "a b c d",            // exactly the bench gram: empties
+      4L -> "m n o u v w")        // clean
+    val got = Dedup.removeContaminatedSpans(
+        corpus.toDF("doc_id", "text"), bench, "doc_id", "text", n = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "corpus docs only")
+    assert(got(1L) == ((6L, 2L, 2.0 / 6.0, "x y")))
+    assert(got(2L) == ((8L, 8L, 1.0, "p q r s p q r s")),
+      "corpus-internal duplication is not contamination")
+    assert(got(3L) == ((4L, 0L, 0.0, "")))
+    assert(got(4L) == ((6L, 6L, 1.0, "m n o u v w")))
+    // overlapping bench grams union (bench has "a b c d" and "b c d e"
+    // via a 5-token item): covered = tokens 1..5
+    val bench2 = Seq(100L -> "a b c d e").toDF("doc_id", "text")
+    val got2 = Dedup.removeContaminatedSpans(
+        Seq(1L -> "a b c d e x y z").toDF("doc_id", "text"), bench2,
+        "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(got2.toSeq == Seq((8L, 3L, "x y z")))
+  }
+
+  test("sourceOverlapMatrix: planted shared grid chunks count once " +
+      "per pair, ordered, self-pairs absent") {
+    import spark.implicits._
+    // chunk size 2: "nav bar" in A(twice), B, C; "x y" in A and B;
+    // "z w" in C only
+    val docs = Seq(
+      (1L, "nav bar q1 q2", "A"), (2L, "nav bar x y", "A"),
+      (3L, "nav bar x y", "B"), (4L, "z w nav bar", "C"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMatrix(docs, "doc_id", "text",
+        "source", size = 2)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // A-B share {nav bar, x y} = 2; A-C and B-C share {nav bar} = 1
+    assert(got.toSeq == Seq(("A", "B", 2L), ("A", "C", 1L),
+      ("B", "C", 1L)))
+  }
+
   test("real corpus: near-dup docs carry shared spans, bounds hold") {
     val d = Tables.documents(spark, sf)
     val rows = Dedup.ngramDupCoverage(d, "doc_id", "text", n = 8).collect()
