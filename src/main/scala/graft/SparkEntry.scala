@@ -2041,6 +2041,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Concat-and-chunk block manifest: the md5-shuffled corpus token
+    // stream cut into 128-token training blocks; each (block, doc)
+    // overlap emits its doc-local span. Two-level global prefix sum.
+    "q145_concat_blocks" -> ((s, dir) => {
+      val toks = ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
+      ext.Curation.concatBlockManifest(
+          Tables.documents(s, dir).select(col("doc_id"),
+            toks.as("__n")),
+          "doc_id", col("__n"), blockSize = 128L)
+        .orderBy("block_id", "doc_id")
+    }),
+
     // Contaminated-span excision: every corpus token under a 3-gram
     // that occurs anywhere in the benchmark slice is excised (the q107
     // rewrite with benchmark membership replacing the dup relation).
@@ -3117,6 +3129,29 @@ object SparkEntry {
         |FROM c LEFT JOIN bl USING (chunk_text)
         |WHERE c.doc_id >= $sqlBatchThr
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // the single-window form of the same global (u, doc_id) prefix sum
+    // (the sharded two-level operator equals it exactly — integer sums
+    // under a shard key monotone in u, the q89 parity law)
+    "q145_concat_blocks" ->
+      s"""$sqlDocWords,
+        |su AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+        |  CAST(${sqlHexToLong("substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")} AS DOUBLE)
+        |   / CAST(1152921504606846976 AS DOUBLE) AS u
+        | FROM d WHERE len(ws) > 0),
+        |w AS (SELECT doc_id, n,
+        |  CAST(COALESCE(SUM(n) OVER (ORDER BY u, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS off
+        | FROM su),
+        |b AS (SELECT doc_id, n, off,
+        |  unnest(generate_series(off // 128, (off + n - 1) // 128))
+        |    AS block_id
+        | FROM w)
+        |SELECT block_id, doc_id,
+        | GREATEST(block_id * 128 - off, 0) + 1 AS tok_start,
+        | LEAST(n, (block_id + 1) * 128 - off) AS tok_end
+        |FROM b ORDER BY block_id, doc_id""".stripMargin,
 
     // the q107 rewrite replay with benchmark membership (same 60-bit
     // gram hash both sides) instead of the min<>max dup relation

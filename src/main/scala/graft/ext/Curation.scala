@@ -364,6 +364,66 @@ object Curation {
       .select(col(id), col(group), col("n_tokens"), col("pack_id"))
   }
 
+  /** Concat-and-chunk block manifest — the OTHER canonical pretraining
+    * batch former ([[packSequences]] bins whole docs and pads; GPT-style
+    * pipelines instead CONCATENATE the shuffled corpus into one token
+    * stream and cut fixed `blockSize` windows, docs spanning block
+    * boundaries): every document gets a deterministic global offset in
+    * the md5-shuffled token stream (order = (u, id) — replayable,
+    * partitioning-independent), and each (block, doc) overlap is
+    * emitted with the doc-local token span it contributes.
+    *
+    * Scale shape: the global prefix sum is two-level like
+    * [[tokenBudgetCap]] — per-shard sums (one partial-agg'd exchange to
+    * `shards` rows, windowed over the bounded shard list) + a
+    * within-shard cumulative window whose shard key floor(u·S) is
+    * order-monotone in u, so (shard, u, id) IS the global order; S
+    * scales with the corpus (the q106 S ∝ corpus note) to bound the
+    * per-shard window partition. The span explode adds one row per
+    * boundary crossing — Σ spans ≤ docs + total_tokens/blockSize.
+    * All integer; counts guarded non-negative the loud way.
+    *
+    * Output: (block_id, id, tok_start, tok_end) — 1-based doc-local
+    * span [tok_start, tok_end] that block takes from that doc; docs
+    * with zero tokens emit nothing. */
+  def concatBlockManifest(df: DataFrame, id: String, tokens: Column,
+      blockSize: Long, shards: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blockSize >= 1, s"blockSize=$blockSize must be >= 1")
+    require(shards >= 1, s"shards=$shards must be >= 1")
+    val raw = df.select(col(id), tokens.as("n_tokens"))
+    require(isIntegral(raw.schema("n_tokens").dataType),
+      "sharded cumsum needs integral token counts (exact " +
+        s"reassociation); got ${raw.schema("n_tokens").dataType}")
+    val base = raw
+      .withColumn("n_tokens", nonNegGuard("concatBlockManifest", id))
+      .where(col("n_tokens") > 0)
+      .withColumn("__u", hashUniform(col(id)))
+      .withColumn("__shard",
+        least(floor(col("__u") * shards), lit(shards - 1)).cast("int"))
+    val wOff = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__shard"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__soff", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col("__shard").as("__s"), col("__soff"))
+    val wS = Window.partitionBy(col("__shard"))
+      .orderBy(col("__u"), col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), col("__shard") === col("__s"))
+      .withColumn("__off",
+        coalesce(sum(col("n_tokens")).over(wS), lit(0L)) + col("__soff"))
+      .withColumn("block_id", explode(sequence(
+        expr(s"__off div ${blockSize}L"),
+        expr(s"(__off + n_tokens - 1) div ${blockSize}L"))))
+      .select(col("block_id"), col(id),
+        (greatest(col("block_id") * blockSize - col("__off"), lit(0L))
+          + 1L).as("tok_start"),
+        least(col("n_tokens"),
+          (col("block_id") + 1L) * blockSize - col("__off"))
+          .as("tok_end"))
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Conservative PII patterns chosen to parse AND match identically in

@@ -116,6 +116,58 @@ class CurationShardSpec extends SparkSuite {
     assert(collectSet(one) == collectSet(ref))
   }
 
+  test("concatBlockManifest: spans == driver single-order replay; " +
+      "coverage and block-fullness laws; shard-count invariance") {
+    def md5u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16).toDouble /
+        (1L << 60).toDouble
+    }
+    val in = docs.where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"))
+      .as[(Long, Long)].collect()
+    val b = 128L
+    // driver replay: global (u, id) order, exclusive prefix sum, spans
+    var off = 0L
+    val want = in.sortBy { case (id, _) => (md5u(id), id) }.flatMap {
+      case (id, n) =>
+        val rows = (off / b to (off + n - 1) / b).map { blk =>
+          (blk, id, math.max(blk * b - off, 0L) + 1L,
+            math.min(n, (blk + 1) * b - off))
+        }
+        off += n
+        rows
+    }.sortBy(r => (r._1, r._2)).toSeq
+    for (s <- Seq(1, 16, 256)) {
+      val got = ext.Curation.concatBlockManifest(docs, "doc_id",
+          col("n_tokens"), blockSize = b, shards = s)
+        .as[(Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(got == want, s"shards=$s diverges from the replay")
+    }
+    // laws: every doc's spans tile [1..n] contiguously; every block
+    // except the last is exactly full
+    val spans = want.groupBy(_._2)
+    val nOf = in.toMap
+    spans.foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._1)
+      assert(sorted.head._3 == 1L && sorted.last._4 == nOf(id), s"doc $id")
+      sorted.sliding(2).foreach {
+        case Seq(a, c) => assert(c._3 == a._4 + 1, s"doc $id gap")
+        case _ =>
+      }
+    }
+    val blockMass = want.groupBy(_._1).view
+      .mapValues(_.map(r => r._4 - r._3 + 1).sum)
+    val lastBlock = blockMass.keys.max
+    blockMass.foreach { case (blk, m) =>
+      if (blk != lastBlock) assert(m == b, s"block $blk mass $m")
+      else assert(m >= 1 && m <= b)
+    }
+  }
+
   test("sharded plans: per-group windows are partitioned by (group, shard)") {
     val sh = ext.Curation.tokenBudgetCap(docs, "doc_id", "lang",
       col("n_tokens"), budget = 500L, shards = 32)
