@@ -983,7 +983,11 @@ object Curation {
       maxWeight: Int = 64): DataFrame = {
     require(k > 0, s"k=$k must be >= 1")
     require(maxWeight >= 1, s"maxWeight=$maxWeight must be >= 1")
-    val w = when(weight < 1 || weight > maxWeight,
+    // a NULL weight must fail too: it would yield a NULL ticket, which
+    // Spark's ascending sort puts FIRST (a guaranteed seat) while the
+    // oracle's NULLS-LAST default never selects it — the one ordering
+    // the two engines disagree on
+    val w = when(weight.isNull || weight < 1 || weight > maxWeight,
       raise_error(concat(
         lit(s"weightedSample: weight outside [1, $maxWeight] at $id="),
         col(id).cast("string"))))
@@ -1014,7 +1018,8 @@ object Curation {
       weight: Column, k: Int, maxWeight: Int = 64): DataFrame = {
     require(k > 0, s"k=$k must be >= 1")
     require(maxWeight >= 1, s"maxWeight=$maxWeight must be >= 1")
-    val w = when(weight < 1 || weight > maxWeight,
+    // NULL weight fails loudly — the weightedSample NULLS-FIRST note
+    val w = when(weight.isNull || weight < 1 || weight > maxWeight,
       raise_error(concat(
         lit(s"weightedSamplePerGroup: weight outside [1, $maxWeight] " +
           s"at $id="), col(id).cast("string"))))

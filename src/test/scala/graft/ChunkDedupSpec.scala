@@ -114,6 +114,13 @@ class ChunkDedupSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("weightedSample") ||
       Option(err.getCause).exists(_.getMessage.contains("weightedSample")))
+    // NULL weight fails the same loud way (a null ticket would sort
+    // FIRST in Spark but LAST in the oracle — the one divergent order)
+    intercept[Exception] {
+      Curation.weightedSample(
+        Seq((1L, Some(2)), (2L, None)).toDF("doc_id", "w"),
+        "doc_id", col("w"), k = 1).collect()
+    }
   }
 
   test("incrementalBoilerplateRemoval: identity law (== full union " +
