@@ -983,22 +983,41 @@ object Curation {
       maxWeight: Int = 64): DataFrame = {
     require(k > 0, s"k=$k must be >= 1")
     require(maxWeight >= 1, s"maxWeight=$maxWeight must be >= 1")
-    // a NULL weight must fail too: it would yield a NULL ticket, which
-    // Spark's ascending sort puts FIRST (a guaranteed seat) while the
-    // oracle's NULLS-LAST default never selects it — the one ordering
-    // the two engines disagree on
-    val w = when(weight.isNull || weight < 1 || weight > maxWeight,
-      raise_error(concat(
-        lit(s"weightedSample: weight outside [1, $maxWeight] at $id="),
-        col(id).cast("string"))))
-      .otherwise(weight).cast("int")
+    val w = guardedWeight(df, "weightedSample", id, weight, maxWeight)
     df.select(col(id), w.as("weight"))
       .withColumn("ticket", array_min(transform(
         sequence(lit(1), col("weight")),
-        t => md5(concat(col(id).cast("string"), lit(":"),
-          t.cast("string"))))))
+        ticketDigest(col(id)))))
       .orderBy(col("ticket"), col(id))
       .limit(k)
+  }
+
+  /** Shared by both ticketed samplers: the per-ticket digest
+    * md5("id:t") (lambda over the ticket index). */
+  private def ticketDigest(id: Column): Column => Column =
+    t => md5(concat(id.cast("string"), lit(":"), t.cast("string")))
+
+  /** Shared loud weight guard for the ticketed samplers: the weight
+    * must be INTEGRAL at analysis time (a fractional weight would
+    * truncate in Spark's int cast but round in a CAST-replaying
+    * oracle — silent cross-engine skew), and NULL / out-of-range
+    * values fail per row via a codegen'd `raise_error` — a NULL
+    * weight would yield a NULL ticket, which Spark's ascending sort
+    * puts FIRST (a guaranteed seat) while the oracle's NULLS-LAST
+    * default never selects: the one ordering the engines disagree
+    * on. */
+  private def guardedWeight(df: DataFrame, op: String, id: String,
+      weight: Column, maxWeight: Int): Column = {
+    val wt = df.select(weight.as("__w")).schema.head.dataType
+    require(isIntegral(wt),
+      s"$op needs an integral weight column (got $wt — a fractional " +
+        "weight truncates in Spark but rounds in a CAST-replaying " +
+        "oracle)")
+    when(weight.isNull || weight < 1 || weight > maxWeight,
+      raise_error(concat(
+        lit(s"$op: weight outside [1, $maxWeight] at $id="),
+        col(id).cast("string"))))
+      .otherwise(weight).cast("int")
   }
 
   /** Per-group [[weightedSample]] — fixed-size weighted sampling
@@ -1018,15 +1037,11 @@ object Curation {
       weight: Column, k: Int, maxWeight: Int = 64): DataFrame = {
     require(k > 0, s"k=$k must be >= 1")
     require(maxWeight >= 1, s"maxWeight=$maxWeight must be >= 1")
-    // NULL weight fails loudly — the weightedSample NULLS-FIRST note
-    val w = when(weight.isNull || weight < 1 || weight > maxWeight,
-      raise_error(concat(
-        lit(s"weightedSamplePerGroup: weight outside [1, $maxWeight] " +
-          s"at $id="), col(id).cast("string"))))
-      .otherwise(weight).cast("int")
+    val w = guardedWeight(df, "weightedSamplePerGroup", id, weight,
+      maxWeight)
+    val dig = ticketDigest(col(id))
     val key = array_min(transform(sequence(lit(1), w),
-      t => conv(substring(md5(concat(col(id).cast("string"), lit(":"),
-        t.cast("string"))), 1, 13), 16, 10).cast("long")))
+      t => conv(substring(dig(t), 1, 13), 16, 10).cast("long")))
     // smallest key wins = largest −key; −0.0 → 0.0 on the way back
     // (the clusterBalancedSample u=0 rule)
     topKPerGroup(df.withColumn("__tk", key), group, id,
@@ -1059,9 +1074,13 @@ object Curation {
     val cum = stages.scanLeft(lit(true): Column) {
       case (acc, (_, p)) => acc && p
     }
+    // coalesce: over an EMPTY frame sum() is NULL, but the contract
+    // (and the COUNT(*)-based oracle) promises integer zeros
     val aggs = cum.zipWithIndex.flatMap { case (c, i) =>
-      Seq(sum(when(c, 1L).otherwise(0L)).as(s"__n$i"),
-        sum(when(c, tokens).otherwise(0L)).as(s"__t$i"))
+      Seq(coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+          .as(s"__n$i"),
+        coalesce(sum(when(c, tokens).otherwise(0L)), lit(0L))
+          .as(s"__t$i"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val names = "raw" +: stages.map(_._1)

@@ -1149,22 +1149,6 @@ object Dedup {
       .groupBy(col("__h"))
       .agg(countDistinct(col(id)).as("df"))
 
-  /** Incremental [[boilerplateChunkRemoval]] — the batch-vs-index axis
-    * (q46/q56/q103/q125 discipline) for the boilerplate family: an
-    * arriving batch's chunks count their own document frequency, add
-    * the PERSISTED corpus frequency from [[boilerplateChunkIndex]],
-    * and any chunk whose COMBINED frequency reaches `minDocs` is
-    * excised from the batch — identical to a full re-mine of
-    * corpus ∪ batch restricted to batch documents (the identity law,
-    * spec-pinned), provided batch and corpus ids are disjoint (the
-    * q46 contract). The corpus documents are never re-paid: the index
-    * side contributes one long per distinct chunk.
-    *
-    * Scale shape: one batch-sized chunk exchange + an equi-join to the
-    * index on the SAME 60-bit key (index side is distinct-chunk-sized;
-    * AQE broadcasts when the batch's chunk set is small) + the bounded
-    * per-doc rebuild. Output: [[boilerplateChunkRemoval]]'s schema,
-    * batch docs only. */
   /** Cross-source chunk-overlap matrix — the dataset-provenance report
     * a dedup run is PLANNED with (how much does source A duplicate
     * source B: two crawls of the same sites, a dataset repackaging
@@ -1190,6 +1174,22 @@ object Dedup {
       .agg(count(lit(1)).as("shared_chunks"))
   }
 
+  /** Incremental [[boilerplateChunkRemoval]] — the batch-vs-index axis
+    * (q46/q56/q103/q125 discipline) for the boilerplate family: an
+    * arriving batch's chunks count their own document frequency, add
+    * the PERSISTED corpus frequency from [[boilerplateChunkIndex]],
+    * and any chunk whose COMBINED frequency reaches `minDocs` is
+    * excised from the batch — identical to a full re-mine of
+    * corpus ∪ batch restricted to batch documents (the identity law,
+    * spec-pinned), provided batch and corpus ids are disjoint (the
+    * q46 contract). The corpus documents are never re-paid: the index
+    * side contributes one long per distinct chunk.
+    *
+    * Scale shape: one batch-sized chunk exchange + an equi-join to the
+    * index on the SAME 60-bit key (index side is distinct-chunk-sized;
+    * AQE broadcasts when the batch's chunk set is small) + the bounded
+    * per-doc rebuild. Output: [[boilerplateChunkRemoval]]'s schema,
+    * batch docs only. */
   def incrementalBoilerplateRemoval(batch: DataFrame, index: DataFrame,
       id: String, text: String, size: Int, minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")

@@ -193,13 +193,28 @@ class ChunkDedupSpec extends SparkSuite {
       .as[(Long, Long, Long, String)].collect()
     assert(rows.nonEmpty)
     assert(rows.exists(_._3 > 0), "planted dup docs share grid chunks")
-    rows.foreach { case (id, n, rm, txt) =>
+    rows.foreach { case (id, n, rm, _) =>
       assert(rm >= 0 && rm <= n, s"doc $id")
-      val kept = if (txt.isEmpty) 0 else 1 + txt.count(_ == ' ') // words
-      assert(kept >= 0, s"doc $id")
     }
-    // self-dedup on the real corpus: n_chunks bounds hold and the
-    // rebuilt text's chunk count equals kept_chunks
+    // rebuild law: with an unreachable minDocs nothing is boilerplate,
+    // so the rebuild must reproduce the normalized text EXACTLY for
+    // every doc (pins chunk ordering + joining on the real corpus)
+    val norm = d.select(col("doc_id"),
+        array_join(TextAnalysis.words(col("text")), " ").as("t"))
+      .as[(Long, String)].collect().toMap
+    val pass = Dedup.boilerplateChunkRemoval(d, "doc_id", "text",
+        size = 4, minDocs = Int.MaxValue)
+      .select("doc_id", "removed_chunks", "clean_text")
+      .as[(Long, Long, String)].collect()
+    assert(pass.length == norm.size)
+    pass.foreach { case (id, rm, txt) =>
+      assert(rm == 0L && txt == norm(id), s"rebuild diverged on doc $id")
+    }
+    // self-dedup on the real corpus: bounds + the IDEMPOTENCE law —
+    // re-deduping the cleaned text changes nothing (every surviving
+    // chunk is a first occurrence, modulo the re-chunking alignment of
+    // the shorter tail chunk, which size=2 on even-kept docs avoids;
+    // assert the law on the docs whose kept text re-chunks identically)
     val sd = TextAnalysis.selfDedupChunks(d, "doc_id", "text", size = 2)
       .select("doc_id", "n_chunks", "kept_chunks", "clean_text")
       .as[(Long, Long, Long, String)].collect()
@@ -207,6 +222,18 @@ class ChunkDedupSpec extends SparkSuite {
     assert(sd.exists(r => r._3 < r._2), "corpus has within-doc repeats")
     sd.foreach { case (id, n, kept, _) =>
       assert(kept >= 1 && kept <= n, s"doc $id")
+    }
+    val again = TextAnalysis.selfDedupChunks(
+        sd.toSeq.toDF("doc_id", "n_chunks", "kept_chunks", "text")
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", size = 2)
+      .select("doc_id", "n_chunks", "kept_chunks", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    sd.foreach { case (id, _, kept, txt) =>
+      val (_, n2, kept2, txt2) = again(id)
+      assert(n2 == kept && kept2 == kept && txt2 == txt,
+        s"self-dedup not idempotent on doc $id")
     }
   }
 }
