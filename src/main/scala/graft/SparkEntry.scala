@@ -2041,6 +2041,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // IDF-weighted hashed document vectors: the q126 bridge with q97's
+    // odds-IDF rational weights (no ln — bit-exact cross-engine);
+    // 20-word vocabulary head, OOV takes the df=0 rarity boost.
+    // Unnested so the hash gate certifies every weighted coordinate.
+    "q146_idf_vectors" -> ((s, dir) =>
+      ext.TextAnalysis.idfHashingVectorize(Tables.documents(s, dir),
+          "doc_id", "text", dim = 16, vocabSize = 20)
+        .select(col("doc_id"), posexplode(col("vec")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").as("val"))
+        .orderBy("doc_id", "dim")),
+
     // Concat-and-chunk block manifest: the md5-shuffled corpus token
     // stream cut into 128-token training blocks; each (block, doc)
     // overlap emits its doc-local span. Two-level global prefix sum.
@@ -3129,6 +3141,45 @@ object SparkEntry {
         |FROM c LEFT JOIN bl USING (chunk_text)
         |WHERE c.doc_id >= $sqlBatchThr
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // per-(doc, bucket) folds of (sign·count)·odds-IDF contributions
+    // ordered by token (DuckDB's binary varchar order == the kernel's
+    // UTF-8 byte order), dense grid + index-ordered L2 normalization
+    "q146_idf_vectors" ->
+      s"""$sqlDocWords,
+        |tk AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        |dfs AS (SELECT w, COUNT(*) AS dfc FROM (
+        |  SELECT DISTINCT doc_id, w FROM tk) GROUP BY w),
+        |voc AS (SELECT w, dfc FROM dfs ORDER BY dfc DESC, w LIMIT 20),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tk
+        |       GROUP BY doc_id, w),
+        |ct AS (
+        | SELECT tc.doc_id, tc.w,
+        |  CAST(${sqlHexToLong("substr(md5(tc.w), 1, 15)")} % 16
+        |    AS BIGINT) AS b,
+        |  CAST((CASE WHEN substr(md5(tc.w), 16, 1) >= '8'
+        |        THEN 1 ELSE -1 END) * tc.c AS DOUBLE)
+        |   * (((nd.n - COALESCE(voc.dfc, 0)) + 0.5)
+        |      / (COALESCE(voc.dfc, 0) + 0.5)) AS v
+        | FROM tc LEFT JOIN voc USING (w), nd),
+        |bs AS (SELECT doc_id, b,
+        |  list_reduce(list(v ORDER BY w), (x, y) -> x + y) AS bv
+        | FROM ct GROUP BY doc_id, b),
+        |hdims AS (SELECT unnest(generate_series(1, 16)) AS hd),
+        |dv AS (SELECT d.doc_id, hdims.hd, COALESCE(bs.bv, 0.0) AS val
+        |       FROM d CROSS JOIN hdims
+        |       LEFT JOIN bs ON bs.doc_id = d.doc_id
+        |         AND bs.b = hdims.hd - 1),
+        |nn AS (SELECT doc_id,
+        |  sqrt(list_reduce(list(val * val ORDER BY hd), (x, y) -> x + y))
+        |    AS nrm
+        | FROM dv GROUP BY doc_id)
+        |SELECT dv.doc_id, CAST(dv.hd AS BIGINT) AS dim,
+        | CASE WHEN nn.nrm = 0 THEN dv.val ELSE dv.val / nn.nrm END
+        |   AS val
+        |FROM dv JOIN nn USING (doc_id)
+        |ORDER BY doc_id, dim""".stripMargin,
 
     // the single-window form of the same global (u, doc_id) prefix sum
     // (the sharded two-level operator equals it exactly — integer sums

@@ -371,6 +371,111 @@ object TextAnalysis {
       .toDF(id, "vec")
   }
 
+  /** IDF-weighted [[hashingVectorize]] — the weighting the
+    * bag-of-words literature actually retrieves with: a token's
+    * contribution scales by its rarity, so "the"-like mass stops
+    * dominating the hashed cosine geometry and the q114/q127 dedup
+    * chain keys on CONTENT words. The weight is the q97 odds-IDF
+    * rational form ((N − df + 0.5)/(df + 0.5) — every op a single IEEE
+    * instruction, NO ln(), so the whole vector replays bit-for-bit in
+    * the oracle); df comes from a `vocabSize`-bounded head of the
+    * corpus document frequencies (count DESC, word ASC — the q123
+    * vocabulary discipline) and out-of-vocabulary tokens take df = 0,
+    * the maximal rarity boost.
+    *
+    * Determinism: weighted contributions are DOUBLES, so accumulation
+    * order matters (unlike the integer parent). The kernel folds each
+    * document's DISTINCT tokens in UTF-8 byte order — the exact order
+    * DuckDB's `list(v ORDER BY w)` uses — with contribution
+    * (sign·count)·weight (integer product first, ONE fp multiply), so
+    * every bucket's fold replays exactly.
+    *
+    * Scale shape: document frequencies are ONE partial-agg'd
+    * distinct-(doc, word) exchange + a bounded TakeOrdered
+    * (vocabSize rows collect and broadcast — the q123 contract); the
+    * scoring pass is a shuffle-free typed map, O(len·log len) per doc
+    * for the sorted distinct-count map, O(1) weight probes.
+    *
+    * Output: (id, vec) — `dim`-wide doubles, L2-normalized unless
+    * disabled (zero vectors stay zero). */
+  def idfHashingVectorize(df: org.apache.spark.sql.DataFrame,
+      id: String, text: String, dim: Int, vocabSize: Int,
+      l2Normalize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim=$dim must be >= 1")
+    require(vocabSize > 0, s"vocabSize=$vocabSize must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nDocs = df.count()
+    val dfs = df.select(col(id),
+        explode(array_distinct(words(col(text)))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+      .orderBy(col("__df").desc, col("__w")).limit(vocabSize)
+      .as[(String, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast(dfs)
+    df.select(col(id).cast("long"), normalize(col(text)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dfm = bc.value
+        // UTF-8 byte order — DuckDB's varchar ORDER BY (java's
+        // String.compareTo is UTF-16 code-unit order, which differs on
+        // supplementary characters)
+        val utf8 = new java.util.Comparator[String] {
+          def compare(a: String, b: String): Int = {
+            val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+            var i = 0
+            val n = math.min(x.length, y.length)
+            while (i < n) {
+              val dd = (x(i) & 0xff) - (y(i) & 0xff)
+              if (dd != 0) return dd
+              i += 1
+            }
+            x.length - y.length
+          }
+        }
+        it.map { case (docId, norm) =>
+          val ws = norm.split(" ", -1)
+          val counts = new java.util.TreeMap[String, Int](utf8)
+          var i = 0
+          while (i < ws.length) {
+            val c = counts.get(ws(i))
+            counts.put(ws(i), if (c == null) 1 else c + 1)
+            i += 1
+          }
+          val v = new Array[Double](dim)
+          val ent = counts.entrySet().iterator()
+          while (ent.hasNext) {
+            val e = ent.next()
+            md.reset()
+            val b = md.digest(e.getKey.getBytes("UTF-8"))
+            var u = 0L
+            var q = 0
+            while (q < 15) {
+              val by = b(q / 2) & 0xff
+              u = u * 16 + (if (q % 2 == 0) by >>> 4 else by & 0xf)
+              q += 1
+            }
+            val s = if ((b(7) & 0xf) >= 8) 1 else -1
+            val dfw = dfm.getOrElse(e.getKey, 0L)
+            val wt = ((nDocs - dfw) + 0.5) / (dfw + 0.5)
+            v((u % dim).toInt) += (s * e.getValue).toDouble * wt
+          }
+          if (l2Normalize) {
+            var n2 = 0.0
+            var j = 0
+            while (j < dim) { n2 += v(j) * v(j); j += 1 }
+            val n = math.sqrt(n2)
+            if (n > 0) {
+              j = 0
+              while (j < dim) { v(j) /= n; j += 1 }
+            }
+          }
+          (docId, v.toSeq)
+        }
+      }
+      .toDF(id, "vec")
+  }
+
   /** Char-trigram CODE-POINT triples of a normalized string, in
     * position order — code points, not UTF-16 chars, so the extraction
     * agrees with DuckDB's character-based `substr` on any BMP or

@@ -66,6 +66,78 @@ class SpectrumSamplingSpec extends SparkSuite {
     }
   }
 
+  test("idfHashingVectorize: driver replay (UTF-8 fold order, incl. a " +
+      "supplementary-char doc where UTF-16 order differs), OOV boost, " +
+      "unit norm") {
+    import spark.implicits._
+    // U+FFFF (3-byte UTF-8: ef bf bf) sorts BEFORE U+10000 (4-byte:
+    // f0 90 80 80) in UTF-8 byte order, but its UTF-16 code unit
+    // ￿ sorts AFTER the surrogate \ud800 — the one ordering a
+    // TreeMap with default compareTo would get wrong
+    val supp = new String(Character.toChars(0x10000))
+    val docs = Seq(
+      (1L, "the the cat sat"), (2L, "the dog sat"),
+      (3L, s"￿ $supp ￿"), (4L, "cat"))
+      .toDF("doc_id", "text")
+    val dim = 1 // every token shares bucket 0: fold order fully exposed
+    val got = TextAnalysis.idfHashingVectorize(docs, "doc_id", "text",
+        dim = dim, vocabSize = 2, l2Normalize = false)
+      .as[(Long, Seq[Double])].collect().toMap
+    // driver replay
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    def sign(w: String) = if ((md5(w)(7) & 0xf) >= 8) 1 else -1
+    def utf8Lt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        if ((x(i) & 0xff) != (y(i) & 0xff)) return (x(i) & 0xff) < (y(i) & 0xff)
+        i += 1
+      }
+      x.length < y.length
+    }
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.trim.split(" ", -1) }
+    val nDocs = toks.length.toLong
+    val dfAll = toks.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (w, xs) => (w, xs.length.toLong) }
+    val voc = dfAll.toSeq.sortBy { case (w, c) => (-c, w) }.take(2).toMap
+    def weight(w: String) = {
+      val dfw = voc.getOrElse(w, 0L)
+      ((nDocs - dfw) + 0.5) / (dfw + 0.5)
+    }
+    val want = toks.map { case (id, ws) =>
+      val acc = ws.groupBy(identity).toSeq
+        .sortWith { case ((a, _), (b, _)) => utf8Lt(a, b) }
+        .foldLeft(0.0) { case (s, (w, xs)) =>
+          s + (sign(w) * xs.length).toDouble * weight(w)
+        }
+      id -> acc
+    }.toMap
+    got.foreach { case (id, v) =>
+      assert(v.length == 1 && v.head == want(id), s"doc $id fold")
+    }
+    // the UTF-8 comparator really orders doc 3's tokens differently
+    // from String.compareTo (the order the replay above pins; a
+    // two-term fold commutes so the SUM can't distinguish them — the
+    // ordering itself is the guarded property)
+    assert(utf8Lt("￿", supp) && "￿".compareTo(supp) > 0,
+      "fixture no longer distinguishes UTF-8 from UTF-16 order")
+    // OOV boost: an unseen word weighs more than any vocab word
+    assert(weight("zzz_unseen") > voc.keys.map(weight).max)
+    // unit norm on the real corpus (normalized form)
+    val nrm = TextAnalysis.idfHashingVectorize(
+        Tables.documents(spark, sf), "doc_id", "text", dim = 16,
+        vocabSize = 20)
+      .as[(Long, Seq[Double])].collect()
+    assert(nrm.nonEmpty)
+    nrm.foreach { case (id, v) =>
+      val n2 = v.foldLeft(0.0)((s, x) => s + x * x)
+      assert(n2 == 0.0 || math.abs(n2 - 1.0) < 1e-12, s"doc $id: $n2")
+    }
+  }
+
   test("clusterTopTerms: sizes and top terms equal a driver replay " +
       "over the same deterministic assignment") {
     import spark.implicits._
