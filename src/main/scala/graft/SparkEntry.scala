@@ -2053,6 +2053,21 @@ object SparkEntry {
           col("col").as("val"))
         .orderBy("doc_id", "dim")),
 
+    // q146 weighted vectors feeding the q114 distributed-quantizer
+    // mine: content-word near-dup with retrieval weighting, nothing
+    // driver-side growing anywhere on the chain. tau = 0.97 ≈ this
+    // corpus's measured p99 of the weighted-cosine pair distribution
+    // (its ~31-word vocabulary concentrates hashed cosines high).
+    "q147_idf_semantic_dedup" -> ((s, dir) => {
+      val vec = ext.TextAnalysis.idfHashingVectorize(
+        Tables.documents(s, dir), "doc_id", "text", dim = 64,
+        vocabSize = 20)
+      ext.Similarity.semanticNearDupPairsDistributed(vec, "doc_id",
+          "vec", 64, tau = 0.97, maxCell = 10000, targetOccupancy = 64,
+          probes = 2)
+        .orderBy("id1", "id2")
+    }),
+
     // Concat-and-chunk block manifest: the md5-shuffled corpus token
     // stream cut into 128-token training blocks; each (block, doc)
     // overlap emits its doc-local span. Two-level global prefix sum.
@@ -3146,40 +3161,35 @@ object SparkEntry {
     // ordered by token (DuckDB's binary varchar order == the kernel's
     // UTF-8 byte order), dense grid + index-ordered L2 normalization
     "q146_idf_vectors" ->
-      s"""$sqlDocWords,
-        |tk AS (SELECT doc_id, unnest(ws) AS w FROM d),
-        |dfs AS (SELECT w, COUNT(*) AS dfc FROM (
-        |  SELECT DISTINCT doc_id, w FROM tk) GROUP BY w),
-        |voc AS (SELECT w, dfc FROM dfs ORDER BY dfc DESC, w LIMIT 20),
-        |nd AS (SELECT COUNT(*) AS n FROM documents),
-        |tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tk
-        |       GROUP BY doc_id, w),
-        |ct AS (
-        | SELECT tc.doc_id, tc.w,
-        |  CAST(${sqlHexToLong("substr(md5(tc.w), 1, 15)")} % 16
-        |    AS BIGINT) AS b,
-        |  CAST((CASE WHEN substr(md5(tc.w), 16, 1) >= '8'
-        |        THEN 1 ELSE -1 END) * tc.c AS DOUBLE)
-        |   * (((nd.n - COALESCE(voc.dfc, 0)) + 0.5)
-        |      / (COALESCE(voc.dfc, 0) + 0.5)) AS v
-        | FROM tc LEFT JOIN voc USING (w), nd),
-        |bs AS (SELECT doc_id, b,
-        |  list_reduce(list(v ORDER BY w), (x, y) -> x + y) AS bv
-        | FROM ct GROUP BY doc_id, b),
-        |hdims AS (SELECT unnest(generate_series(1, 16)) AS hd),
-        |dv AS (SELECT d.doc_id, hdims.hd, COALESCE(bs.bv, 0.0) AS val
-        |       FROM d CROSS JOIN hdims
-        |       LEFT JOIN bs ON bs.doc_id = d.doc_id
-        |         AND bs.b = hdims.hd - 1),
-        |nn AS (SELECT doc_id,
-        |  sqrt(list_reduce(list(val * val ORDER BY hd), (x, y) -> x + y))
-        |    AS nrm
-        | FROM dv GROUP BY doc_id)
+      s"""WITH ${sqlIdfVecCte(16, 20)}
         |SELECT dv.doc_id, CAST(dv.hd AS BIGINT) AS dim,
         | CASE WHEN nn.nrm = 0 THEN dv.val ELSE dv.val / nn.nrm END
         |   AS val
         |FROM dv JOIN nn USING (doc_id)
         |ORDER BY doc_id, dim""".stripMargin,
+
+    // q146 weighted vectors → the q114 distributed-quantizer mine:
+    // content-word near-dup without any pretrained embedding, the
+    // q127 composition with the retrieval weighting
+    "q147_idf_semantic_dedup" ->
+      s"""WITH ${sqlIdfVecCte(64, 20)},
+        |v AS (
+        | SELECT doc_id AS vec_id, e AS embedding FROM ivec
+        | WHERE ${sqlDot("e", "e")} > 0),
+        |${sqlDistributedAsgChain(probes = 2)},
+        |av AS (
+        | SELECT v.vec_id, v.embedding, asg.cell
+        | FROM v JOIN asg USING (vec_id)),
+        |cap AS (
+        | SELECT vec_id, embedding, cell FROM av
+        | QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
+        |pr AS (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${sqlCos("a.embedding", "b.embedding")} AS cosine
+        | FROM cap a JOIN cap b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT id1, id2, cosine FROM pr WHERE cosine >= 0.97
+        |ORDER BY id1, id2""".stripMargin,
 
     // the single-window form of the same global (u, doc_id) prefix sum
     // (the sharded two-level operator equals it exactly — integer sums
@@ -5951,6 +5961,51 @@ object SparkEntry {
       |  CASE WHEN nrm = 0 THEN e
       |       ELSE list_transform(e, x -> x / nrm) END AS e
       | FROM hnrm)""".stripMargin
+
+  /** The IDF-weighted vectorizer (TextAnalysis.idfHashingVectorize)
+    * replayed in SQL — CTEs ending in `ivec(doc_id, e)` of L2-normalized
+    * `dim`-wide double lists (plus `dv`/`nn` for coordinate-level
+    * outputs): per-(doc, bucket) folds of (sign·count)·odds-IDF
+    * contributions ORDERED BY TOKEN (DuckDB's binary varchar order ==
+    * the kernel's UTF-8 byte fold order), df from the `vocab`-bounded
+    * frequency head (ties df DESC, w ASC), OOV df = 0. */
+  private def sqlIdfVecCte(dim: Int, vocab: Int): String =
+    s"""d AS (
+      | SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+      | FROM documents),
+      |tk AS (SELECT doc_id, unnest(ws) AS w FROM d),
+      |dfs AS (SELECT w, COUNT(*) AS dfc FROM (
+      |  SELECT DISTINCT doc_id, w FROM tk) GROUP BY w),
+      |voc AS (SELECT w, dfc FROM dfs ORDER BY dfc DESC, w
+      |        LIMIT $vocab),
+      |nd AS (SELECT COUNT(*) AS n FROM documents),
+      |tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tk
+      |       GROUP BY doc_id, w),
+      |ct AS (
+      | SELECT tc.doc_id, tc.w,
+      |  CAST(${sqlHexToLong("substr(md5(tc.w), 1, 15)")} % $dim
+      |    AS BIGINT) AS b,
+      |  CAST((CASE WHEN substr(md5(tc.w), 16, 1) >= '8'
+      |        THEN 1 ELSE -1 END) * tc.c AS DOUBLE)
+      |   * (((nd.n - COALESCE(voc.dfc, 0)) + 0.5)
+      |      / (COALESCE(voc.dfc, 0) + 0.5)) AS v
+      | FROM tc LEFT JOIN voc USING (w), nd),
+      |bs AS (SELECT doc_id, b,
+      |  list_reduce(list(v ORDER BY w), (x, y) -> x + y) AS bv
+      | FROM ct GROUP BY doc_id, b),
+      |idims AS (SELECT unnest(generate_series(1, $dim)) AS hd),
+      |dv AS (SELECT d.doc_id, idims.hd, COALESCE(bs.bv, 0.0) AS val
+      |       FROM d CROSS JOIN idims
+      |       LEFT JOIN bs ON bs.doc_id = d.doc_id
+      |         AND bs.b = idims.hd - 1),
+      |nn AS (SELECT doc_id,
+      |  sqrt(list_reduce(list(val * val ORDER BY hd), (x, y) -> x + y))
+      |    AS nrm
+      | FROM dv GROUP BY doc_id),
+      |ivec AS (SELECT dv.doc_id,
+      |  list(CASE WHEN nn.nrm = 0 THEN dv.val
+      |            ELSE dv.val / nn.nrm END ORDER BY dv.hd) AS e
+      | FROM dv JOIN nn USING (doc_id) GROUP BY dv.doc_id)""".stripMargin
 
   /** The distributed-quantizer assignment (Similarity.seededCentroids +
     * ivfIndexDistributed) replayed in SQL — CTEs `cent` through `asg`,
