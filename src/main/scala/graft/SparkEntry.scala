@@ -2026,6 +2026,13 @@ object SparkEntry {
           probes = 2)
         .orderBy("vec_id")),
 
+    // Cluster purity: per quantizer cell, size + majority label +
+    // purity — the does-the-geometry-track-semantics probe.
+    "q148_cluster_purity" -> ((s, dir) =>
+      ext.Similarity.clusterPurity(Tables.embeddings(s, dir), "vec_id",
+          "embedding", "label", 64, targetOccupancy = 64, probes = 2)
+        .orderBy("cell")),
+
     // Incremental boilerplate gate: the last 20% of docs arrive as a
     // batch against the first 80%'s persisted chunk-frequency index;
     // combined df >= 2 excises — identical to a full re-mine of the
@@ -3305,6 +3312,31 @@ object SparkEntry {
         | CAST(COALESCE(lag(n) OVER (ORDER BY i) - n, 0) AS BIGINT)
         |   AS removed_docs
         |FROM st ORDER BY stage_idx""".stripMargin,
+
+    // the labeled-v assignment chain, (cell, label) counts, argmax by
+    // (n DESC, label ASC), one divide per cell
+    "q148_cluster_purity" ->
+      s"""WITH v AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= 64
+        |   AND ${sqlDot("embedding", "embedding")} > 0
+        |   AND label IS NOT NULL),
+        |${sqlDistributedAsgChain(probes = 2)},
+        |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl
+        |       FROM embeddings WHERE label IS NOT NULL),
+        |ct AS (SELECT asg.cell, lb.lbl, COUNT(*) AS n
+        |       FROM asg JOIN lb USING (vec_id)
+        |       GROUP BY asg.cell, lb.lbl),
+        |tot AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs
+        |        FROM ct GROUP BY cell),
+        |mj AS (SELECT cell, lbl, n FROM (
+        |  SELECT cell, lbl, n, row_number() OVER (PARTITION BY cell
+        |    ORDER BY n DESC, lbl) AS rn FROM ct) WHERE rn = 1)
+        |SELECT mj.cell, tot.n_vecs, mj.lbl AS majority_label,
+        | CAST(mj.n AS BIGINT) AS majority_n,
+        | CAST(mj.n AS DOUBLE) / CAST(tot.n_vecs AS DOUBLE) AS purity
+        |FROM mj JOIN tot USING (cell)
+        |ORDER BY mj.cell""".stripMargin,
 
     // rank-ordered cosine fold (the sqlDot list_reduce discipline),
     // one divide per node

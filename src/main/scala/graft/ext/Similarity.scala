@@ -1379,6 +1379,48 @@ object Similarity {
         (col(label) === col("__lbl")).as("agree"))
   }
 
+  /** Cluster-purity report — the quantizer-quality check a labeled
+    * corpus gives for free (and the SSL-curation probe for whether
+    * cells track semantics): per cell, its size, majority label
+    * (ties to the lower label), majority count, and purity =
+    * majority/size. Near-1 purity everywhere says the cell geometry
+    * respects the labels; low-purity cells are where semantic dedup
+    * and diversity sampling blur class boundaries.
+    *
+    * Scale shape: the distributed assignment (no driver growth), one
+    * partial-agg'd (cell, label) count exchange, an argmax window
+    * whose partitions hold ≤ #labels rows, and a cell-sized totals
+    * join. Output: (cell, n_vecs, majority_label, majority_n,
+    * purity); zero-norm vectors excluded. */
+  def clusterPurity(corpus: DataFrame, id: String, vec: String,
+      label: String, dim: Int, targetOccupancy: Int = 64,
+      probes: Int = 4): DataFrame = {
+    require(targetOccupancy > 0, s"targetOccupancy=$targetOccupancy")
+    val labeled = corpus.where(col(label).isNotNull)
+    val cent = seededCentroids(labeled, id, vec, dim,
+      1.0 / targetOccupancy)
+    val asg = ivfIndexDistributed(labeled, cent, id, vec, dim, probes)
+      .where(col("norm") > 0)
+      .select(col("cell"), col(id))
+    val lbl = labeled.select(col(id).cast("long").as("__lid"),
+      col(label).cast("long").as("__lbl"))
+    val counts = asg.join(lbl, asg(id) === col("__lid"))
+      .groupBy(col("cell"), col("__lbl"))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(col("__n").desc, col("__lbl"))
+    val tot = counts.groupBy(col("cell"))
+      .agg(sum(col("__n")).as("n_vecs"))
+    counts.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .join(tot, "cell")
+      .select(col("cell"), col("n_vecs"),
+        col("__lbl").as("majority_label"), col("__n").as("majority_n"),
+        (col("__n").cast("double") / col("n_vecs").cast("double"))
+          .as("purity"))
+  }
+
   /** kNN density scores — embedding-space outlier detection (DataComp/
     * SSL-curation: a vector whose neighborhood is FAR — low mean
     * cosine to its k nearest — is isolated noise; a near-1 mean sits
