@@ -2107,6 +2107,24 @@ object SparkEntry {
           "text", "source", size = 4)
         .orderBy("source1", "source2")),
 
+    // Boilerplate mass by source: the q131 removal rolled up per
+    // source — which feeds contribute the duplicated mass (q144's
+    // pairwise matrix, as the per-feed accountability report).
+    "q149_boilerplate_by_source" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      ext.Dedup.boilerplateChunkRemoval(d, "doc_id", "text", size = 4,
+          minDocs = 2)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chunks")).as("n_chunks"),
+          sum(col("removed_chunks")).as("removed_chunks"))
+        .withColumn("removed_frac",
+          col("removed_chunks").cast("double") /
+            col("n_chunks").cast("double"))
+        .orderBy("source")
+    }),
+
     // Curation funnel: raw -> quality gate -> exact-canonical ->
     // decontaminated, as the one-scan observability report. The
     // keeper digest is the q125 2-hex prefix (the tiny corpus has no
@@ -3254,6 +3272,32 @@ object SparkEntry {
         | CAST(kept AS DOUBLE) / CAST(m AS DOUBLE) AS kept_frac,
         | clean_text
         |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // the q131 chunk relation rolled per source: integer sums + one
+    // divide per source row
+    "q149_boilerplate_by_source" ->
+      s"""$sqlDocWords,
+        |c AS (
+        | SELECT doc_id, CAST((start - 1) // 4 AS BIGINT) AS chunk_id,
+        |  array_to_string(ws[start : start + 3], ' ') AS chunk_text
+        | FROM (SELECT doc_id, ws,
+        |        unnest(generate_series(1, len(ws), 4)) AS start
+        |       FROM d WHERE len(ws) > 0)),
+        |bl AS (SELECT chunk_text FROM c GROUP BY chunk_text
+        |       HAVING COUNT(DISTINCT doc_id) >= 2),
+        |pd AS (
+        | SELECT c.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(COALESCE(SUM(CASE WHEN bl.chunk_text IS NOT NULL
+        |    THEN 1 END), 0) AS BIGINT) AS removed_chunks
+        | FROM c LEFT JOIN bl USING (chunk_text)
+        | GROUP BY c.doc_id)
+        |SELECT doc.source, COUNT(*) AS n_docs,
+        | CAST(SUM(pd.n_chunks) AS BIGINT) AS n_chunks,
+        | CAST(SUM(pd.removed_chunks) AS BIGINT) AS removed_chunks,
+        | CAST(SUM(pd.removed_chunks) AS DOUBLE)
+        |   / CAST(SUM(pd.n_chunks) AS DOUBLE) AS removed_frac
+        |FROM pd JOIN documents doc USING (doc_id)
+        |GROUP BY doc.source ORDER BY doc.source""".stripMargin,
 
     // distinct (chunk, source) pairs self-joined on the chunk text
     // (the Spark side keys the same relation by its 60-bit md5)
