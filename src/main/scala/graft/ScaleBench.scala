@@ -111,6 +111,7 @@ object ScaleBench {
     "q147_idf_semantic_dedup", // weighted text→features→q114 composition
     "q148_cluster_purity", // assignment + (cell,label) agg + tiny argmax
     "q149_boilerplate_by_source", // q131 relation + source rollup
+    "q150_density_by_label", // q134 mine + label join + decimal rollup
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
     "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
     "q121_leakage_split",  // q43 components + component-keyed md5 split

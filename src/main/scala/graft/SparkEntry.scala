@@ -2033,6 +2033,24 @@ object SparkEntry {
           "embedding", "label", 64, targetOccupancy = 64, probes = 2)
         .orderBy("cell")),
 
+    // Per-label density rollup: which classes carry the redundant
+    // near-clone mass (high mean kNN cosine) — q140's node scores
+    // aggregated per label with the exact decimal-sum mean (q30 idiom).
+    "q150_density_by_label" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      ext.Similarity.knnDensityScores(e, "vec_id", "embedding", 64,
+          k = 5, targetOccupancy = 64, probes = 2)
+        .join(e.select(col("vec_id"),
+          col("label").cast("long").as("label")), "vec_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"),
+          dsum(col("mean_cos")).as("sum_density"),
+          min(col("mean_cos")).as("min_density"),
+          max(col("mean_cos")).as("max_density"))
+        .withColumn("avg_density", col("sum_density") / col("n_nodes"))
+        .orderBy("label")
+    }),
+
     // Incremental boilerplate gate: the last 20% of docs arrive as a
     // batch against the first 80%'s persisted chunk-frequency index;
     // combined df >= 2 excises — identical to a full re-mine of the
@@ -3356,6 +3374,24 @@ object SparkEntry {
         | CAST(COALESCE(lag(n) OVER (ORDER BY i) - n, 0) AS BIGINT)
         |   AS removed_docs
         |FROM st ORDER BY stage_idx""".stripMargin,
+
+    // q140's per-node density joined to labels, decimal-exact sums
+    // (the q30 dsum idiom), one divide per label row
+    "q150_density_by_label" ->
+      s"""WITH ${sqlKnnCte(5)},
+        |g AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS degree,
+        |  list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) AS s
+        | FROM kn GROUP BY vec_id),
+        |dn AS (SELECT vec_id, s / CAST(degree AS DOUBLE) AS mean_cos
+        |       FROM g),
+        |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |       FROM embeddings)
+        |SELECT lb.label, COUNT(*) AS n_nodes,
+        | ${sqlDsum("mean_cos")} AS sum_density,
+        | MIN(mean_cos) AS min_density, MAX(mean_cos) AS max_density,
+        | ${sqlDsum("mean_cos")} / COUNT(*) AS avg_density
+        |FROM dn JOIN lb USING (vec_id)
+        |GROUP BY lb.label ORDER BY lb.label""".stripMargin,
 
     // the labeled-v assignment chain, (cell, label) counts, argmax by
     // (n DESC, label ASC), one divide per cell
