@@ -235,6 +235,16 @@ object ScaleBench {
       ext.Similarity.semanticNearDupPairsProbed(e, cent, "vec_id",
         "embedding", 64, tau = 0.40)
     }),
+    // The round-13 SWAPPED DEFAULT: the auto-cells overload past its
+    // broadcast limit routes through the distributed family (hash
+    // seeding + bucket-cogroup assignment, the q114 chain) — here the
+    // limit is forced low so the row measures the routed path at the
+    // standard occupancy; it should sit in the q114 band, not the
+    // q99_auto_cells (driver-sample) one.
+    "q99_routed_default" -> ((s: SparkSession, dir: String) =>
+      ext.Similarity.semanticNearDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 64, tau = 0.40, maxCell = 10000,
+        targetOccupancy = 64, broadcastCellLimit = 1)),
     // q103 with (a) the split WITHIN each replica (embeddings vec_ids
     // shift by 1e7/replica, so the oracle's value threshold would put
     // replica 0 alone in the index — the q46_incr_scale degeneracy)

@@ -2036,11 +2036,14 @@ object SparkEntry {
     // Per-label density rollup: which classes carry the redundant
     // near-clone mass (high mean kNN cosine) — q140's node scores
     // aggregated per label with the exact decimal-sum mean (q30 idiom).
+    // NULL labels are filtered on BOTH sides (the q139/q148 rule):
+    // Spark sorts a NULL group key first ascending, DuckDB last, so an
+    // unguarded NULL group would break the oracle's row-order parity.
     "q150_density_by_label" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       ext.Similarity.knnDensityScores(e, "vec_id", "embedding", 64,
           k = 5, targetOccupancy = 64, probes = 2)
-        .join(e.select(col("vec_id"),
+        .join(e.where(col("label").isNotNull).select(col("vec_id"),
           col("label").cast("long").as("label")), "vec_id")
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_nodes"),
@@ -3385,7 +3388,7 @@ object SparkEntry {
         |dn AS (SELECT vec_id, s / CAST(degree AS DOUBLE) AS mean_cos
         |       FROM g),
         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
-        |       FROM embeddings)
+        |       FROM embeddings WHERE label IS NOT NULL)
         |SELECT lb.label, COUNT(*) AS n_nodes,
         | ${sqlDsum("mean_cos")} AS sum_density,
         | MIN(mean_cos) AS min_density, MAX(mean_cos) AS max_density,

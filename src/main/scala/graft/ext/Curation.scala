@@ -248,7 +248,7 @@ object Curation {
     * Output: kept rows as (id, group, n_tokens, cum_tokens); the cumsum
     * is monotone so the kept set is exactly a per-group prefix.
     */
-  private def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean = {
+  private[ext] def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     t match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -1065,12 +1065,26 @@ object Curation {
     * aggregate (2·(stages+1) partial-agg'd sums — map-side combined,
     * no keyed exchange at all), exploded to stage rows driver-cheap;
     * the removed-docs lag windows over the ≤ stages+1 rows (bounded
-    * single partition). Counts/sums integer-exact.
+    * single partition). Counts/sums integer-exact — enforced loudly:
+    * the token column must be integral at analysis time (double sums
+    * don't reassociate) and a NULL count raises (Spark's sum() would
+    * silently SKIP the row where the oracle's SUM sees NULL — the
+    * guardedWeight/nonNegGuard discipline, not a silent cross-engine
+    * token skew).
     *
     * Output: (stage_idx, stage, n_docs, n_tokens, removed_docs). */
   def filterFunnel(df: DataFrame, tokens: Column,
       stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val tt = df.select(tokens.as("__t")).schema("__t").dataType
+    require(isIntegral(tt),
+      s"filterFunnel: token column must be integral (got " +
+        s"${tt.simpleString}) — double cumulative sums don't " +
+        "reassociate across engines")
+    val toks = when(tokens.isNull, raise_error(lit(
+      "filterFunnel: NULL token count (sum() would silently skip the " +
+        "row and diverge from the oracle) — coalesce or filter first")))
+      .otherwise(tokens)
     val cum = stages.scanLeft(lit(true): Column) {
       case (acc, (_, p)) => acc && p
     }
@@ -1079,7 +1093,7 @@ object Curation {
     val aggs = cum.zipWithIndex.flatMap { case (c, i) =>
       Seq(coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
           .as(s"__n$i"),
-        coalesce(sum(when(c, tokens).otherwise(0L)), lit(0L))
+        coalesce(sum(when(c, toks).otherwise(0L)), lit(0L))
           .as(s"__t$i"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)

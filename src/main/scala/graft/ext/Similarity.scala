@@ -74,6 +74,30 @@ object Similarity {
   private def vecOk(vec: String, dim: Int): Column =
     col(vec).isNotNull && size(col(vec)) >= dim
 
+  /** Largest centroid set the broadcast assignment paths will collect:
+    * past this, [[ivfIndex]] routes through [[ivfIndexDistributed]]
+    * (≡ exact at probes ≥ ⌈√c⌉, spec-pinned) and the auto-sized
+    * [[semanticNearDupPairs]] routes through the distributed family —
+    * the round-12 no-driver-growth chain becomes the DEFAULT instead
+    * of an opt-in. 2¹⁶ cells × 64 dims ≈ 32 MB broadcast, comfortably
+    * inside an executor; a corpus-proportional quantizer blows past it
+    * immediately. */
+  val IvfBroadcastCellLimit: Int = 1 << 16
+
+  /** Loud analysis-time guard for label-consuming operators (the
+    * ticketed samplers' isIntegral discipline): label columns are
+    * CAST to long for the vote/majority arithmetic, and a non-numeric
+    * string label would become NULL after the cast — silently shifting
+    * votes and majority groups instead of failing. */
+  private def requireIntegralLabel(op: String, df: DataFrame,
+      label: String): Unit = {
+    val t = df.schema(label).dataType
+    require(Curation.isIntegral(t),
+      s"$op: label column '$label' must be an integral type (got " +
+        s"${t.simpleString}) — a lossy cast would silently turn " +
+        "non-numeric labels into NULL votes")
+  }
+
   /** Per-dimension (min, max−min) of the corpus — ONE partial-aggregated
     * reduction whose shuffle carries a single row. Shared by
     * [[sq8Quantize]] and [[sq8TopK]] so quantizer and reader can never
@@ -752,9 +776,25 @@ object Similarity {
     * ONCE. At scale this frame is written partitioned by `cell`
     * (`df.write.partitionBy("cell")`), so a probe reads only its cells'
     * files; each arriving query batch then costs O(n·nprobe/C) scoring
-    * with no re-assignment. Output: (cell, id, vec, norm). */
+    * with no re-assignment. Output: (cell, id, vec, norm).
+    *
+    * Quantizers past `broadcastCellLimit` cells route through
+    * [[ivfIndexDistributed]] with EVERY coarse bucket probed — the
+    * spec-pinned ≡-exact configuration (probes ≥ ⌈√c⌉), bit-identical
+    * output — so no caller of the broadcast semantic-dedup family
+    * silently inherits a driver materialization that grows with the
+    * corpus (auto-sized quantizers set c ∝ n; at 10⁹ docs the centroid
+    * set alone is ~8 GB). The size probe is a LIMIT-pushed count of at
+    * most limit+1 rows, never a full centroid materialization. */
   def ivfIndex(corpus: DataFrame, centroids: DataFrame, id: String,
-      vec: String, dim: Int): DataFrame = {
+      vec: String, dim: Int,
+      broadcastCellLimit: Int = IvfBroadcastCellLimit): DataFrame = {
+    require(broadcastCellLimit > 0,
+      s"broadcastCellLimit=$broadcastCellLimit")
+    if (centroids.limit(broadcastCellLimit + 1).count() >
+        broadcastCellLimit)
+      return ivfIndexDistributed(corpus, centroids, id, vec, dim,
+        probes = Int.MaxValue)
     val spark = corpus.sparkSession
     import spark.implicits._
     val d = dotK(dim) _
@@ -989,12 +1029,24 @@ object Similarity {
     * q99 oracle form, whose unrolled SQL replay needs fixed c/iters). */
   def semanticNearDupPairs(corpus: DataFrame, id: String, vec: String,
       dim: Int, tau: Double, maxCell: Int = 10000, c: Int = 0,
-      targetOccupancy: Int = 64, sampleRate: Double = 0.2): DataFrame = {
+      targetOccupancy: Int = 64, sampleRate: Double = 0.2,
+      broadcastCellLimit: Int = IvfBroadcastCellLimit): DataFrame = {
     require(targetOccupancy > 0, s"targetOccupancy=$targetOccupancy")
     val nC =
       if (c > 0) c
       else math.max(16L, corpus.count() / targetOccupancy)
         .min(Int.MaxValue.toLong).toInt
+    // auto-sized quantizers set c ∝ n: past the broadcast contract the
+    // DEFAULT is the distributed family (hash-threshold seeding at the
+    // same expected occupancy + two-level bucket-cogroup assignment —
+    // the oracle-gated q114 chain), so no caller silently inherits the
+    // driver-side sample collect + centroid broadcast this overload
+    // pays at small c. Explicit-c callers past the limit keep their
+    // trained seeding; [[ivfIndex]]'s own routing still bounds the
+    // assignment's driver state at ⌈√c⌉ coarse seeds.
+    if (c == 0 && nC > broadcastCellLimit)
+      return semanticNearDupPairsDistributed(corpus, id, vec, dim, tau,
+        maxCell, targetOccupancy)
     val cent = kmeansCentroids(corpus, id, vec, dim, nC, iters = 0,
       sampleRate)
     semanticNearDupPairs(corpus, cent, id, vec, dim, tau, maxCell)
@@ -1358,6 +1410,7 @@ object Similarity {
   def knnLabelAudit(corpus: DataFrame, id: String, vec: String,
       label: String, dim: Int, k: Int, targetOccupancy: Int = 64,
       probes: Int = 4, maxCell: Int = 10000): DataFrame = {
+    requireIntegralLabel("knnLabelAudit", corpus, label)
     val labeled = corpus.where(col(label).isNotNull)
     val knn = knnGraphDistributed(labeled, id, vec, dim, k,
       targetOccupancy, probes, maxCell)
@@ -1396,6 +1449,7 @@ object Similarity {
       label: String, dim: Int, targetOccupancy: Int = 64,
       probes: Int = 4): DataFrame = {
     require(targetOccupancy > 0, s"targetOccupancy=$targetOccupancy")
+    requireIntegralLabel("clusterPurity", corpus, label)
     val labeled = corpus.where(col(label).isNotNull)
     val cent = seededCentroids(labeled, id, vec, dim,
       1.0 / targetOccupancy)

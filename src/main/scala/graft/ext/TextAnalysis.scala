@@ -331,8 +331,11 @@ object TextAnalysis {
         val memoCap = 1 << 20
         val memo = new java.util.HashMap[String, (Int, Int)]()
         it.map { case (docId, norm) =>
-          val ws = norm.split(" ", -1)
           val v = new Array[Double](dim)
+          // NULL text → the zero vector (the oracle CTE's row for the
+          // same doc), not an NPE
+          val ws = if (norm == null) Array.empty[String]
+            else norm.split(" ", -1)
           var i = 0
           while (i < ws.length) {
             var bs = memo.get(ws(i))
@@ -417,6 +420,12 @@ object TextAnalysis {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val dfm = bc.value
+        // the parent's capped per-partition token→(bucket, sign) memo:
+        // (bucket, sign) depends on the token alone (the IDF weight is
+        // applied outside), so repeat tokens across documents skip the
+        // md5 instead of re-digesting per distinct token per document
+        val memoCap = 1 << 20
+        val memo = new java.util.HashMap[String, (Int, Int)]()
         // UTF-8 byte order — DuckDB's varchar ORDER BY (java's
         // String.compareTo is UTF-16 code-unit order, which differs on
         // supplementary characters)
@@ -434,8 +443,11 @@ object TextAnalysis {
           }
         }
         it.map { case (docId, norm) =>
-          val ws = norm.split(" ", -1)
           val counts = new java.util.TreeMap[String, Int](utf8)
+          // NULL text → the zero vector (the oracle CTE's row for the
+          // same doc), not an NPE
+          val ws = if (norm == null) Array.empty[String]
+            else norm.split(" ", -1)
           var i = 0
           while (i < ws.length) {
             val c = counts.get(ws(i))
@@ -446,19 +458,24 @@ object TextAnalysis {
           val ent = counts.entrySet().iterator()
           while (ent.hasNext) {
             val e = ent.next()
-            md.reset()
-            val b = md.digest(e.getKey.getBytes("UTF-8"))
-            var u = 0L
-            var q = 0
-            while (q < 15) {
-              val by = b(q / 2) & 0xff
-              u = u * 16 + (if (q % 2 == 0) by >>> 4 else by & 0xf)
-              q += 1
+            var bs = memo.get(e.getKey)
+            if (bs == null) {
+              md.reset()
+              val b = md.digest(e.getKey.getBytes("UTF-8"))
+              var u = 0L
+              var q = 0
+              while (q < 15) {
+                val by = b(q / 2) & 0xff
+                u = u * 16 + (if (q % 2 == 0) by >>> 4 else by & 0xf)
+                q += 1
+              }
+              val s = if ((b(7) & 0xf) >= 8) 1 else -1
+              bs = ((u % dim).toInt, s)
+              if (memo.size < memoCap) memo.put(e.getKey, bs)
             }
-            val s = if ((b(7) & 0xf) >= 8) 1 else -1
             val dfw = dfm.getOrElse(e.getKey, 0L)
             val wt = ((nDocs - dfw) + 0.5) / (dfw + 0.5)
-            v((u % dim).toInt) += (s * e.getValue).toDouble * wt
+            v(bs._1) += (bs._2 * e.getValue).toDouble * wt
           }
           if (l2Normalize) {
             var n2 = 0.0

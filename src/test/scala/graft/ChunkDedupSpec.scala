@@ -183,6 +183,30 @@ class ChunkDedupSpec extends SparkSuite {
       (2L, "two", 2L, 70L, 1L)))
   }
 
+  test("filterFunnel: loud guards — non-integral token column fails " +
+      "analysis, NULL count raises at run time") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // double token column: rejected before any job runs
+    val dbl = Seq((1L, 1.5, true)).toDF("doc_id", "nt", "p")
+    val eA = intercept[IllegalArgumentException] {
+      graft.ext.Curation.filterFunnel(dbl, col("nt"),
+        Seq(("one", col("p"))))
+    }
+    assert(eA.getMessage.contains("integral"))
+    // NULL count: raises loudly instead of Spark's silent sum() skip
+    // (the oracle's SUM would see NULL — a silent cross-engine skew)
+    val withNull = Seq((1L, Some(10L), true), (2L, None, true))
+      .toDF("doc_id", "nt", "p")
+    val eB = intercept[Exception] {
+      graft.ext.Curation.filterFunnel(withNull, col("nt"),
+        Seq(("one", col("p")))).collect()
+    }
+    assert(eB.getMessage.contains("NULL token count") ||
+      Option(eB.getCause).exists(_.getMessage.contains(
+        "NULL token count")))
+  }
+
   test("real corpus: boilerplate removal finds planted cross-doc mass " +
       "and kept + removed == n_chunks everywhere") {
     import spark.implicits._

@@ -110,6 +110,21 @@ class KeywordOovSpec extends SparkSuite {
     assert(got == ref)
   }
 
+  test("vectorizers: NULL text yields the zero vector (the oracle's " +
+      "row), never an NPE") {
+    val docs = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val h = TextAnalysis.hashingVectorize(docs, "doc_id", "text", 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(h(2L).forall(_ == 0.0) && h(2L).length == 8)
+    assert(h(1L).exists(_ != 0.0))
+    val w = TextAnalysis.idfHashingVectorize(docs, "doc_id", "text", 8,
+        vocabSize = 4)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(w(2L).forall(_ == 0.0) && w(2L).length == 8)
+    assert(w(1L).exists(_ != 0.0))
+  }
+
   test("hashing vectorizer: multiplicity, L2 law, zero-vector rule") {
     val docs = Seq((1L, "x x x"), (2L, "y")).toDF("doc_id", "text")
     val raw = TextAnalysis.hashingVectorize(docs, "doc_id", "text", 8,

@@ -279,6 +279,25 @@ class SessionizeSpec extends SparkSuite {
     assert(pd == pe)
   }
 
+  test("ivfIndex routes past broadcastCellLimit through the " +
+      "distributed path bit-identically (cells AND norms)") {
+    val e = Tables.embeddings(spark, sf)
+    val cent = ext.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      64, c = 25, iters = 1, sampleRate = 0.5)
+    def asg(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.select($"vec_id".cast("long"), $"cell", $"norm")
+        .as[(Long, Long, Double)].collect()
+        .map { case (id, c, n) => id -> (c, n) }.toMap
+    // limit = 4 < c = 25 forces the routed path; the default limit
+    // keeps the broadcast path — outputs must be indistinguishable
+    // (probes = every coarse bucket ⇒ the spec-pinned ≡-exact law)
+    val routed = asg(ext.Similarity.ivfIndex(e, cent, "vec_id",
+      "embedding", 64, broadcastCellLimit = 4))
+    val bcast = asg(ext.Similarity.ivfIndex(e, cent, "vec_id",
+      "embedding", 64))
+    assert(routed == bcast)
+  }
+
   test("incrementalSemanticNearDupPairs: a re-ingested id is superseded " +
       "by its batch row and counts ONCE toward the combined cap") {
     def vec(xs: (Int, Double)*): Seq[Double] = {

@@ -719,4 +719,21 @@ class SimilaritySpec extends SparkSuite {
       assert(deg >= 1 && deg <= 5 && mc <= 1.0000000001, s"node $id")
     }
   }
+
+  test("label-consuming operators reject non-integral label columns " +
+      "loudly (a lossy cast would silently NULL the votes)") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq.fill(64)(1.0), "cat"),
+        (2L, Seq.fill(64)(0.5), "dog"))
+      .toDF("vec_id", "embedding", "label")
+    val eA = intercept[IllegalArgumentException] {
+      Similarity.knnLabelAudit(bad, "vec_id", "embedding", "label",
+        64, k = 2)
+    }
+    assert(eA.getMessage.contains("integral"))
+    val eB = intercept[IllegalArgumentException] {
+      Similarity.clusterPurity(bad, "vec_id", "embedding", "label", 64)
+    }
+    assert(eB.getMessage.contains("integral"))
+  }
 }
