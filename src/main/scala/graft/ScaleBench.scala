@@ -80,7 +80,10 @@ object ScaleBench {
     "q112_dedup_savings",  // inline LSH+CC mine + integer report aggs
     "q113_training_manifest", // quality gate → sharded budget → packing
     "q114_semdedup_distributed", // distributed quantizer: no c-collect
-    "q116_incr_semdedup_distributed", // distributed incremental assign
+    // (q116's oracle-form query runs as the Extra row q116_oracle_form:
+    // its `vec_id < thr` slice pins the whole index to replica 0 at K×,
+    // so the honest slope row is q116_incr_scale — the rename keeps a
+    // reader from mistaking the degenerate row for the operator.)
     "q117_kmeans_distributed", // distributed Lloyd: frame-only training
     "q118_quality_buckets", // LM chain + bounded double-quantile thresholds
     "q122_embed_standardize", // two-level moment folds + broadcast stats map
@@ -436,12 +439,44 @@ object ScaleBench {
         s.read.parquet(s"$out/comp.parquet"), "doc_id", "component",
         trainFrac = 0.8)
     }),
-    // q141 over a PERSISTED chunk-df index (same idiom): the production
-    // ingest gate reads the index and pays only the batch side — the
-    // oracle-form row rebuilds the corpus index in-query by design.
+    // q141 over a PERSISTED chunk-df index, BUCKETED on the probe key
+    // (round 13 — the r12 audit's one scale finding): the production
+    // ingest gate reads the bucket-sorted index table, so the probe
+    // join plans with ZERO exchange on the corpus-sized index side
+    // (plan-pinned in ExactLedgerSpec) and only the batch shuffles —
+    // the unmanaged-frame form broadcast while small and re-shuffled
+    // the whole index per batch past the threshold. The oracle-form
+    // row rebuilds the corpus index in-query by design.
+    // The split is WITHIN each replica (doc_ids shift 1e8/replica —
+    // the q116_incr_scale degeneracy fix; an absolute id threshold
+    // would put 80% of replica 0 alone in the index and mine 99% of
+    // the corpus as "batch", i.e. measure a full re-mine): index and
+    // batch scale together, the shape a production pipeline grows on.
     "q141_persisted" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val rep = col("doc_id") % 100000000L
+      val thr = docs.where(col("doc_id") < 100000000L).count() * 4 / 5
+      val tbl = ensureIndexTable(s, dir, "q141idx", "__h",
+        "__h BIGINT, df BIGINT")(
+        ext.Dedup.boilerplateChunkIndex(
+          docs.where(rep < thr), "doc_id", "text", 4))
+      ext.Dedup.incrementalBoilerplateRemoval(
+        docs.where(rep >= thr), s.table(tbl), "doc_id",
+        "text", size = 4, minDocs = 2)
+    }),
+    // q116's oracle form under its honest name: the `vec_id < thr`
+    // index slice degenerates to replica 0 at K× (documented since
+    // r12) — q116_incr_scale is the operator's real slope row.
+    "q116_oracle_form" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.queries("q116_incr_semdedup_distributed")(s, dir)),
+    // q128 the way production runs it: the LM scores/buckets are
+    // PERSISTED per-doc columns (scored once at ingest — the
+    // q112_persisted split); the timed work is the join + the
+    // (lang, bucket)-sized rollup alone, not the two scoring passes
+    // the oracle form re-pays so DuckDB can replay the chain.
+    "q128_persisted" -> ((s: SparkSession, dir: String) => {
       val out = java.nio.file.Paths.get("/tmp/graft_scale",
-        s"q141_idx_${new java.io.File(dir).getName}")
+        s"q128_buckets_${new java.io.File(dir).getName}")
       val marker = out.resolve("_built")
       val stamp = sourceFingerprint(dir)
       val fresh = java.nio.file.Files.exists(marker) &&
@@ -450,21 +485,77 @@ object ScaleBench {
       if (!fresh) {
         store.RrdStore.deleteTree(out.toString)
         java.nio.file.Files.createDirectories(out)
-        val docs = Tables.documents(s, dir)
-        val thr = docs.count() * 4 / 5
-        ext.Dedup.boilerplateChunkIndex(
-            docs.where(col("doc_id") < thr), "doc_id", "text", 4)
-          .write.mode("overwrite").parquet(s"$out/idx.parquet")
+        ext.TextAnalysis.lmQualityBuckets(Tables.documents(s, dir),
+            "doc_id", "lang", "text")
+          .write.mode("overwrite").parquet(s"$out/buckets.parquet")
         java.nio.file.Files.write(marker, stamp.getBytes("UTF-8")): Unit
       }
+      val buckets = s.read.parquet(s"$out/buckets.parquet")
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        ext.TextAnalysis.tokenExprs(col("text"))("ws_tokens")
+          .as("n_tokens"))
+      buckets.join(toks, "doc_id")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+    }),
+    // q125 over a PERSISTED digest index, same bucketed discipline:
+    // the exact-dedup ingest gate the ledger exists for — warm passes
+    // time the batch probe alone against the bucket-sorted index.
+    // Within-replica split (see q141_persisted) and the PRODUCTION
+    // digest — the full md5, one index row per distinct text, so the
+    // index genuinely scales with the corpus (the oracle form's 2-hex
+    // prefix exists only to exercise all three verdicts on tiny data
+    // and would pin the index at 256 rows forever).
+    "q125_persisted" -> ((s: SparkSession, dir: String) => {
       val docs = Tables.documents(s, dir)
-      val thr = docs.count() * 4 / 5
-      ext.Dedup.incrementalBoilerplateRemoval(
-        docs.where(col("doc_id") >= thr),
-        s.read.parquet(s"$out/idx.parquet"), "doc_id", "text",
-        size = 4, minDocs = 2)
+      val rep = col("doc_id") % 100000000L
+      val thr = docs.where(col("doc_id") < 100000000L).count() * 4 / 5
+      val dg = ext.TextAnalysis.fingerprint(col("text"))
+      val tbl = ensureIndexTable(s, dir, "q125idx", "digest",
+        "digest STRING, canonical BIGINT")(
+        ext.Dedup.digestIndex(docs.where(rep < thr), "doc_id", dg))
+      ext.Dedup.exactDedupLedger(docs.where(rep >= thr),
+        s.table(tbl), "doc_id", dg)
     }),
     )
+
+  /** Bucketed persisted-index table for the incremental gates
+    * (q125/q141 persisted rows): built ONCE per (dir, source
+    * fingerprint) as a bucket-sorted table on the PROBE key — the
+    * q101/q104 layout idiom — and re-registered from its files by a
+    * fresh JVM (the ensureBucketed discipline, without the multi-table
+    * lock dance: ScaleBench is single-JVM per invocation). */
+  private def ensureIndexTable(s: SparkSession, dir: String,
+      kind: String, key: String, schemaDdl: String)
+      (build: => DataFrame): String = {
+    val name = new java.io.File(dir).getName
+      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val fp = java.util.UUID.nameUUIDFromBytes(
+        sourceFingerprint(dir).getBytes("UTF-8"))
+      .toString.replaceAll("-", "").take(8)
+    val tbl = s"graft_${kind}_${name}_$fp"
+    if (s.catalog.tableExists(tbl)) return tbl
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh))
+    // drop stale prior-fingerprint builds of THIS dir's table (exact
+    // pattern — never a name prefix)
+    val stalePat = s"graft_${kind}_${name}_[0-9a-f]{8}"
+    Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches(stalePat) && f.getName != tbl)
+      .foreach(f => store.RrdStore.deleteTree(f.getPath))
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(wh, tbl, "_SUCCESS")))
+      sources.Bucketed.register(s, tbl, schemaDdl, key, 16, s"$wh/$tbl")
+    else {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      store.RrdStore.deleteTree(s"$wh/$tbl")
+      sources.Bucketed.writeBucketed(build, tbl, key, 16)
+    }
+    tbl
+  }
 
   /** Streaming pair at scale: replica user ids shift by 1e6, so the
     * modulo slice carries 30 series PER REPLICA (K× keys through the

@@ -31,6 +31,15 @@ object Dedup {
     corpus.groupBy(digest.as("digest"))
       .agg(min(col(id).cast("long")).as("canonical"))
 
+  /** Persist a [[digestIndex]] as a bucket-sorted table on its PROBE
+    * key — the layout that makes [[exactDedupLedger]]'s per-batch
+    * probe join exchange-free on the corpus-sized side (see the scale
+    * note there). `buckets` must match the cluster's target join
+    * parallelism; probe with `spark.table(table)`. */
+  def writeDigestIndexBucketed(index: DataFrame, table: String,
+      buckets: Int): Unit =
+    graft.sources.Bucketed.writeBucketed(index, table, "digest", buckets)
+
   /** Incremental EXACT-dedup ingest ledger — the batch-vs-index axis
     * the LSH (q46), SimHash (q56), and semantic (q103/q116) families
     * already have, for the exact-digest family ([[exactGroups]] is the
@@ -60,10 +69,19 @@ object Dedup {
     * key expression works).
     *
     * Scale shape: the index is corpus-sized but the join is ONE
-    * digest equi-join (the batch side is small by contract — AQE
-    * broadcasts it into the index scan); the intra-batch min is a
-    * batch-sized aggregate. The corpus is never re-digested — the
-    * point of the incremental axis.
+    * digest equi-join; the intra-batch min is a batch-sized aggregate.
+    * The corpus is never re-digested — the point of the incremental
+    * axis. The probe is a LEFT join preserving the batch, and Spark
+    * can only build/broadcast the RIGHT side of a left join — the
+    * INDEX — so an unmanaged index frame broadcasts while it fits and
+    * then falls back to re-shuffling the whole corpus-sized index on
+    * EVERY arriving batch (the round-12 audit's observed-plan
+    * finding). The production shape persists the index BUCKETED on
+    * `digest` ([[writeDigestIndexBucketed]] — the q101/q104 layout
+    * idiom): the probe then plans a sort-merge join with ZERO exchange
+    * and zero sort on the index side (plan-pinned in ExactLedgerSpec)
+    * and only the small batch shuffles, per batch, into the index's
+    * bucketing.
     *
     * Output: (id, digest, status, canonical_id). */
   def exactDedupLedger(batch: DataFrame, index: DataFrame, id: String,
@@ -1149,6 +1167,18 @@ object Dedup {
       .groupBy(col("__h"))
       .agg(countDistinct(col(id)).as("df"))
 
+  /** Persist a [[boilerplateChunkIndex]] as a bucket-sorted table on
+    * its 60-bit chunk-hash probe key — the
+    * [[writeDigestIndexBucketed]] discipline for the boilerplate gate:
+    * [[incrementalBoilerplateRemoval]]'s left probe join can only
+    * build/broadcast the index side, so an unmanaged index frame
+    * re-shuffles corpus-sized state per batch once past the broadcast
+    * threshold; bucketed, the probe plans exchange-free on the index
+    * side (plan-pinned in ExactLedgerSpec). */
+  def writeBoilerplateChunkIndexBucketed(index: DataFrame, table: String,
+      buckets: Int): Unit =
+    graft.sources.Bucketed.writeBucketed(index, table, "__h", buckets)
+
   /** Cross-source chunk-overlap matrix — the dataset-provenance report
     * a dedup run is PLANNED with (how much does source A duplicate
     * source B: two crawls of the same sites, a dataset repackaging
@@ -1186,10 +1216,13 @@ object Dedup {
     * side contributes one long per distinct chunk.
     *
     * Scale shape: one batch-sized chunk exchange + an equi-join to the
-    * index on the SAME 60-bit key (index side is distinct-chunk-sized;
-    * AQE broadcasts when the batch's chunk set is small) + the bounded
-    * per-doc rebuild. Output: [[boilerplateChunkRemoval]]'s schema,
-    * batch docs only. */
+    * index on the SAME 60-bit key + the bounded per-doc rebuild. The
+    * index is the RIGHT side of a batch-preserving left join — the
+    * only broadcastable side — so the production shape persists it
+    * bucketed on `__h` ([[writeBoilerplateChunkIndexBucketed]]),
+    * making the probe exchange-free on the corpus-sized side instead
+    * of a per-batch index re-shuffle past the broadcast threshold.
+    * Output: [[boilerplateChunkRemoval]]'s schema, batch docs only. */
   def incrementalBoilerplateRemoval(batch: DataFrame, index: DataFrame,
       id: String, text: String, size: Int, minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")

@@ -1046,7 +1046,7 @@ object Similarity {
     // assignment's driver state at ⌈√c⌉ coarse seeds.
     if (c == 0 && nC > broadcastCellLimit)
       return semanticNearDupPairsDistributed(corpus, id, vec, dim, tau,
-        maxCell, targetOccupancy)
+        maxCell, targetOccupancy, probes = 2)
     val cent = kmeansCentroids(corpus, id, vec, dim, nC, iters = 0,
       sampleRate)
     semanticNearDupPairs(corpus, cent, id, vec, dim, tau, maxCell)

@@ -67,4 +67,82 @@ class ExactLedgerSpec extends SparkSuite {
       else assert(st == "new_unique" || st == "dup_in_batch")
     }
   }
+
+  /** Every ShuffleExchange sitting between a BUCKETED file scan and
+    * its consuming join — the index re-shuffle the persisted layout
+    * exists to eliminate. The walk STOPS at join nodes: an exchange of
+    * a join RESULT (batch-sized by the gates' construction) is
+    * legitimate even though its subtree transitively contains the
+    * scan. Static plan (AQE off in the caller) so the walk sees final
+    * operators. */
+  private def indexSideExchanges(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // reaches a bucketed scan WITHOUT crossing another join (i.e. the
+    // exchange input IS the index subplan, not a join result)
+    def reachesBucketScan(n: SparkPlan): Boolean = n match {
+      case _: BaseJoinExec => false
+      case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+      case other => other.children.exists(reachesBucketScan)
+    }
+    p.collect {
+      case e: ShuffleExchangeExec if reachesBucketScan(e.child) =>
+        e.simpleStringWithNodeId()
+    }
+  }
+
+  test("persisted BUCKETED indexes: both incremental gates plan ZERO " +
+      "exchange on the corpus-sized index side and reproduce the " +
+      "inline-index results exactly") {
+    val docs = Tables.documents(spark, sf)
+    val thr = docs.count() * 4 / 5
+    val dg = TextAnalysis.fingerprintPrefix(col("text"), 2)
+    val corpus = docs.where(col("doc_id") < thr)
+    val batch = docs.where(col("doc_id") >= thr)
+    Dedup.writeDigestIndexBucketed(
+      Dedup.digestIndex(corpus, "doc_id", dg),
+      "graft_test_q125_idx", buckets = 4)
+    Dedup.writeBoilerplateChunkIndexBucketed(
+      Dedup.boilerplateChunkIndex(corpus, "doc_id", "text", size = 4),
+      "graft_test_q141_idx", buckets = 4)
+    // broadcast off (at 100 TB the index never fits it) + AQE off so
+    // the static plan is the one audited — the at-scale join shape
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val led = Dedup.exactDedupLedger(batch,
+        spark.table("graft_test_q125_idx"), "doc_id", dg)
+      val exL = indexSideExchanges(led.queryExecution.executedPlan)
+      assert(exL.isEmpty,
+        s"ledger re-shuffled the bucketed index:\n${exL.mkString("\n")}")
+      val boil = Dedup.incrementalBoilerplateRemoval(batch,
+        spark.table("graft_test_q141_idx"), "doc_id", "text",
+        size = 4, minDocs = 2)
+      val exB = indexSideExchanges(boil.queryExecution.executedPlan)
+      assert(exB.isEmpty,
+        s"gate re-shuffled the bucketed index:\n${exB.mkString("\n")}")
+      // and the layout changes bytes, never content: bit-identical to
+      // the inline-index forms
+      val ledInline = Dedup.exactDedupLedger(batch,
+          Dedup.digestIndex(corpus, "doc_id", dg), "doc_id", dg)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      assert(led.as[(Long, String, String, Long)].collect()
+        .sortBy(_._1).toSeq == ledInline.toSeq)
+      val boilInline = Dedup.incrementalBoilerplateRemoval(batch,
+          Dedup.boilerplateChunkIndex(corpus, "doc_id", "text", 4),
+          "doc_id", "text", size = 4, minDocs = 2)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      assert(boil.as[(Long, Long, Long, String)].collect()
+        .sortBy(_._1).toSeq == boilInline.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS graft_test_q125_idx")
+      spark.sql("DROP TABLE IF EXISTS graft_test_q141_idx")
+    }
+  }
 }
