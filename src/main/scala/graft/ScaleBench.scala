@@ -97,7 +97,7 @@ object ScaleBench {
     "q130_padding_efficiency", // codegen'd CASE + #buckets-row agg
     "q131_boilerplate_chunks", // chunk-hash DF agg + keyed join + doc rebuild
     "q132_weighted_sample", // per-row min-ticket digest + TakeOrdered heap
-    "q133_selfdedup_chunks", // per-row HOF first-occurrence filter, no shuffle
+    "q133_selfdedup_chunks", // per-row linear hash-set kernel, no shuffle
     "q134_knn_graph",      // q114 assignment + per-cell pair kernel, k-heaps
     "q135_cluster_terms",  // vectorize+assign + (cell, term) agg + cell window
     "q136_weighted_stratified", // per-row O(w) digests + bounded top-k agg

@@ -942,33 +942,43 @@ object TextAnalysis {
     * dropped (first occurrence wins — order-deterministic, no
     * tie-break), and the survivors rejoin in order.
     *
-    * Scale shape: pure per-row column work, shuffle-free at any corpus
-    * size — the chunk array is built with `sequence`/`slice`/
-    * `array_join` and the first-occurrence test is `array_position`
-    * inside an indexed `filter` HOF. That test is O(c²) per document
-    * (c = chunk count), bounded by doc length, never corpus size — the
-    * [[repetitionExprs]] cost discipline; a doc at the q89-style token
-    * caps has c ≤ a few thousand. All arithmetic integer/string:
-    * cross-engine hash-exact.
+    * Scale shape: per-row work, shuffle-free at any corpus size — the
+    * chunk array is built with `sequence`/`slice`/`array_join`
+    * (identical to the SQL oracle's replay, so normalization and
+    * chunking never leave Catalyst), and the first-occurrence filter
+    * runs as a typed per-row kernel over a hash set: O(c) per document
+    * (c = chunk count) where the round-12 `array_position`-HOF form
+    * was O(c²) — a book-length document no longer pays a quadratic
+    * scan, and the kernel measured FASTER on the short-doc corpus too
+    * (0.92/5.18 s vs the HOF's 2.01/6.13 at 1×/100×, same session; an
+    * all-Catalyst O(c·log c) sort-pairs variant lost to both at
+    * 1.33/8.57 — three interpreted HOF passes with struct allocation
+    * cost more than one encoder boundary; see SCALE.md r13).
+    * Parity-pinned against a driver replay of the keep-first rule.
+    * All arithmetic integer/string: cross-engine hash-exact.
     *
     * Output: (id, n_chunks, kept_chunks, clean_text); null-text and
     * token-less docs emit nothing (the [[chunkTokens]] contract). */
   def selfDedupChunks(df: org.apache.spark.sql.DataFrame, id: String,
       text: String, size: Int): org.apache.spark.sql.DataFrame = {
     require(size > 0, s"size=$size must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
     val ws = words(col(text))
     val sz = org.apache.spark.sql.functions.size _
     df.where(col(text).isNotNull)
-      .select(col(id), ws.as("__ws"))
+      .select(col(id).cast("long"), ws.as("__ws"))
       .where(sz(col("__ws")) > 0)
-      .withColumn("__cs", transform(
+      .select(col(id), transform(
         sequence(lit(1), sz(col("__ws")), lit(size)),
-        s => array_join(slice(col("__ws"), s, lit(size)), " ")))
-      .withColumn("__keep", filter(col("__cs"),
-        (x, i) => array_position(col("__cs"), x) === (i + 1).cast("long")))
-      .select(col(id),
-        sz(col("__cs")).cast("long").as("n_chunks"),
-        sz(col("__keep")).cast("long").as("kept_chunks"),
-        array_join(col("__keep"), " ").as("clean_text"))
+        s => array_join(slice(col("__ws"), s, lit(size)), " ")).as("__cs"))
+      .as[(Long, Seq[String])]
+      .map { case (docId, cs) =>
+        val seen = new java.util.HashSet[String]()
+        val kept = cs.filter(seen.add) // add = true iff first occurrence
+        (docId, cs.length.toLong, kept.length.toLong,
+          kept.mkString(" "))
+      }
+      .toDF(id, "n_chunks", "kept_chunks", "clean_text")
   }
 }

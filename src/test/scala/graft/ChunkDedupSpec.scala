@@ -86,6 +86,35 @@ class ChunkDedupSpec extends SparkSuite {
     assert(got(4L) == ((2L, 1L, "z z")))
   }
 
+  test("selfDedupChunks linear kernel: real-corpus parity with a " +
+      "driver replay of the keep-first rule over Catalyst's own chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sequence, slice, lit,
+      array_join, transform, size => asize}
+    val d = Tables.documents(spark, sf)
+    val sz = 3
+    val got = TextAnalysis.selfDedupChunks(d, "doc_id", "text", sz)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // chunks assembled by the SAME Catalyst expressions the operator
+    // uses (normalization/chunking parity is Catalyst vs Catalyst);
+    // the keep-first rule replayed with the O(c²) indexOf definition
+    // the round-12 HOF form implemented
+    val ws = TextAnalysis.words(col("text"))
+    val chunks = d.where(col("text").isNotNull)
+      .select(col("doc_id"), transform(
+        sequence(lit(1), asize(ws), lit(sz)),
+        s => array_join(slice(ws, s, lit(sz)), " ")).as("cs"))
+      .where(asize(col("cs")) > 0)
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    val want = chunks.map { case (id, cs) =>
+      val kept = cs.zipWithIndex
+        .filter { case (c, i) => cs.indexOf(c) == i }.map(_._1)
+      (id, cs.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("weightedSample: bottom-k of min-ticket digests, replayed " +
       "driver-side; partitioning-independent; loud weight guard") {
     import spark.implicits._
