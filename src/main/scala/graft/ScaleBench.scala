@@ -115,6 +115,10 @@ object ScaleBench {
     "q148_cluster_purity", // assignment + (cell,label) agg + tiny argmax
     "q149_boilerplate_by_source", // q131 relation + source rollup
     "q150_density_by_label", // q134 mine + label join + decimal rollup
+    "q151_random_projection", // shuffle-free typed JL kernel
+    "q152_collocations",   // two vocab exchanges + bounded top-k head
+    "q153_canonical_quality", // digest exchange + bounded k=1 aggregate
+    "q154_novelty_score",  // chunk-hash countDistinct + same-key join
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
     "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
     "q121_leakage_split",  // q43 components + component-keyed md5 split
@@ -677,6 +681,44 @@ object ScaleBench {
       files.sorted.mkString("\n").getBytes("UTF-8")).toString
   }
 
+  /** Events-only replica for streaming-only invocations (the 1000×
+    * state-store point): same per-replica user_id/event_id shifts as
+    * [[ensureScaled]], but built with ONE explode over the replica
+    * index instead of a K-way unionByName (a 1000-branch union plan is
+    * quadratic in the analyzer and K scans of the source; content is
+    * identical up to row order, which parquet does not contract). A
+    * fresh FULL build of the same source satisfies the request; an
+    * events-only build never satisfies a later full request (separate
+    * marker). */
+  def ensureScaledEvents(spark: SparkSession, base: String, out: String,
+      k: Int): Unit = {
+    val fullMarker = java.nio.file.Paths.get(out, "_built")
+    val fullStamp = s"$base x$k v3 fp=${sourceFingerprint(base)}"
+    if (java.nio.file.Files.exists(fullMarker) &&
+      new String(java.nio.file.Files.readAllBytes(fullMarker),
+        "UTF-8") == fullStamp)
+      return
+    val marker = java.nio.file.Paths.get(out, "_built_events")
+    val stamp = s"$base x$k events-v1 fp=${sourceFingerprint(base)}"
+    if (java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        "UTF-8") == stamp)
+      return
+    store.RrdStore.deleteTree(out)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.table(spark, base, "events")
+      .withColumn("__r", explode(sequence(lit(0L), lit(k - 1L))))
+      .select(
+        (col("event_id") + col("__r") * 10000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__r") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(math.max(32, 32 * k / 100))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    java.nio.file.Files.write(marker, stamp.getBytes("UTF-8")): Unit
+  }
+
   def ensureScaled(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
     val marker = java.nio.file.Paths.get(out, "_built")
@@ -772,7 +814,16 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    ensureScaled(spark, base, out, k)
+    // an ONLY list of purely streaming rows needs just the events
+    // replica — at K in the thousands the full table build is minutes
+    // of parquet the batch rows never read
+    val onlyPeek = args.lift(2).map(_.split(",").filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    if (onlyPeek.exists(o => o.nonEmpty &&
+        o.subsetOf(Streaming.map(_._1).toSet)))
+      ensureScaledEvents(spark, base, out, k)
+    else
+      ensureScaled(spark, base, out, k)
 
     // absorb one-time session costs before the clock starts
     spark.range(1000).groupBy((col("id") % 4).as("g"))

@@ -2404,7 +2404,43 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           sum(col("ws_tokens")).as("sum_tokens"))
         .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
-    })
+    }),
+
+    // Deterministic ±1 random projection (Achlioptas/JL): 64→16 dims,
+    // signs from md5("rp:j:d") (the q45 hyperplane derivation under
+    // its own namespace), L2-normalized; unnested so the hash gate
+    // certifies every projected coordinate including the norm chain.
+    "q151_random_projection" -> ((s, dir) =>
+      ext.Similarity.randomProjection(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 64, 16)
+        .select(col("vec_id"), posexplode(col("vec")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").as("val"))
+        .orderBy("vec_id", "dim")),
+
+    // PMI-style collocation mining: top adjacent-bigram lifts
+    // (c12/c1)·(N/c2) on exact integer counts — rank-equivalent to PMI
+    // with no ln() anywhere (the q97 odds-IDF discipline).
+    "q152_collocations" -> ((s, dir) =>
+      ext.TextAnalysis.collocations(Tables.documents(s, dir), "text",
+          minCount = 3, k = 40)
+        .orderBy("rank")),
+
+    // Quality-priority canonical selection: per exact-dup group the
+    // HIGHEST-n_chars member wins (ties to the lower id) — the
+    // keep-best-copy rule production dedup uses where q25 keeps min-id.
+    "q153_canonical_quality" -> ((s, dir) =>
+      ext.Dedup.canonicalByQuality(Tables.documents(s, dir), "doc_id",
+          "text", col("n_chars"))
+        .orderBy("fp")),
+
+    // Per-document n-gram novelty: the fraction of a doc's grid-chunk
+    // positions carrying a chunk no other document has — the
+    // originality feature (complement of the q131 excision axis).
+    "q154_novelty_score" -> ((s, dir) =>
+      ext.Dedup.noveltyScores(Tables.documents(s, dir), "doc_id",
+          "text", size = 4)
+        .orderBy("doc_id"))
   )
 
   /** DuckDB-side exact sum. The VARCHAR round-trip matters: DuckDB's
@@ -5116,7 +5152,96 @@ object SparkEntry {
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         | CAST(SUM(ws_tokens) AS BIGINT) AS sum_tokens
         |FROM t GROUP BY ROLLUP(lang, source)
-        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    // signs replayed from md5('rp:j:d') first hex digit; projection
+    // folds d ascending, norm folds j ascending (list_reduce no-init ≡
+    // the 0.0-seeded strict fold), one divide per coordinate
+    "q151_random_projection" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        |proj AS (
+        | SELECT vec_id, list_transform(generate_series(1, 16), j ->
+        |   list_reduce(list_transform(generate_series(1, 64), d ->
+        |     CAST(embedding[d] AS DOUBLE) *
+        |     (CASE WHEN substr(md5('rp:' || j || ':' || d), 1, 1) >= '8'
+        |       THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y)) AS p
+        | FROM v),
+        |nm AS (
+        | SELECT vec_id, p,
+        |  sqrt(list_reduce(list_transform(p, x -> x * x),
+        |    (x, y) -> x + y)) AS n
+        | FROM proj),
+        |dims AS (SELECT unnest(generate_series(1, 16)) AS dim)
+        |SELECT nm.vec_id, CAST(dims.dim AS BIGINT) AS dim,
+        | CASE WHEN nm.n > 0 THEN nm.p[dims.dim] / nm.n
+        |      ELSE nm.p[dims.dim] END AS val
+        |FROM nm CROSS JOIN dims
+        |ORDER BY nm.vec_id, dims.dim""".stripMargin,
+
+    // adjacent bigrams, pair/unigram instance counts, the pinned
+    // (c12/c1)·(N/c2) division chain, top-40 by (lift DESC, w1, w2)
+    "q152_collocations" ->
+      s"""$sqlDocWords,
+        |bg AS (
+        | SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |   i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+        | FROM d WHERE len(ws) >= 2),
+        |pc AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c12
+        |       FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |uni AS (SELECT unnest(ws) AS w FROM d),
+        |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+        |tot AS (SELECT COUNT(*) AS n FROM uni),
+        |sc AS (
+        | SELECT pc.w1, pc.w2, pc.c12, u1.c AS c1, u2.c AS c2,
+        |  (CAST(pc.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)) *
+        |  (CAST(tot.n AS DOUBLE) / CAST(u2.c AS DOUBLE)) AS lift
+        | FROM pc JOIN uc u1 ON pc.w1 = u1.w
+        |   JOIN uc u2 ON pc.w2 = u2.w, tot)
+        |SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2)
+        |   AS BIGINT) AS rank,
+        | w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+        | CAST(c2 AS BIGINT) AS c2, lift
+        |FROM sc ORDER BY lift DESC, w1, w2 LIMIT 40""".stripMargin,
+
+    // per-digest argmax by (n_chars DESC, doc_id ASC) — the
+    // topKPerGroup tie rule — plus the group count; score rides a
+    // double (the 52-bit contract)
+    "q153_canonical_quality" ->
+      """WITH f AS (
+        | SELECT doc_id, md5(lower(trim(text))) AS fp, n_chars
+        | FROM documents),
+        |best AS (
+        | SELECT fp, doc_id, n_chars, row_number() OVER (
+        |   PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM f),
+        |cnt AS (SELECT fp, COUNT(*) AS n_dups FROM f GROUP BY fp)
+        |SELECT b.fp, b.doc_id AS canonical_id,
+        | CAST(b.n_chars AS DOUBLE) AS score,
+        | CAST(c.n_dups AS BIGINT) AS n_dups
+        |FROM best b JOIN cnt c USING (fp)
+        |WHERE b.rn = 1 ORDER BY b.fp""".stripMargin,
+
+    // the q131 chunk grid, df per chunk text, per-doc novel-position
+    // count and one exact-integer divide
+    "q154_novelty_score" ->
+      s"""$sqlDocWords,
+        |c AS (
+        | SELECT doc_id,
+        |  array_to_string(ws[start : start + 3], ' ') AS chunk_text
+        | FROM (SELECT doc_id, ws,
+        |        unnest(generate_series(1, len(ws), 4)) AS start
+        |       FROM d WHERE len(ws) > 0)),
+        |dfreq AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS df
+        |          FROM c GROUP BY chunk_text)
+        |SELECT c.doc_id, COUNT(*) AS n_chunks,
+        | CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS novel_chunks,
+        | CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM c JOIN dfreq USING (chunk_text)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   )
 
   /** Shared docs CTE: `d(doc_id, lang, norm, ws)`. */

@@ -31,6 +31,35 @@ object Dedup {
     corpus.groupBy(digest.as("digest"))
       .agg(min(col(id).cast("long")).as("canonical"))
 
+  /** Exact-dup groups with a QUALITY-priority canonical — the keeper
+    * rule production dedup actually wants (CCNet/RefinedWeb keep the
+    * best-scored copy of a duplicate cluster, not the lowest id: two
+    * crawls of one page differ in truncation and boilerplate, and
+    * min-id keeps whichever arrived first): per normalized-text
+    * digest, the member with the HIGHEST `score` wins, ties to the
+    * lowest id.
+    *
+    * Scale shape: one digest exchange into the bounded
+    * [[graft.ext.Curation.topKPerGroup]] aggregate at k = 1 (at most
+    * one row per (digest, map task) crosses the wire — never a window
+    * sort over dup groups) + the group-count aggregate on the SAME
+    * key, joined back digest-to-digest (one exchange, reused). The
+    * score must obey the 52-bit integer contract (it rides a double
+    * through the aggregate — the topKPerGroup rule).
+    *
+    * Output: (fp, canonical_id, score, n_dups). */
+  def canonicalByQuality(df: DataFrame, id: String, text: String,
+      score: Column): DataFrame = {
+    val base = df.select(col(id).cast("long").as(id),
+      TextAnalysis.fingerprint(col(text)).as("fp"), score.as("__s"))
+    val counts = base.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_dups"))
+    Curation.topKPerGroup(base, "fp", id, col("__s"), 1)
+      .join(counts, "fp")
+      .select(col("fp"), col(id).as("canonical_id"),
+        col("score"), col("n_dups"))
+  }
+
   /** Persist a [[digestIndex]] as a bucket-sorted table on its PROBE
     * key — the layout that makes [[exactDedupLedger]]'s per-batch
     * probe join exchange-free on the corpus-sized side (see the scale
@@ -1131,6 +1160,37 @@ object Dedup {
       .where(col("__df") >= minDocs)
       .select(col("__h"), lit(true).as("__b"))
     exciseChunks(chunks, boiler, id)
+  }
+
+  /** Per-document n-gram NOVELTY score — the content-originality
+    * feature curation ranks on (the complement of the boilerplate
+    * family's excision: instead of removing shared chunks, report how
+    * much of each document is its own): per doc, its grid-chunk count,
+    * how many of those chunk POSITIONS carry a chunk no other document
+    * has (corpus document frequency 1), and the novel fraction. A
+    * mirror/quote-stitched page scores near 0; original prose scores
+    * near 1 — exactly the axis a pretraining mix up-weights.
+    *
+    * Scale shape: the shared [[boilerplateChunkRemoval]] machinery —
+    * one partial-agg'd countDistinct exchange on the 60-bit chunk
+    * hashes, the same-key join back (exchange reused), one per-doc
+    * count aggregate. The ratio is one divide on exact integers.
+    *
+    * Output: (id, n_chunks, novel_chunks, novelty); docs with ≥ 1
+    * token only (the chunk-grid contract). */
+  def noveltyScores(df: DataFrame, id: String, text: String,
+      size: Int): DataFrame = {
+    val chunks = hashedChunks(df, id, text, size)
+    val dfreq = chunks.groupBy(col("__h"))
+      .agg(countDistinct(col(id)).as("__df"))
+    chunks.join(dfreq, "__h")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L))
+          .as("novel_chunks"))
+      .withColumn("novelty",
+        col("novel_chunks").cast("double") /
+          col("n_chunks").cast("double"))
   }
 
   /** The grid chunks of [[boilerplateChunkRemoval]] keyed by their

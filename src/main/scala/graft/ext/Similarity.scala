@@ -2116,6 +2116,67 @@ object Similarity {
     ((hex(0) >> 4) & 0xf) >= 8
   }
 
+  /** Deterministic ±1 random projection (Achlioptas 2003's database-
+    * friendly JL transform, sign-only variant): out_j = Σ_d v_d·s_jd
+    * with s_jd = ±1 from the first hex digit of md5("rp:j:d") — the
+    * [[hyperplaneKey]] derivation under its own namespace, so the SQL
+    * oracle replays every sign and every coordinate. The
+    * Johnson–Lindenstrauss guarantee makes this THE cheap pre-step for
+    * the whole ANN/quantizer family at 100 TB: projecting 64→16 dims
+    * keeps pairwise angles within the JL distortion while quartering
+    * every downstream cosine, exchange byte count, and cell-kernel
+    * buffer — and unlike a trained PCA, the matrix is a pure function
+    * of (j, d), shippable to any executor without a fit pass.
+    *
+    * Determinism: the sign matrix is data-independent (computed once,
+    * closure-shipped); projections fold d ascending, the optional L2
+    * norm folds j ascending then one sqrt + one divide per coordinate
+    * (zero vectors stay zero) — every double replays bit-for-bit in
+    * the oracle's list_reduce. Null/short vectors are dropped (the
+    * [[vecOk]] contract). Shuffle-free: one typed per-row kernel.
+    *
+    * Output: (id, vec: array<double> of dimOut). */
+  def randomProjection(df: DataFrame, id: String, vec: String,
+      dimIn: Int, dimOut: Int, l2Normalize: Boolean = true): DataFrame = {
+    require(dimIn > 0, s"dimIn=$dimIn must be >= 1")
+    require(dimOut > 0, s"dimOut=$dimOut must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val signs: Array[Array[Double]] = Array.tabulate(dimOut, dimIn) {
+      (j, d) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"rp:${j + 1}:${d + 1}".getBytes("UTF-8"))
+        if (((hex(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+    df.where(vecOk(vec, dimIn))
+      .select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Double])]
+      .map { case (vid, v) =>
+        val out = new Array[Double](dimOut)
+        var j = 0
+        while (j < dimOut) {
+          val s = signs(j)
+          var acc = 0.0
+          var d = 0
+          while (d < dimIn) { acc += v(d) * s(d); d += 1 }
+          out(j) = acc
+          j += 1
+        }
+        if (l2Normalize) {
+          var n2 = 0.0
+          var i = 0
+          while (i < dimOut) { n2 += out(i) * out(i); i += 1 }
+          val n = math.sqrt(n2)
+          if (n > 0) {
+            i = 0
+            while (i < dimOut) { out(i) /= n; i += 1 }
+          }
+        }
+        (vid, out.toSeq)
+      }
+      .toDF(id, "vec")
+  }
+
   /** (id, vec, norm, bucket) in ONE typed pass. Per-row plane
     * projections and the norm are the same strict left folds as the
     * column forms ([[dot]], [[hyperplaneKey]]) — identical doubles,

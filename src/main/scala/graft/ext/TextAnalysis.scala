@@ -934,6 +934,60 @@ object TextAnalysis {
       .select(col("rank"), col("term"), col("n"), col("cum_frac"))
   }
 
+  /** PMI-style collocation mining — the multiword-expression detector
+    * a tokenizer/vocab pipeline is tuned with (which adjacent pairs
+    * behave as one unit: "new york", "machine learning"): every
+    * adjacent token bigram scores lift = P(w1 w2) / (P(w1)·P(w2)),
+    * computed as the PINNED division chain
+    * (c12/c1)·(N/c2) — two IEEE divides and one multiply on exact
+    * integer counts, NO ln() (pointwise mutual information is the log
+    * of this score; the log is monotone, so ranking by lift IS ranking
+    * by PMI while staying inside the cross-engine hash gate — the
+    * q97 odds-IDF discipline). `minCount` floors c12 (rare-pair lift
+    * explodes into noise — the standard PMI failure mode).
+    *
+    * Scale shape: one (w1, w2) exchange for pair counts + one word
+    * exchange for unigram counts (both partial-agg'd, vocab-sized
+    * outputs), two vocab-sized equi-joins back, and a bounded
+    * TakeOrdered head of `k` rows by (lift DESC, w1, w2). N is one
+    * 1-row reduction. Nothing driver-side beyond the scalar N.
+    *
+    * Output: (rank, w1, w2, c12, c1, c2, lift). */
+  def collocations(df: org.apache.spark.sql.DataFrame, text: String,
+      minCount: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    val ws = words(col(text))
+    val n = size(ws)
+    val bg = df
+      .select(explode(when(n >= 2, transform(sequence(lit(1), n - 1),
+          i => struct(element_at(ws, i).as("w1"),
+            element_at(ws, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val pairC = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    val uni = df.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = df.agg(coalesce(sum(size(ws)), lit(0L)).as("n"))
+      .first().getLong(0)
+    pairC
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .withColumn("lift",
+        (col("c12").cast("double") / col("c1").cast("double")) *
+          (lit(nTok).cast("double") / col("c2").cast("double")))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"), col("c1"),
+        col("c2"), col("lift"))
+  }
+
   /** Within-document chunk self-dedup — the intra-doc counterpart of
     * [[graft.ext.Dedup.boilerplateChunkRemoval]] (scraped pages repeat
     * their own nav blocks / list items; machine-generated text loops):

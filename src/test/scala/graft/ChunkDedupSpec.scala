@@ -191,6 +191,39 @@ class ChunkDedupSpec extends SparkSuite {
     }
   }
 
+  test("canonicalByQuality: best score wins, ties to the lower id; " +
+      "group counts; singletons are their own canonical") {
+    import spark.implicits._
+    // same normalized text -> same group (trim/lower canonicalizes)
+    val docs = Seq(
+      (1L, "dup text", 10L),  // group A: 3 copies, id 2 has best score
+      (2L, "dup text ", 50L), // (trailing space trims away)
+      (3L, "DUP TEXT", 50L),  // ties id 2 at 50 -> lower id wins
+      (9L, "alone", 7L))
+      .toDF("doc_id", "text", "q")
+    val got = Dedup.canonicalByQuality(docs, "doc_id", "text", col("q"))
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(got == Map(2L -> ((50.0, 3L)), 9L -> ((7.0, 1L))))
+  }
+
+  test("noveltyScores: novel positions are chunks with corpus df 1; " +
+      "within-doc repeats of a unique chunk still count as novel") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav bar a b"),   // "nav bar" shared with doc 2 -> df 2
+      (2L, "nav bar c d"),
+      (3L, "e f e f"))       // "e f" repeats WITHIN doc 3 only: df=1
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(docs, "doc_id", "text", size = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 2L, 1.0)),
+      "df counts DISTINCT docs: a within-doc repeat stays novel")
+  }
+
   test("filterFunnel: cumulative conjunction, exact counts, " +
       "removed_docs deltas, implicit raw stage") {
     import spark.implicits._

@@ -110,6 +110,32 @@ class KeywordOovSpec extends SparkSuite {
     assert(got == ref)
   }
 
+  test("collocations: closed-form lifts, the pinned division chain, " +
+      "minCount floor, (lift DESC, w1, w2) head") {
+    // tokens: "a b" ×3 (c12=3), "a c" ×3, plus "b a" once and a
+    // 1-token doc (no bigrams). N = 15 token instances.
+    val docs = Seq(
+      (1L, "a b a c"),   // bigrams: ab, ba, ac
+      (2L, "a b a c"),
+      (3L, "a b a c"),
+      (4L, "x"),         // 1 token: no bigrams, counts toward N
+      (5L, "q q"))       // qq below minCount=3
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 3,
+        k = 10)
+      .as[(Long, String, String, Long, Long, Long, Double)]
+      .collect().toSeq
+    // counts: a=6, b=3, c=3, x=1, q=2 -> N=15
+    // ab: c12=3 c1=6 c2=3 lift=(3/6)*(15/3)=2.5
+    // ac: c12=3 c1=6 c2=3 lift=2.5
+    // ba: c12=3 c1=3 c2=6 lift=(3/3)*(15/6)=2.5
+    // three-way lift tie -> (w1, w2) ascending breaks it
+    assert(got == Seq(
+      (1L, "a", "b", 3L, 6L, 3L, 2.5),
+      (2L, "a", "c", 3L, 6L, 3L, 2.5),
+      (3L, "b", "a", 3L, 3L, 6L, 2.5)))
+  }
+
   test("vectorizers: NULL text yields the zero vector (the oracle's " +
       "row), never an NPE") {
     val docs = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))

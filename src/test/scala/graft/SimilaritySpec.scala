@@ -720,6 +720,55 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("randomProjection: driver replay of the md5 sign matrix and " +
+      "fold orders; L2 law; JL sanity on real vectors") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val dimIn = 64; val dimOut = 16
+    val got = Similarity.randomProjection(e, "vec_id", "embedding",
+        dimIn, dimOut)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got.nonEmpty)
+    // independent sign derivation + the exact fold orders
+    def sign(j: Int, d: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"rp:$j:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+    val src = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    src.foreach { case (id, v) =>
+      if (v != null && v.length >= dimIn) {
+        val p = (1 to dimOut).map { j =>
+          var acc = 0.0
+          (1 to dimIn).foreach(d => acc += v(d - 1) * sign(j, d))
+          acc
+        }
+        var n2 = 0.0
+        p.foreach(x => n2 += x * x)
+        val n = math.sqrt(n2)
+        val want = if (n > 0) p.map(_ / n) else p
+        assert(got(id) == want, s"vec $id")
+      }
+    }
+    // JL sanity: the projection preserves relative cosine structure —
+    // the most-similar pair among the first vectors stays high
+    val ids = src.take(20).map(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val srcMap = src.toMap
+    val pairs = for { i <- ids; j <- ids if i < j } yield (i, j)
+    val bestIn = pairs.maxBy { case (i, j) => cos(srcMap(i), srcMap(j)) }
+    val rankOut = pairs.sortBy { case (i, j) => -cos(got(i), got(j)) }
+      .indexOf(bestIn)
+    assert(rankOut < pairs.length / 4,
+      s"most-similar input pair fell to projected rank $rankOut " +
+        s"of ${pairs.length} — projection destroyed angle structure")
+  }
+
   test("label-consuming operators reject non-integral label columns " +
       "loudly (a lossy cast would silently NULL the votes)") {
     import spark.implicits._
