@@ -115,6 +115,8 @@ object ScaleBench {
     "q148_cluster_purity", // assignment + (cell,label) agg + tiny argmax
     "q149_boilerplate_by_source", // q131 relation + source rollup
     "q150_density_by_label", // q134 mine + label join + decimal rollup
+    "q155_winnow_fingerprints", // per-row gram/window HOFs + one explode
+    "q156_winnow_pairs",   // fp exchange + df-capped self-join
     "q151_random_projection", // shuffle-free typed JL kernel
     "q152_collocations",   // two vocab exchanges + bounded top-k head
     "q153_canonical_quality", // digest exchange + bounded k=1 aggregate

@@ -2440,7 +2440,24 @@ object SparkEntry {
     "q154_novelty_score" -> ((s, dir) =>
       ext.Dedup.noveltyScores(Tables.documents(s, dir), "doc_id",
           "text", size = 4)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Winnowing fingerprints (Schleimer 2003 / MOSS): sliding 3-gram
+    // hashes, window-of-4 minima, distinct selections — any shared
+    // run of >= w+k-1 = 6 words is guaranteed a shared fingerprint
+    // while storing ~2/(w+1) of the grams.
+    "q155_winnow_fingerprints" -> ((s, dir) =>
+      ext.Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id",
+          "text", k = 3, w = 4)
+        .orderBy("doc_id", "pos")),
+
+    // The plagiarism-detector candidate join over those fingerprints:
+    // pairs sharing >= 2 distinct fingerprint hashes, mega-frequent
+    // hashes capped before the self-join (the LSH bucket discipline).
+    "q156_winnow_pairs" -> ((s, dir) =>
+      ext.Dedup.winnowOverlapPairs(Tables.documents(s, dir), "doc_id",
+          "text", k = 3, w = 4, minShared = 2)
+        .orderBy("id1", "id2"))
   )
 
   /** DuckDB-side exact sum. The VARCHAR round-trip matters: DuckDB's
@@ -5241,7 +5258,62 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |   / CAST(COUNT(*) AS DOUBLE) AS novelty
         |FROM c JOIN dfreq USING (chunk_text)
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // sliding 3-gram "hash:pos" strings (pos zero-padded so the string
+    // min IS the (hash ASC, pos ASC) min), window-of-4 list minima,
+    // DISTINCT selections
+    "q155_winnow_fingerprints" ->
+      s"""$sqlDocWords,
+        |g AS (
+        | SELECT doc_id, i,
+        |  substr(md5(array_to_string(ws[i : i + 2], ' ')), 1, 15)
+        |   || ':' || lpad(CAST(i AS VARCHAR), 8, '0') AS gv
+        | FROM (SELECT doc_id, ws,
+        |        unnest(generate_series(1, len(ws) - 2)) AS i
+        |       FROM d WHERE len(ws) >= 3)),
+        |ga AS (SELECT doc_id, list(gv ORDER BY i) AS arr
+        |       FROM g GROUP BY doc_id),
+        |selraw AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   generate_series(1, greatest(1, len(arr) - 3)),
+        |   j -> list_aggregate(arr[j : j + 3], 'min'))) AS s
+        | FROM ga),
+        |sel AS (SELECT DISTINCT doc_id, s FROM selraw)
+        |SELECT doc_id, CAST(substr(s, 17, 8) AS BIGINT) AS pos,
+        | substr(s, 1, 15) AS fp
+        |FROM sel ORDER BY doc_id, pos""".stripMargin,
+
+    // distinct (doc, fp-hash) rows, the maxDf=1000 cap, self-join,
+    // pair counts >= 2
+    "q156_winnow_pairs" ->
+      s"""$sqlDocWords,
+        |g AS (
+        | SELECT doc_id, i,
+        |  substr(md5(array_to_string(ws[i : i + 2], ' ')), 1, 15)
+        |   || ':' || lpad(CAST(i AS VARCHAR), 8, '0') AS gv
+        | FROM (SELECT doc_id, ws,
+        |        unnest(generate_series(1, len(ws) - 2)) AS i
+        |       FROM d WHERE len(ws) >= 3)),
+        |ga AS (SELECT doc_id, list(gv ORDER BY i) AS arr
+        |       FROM g GROUP BY doc_id),
+        |selraw AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   generate_series(1, greatest(1, len(arr) - 3)),
+        |   j -> list_aggregate(arr[j : j + 3], 'min'))) AS s
+        | FROM ga),
+        |fps AS (SELECT DISTINCT doc_id, substr(s, 1, 15) AS fp
+        |        FROM selraw),
+        |rare AS (SELECT fp FROM fps GROUP BY fp
+        |         HAVING COUNT(DISTINCT doc_id) <= 1000),
+        |kept AS (SELECT fps.doc_id, fps.fp FROM fps
+        |         JOIN rare USING (fp))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | COUNT(*) AS shared_fps
+        |FROM kept a JOIN kept b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY id1, id2""".stripMargin
   )
 
   /** Shared docs CTE: `d(doc_id, lang, norm, ws)`. */

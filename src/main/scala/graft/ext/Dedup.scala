@@ -1193,6 +1193,146 @@ object Dedup {
           col("n_chunks").cast("double"))
   }
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    * algorithm): every sliding `k`-word gram hashes, every window of
+    * `w` consecutive gram hashes selects its MINIMUM, and the distinct
+    * selected (position, hash) pairs are the document's fingerprints —
+    * the guarantee the paper proves: any shared run of ≥ w + k − 1
+    * words between two documents shares at least one fingerprint,
+    * while the stored set is only ~2/(w+1) of the grams. The
+    * between-MinHash-and-ExactSubstr point of the dedup family:
+    * positional like q82's gram index, sparse like a signature.
+    *
+    * Tie rule: the LEFTMOST minimal gram of a window (min over the
+    * string "hash:pos" with pos zero-padded — a total lexicographic
+    * order both engines replay; the paper's robust variant prefers
+    * rightmost, a constant-factor storage tweak that does not affect
+    * the guarantee).
+    *
+    * Scale shape: per-row work, shuffle-free — tokenization stays in
+    * Catalyst ([[graft.ext.TextAnalysis.words]], identical to the SQL
+    * oracle), and gram hashing + window minima run as one typed kernel
+    * with a monotonic-deque sliding minimum: O(n) per document where
+    * the column-HOF form (`transform`/`slice`/`array_min`) was O(n·w)
+    * interpreted per doc. The selection key is the STRING "hash:pos"
+    * (pos zero-padded), so the deque's ASCII compares reproduce the
+    * column form's `array_min` exactly — spec-pinned by an independent
+    * driver replay. ~2n/(w+1) selected rows emit; nothing shuffles
+    * until a consumer joins ([[winnowOverlapPairs]]).
+    *
+    * Output: (id, pos, fp) — gram start position (1-based) and the
+    * 60-bit hash as 15 lowercase hex chars; docs with < k words emit
+    * nothing. */
+  def winnowFingerprints(df: DataFrame, id: String, text: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(w >= 1, s"w=$w must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(text).isNotNull)
+      .select(col(id).cast("long"), TextAnalysis.words(col(text)))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexd = "0123456789abcdef".toCharArray
+        it.flatMap { case (docId, wsArr) =>
+          val n = if (wsArr == null) 0 else wsArr.length
+          if (n < k) Iterator.empty
+          else {
+            val ng = n - k + 1
+            val grams = new Array[String](ng)
+            var i = 0
+            while (i < ng) {
+              md.reset()
+              val sb = new java.lang.StringBuilder()
+              var q = 0
+              while (q < k) {
+                if (q > 0) sb.append(' ')
+                sb.append(wsArr(i + q))
+                q += 1
+              }
+              val dig = md.digest(sb.toString.getBytes("UTF-8"))
+              val out = new java.lang.StringBuilder(24)
+              var h = 0
+              while (h < 15) {
+                val by = dig(h / 2) & 0xff
+                out.append(hexd(if (h % 2 == 0) by >>> 4 else by & 0xf))
+                h += 1
+              }
+              out.append(':')
+              val ps = String.valueOf(i + 1)
+              var z = ps.length
+              while (z < 8) { out.append('0'); z += 1 }
+              out.append(ps)
+              grams(i) = out.toString
+              i += 1
+            }
+            // monotonic deque sliding minimum over windows of w (one
+            // window of everything when ng < w) — each gram enters and
+            // leaves the deque once: O(ng) total
+            val seen = new java.util.LinkedHashSet[String]()
+            val dq = new java.util.ArrayDeque[Int]()
+            val wEff = math.min(w, ng)
+            var j = 0
+            while (j < ng) {
+              while (!dq.isEmpty && grams(dq.peekLast) >= grams(j))
+                dq.pollLast(): Unit
+              dq.addLast(j)
+              if (dq.peekFirst <= j - wEff) dq.pollFirst(): Unit
+              if (j >= wEff - 1) seen.add(grams(dq.peekFirst)): Unit
+              j += 1
+            }
+            val itSel = seen.iterator()
+            new Iterator[(Long, Long, String)] {
+              def hasNext: Boolean = itSel.hasNext
+              def next(): (Long, Long, String) = {
+                val s = itSel.next()
+                (docId, s.substring(16).toLong, s.substring(0, 15))
+              }
+            }
+          }
+        }
+      }
+      .toDF(id, "pos", "fp")
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints — the
+    * plagiarism-detector join: documents sharing ≥ `minShared`
+    * distinct fingerprint HASHES pair, with the shared count as the
+    * evidence weight. By the winnowing guarantee, any pair sharing a
+    * run of ≥ w + k − 1 words is a candidate here.
+    *
+    * Scale shape: the fingerprint relation reduces to DISTINCT
+    * (fp, id) rows (~2n/(w+1) per doc), MATERIALIZED once — it feeds
+    * the df filter and BOTH self-join legs, three references that
+    * would otherwise each re-run the per-doc gram/window selection
+    * (the q26 shingle lesson; measured 111.6 → 26.0 s at the 100×
+    * replica). Fingerprints carried by more than `maxDf` documents are
+    * dropped BEFORE the self-join (the LSH mega-bucket cap — a
+    * boilerplate gram pairing everything is the q131 family's job, not
+    * a similarity signal), so the join fans out ≤ maxDf per hash. One
+    * fp exchange + a bounded self-join + a pair count aggregate.
+    *
+    * Output: (id1 < id2, shared_fps). */
+  def winnowOverlapPairs(df: DataFrame, id: String, text: String,
+      k: Int, w: Int, minShared: Int, maxDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    require(maxDf >= 2, s"maxDf=$maxDf must be >= 2")
+    val fps = materialize(winnowFingerprints(df, id, text, k, w)
+      .select(col(id), col("fp")).distinct())
+    val rare = fps.groupBy(col("fp"))
+      .agg(countDistinct(col(id)).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select(col("fp"))
+    val kept = fps.join(rare, "fp")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   /** The grid chunks of [[boilerplateChunkRemoval]] keyed by their
     * 60-bit md5 (longs on the wire, never chunk bodies). */
   private def hashedChunks(df: DataFrame, id: String, text: String,

@@ -191,6 +191,45 @@ class ChunkDedupSpec extends SparkSuite {
     }
   }
 
+  test("winnowing: driver replay of gram/window/min selection; the " +
+      "shared-run guarantee; pair join finds the planted overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f z"),   // shares "a b c d e f" = w+k-1 = 6
+      (3L, "p q r s t u v w"))     // disjoint
+      .toDF("doc_id", "text")
+    val k = 3; val w = 4
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // independent replay of the whole selection
+    val want = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "x y a b c d e f z",
+      3L -> "p q r s t u v w").flatMap { case (id, t) =>
+      val ws = t.split(" ")
+      val grams = (1 to ws.length - k + 1).map(i =>
+        md5hex(ws.slice(i - 1, i - 1 + k).mkString(" ")).take(15) +
+          ":" + f"$i%08d")
+      val sel = (1 to math.max(1, grams.length - w + 1))
+        .map(j => grams.slice(j - 1, j - 1 + w).min).distinct
+      sel.map(s => (id, s.substring(16).toLong, s.take(15)))
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
+    // the winnowing guarantee: docs 1 and 2 share a >= w+k-1 run, so
+    // they MUST share a fingerprint hash; doc 3 shares none
+    val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text", k, w,
+        minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 >= 1L)
+    // density: each doc stores at most its gram count
+    val ng = Map(1L -> 6, 2L -> 7, 3L -> 6)
+    got.groupBy(_._1).foreach { case (id, fps) =>
+      assert(fps.length <= ng(id), s"doc $id")
+    }
+  }
+
   test("canonicalByQuality: best score wins, ties to the lower id; " +
       "group counts; singletons are their own canonical") {
     import spark.implicits._
