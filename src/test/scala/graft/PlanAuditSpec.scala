@@ -296,6 +296,36 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("q151/q155: the typed per-row kernels plan NO hash exchange " +
+      "(shuffle-free until the final orderBy)") {
+    // randomProjection and winnowFingerprints are per-row maps by
+    // construction: any hashpartitioning below the output orderBy
+    // means a shuffle crept into a scan-bound operator
+    for (q <- Seq("q151_random_projection", "q155_winnow_fingerprints")) {
+      val p = plan(q)
+      val hashEx = hashExchanges(p)
+      assert(hashEx.isEmpty, s"$q shuffled:\n${hashEx.mkString("\n")}")
+    }
+  }
+
+  test("q153: quality-canonical dedup is bounded aggregates on one " +
+      "digest key — no window sort over dup groups") {
+    val p = plan("q153_canonical_quality")
+    // the argmax must be the TopK typed aggregate (partial-agg'd, at
+    // most 1 row per (digest, map task)), never a row_number window
+    // funneling dup groups through sorted partitions
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      "q153 regressed to a window argmax")
+    assert(p.contains("Aggregate"), p.take(1200))
+    // every exchange keys on the digest — either the named `fp` column
+    // (count/join side) or the groupByKey extractor's `value` (the
+    // typed aggregate's key IS the fp string); nothing corpus-keyed
+    val hashEx = hashExchanges(p)
+    assert(hashEx.nonEmpty &&
+      hashEx.forall(l => l.contains("fp") || l.contains("value#")),
+      hashEx.mkString("\n"))
+  }
+
   test("q07: planner CDEF windows are partitioned by the series key") {
     val p = plan("q07_cdef_rpn")
     // round-2 flag: Window.orderBy without partitionBy serializes the
