@@ -115,6 +115,7 @@ object ScaleBench {
     "q148_cluster_purity", // assignment + (cell,label) agg + tiny argmax
     "q149_boilerplate_by_source", // q131 relation + source rollup
     "q150_density_by_label", // q134 mine + label join + decimal rollup
+    "q157_mixing_manifest", // per-row CASE + bounded explode, no shuffle
     "q155_winnow_fingerprints", // per-row gram/window HOFs + one explode
     "q156_winnow_pairs",   // fp exchange + df-capped self-join
     "q151_random_projection", // shuffle-free typed JL kernel

@@ -2457,7 +2457,18 @@ object SparkEntry {
     "q156_winnow_pairs" -> ((s, dir) =>
       ext.Dedup.winnowOverlapPairs(Tables.documents(s, dir), "doc_id",
           "text", k = 3, w = 4, minShared = 2)
-        .orderBy("id1", "id2"))
+        .orderBy("id1", "id2")),
+
+    // Epoch-aware mixing manifest: src0 upsampled 2.5x (every doc
+    // twice, md5-gated half a third time), src1 kept at 0.25, the
+    // rest at 1.0 — the materialized repeat plan (exact expected
+    // multiplicity, no RNG state); each copy carries its scatter key.
+    "q157_mixing_manifest" -> ((s, dir) =>
+      ext.Curation.mixingManifest(Tables.documents(s, dir), "doc_id",
+          "source",
+          Seq(("src0", 2.5), ("src1", 0.25)) ++
+            (2 to 19).map(i => (s"src$i", 1.0)))
+        .orderBy("doc_id", "copy"))
   )
 
   /** DuckDB-side exact sum. The VARCHAR round-trip matters: DuckDB's
@@ -5313,7 +5324,32 @@ object SparkEntry {
         |FROM kept a JOIN kept b
         |  ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    // floor(w) copies + one md5-gated fractional copy; u replays the
+    // same 60-bit uniform of "id:copy"
+    "q157_mixing_manifest" ->
+      s"""WITH w AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN source = 'src0' THEN 2.5
+        |       WHEN source = 'src1' THEN 0.25 ELSE 1.0 END AS wt
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, source,
+        |  CAST(floor(wt) AS BIGINT) + (CASE WHEN
+        |   CAST(${sqlHexToLong(
+             "substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")} AS DOUBLE)
+        |    / CAST(1152921504606846976 AS DOUBLE) < wt - floor(wt)
+        |   THEN 1 ELSE 0 END) AS copies
+        | FROM w),
+        |x AS (
+        | SELECT doc_id, source, unnest(generate_series(1, copies)) AS cp
+        | FROM c WHERE copies >= 1)
+        |SELECT doc_id, source, CAST(cp AS BIGINT) AS copy,
+        | CAST(${sqlHexToLong("substr(md5(CAST(doc_id AS VARCHAR) || " +
+             "':' || CAST(cp AS VARCHAR)), 1, 15)")} AS DOUBLE)
+        |  / CAST(1152921504606846976 AS DOUBLE) AS u
+        |FROM x ORDER BY doc_id, cp""".stripMargin
   )
 
   /** Shared docs CTE: `d(doc_id, lang, norm, ws)`. */

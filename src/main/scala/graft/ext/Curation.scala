@@ -159,6 +159,51 @@ object Curation {
       .drop("__u")
   }
 
+  /** Epoch-aware data-mixing manifest — the MATERIALIZED repeat plan
+    * (DoReMi/Pile-style source weighting on the upsampling axis, where
+    * [[stratifiedSample]]/[[temperatureMix]] cover the subsampling
+    * one): each source carries a repeat factor w ≥ 0, a document
+    * appears ⌊w⌋ times plus one more iff its md5-uniform falls below
+    * frac(w) — so a source's expected multiplicity is exactly w with
+    * NO RNG state (idempotent across retries, partitionings, engines:
+    * the q63/q106 sampling discipline). Every emitted copy carries
+    * u = hash-uniform("id:copy"), the shuffle key a downstream shard
+    * manifest orders by so repeats of one document scatter across
+    * training shards instead of clumping into one.
+    *
+    * Scale shape: one per-row CASE for the weight + one bounded
+    * explode of ≤ ⌈w⌉ copies — shuffle-free at any corpus size.
+    * A source missing from `weights` raises loudly per row (a silent
+    * default would skew the mix — the guardedWeight discipline);
+    * `maxRepeat` bounds the fan-out at build time (weights are a
+    * driver-side constant, so the guard costs nothing per row).
+    *
+    * Output: (id, source, copy 1..copies, u). */
+  def mixingManifest(df: DataFrame, id: String, source: String,
+      weights: Seq[(String, Double)], maxRepeat: Int = 16): DataFrame = {
+    require(weights.nonEmpty, "mixingManifest needs at least one weight")
+    weights.foreach { case (s, w) =>
+      require(w >= 0 && math.ceil(w) <= maxRepeat,
+        s"mixingManifest: weight $w for source '$s' outside " +
+          s"[0, maxRepeat=$maxRepeat]")
+    }
+    val wcol = weights.foldLeft(
+      raise_error(concat(lit("mixingManifest: source '"), col(source),
+        lit("' has no declared weight"))).cast("double")) {
+      case (acc, (s, w)) => when(col(source) === s, lit(w)).otherwise(acc)
+    }
+    val copies = (floor(wcol) +
+      when(hashUniform(col(id)) < wcol - floor(wcol), 1L)
+        .otherwise(0L)).cast("long")
+    df.select(col(id), col(source), copies.as("__c"))
+      .where(col("__c") >= 1) // sequence(1, 0) would count DOWN
+      .select(col(id), col(source),
+        explode(sequence(lit(1L), col("__c"))).as("copy"))
+      .withColumn("u", hashUniform(
+        concat(col(id).cast("string"), lit(":"),
+          col("copy").cast("string"))))
+  }
+
   /** Temperature-scaled domain mixing — the multilingual/multi-source
     * sampler LLM corpora are mixed with: domain d (lang, source, …)
     * with `n_d` docs gets mixture weight `w_d = n_d^α / Σ_e n_e^α`

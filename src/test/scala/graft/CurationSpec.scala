@@ -654,4 +654,45 @@ class CurationSpec extends SparkSuite {
     assert(plan.toLowerCase.contains("partial_topkaggregator"),
       s"expected partial aggregation before the shuffle:\n$plan")
   }
+
+  test("mixingManifest: floor copies + md5-gated fractional copy, " +
+      "driver-replayed; loud guards on missing source and fan-out") {
+    def u(s: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 60).toDouble
+    }
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "source")
+    val got = Curation.mixingManifest(docs, "doc_id", "source",
+        Seq(("a", 2.5), ("b", 0.25)))
+      .as[(Long, String, Long, Double)].collect()
+      .sortBy(r => (r._1, r._3))
+    val want = (0L until 40L).flatMap { i =>
+      val (src, w) = if (i % 2 == 0) ("a", 2.5) else ("b", 0.25)
+      val copies = math.floor(w).toLong +
+        (if (u(i.toString) < w - math.floor(w)) 1L else 0L)
+      (1L to copies).map(c => (i, src, c, u(s"$i:$c")))
+    }.sortBy(r => (r._1, r._3))
+    assert(got.toSeq == want)
+    // expected-multiplicity sanity: source a emits 2-3 copies per doc,
+    // source b 0-1, and the fractional gates fire for SOME docs
+    val byCopy = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCopy("a") >= 40 && byCopy("a") <= 60)
+    assert(byCopy.getOrElse("b", 0) <= 20)
+    // missing source raises loudly
+    val err = intercept[Exception] {
+      Curation.mixingManifest(docs, "doc_id", "source",
+        Seq(("a", 2.0))).collect()
+    }
+    assert(err.getMessage.contains("no declared weight") ||
+      Option(err.getCause).exists(_.getMessage.contains(
+        "no declared weight")))
+    // fan-out guard is build-time
+    intercept[IllegalArgumentException] {
+      Curation.mixingManifest(docs, "doc_id", "source",
+        Seq(("a", 99.0)))
+    }
+  }
 }
