@@ -120,6 +120,7 @@ object ScaleBench {
     "q156_winnow_pairs",   // fp exchange + df-capped self-join
     "q151_random_projection", // shuffle-free typed JL kernel
     "q152_collocations",   // two vocab exchanges + bounded top-k head
+    "q158_skipgram_pmi",   // window-bounded pair explode + q152 shape
     "q153_canonical_quality", // digest exchange + bounded k=1 aggregate
     "q154_novelty_score",  // chunk-hash countDistinct + same-key join
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k

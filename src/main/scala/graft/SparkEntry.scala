@@ -2468,7 +2468,15 @@ object SparkEntry {
           "source",
           Seq(("src0", 2.5), ("src1", 0.25)) ++
             (2 to 19).map(i => (s"src$i", 1.0)))
-        .orderBy("doc_id", "copy"))
+        .orderBy("doc_id", "copy")),
+
+    // Windowed skip-gram PMI (the word2vec/GloVe co-occurrence prep):
+    // ordered pairs within a 3-token context window, the same ln-free
+    // lift chain as q152 — directly comparable scores.
+    "q158_skipgram_pmi" -> ((s, dir) =>
+      ext.TextAnalysis.skipgramPmi(Tables.documents(s, dir), "text",
+          window = 3, minCount = 5, k = 40)
+        .orderBy("rank"))
   )
 
   /** DuckDB-side exact sum. The VARCHAR round-trip matters: DuckDB's
@@ -5349,7 +5357,34 @@ object SparkEntry {
         | CAST(${sqlHexToLong("substr(md5(CAST(doc_id AS VARCHAR) || " +
              "':' || CAST(cp AS VARCHAR)), 1, 15)")} AS DOUBLE)
         |  / CAST(1152921504606846976 AS DOUBLE) AS u
-        |FROM x ORDER BY doc_id, cp""".stripMargin
+        |FROM x ORDER BY doc_id, cp""".stripMargin,
+
+    // ordered pairs within the 3-token window via a nested list
+    // comprehension, then the q152 counting/scoring chain verbatim
+    "q158_skipgram_pmi" ->
+      s"""$sqlDocWords,
+        |bg AS (
+        | SELECT unnest(flatten(list_transform(
+        |   generate_series(1, len(ws) - 1), i ->
+        |   list_transform(generate_series(i + 1, least(i + 3, len(ws))),
+        |     j -> struct_pack(w1 := ws[i], w2 := ws[j]))))) AS b
+        | FROM d WHERE len(ws) >= 2),
+        |pc AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c12
+        |       FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |uni AS (SELECT unnest(ws) AS w FROM d),
+        |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+        |tot AS (SELECT COUNT(*) AS n FROM uni),
+        |sc AS (
+        | SELECT pc.w1, pc.w2, pc.c12, u1.c AS c1, u2.c AS c2,
+        |  (CAST(pc.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)) *
+        |  (CAST(tot.n AS DOUBLE) / CAST(u2.c AS DOUBLE)) AS lift
+        | FROM pc JOIN uc u1 ON pc.w1 = u1.w
+        |   JOIN uc u2 ON pc.w2 = u2.w, tot)
+        |SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2)
+        |   AS BIGINT) AS rank,
+        | w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+        | CAST(c2 AS BIGINT) AS c2, lift
+        |FROM sc ORDER BY lift DESC, w1, w2 LIMIT 40""".stripMargin
   )
 
   /** Shared docs CTE: `d(doc_id, lang, norm, ws)`. */

@@ -988,6 +988,60 @@ object TextAnalysis {
         col("c2"), col("lift"))
   }
 
+  /** Windowed skip-gram co-occurrence mining — [[collocations]]
+    * generalized from adjacency to the word2vec/GloVe context window:
+    * every ORDERED token pair (w at i, w' at j) with 0 < j − i ≤
+    * `window` counts as one co-occurrence instance, and pairs rank by
+    * the same ln-free lift chain (c12/c1)·(N/c2) on exact integer
+    * counts (N = token instances, the [[collocations]] convention, so
+    * the two operators' scores are directly comparable). The
+    * embedding-training prep step: these counts ARE the co-occurrence
+    * matrix entries a GloVe fit consumes.
+    *
+    * Scale shape: the pair explode emits ≤ window·n rows (one nested
+    * transform, map-side — no shuffle to produce), then the
+    * [[collocations]] shape: one (w1, w2) exchange, one word exchange,
+    * two vocab-sized joins, a bounded top-k head.
+    *
+    * Output: (rank, w1, w2, c12, c1, c2, lift). */
+  def skipgramPmi(df: org.apache.spark.sql.DataFrame, text: String,
+      window: Int, minCount: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    val ws = words(col(text))
+    val n = size(ws)
+    val pairs = flatten(transform(sequence(lit(1), n - 1), i =>
+      transform(sequence(i + 1, least(i + window, n)), j =>
+        struct(element_at(ws, i).as("w1"),
+          element_at(ws, j).as("w2")))))
+    val bg = df
+      .select(explode(when(n >= 2, pairs)
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val pairC = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    val uni = df.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = df.agg(coalesce(sum(size(ws)), lit(0L)).as("n"))
+      .first().getLong(0)
+    pairC
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .withColumn("lift",
+        (col("c12").cast("double") / col("c1").cast("double")) *
+          (lit(nTok).cast("double") / col("c2").cast("double")))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"), col("c1"),
+        col("c2"), col("lift"))
+  }
+
   /** Within-document chunk self-dedup — the intra-doc counterpart of
     * [[graft.ext.Dedup.boilerplateChunkRemoval]] (scraped pages repeat
     * their own nav blocks / list items; machine-generated text loops):

@@ -136,6 +136,30 @@ class KeywordOovSpec extends SparkSuite {
       (3L, "b", "a", 3L, 3L, 6L, 2.5)))
   }
 
+  test("skipgramPmi: window membership closed-form — adjacency at " +
+      "window=1 equals collocations; distance <= window pairs only") {
+    // "a b c d": window=2 ordered pairs = ab ac bc bd cd
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got2 = TextAnalysis.skipgramPmi(docs, "text", window = 2,
+        minCount = 3, k = 100)
+      .as[(Long, String, String, Long, Long, Long, Double)]
+      .collect().map(r => (r._2, r._3) -> r._4).toMap
+    assert(got2.keySet == Set(("a", "b"), ("a", "c"), ("b", "c"),
+      ("b", "d"), ("c", "d")), "window=2 pair set")
+    assert(got2.values.forall(_ == 3L))
+    // window=1 degenerates to the collocations pair set exactly
+    val sk1 = TextAnalysis.skipgramPmi(docs, "text", window = 1,
+        minCount = 3, k = 100)
+      .as[(Long, String, String, Long, Long, Long, Double)]
+      .collect().toSeq
+    val coll = TextAnalysis.collocations(docs, "text", minCount = 3,
+        k = 100)
+      .as[(Long, String, String, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(sk1 == coll)
+  }
+
   test("vectorizers: NULL text yields the zero vector (the oracle's " +
       "row), never an NPE") {
     val docs = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
