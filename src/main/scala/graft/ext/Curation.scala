@@ -171,27 +171,36 @@ object Curation {
     * manifest orders by so repeats of one document scatter across
     * training shards instead of clumping into one.
     *
-    * Scale shape: one per-row CASE for the weight + one bounded
-    * explode of ≤ ⌈w⌉ copies — shuffle-free at any corpus size.
-    * A source missing from `weights` raises loudly per row (a silent
-    * default would skew the mix — the guardedWeight discipline);
-    * `maxRepeat` bounds the fan-out at build time (weights are a
-    * driver-side constant, so the guard costs nothing per row).
+    * Scale shape: one per-row weight lookup in a CONSTANT-FOLDED map
+    * literal + one bounded explode of ≤ ⌈w⌉ copies — shuffle-free at
+    * any corpus size. The lookup is `element_at` against one foldable
+    * `map()` expression, not a per-source CASE chain: a manifest with
+    * thousands of sources would grow a CASE tree linearly and trip
+    * codegen limits (the round-13 form's documented ceiling), while
+    * the map literal folds to a single constant whatever the source
+    * count. A source missing from `weights` (or a NULL source) still
+    * raises loudly per row — a silent default would skew the mix (the
+    * guardedWeight discipline); `maxRepeat` bounds the fan-out at
+    * build time (weights are a driver-side constant, so the guard
+    * costs nothing per row).
     *
     * Output: (id, source, copy 1..copies, u). */
   def mixingManifest(df: DataFrame, id: String, source: String,
       weights: Seq[(String, Double)], maxRepeat: Int = 16): DataFrame = {
     require(weights.nonEmpty, "mixingManifest needs at least one weight")
+    require(weights.map(_._1).distinct.length == weights.length,
+      "mixingManifest: duplicate source in weights")
     weights.foreach { case (s, w) =>
       require(w >= 0 && math.ceil(w) <= maxRepeat,
         s"mixingManifest: weight $w for source '$s' outside " +
           s"[0, maxRepeat=$maxRepeat]")
     }
-    val wcol = weights.foldLeft(
-      raise_error(concat(lit("mixingManifest: source '"), col(source),
-        lit("' has no declared weight"))).cast("double")) {
-      case (acc, (s, w)) => when(col(source) === s, lit(w)).otherwise(acc)
-    }
+    val wmap = map(weights.flatMap { case (s, w) =>
+      Seq(lit(s), lit(w)) }: _*)
+    val looked = element_at(wmap, col(source))
+    val wcol = when(looked.isNotNull, looked)
+      .otherwise(raise_error(concat(lit("mixingManifest: source '"),
+        col(source), lit("' has no declared weight"))).cast("double"))
     val copies = (floor(wcol) +
       when(hashUniform(col(id)) < wcol - floor(wcol), 1L)
         .otherwise(0L)).cast("long")

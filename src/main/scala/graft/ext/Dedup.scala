@@ -45,13 +45,23 @@ object Dedup {
     * sort over dup groups) + the group-count aggregate on the SAME
     * key, joined back digest-to-digest (one exchange, reused). The
     * score must obey the 52-bit integer contract (it rides a double
-    * through the aggregate — the topKPerGroup rule).
+    * through the aggregate — the topKPerGroup rule), enforced loudly
+    * per row (the guardedWeight discipline): a fractional or
+    * >2^52 score would silently round inside the double and flip
+    * which copy survives.
     *
     * Output: (fp, canonical_id, score, n_dups). */
   def canonicalByQuality(df: DataFrame, id: String, text: String,
       score: Column): DataFrame = {
+    val sd = score.cast("double")
+    val guarded = when(sd.isNull || abs(sd) > lit(4503599627370496.0) ||
+        sd =!= floor(sd).cast("double"),
+      raise_error(concat(
+        lit("canonicalByQuality: score must be an integer with " +
+          s"|score| <= 2^52 at $id="), col(id).cast("string"))))
+      .otherwise(sd)
     val base = df.select(col(id).cast("long").as(id),
-      TextAnalysis.fingerprint(col(text)).as("fp"), score.as("__s"))
+      TextAnalysis.fingerprint(col(text)).as("fp"), guarded.as("__s"))
     val counts = base.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_dups"))
     Curation.topKPerGroup(base, "fp", id, col("__s"), 1)
@@ -1313,13 +1323,25 @@ object Dedup {
     * a similarity signal), so the join fans out ≤ maxDf per hash. One
     * fp exchange + a bounded self-join + a pair count aggregate.
     *
+    * The wire type is the 60-bit hash as a LONG (the LSH `conv()`
+    * discipline): [[winnowFingerprints]]' 15-hex-char key is the
+    * SELECTION order inside the per-doc kernel (and that operator's
+    * public output), but the overlap join only needs hash identity,
+    * and an 8-byte long through the distinct/df/self-join exchanges
+    * carries ~4× fewer bytes than the 15-char string (hex→long is
+    * injective below 2^60, so the distinct sets — and every count
+    * downstream — are unchanged; kernel-vs-string parity is
+    * spec-pinned).
+    *
     * Output: (id1 < id2, shared_fps). */
   def winnowOverlapPairs(df: DataFrame, id: String, text: String,
       k: Int, w: Int, minShared: Int, maxDf: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
     require(maxDf >= 2, s"maxDf=$maxDf must be >= 2")
     val fps = materialize(winnowFingerprints(df, id, text, k, w)
-      .select(col(id), col("fp")).distinct())
+      .select(col(id),
+        conv(col("fp"), 16, 10).cast("long").as("fp"))
+      .distinct())
     val rare = fps.groupBy(col("fp"))
       .agg(countDistinct(col(id)).as("__df"))
       .where(col("__df") <= maxDf)

@@ -1026,7 +1026,22 @@ object Similarity {
     * bottleneck. The sizing pass costs one `count()`; pass `c`
     * explicitly when the corpus size is known (or use the
     * centroid-taking overload for trained cells at a pinned c — the
-    * q99 oracle form, whose unrolled SQL replay needs fixed c/iters). */
+    * q99 oracle form, whose unrolled SQL replay needs fixed c/iters).
+    *
+    * Boundary behavior at `broadcastCellLimit`: AT the limit
+    * (c == limit) the broadcast path runs — sample-seeded
+    * [[kmeansCentroids]] collected to the driver; ONE cell past it
+    * the distributed family runs — hash-threshold [[seededCentroids]]
+    * + two-level bucket-cogroup assignment. These are DIFFERENT
+    * quantizers, so the cell partition (and with it boundary recall
+    * against `tau`) can shift across the limit. What is invariant —
+    * spec-pinned in SessionizeSpec with a prototype-duplicate corpus —
+    * is the contract both sides obey: assignment is a pure function
+    * of the vector (identical vectors always share a cell, so exact
+    * duplicates are never lost to the switch), and every emitted pair
+    * passes the exact cosine-τ filter. Callers needing bit-stable
+    * candidate sets across corpus growth through the limit should pin
+    * the quantizer: pass explicit `c` or pre-trained centroids. */
   def semanticNearDupPairs(corpus: DataFrame, id: String, vec: String,
       dim: Int, tau: Double, maxCell: Int = 10000, c: Int = 0,
       targetOccupancy: Int = 64, sampleRate: Double = 0.2,

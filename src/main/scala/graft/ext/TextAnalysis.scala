@@ -934,51 +934,101 @@ object TextAnalysis {
       .select(col("rank"), col("term"), col("n"), col("cum_frac"))
   }
 
-  /** PMI-style collocation mining — the multiword-expression detector
-    * a tokenizer/vocab pipeline is tuned with (which adjacent pairs
-    * behave as one unit: "new york", "machine learning"): every
-    * adjacent token bigram scores lift = P(w1 w2) / (P(w1)·P(w2)),
-    * computed as the PINNED division chain
-    * (c12/c1)·(N/c2) — two IEEE divides and one multiply on exact
-    * integer counts, NO ln() (pointwise mutual information is the log
-    * of this score; the log is monotone, so ranking by lift IS ranking
-    * by PMI while staying inside the cross-engine hash gate — the
-    * q97 odds-IDF discipline). `minCount` floors c12 (rare-pair lift
-    * explodes into noise — the standard PMI failure mode).
+  /** Shared co-occurrence mine behind [[collocations]] (window = 1)
+    * and [[skipgramPmi]] (window = w): ONE tokenization pass through a
+    * typed per-partition combining kernel that counts unigram
+    * instances (w, null) and ordered within-window pairs (w, w') in
+    * the same local hash map — the manual map-side combine, so the
+    * exchange input is partition-vocabulary-sized, never
+    * token-instance-sized, and the encoder boundary carries counts
+    * instead of instances. The map flushes at `FlushCap` entries (a
+    * pathological partition streams partial counts instead of growing
+    * the heap; the final groupBy re-sums), and the merged count frame
+    * is [[graft.ext.Dedup.materialize]]d AFTER the minCount floor
+    * (unigram rows all kept) so the unigram legs, the pair leg, and
+    * the N = Σc reduction all read vocab-sized blocks — the corpus is
+    * touched exactly once, and N never costs an eager third scan
+    * (the q155/q156 playbook; the round-13 column-HOF form
+    * re-tokenized the corpus three times through interpreted nested
+    * `transform`/`flatten` explodes — 49.66 s at the 100× replica for
+    * q158 vs the q131 corpus-positions band this shape sits in).
     *
-    * Scale shape: one (w1, w2) exchange for pair counts + one word
-    * exchange for unigram counts (both partial-agg'd, vocab-sized
-    * outputs), two vocab-sized equi-joins back, and a bounded
-    * TakeOrdered head of `k` rows by (lift DESC, w1, w2). N is one
-    * 1-row reduction. Nothing driver-side beyond the scalar N.
+    * Scoring is the PINNED division chain (c12/c1)·(N/c2) — two IEEE
+    * divides and one multiply on exact integer counts, NO ln()
+    * (pointwise mutual information is the log of this score; the log
+    * is monotone, so ranking by lift IS ranking by PMI while staying
+    * inside the cross-engine hash gate — the q97 odds-IDF
+    * discipline). `minCount` floors c12 (rare-pair lift explodes into
+    * noise — the standard PMI failure mode). N rides a broadcast
+    * 1-row cross join, so the whole operator stays lazy like every
+    * other entry point.
     *
-    * Output: (rank, w1, w2, c12, c1, c2, lift). */
-  def collocations(df: org.apache.spark.sql.DataFrame, text: String,
-      minCount: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    * Output: (rank, w1, w2, c12, c1, c2, lift), top `k` by
+    * (lift DESC, w1, w2). */
+  private[graft] def cooccurrenceLift(df: org.apache.spark.sql.DataFrame,
+      text: String, window: Int, minCount: Int, k: Int,
+      flushCap: Int = CooccurFlushCap): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
     require(minCount >= 1, s"minCount=$minCount must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
-    val ws = words(col(text))
-    val n = size(ws)
-    val bg = df
-      .select(explode(when(n >= 2, transform(sequence(lit(1), n - 1),
-          i => struct(element_at(ws, i).as("w1"),
-            element_at(ws, i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("b"))
-      .select(col("b.w1"), col("b.w2"))
-    val pairC = bg.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
-      .where(col("c12") >= minCount)
-    val uni = df.select(explode(ws).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val nTok = df.agg(coalesce(sum(size(ws)), lit(0L)).as("n"))
-      .first().getLong(0)
-    pairC
+    require(flushCap >= 1, s"flushCap=$flushCap must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val local = df.where(col(text).isNotNull)
+      .select(words(col(text)).as("__ws"))
+      .as[Seq[String]]
+      .mapPartitions { rows =>
+        val cap = flushCap
+        val m = new java.util.HashMap[(String, String), Long](1 << 12)
+        def bump(key: (String, String)): Unit = {
+          val prev = m.get(key) // missing key: null unboxes to 0L
+          m.put(key, prev + 1L): Unit
+        }
+        def consume(ws: Seq[String]): Unit = {
+          val n = if (ws == null) 0 else ws.length
+          var i = 0
+          while (i < n) {
+            bump((ws(i), null)) // one unigram instance
+            val jMax = math.min(i + window, n - 1)
+            var j = i + 1
+            while (j <= jMax) { bump((ws(i), ws(j))); j += 1 }
+            i += 1
+          }
+        }
+        new Iterator[(String, String, Long)] {
+          private var cur: java.util.Iterator[
+            java.util.Map.Entry[(String, String), Long]] = null
+          private def advance(): Unit = {
+            while (cur == null || !cur.hasNext) {
+              if (cur != null) { m.clear(); cur = null }
+              if (!rows.hasNext && m.isEmpty) return
+              while (rows.hasNext && m.size < cap) consume(rows.next())
+              cur = m.entrySet().iterator()
+            }
+          }
+          def hasNext: Boolean = { advance(); cur != null && cur.hasNext }
+          def next(): (String, String, Long) = {
+            val e = cur.next()
+            (e.getKey._1, e.getKey._2, e.getValue)
+          }
+        }
+      }
+      .toDF("w1", "w2", "cnt")
+    val counts = Dedup.materialize(
+      local.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .where(col("w2").isNull || col("cnt") >= minCount))
+    val uni = counts.where(col("w2").isNull)
+      .select(col("w1").as("w"), col("cnt").as("c"))
+    val tot = uni.agg(coalesce(sum(col("c")), lit(0L)).as("__n"))
+    counts.where(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("cnt").as("c12"))
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
       .withColumn("lift",
         (col("c12").cast("double") / col("c1").cast("double")) *
-          (lit(nTok).cast("double") / col("c2").cast("double")))
+          (col("__n").cast("double") / col("c2").cast("double")))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(k)
       .withColumn("rank", row_number().over(
@@ -988,6 +1038,24 @@ object TextAnalysis {
         col("c2"), col("lift"))
   }
 
+  /** Per-partition hash-map flush cap for [[cooccurrenceLift]]'s
+    * combining kernel: bounds kernel heap at ~a few hundred MB of
+    * entries regardless of partition pathology (the flushed partial
+    * counts re-sum in the global aggregate). */
+  private val CooccurFlushCap: Int = 1 << 22
+
+  /** PMI-style collocation mining — the multiword-expression detector
+    * a tokenizer/vocab pipeline is tuned with (which adjacent pairs
+    * behave as one unit: "new york", "machine learning"): every
+    * adjacent token bigram scores lift = P(w1 w2) / (P(w1)·P(w2)).
+    * Semantics, scoring chain, and scale shape in
+    * [[cooccurrenceLift]] (this is the window = 1 instance).
+    *
+    * Output: (rank, w1, w2, c12, c1, c2, lift). */
+  def collocations(df: org.apache.spark.sql.DataFrame, text: String,
+      minCount: Int, k: Int): org.apache.spark.sql.DataFrame =
+    cooccurrenceLift(df, text, window = 1, minCount, k)
+
   /** Windowed skip-gram co-occurrence mining — [[collocations]]
     * generalized from adjacency to the word2vec/GloVe context window:
     * every ORDERED token pair (w at i, w' at j) with 0 < j − i ≤
@@ -996,51 +1064,15 @@ object TextAnalysis {
     * counts (N = token instances, the [[collocations]] convention, so
     * the two operators' scores are directly comparable). The
     * embedding-training prep step: these counts ARE the co-occurrence
-    * matrix entries a GloVe fit consumes.
-    *
-    * Scale shape: the pair explode emits ≤ window·n rows (one nested
-    * transform, map-side — no shuffle to produce), then the
-    * [[collocations]] shape: one (w1, w2) exchange, one word exchange,
-    * two vocab-sized joins, a bounded top-k head.
+    * matrix entries a GloVe fit consumes. Semantics, scoring chain,
+    * and scale shape in [[cooccurrenceLift]] (the kernel emits
+    * ≤ window·n pair instances per doc, combined locally before the
+    * one exchange).
     *
     * Output: (rank, w1, w2, c12, c1, c2, lift). */
   def skipgramPmi(df: org.apache.spark.sql.DataFrame, text: String,
-      window: Int, minCount: Int, k: Int): org.apache.spark.sql.DataFrame = {
-    require(window >= 1, s"window=$window must be >= 1")
-    require(minCount >= 1, s"minCount=$minCount must be >= 1")
-    require(k >= 1, s"k=$k must be >= 1")
-    val ws = words(col(text))
-    val n = size(ws)
-    val pairs = flatten(transform(sequence(lit(1), n - 1), i =>
-      transform(sequence(i + 1, least(i + window, n)), j =>
-        struct(element_at(ws, i).as("w1"),
-          element_at(ws, j).as("w2")))))
-    val bg = df
-      .select(explode(when(n >= 2, pairs)
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("b"))
-      .select(col("b.w1"), col("b.w2"))
-    val pairC = bg.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
-      .where(col("c12") >= minCount)
-    val uni = df.select(explode(ws).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val nTok = df.agg(coalesce(sum(size(ws)), lit(0L)).as("n"))
-      .first().getLong(0)
-    pairC
-      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
-      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
-      .withColumn("lift",
-        (col("c12").cast("double") / col("c1").cast("double")) *
-          (lit(nTok).cast("double") / col("c2").cast("double")))
-      .orderBy(col("lift").desc, col("w1"), col("w2"))
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
-      .select(col("rank"), col("w1"), col("w2"), col("c12"), col("c1"),
-        col("c2"), col("lift"))
-  }
+      window: Int, minCount: Int, k: Int): org.apache.spark.sql.DataFrame =
+    cooccurrenceLift(df, text, window, minCount, k)
 
   /** Within-document chunk self-dedup — the intra-doc counterpart of
     * [[graft.ext.Dedup.boilerplateChunkRemoval]] (scraped pages repeat

@@ -230,6 +230,35 @@ class ChunkDedupSpec extends SparkSuite {
     }
   }
 
+  test("winnow overlap pairs: the 60-bit-long wire equals the " +
+      "string-keyed join on the corpus (hex->long injectivity)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val (k, w, minShared, maxDf) = (3, 4, 1, 1000)
+    val got = Dedup.winnowOverlapPairs(docs, "doc_id", "text", k, w,
+        minShared, maxDf)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Long)].collect().toSeq
+    // string-wire reference: the round-13 shape, fp kept as hex
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select(col("fp"))
+    val kept = fps.join(rare, "fp")
+    val ref = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == ref)
+    assert(got.nonEmpty, "corpus should plant at least one overlap")
+  }
+
   test("canonicalByQuality: best score wins, ties to the lower id; " +
       "group counts; singletons are their own canonical") {
     import spark.implicits._
@@ -244,6 +273,19 @@ class ChunkDedupSpec extends SparkSuite {
       .as[(String, Long, Double, Long)].collect()
       .map(r => r._2 -> ((r._3, r._4))).toMap
     assert(got == Map(2L -> ((50.0, 3L)), 9L -> ((7.0, 1L))))
+    // the 52-bit integer score contract is enforced loudly: a
+    // fractional score would silently round inside topKPerGroup's
+    // double and could flip which copy survives
+    for (bad <- Seq(lit(0.5), lit(Double.NaN),
+        lit(9007199254740993.0) /* 2^53 + 1 */,
+        lit(null).cast("double"))) {
+      val err = intercept[Exception] {
+        Dedup.canonicalByQuality(docs, "doc_id", "text", bad).collect()
+      }
+      assert(err.getMessage.contains("2^52") ||
+        Option(err.getCause).exists(_.getMessage.contains("2^52")),
+        s"score $bad must be rejected loudly")
+    }
   }
 
   test("noveltyScores: novel positions are chunks with corpus df 1; " +

@@ -695,4 +695,40 @@ class CurationSpec extends SparkSuite {
         Seq(("a", 99.0)))
     }
   }
+
+  test("mixingManifest: thousands of sources plan and run (the map " +
+      "lookup never grows a CASE/codegen tree), guard still loud") {
+    val nSrc = 2000
+    val docs = (0L until 4000L).map(i => (i, s"s${i % nSrc}"))
+      .toDF("doc_id", "source")
+    // weights: s0..s999 at 2.0, s1000.. at 1.0 -> exact copy counts
+    val weights = (0 until nSrc).map(j =>
+      (s"s$j", if (j < 1000) 2.0 else 1.0))
+    val got = Curation.mixingManifest(docs, "doc_id", "source", weights)
+    val perSource = got.groupBy("source")
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(perSource.size == nSrc)
+    assert((0 until nSrc).forall(j =>
+      perSource(s"s$j") == (if (j < 1000) 4L else 2L)),
+      "integral weights give exact per-source multiplicity")
+    // the weight literal is ONE constant in the plan, not a CASE tree
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CASE WHEN (source = s1999)"),
+      "no per-source CASE chain in the plan")
+    // a source outside the 2000 declared still raises loudly
+    val docsBad = Seq((1L, "undeclared")).toDF("doc_id", "source")
+    val err = intercept[Exception] {
+      Curation.mixingManifest(docsBad, "doc_id", "source", weights)
+        .collect()
+    }
+    assert(err.getMessage.contains("no declared weight") ||
+      Option(err.getCause).exists(_.getMessage.contains(
+        "no declared weight")))
+    // duplicate-source manifests are a build-time error
+    intercept[IllegalArgumentException] {
+      Curation.mixingManifest(docs, "doc_id", "source",
+        Seq(("a", 1.0), ("a", 2.0)))
+    }
+  }
 }

@@ -160,6 +160,65 @@ class KeywordOovSpec extends SparkSuite {
     assert(sk1 == coll)
   }
 
+  test("cooccurrence kernel equals the column-HOF form on the corpus " +
+      "(window=1 and window=3), including lift doubles bit-exact") {
+    val docs = Tables.documents(spark, sf)
+    // round-13 column form: nested transform pair explode + unigram
+    // explode + eager N — kept here as the independent reference
+    def columnForm(window: Int, minCount: Int, k: Int) = {
+      val ws = TextAnalysis.words(col("text"))
+      val n = size(ws)
+      val pairs = flatten(transform(sequence(lit(1), n - 1), i =>
+        transform(sequence(i + 1, least(i + window, n)), j =>
+          struct(element_at(ws, i).as("w1"),
+            element_at(ws, j).as("w2")))))
+      val bg = docs
+        .select(explode(when(n >= 2, pairs)
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val pairC = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .where(col("c12") >= minCount)
+      val uni = docs.select(explode(ws).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nTok = docs.agg(coalesce(sum(size(ws)), lit(0L)).as("n"))
+        .first().getLong(0)
+      pairC
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .withColumn("lift",
+          (col("c12").cast("double") / col("c1").cast("double")) *
+            (lit(nTok).cast("double") / col("c2").cast("double")))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(k)
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("c2"), col("lift"))
+        .as[(String, String, Long, Long, Long, Double)]
+        .collect().toSeq
+    }
+    def kernelForm(df: org.apache.spark.sql.DataFrame, window: Int,
+        minCount: Int, k: Int) =
+      (if (window == 1)
+        TextAnalysis.collocations(df, "text", minCount, k)
+      else TextAnalysis.skipgramPmi(df, "text", window, minCount, k))
+        .select("w1", "w2", "c12", "c1", "c2", "lift")
+        .as[(String, String, Long, Long, Long, Double)]
+        .collect().toSeq
+    assert(kernelForm(docs, 1, 3, 40) == columnForm(1, 3, 40),
+      "window=1 (collocations)")
+    assert(kernelForm(docs, 3, 5, 40) == columnForm(3, 5, 40),
+      "window=3 (skipgramPmi)")
+    // a flush cap small enough to force mid-partition drains re-sums
+    // to the identical frame (the partial-count merge contract)
+    val flushed = TextAnalysis.cooccurrenceLift(docs, "text",
+        window = 3, minCount = 5, k = 40, flushCap = 7)
+      .select("w1", "w2", "c12", "c1", "c2", "lift")
+      .as[(String, String, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(flushed == columnForm(3, 5, 40), "flushCap=7 drain path")
+  }
+
   test("vectorizers: NULL text yields the zero vector (the oracle's " +
       "row), never an NPE") {
     val docs = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))

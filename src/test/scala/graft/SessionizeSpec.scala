@@ -298,6 +298,38 @@ class SessionizeSpec extends SparkSuite {
     assert(routed == bcast)
   }
 
+  test("semanticNearDupPairs auto overload at EXACTLY the broadcast " +
+      "cell limit vs one past it: quantizer-invariant pairs identical") {
+    // 16 orthogonal prototypes x 16 exact copies = 256 vectors whose
+    // TRUE pair set is quantizer-invariant: identical vectors always
+    // share a cell (assignment is a pure function of the vector), and
+    // cross-prototype cosine = 0 < tau can never pair whatever the
+    // cells. targetOccupancy = 4 auto-sizes c = 256/4 = 64, so
+    // limit = 64 runs the broadcast path (c > limit is false:
+    // sample-seeded kmeansCentroids) and limit = 63 routes the
+    // distributed family (hash-threshold seededCentroids, two-level
+    // assignment) — the two seeding paths the boundary switches
+    // between must both emit exactly the planted pairs.
+    val dim = 16
+    val vecs = (0 until 256).map { i =>
+      val a = Array.fill(dim)(0.0); a(i / 16) = 1.0
+      (i.toLong, a.toSeq)
+    }.toDF("vec_id", "embedding")
+    val want = (0 until 16).flatMap { p =>
+      val ids = (p * 16) until (p * 16 + 16)
+      for (a <- ids; b <- ids if a < b) yield (a.toLong, b.toLong)
+    }.toSet
+    def pairs(limit: Int): Set[(Long, Long)] =
+      ext.Similarity.semanticNearDupPairs(vecs, "vec_id", "embedding",
+          dim, tau = 0.5, maxCell = 10000, c = 0, targetOccupancy = 4,
+          sampleRate = 0.5, broadcastCellLimit = limit)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val atLimit = pairs(64)
+    val pastLimit = pairs(63)
+    assert(atLimit == want, "broadcast path at c == limit")
+    assert(pastLimit == want, "distributed path one past the limit")
+  }
+
   test("incrementalSemanticNearDupPairs: a re-ingested id is superseded " +
       "by its batch row and counts ONCE toward the combined cap") {
     def vec(xs: (Int, Double)*): Seq[Double] = {
