@@ -142,6 +142,26 @@ object ScaleBench {
     "q45_auto_planes" -> ((s: SparkSession, dir: String) =>
       ext.Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
         "vec_id", "embedding", 64, tau = 0.40)),
+    // The quantizer-law row behind the q114 decade claims: cells from
+    // the SAME hash seeding + probed assignment as q114, reduced to
+    // (n, cells, Σ|cell|²) — the within-cell pair work. The c ∝ n
+    // linearity story holds iff Σ|cell|²/n (pairs_per_vec) stays flat
+    // as the corpus decades: a super-linear drift here would mean the
+    // mine's cell cogroup is quietly quadratic even if one wall-clock
+    // row looks fine.
+    "q114_occupancy_law" -> ((s: SparkSession, dir: String) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = ext.Similarity.seededCentroids(e, "vec_id",
+        "embedding", 64, rate = 1.0 / 64)
+      ext.Similarity.ivfIndexDistributed(e, cent, "vec_id",
+          "embedding", 64, probes = 2)
+        .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+        .agg(sum(col("sz")).as("n"), count(lit(1)).as("cells"),
+          sum(col("sz") * col("sz")).as("sum_sq"))
+        .select(col("n"), col("cells"), col("sum_sq"),
+          (col("sum_sq").cast("double") / col("n").cast("double"))
+            .as("pairs_per_vec"))
+    }),
     // q28's 16-bit signature has only 2^4 keys per band: past ~100 k
     // docs every band bucket exceeds the cap and is DISCARDED — the
     // timing then measures cap-discard, not mining (and recall
@@ -723,6 +743,82 @@ object ScaleBench {
     java.nio.file.Files.write(marker, stamp.getBytes("UTF-8")): Unit
   }
 
+  /** Embeddings-only replica for batch-dedup/ANN-only invocations (the
+    * 1000× batch decade, the counterpart of [[ensureScaledEvents]]):
+    * same per-replica vec_id shift and orthogonal sign flip as
+    * [[ensureScaled]], but built with ONE typed flatMap over the
+    * replica index instead of a K-way unionByName — at K = 1000 the
+    * union plan is quadratic in the analyzer, and the sign pattern
+    * depends on (replica, dim) so a column-side `zip_with` would need
+    * a K×64 literal array; the kernel computes the identical splitmix64
+    * mix per emitted row. A fresh FULL build of the same source
+    * satisfies the request; an embeddings-only build never satisfies a
+    * later full one (separate marker). */
+  def ensureScaledEmbeddings(spark: SparkSession, base: String,
+      out: String, k: Int): Unit = {
+    val fullMarker = java.nio.file.Paths.get(out, "_built")
+    val fullStamp = s"$base x$k v3 fp=${sourceFingerprint(base)}"
+    if (java.nio.file.Files.exists(fullMarker) &&
+      new String(java.nio.file.Files.readAllBytes(fullMarker),
+        "UTF-8") == fullStamp)
+      return
+    val marker = java.nio.file.Paths.get(out, "_built_embeddings")
+    val stamp = s"$base x$k embeddings-v1 fp=${sourceFingerprint(base)}"
+    if (java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        "UTF-8") == stamp)
+      return
+    // surgical: only this table and this marker — an events-only
+    // replica cached in the same x$k directory stays valid
+    java.nio.file.Files.deleteIfExists(marker): Unit
+    store.RrdStore.deleteTree(s"$out/embeddings.parquet")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    import spark.implicits._
+    val kk = k
+    Tables.table(spark, base, "embeddings")
+      .select(col("vec_id").cast("long"), col("embedding"),
+        col("label").cast("int"))
+      .as[(Long, Array[Float], Option[Int])]
+      .flatMap { case (vid, emb, label) =>
+        // the ensureScaled splitmix64 finalizer, verbatim: replicas
+        // built either way are bit-identical
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        (0 until kk).iterator.map { i =>
+          val v =
+            if (i == 0 || emb == null) emb
+            else {
+              val o = new Array[Float](emb.length)
+              var j = 0
+              while (j < emb.length) {
+                o(j) = if ((mix(i.toLong * 64 + j) & 1) == 0) emb(j)
+                  else -emb(j)
+                j += 1
+              }
+              o
+            }
+          (vid + i.toLong * 10000000L, v, label)
+        }
+      }
+      .toDF("vec_id", "embedding", "label")
+      .repartition(math.max(32, 32 * k / 100))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.write(marker, stamp.getBytes("UTF-8")): Unit
+  }
+
+  /** Rows that read ONLY the embeddings table — an ONLY list inside
+    * this set needs just the embeddings replica (the 1000× batch-dedup
+    * decade: documents/lineitem parquet at k = 1000 is minutes of
+    * build these rows never read). */
+  val EmbeddingsOnly: Set[String] = Set(
+    "q114_semdedup_distributed", "q116_incr_scale",
+    "q117_kmeans_distributed", "q99_routed_default",
+    "q114_occupancy_law")
+
   def ensureScaled(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
     val marker = java.nio.file.Paths.get(out, "_built")
@@ -826,6 +922,8 @@ object ScaleBench {
     if (onlyPeek.exists(o => o.nonEmpty &&
         o.subsetOf(Streaming.map(_._1).toSet)))
       ensureScaledEvents(spark, base, out, k)
+    else if (onlyPeek.exists(o => o.nonEmpty && o.subsetOf(EmbeddingsOnly)))
+      ensureScaledEmbeddings(spark, base, out, k)
     else
       ensureScaled(spark, base, out, k)
 
@@ -867,6 +965,13 @@ object ScaleBench {
       .map { case (name, fn) =>
         val (b, stB) = time(fn, base)
         val (s, stS) = time(fn, out)
+        // SPARK_GRAFT_SHOW: dump each row's head to stderr — for
+        // law rows (e.g. q114_occupancy_law) whose VALUES, not just
+        // walls, go into SCALE.md
+        if (sys.env.contains("SPARK_GRAFT_SHOW"))
+          for (dir <- Seq(base, out); r <- fn(spark, dir)._1
+              .limit(20).collect())
+            System.err.println(s"[scale][show] $name $dir $r")
         val stateNote = (stB, stS) match {
           case (Some(mb), Some(ms)) =>
             f"  state rows ${mb.maxRows}%d -> ${ms.maxRows}%d" +

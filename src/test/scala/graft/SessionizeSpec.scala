@@ -330,6 +330,31 @@ class SessionizeSpec extends SparkSuite {
     assert(pastLimit == want, "distributed path one past the limit")
   }
 
+  test("ensureScaledEmbeddings: the typed-kernel replica builder emits " +
+      "the identical table to ensureScaled's union form") {
+    val outA = java.nio.file.Files
+      .createTempDirectory("graft_embk").toString
+    val outB = java.nio.file.Files
+      .createTempDirectory("graft_embu").toString
+    try {
+      ScaleBench.ensureScaledEmbeddings(spark, sf, outA, 3)
+      ScaleBench.ensureScaled(spark, sf, outB, 3)
+      def read(dir: String): Map[Long, (Seq[Float], Option[Int])] =
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").cast("long"), col("embedding"),
+            col("label").cast("int"))
+          .as[(Long, Seq[Float], Option[Int])].collect()
+          .map { case (id, e, l) => id -> ((e, l)) }.toMap
+      val a = read(outA)
+      val b = read(outB)
+      assert(a.size == b.size && a.size > 0)
+      assert(a == b, "replica content must be bit-identical either way")
+    } finally {
+      graft.store.RrdStore.deleteTree(outA)
+      graft.store.RrdStore.deleteTree(outB)
+    }
+  }
+
   test("incrementalSemanticNearDupPairs: a re-ingested id is superseded " +
       "by its batch row and counts ONCE toward the combined cap") {
     def vec(xs: (Int, Double)*): Seq[Double] = {
