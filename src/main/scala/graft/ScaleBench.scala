@@ -123,6 +123,8 @@ object ScaleBench {
     "q158_skipgram_pmi",   // window-bounded pair explode + q152 shape
     "q153_canonical_quality", // digest exchange + bounded k=1 aggregate
     "q154_novelty_score",  // chunk-hash countDistinct + same-key join
+    "q159_vocab_growth",   // word min-doc exchange + bounded k-explode
+    "q160_cdc_dedup",      // CDC kernel + chunk-hash DF agg + join back
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
     "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
     "q121_leakage_split",  // q43 components + component-keyed md5 split

@@ -2476,7 +2476,23 @@ object SparkEntry {
     "q158_skipgram_pmi" -> ((s, dir) =>
       ext.TextAnalysis.skipgramPmi(Tables.documents(s, dir), "text",
           window = 3, minCount = 5, k = 40)
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    // Heaps-law vocabulary growth: docs/tokens/distinct-vocab
+    // cumulatives at 10 doc_id-value checkpoints — the
+    // tokenizer/vocab-budget sizing curve, exact integers.
+    "q159_vocab_growth" -> ((s, dir) =>
+      ext.TextAnalysis.vocabGrowth(Tables.documents(s, dir), "doc_id",
+          "text", k = 10)
+        .orderBy("checkpoint")),
+
+    // Content-defined chunking dedup (rsync/LBFS anchors on tokens):
+    // rolling-hash boundaries re-anchor after insertions where grid
+    // chunks shift — per-doc verbatim-duplicate chunk/token mass.
+    "q160_cdc_dedup" -> ((s, dir) =>
+      ext.Dedup.cdcDedupStats(Tables.documents(s, dir), "doc_id",
+          "text", window = 4, divisor = 16)
+        .orderBy("doc_id"))
   )
 
   /** DuckDB-side exact sum. The VARCHAR round-trip matters: DuckDB's
@@ -5384,7 +5400,74 @@ object SparkEntry {
         |   AS BIGINT) AS rank,
         | w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
         | CAST(c2 AS BIGINT) AS c2, lift
-        |FROM sc ORDER BY lift DESC, w1, w2 LIMIT 40""".stripMargin
+        |FROM sc ORDER BY lift DESC, w1, w2 LIMIT 40""".stripMargin,
+
+    // value thresholds over [min, max] doc_id (k-th pinned to max),
+    // cumulative docs/tokens plus first-sighting vocabulary counts —
+    // the identical floor((hi-lo)*j/k) IEEE chain on both engines
+    "q159_vocab_growth" ->
+      s"""$sqlDocWords,
+        |base AS (SELECT doc_id, len(ws) AS n, ws FROM d
+        |         WHERE norm IS NOT NULL),
+        |b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM base),
+        |thr AS (SELECT j AS checkpoint,
+        |  CASE WHEN j = 10 THEN hi
+        |   ELSE lo + CAST(floor(CAST(hi - lo AS DOUBLE) * j / 10)
+        |     AS BIGINT) END AS t
+        | FROM b, unnest(generate_series(1, 10)) AS g(j)),
+        |fd AS (SELECT w, MIN(doc_id) AS fd
+        |       FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+        |       GROUP BY w)
+        |SELECT th.checkpoint AS checkpoint, th.t AS max_doc_id,
+        | COALESCE((SELECT COUNT(*) FROM base WHERE doc_id <= th.t), 0)
+        |   AS docs_cum,
+        | CAST(COALESCE((SELECT SUM(n) FROM base WHERE doc_id <= th.t),
+        |   0) AS BIGINT) AS tokens_cum,
+        | COALESCE((SELECT COUNT(*) FROM fd WHERE fd <= th.t), 0)
+        |   AS vocab_cum
+        |FROM thr th ORDER BY checkpoint""".stripMargin,
+
+    // the pinned CDC polynomial: token value = md5 first-8-hex mod
+    // 2^20, h_i = (t_{i-3}*31^3 + t_{i-2}*31^2 + t_{i-1}*31 + t_i)
+    // mod 2^20, a cut after i in [4, n-1] iff h_i mod 16 = 0 — every
+    // term < 2^37, exact 64-bit integers on both engines
+    "q160_cdc_dedup" ->
+      s"""$sqlDocWords,
+        |base AS (SELECT doc_id, ws, len(ws) AS n FROM d
+        |         WHERE norm IS NOT NULL AND len(ws) > 0),
+        |tv AS (SELECT doc_id, ws, n,
+        |  list_transform(ws, w ->
+        |    ${sqlHexToLong("substr(md5(w), 1, 8)")} % 1048576) AS tv
+        | FROM base),
+        |cut AS (SELECT doc_id, ws,
+        |  list_concat(
+        |   CASE WHEN n >= 5 THEN
+        |    list_filter(generate_series(4, n - 1), i ->
+        |     (tv[i-3]*29791 + tv[i-2]*961 + tv[i-1]*31 + tv[i])
+        |       % 1048576 % 16 = 0)
+        |   ELSE [] END, [n]) AS cuts
+        | FROM tv),
+        |ch AS (SELECT doc_id,
+        |  CASE WHEN ci = 1 THEN CAST(1 AS BIGINT)
+        |   ELSE cuts[ci - 1] + 1 END AS start,
+        |  cuts[ci] AS endp, ws
+        | FROM cut, unnest(generate_series(1, len(cuts))) AS u(ci)),
+        |ch2 AS (SELECT doc_id, endp - start + 1 AS len,
+        |  substr(md5(array_to_string(ws[start : endp], ' ')), 1, 15)
+        |    AS h
+        | FROM ch),
+        |dfq AS (SELECT h, COUNT(DISTINCT doc_id) AS cdf
+        |        FROM ch2 GROUP BY h)
+        |SELECT c.doc_id AS doc_id, COUNT(*) AS n_chunks,
+        | CAST(SUM(CASE WHEN dfq.cdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS dup_chunks,
+        | CAST(SUM(c.len) AS BIGINT) AS total_tokens,
+        | CAST(SUM(CASE WHEN dfq.cdf >= 2 THEN c.len ELSE 0 END)
+        |   AS BIGINT) AS dup_tokens,
+        | CAST(SUM(CASE WHEN dfq.cdf >= 2 THEN c.len ELSE 0 END)
+        |   AS DOUBLE) / CAST(SUM(c.len) AS DOUBLE) AS dup_frac
+        |FROM ch2 c JOIN dfq USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared docs CTE: `d(doc_id, lang, norm, ws)`. */

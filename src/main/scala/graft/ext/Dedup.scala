@@ -1355,6 +1355,143 @@ object Dedup {
       .where(col("shared_fps") >= minShared)
   }
 
+  /** Content-defined chunking (the rsync/FastCDC idea on tokens —
+    * Muthitacharoen et al. 2001's LBFS anchors): a chunk boundary
+    * falls AFTER token i whenever the rolling hash of the last
+    * `window` tokens ≡ 0 (mod `divisor`), so boundaries are decided by
+    * LOCAL CONTENT, not grid positions — insert one word at the top of
+    * a re-crawled page and every grid chunk shifts (defeating
+    * [[boilerplateChunkRemoval]]-style exact matching) while CDC
+    * boundaries re-synchronize after ~window tokens and the shared
+    * tail still matches. Expected chunk length ≈ `divisor` tokens.
+    *
+    * The hash is the pinned polynomial h_i = (Σ_{q<window}
+    * t_{i−q}·B^q) mod M with B = 31, M = 2^20, t = the token's
+    * md5-first-8-hex value mod M — every term < 2^37, exact in any
+    * engine's 64-bit integers (the cross-engine gate; no multiply
+    * overflow, no float). Boundaries are evaluated at i ∈
+    * [window, n−1]; the final token always closes the last chunk.
+    * Docs shorter than `window` are one chunk.
+    *
+    * Scale shape: ONE typed kernel pass per document (per-partition
+    * md5 memo, O(window)/position), shuffle-free — rows emit
+    * (id, chunk_id, start, len, chunk_hash) for consumers to join on.
+    *
+    * Output: (id, chunk_id 1.., start 1-based, len, chunk_hash = 15
+    * lowercase hex of the chunk text's md5); null-text docs emit
+    * nothing. */
+  def cdcChunks(df: DataFrame, id: String, text: String,
+      window: Int = 4, divisor: Int = 16): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    require(divisor >= 1, s"divisor=$divisor must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val B = 31L
+    val M = 1L << 20
+    df.where(col(text).isNotNull)
+      .select(col(id).cast("long"), TextAnalysis.words(col(text)))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new java.util.HashMap[String, Long]()
+        def tokVal(w: String): Long = {
+          val cached = memo.get(w)
+          if (cached != 0L || memo.containsKey(w)) cached
+          else {
+            md.reset()
+            val dig = md.digest(w.getBytes("UTF-8"))
+            // first 8 hex chars = first 4 bytes, big-endian
+            var v = 0L
+            var b = 0
+            while (b < 4) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+            val out = v % M
+            memo.put(w, out)
+            out
+          }
+        }
+        def chunkHash(ws: Seq[String], start: Int, end: Int): String = {
+          md.reset()
+          val sb = new java.lang.StringBuilder()
+          var q = start
+          while (q <= end) {
+            if (q > start) sb.append(' ')
+            sb.append(ws(q - 1))
+            q += 1
+          }
+          val dig = md.digest(sb.toString.getBytes("UTF-8"))
+          val hexd = "0123456789abcdef"
+          val out = new java.lang.StringBuilder(15)
+          var h = 0
+          while (h < 15) {
+            val by = dig(h / 2) & 0xff
+            out.append(hexd.charAt(if (h % 2 == 0) by >>> 4 else by & 0xf))
+            h += 1
+          }
+          out.toString
+        }
+        it.flatMap { case (docId, ws) =>
+          val n = if (ws == null) 0 else ws.length
+          if (n == 0) Iterator.empty
+          else {
+            val tv = new Array[Long](n)
+            var i = 0
+            while (i < n) { tv(i) = tokVal(ws(i)); i += 1 }
+            val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var p = window // 1-based boundary position candidate
+            while (p <= n - 1) {
+              var h = 0L
+              var q = 0
+              while (q < window) { h = (h * B + tv(p - window + q)) % M; q += 1 }
+              if (h % divisor == 0) cuts += p
+              p += 1
+            }
+            cuts += n
+            var start = 1
+            val outRows = cuts.iterator.zipWithIndex.map { case (end, ci) =>
+              val row = (docId, (ci + 1).toLong, start.toLong,
+                (end - start + 1).toLong, chunkHash(ws, start, end))
+              start = end + 1
+              row
+            }
+            outRows
+          }
+        }
+      }
+      .toDF(id, "chunk_id", "start", "len", "chunk_hash")
+  }
+
+  /** Cross-document duplicate mass under [[cdcChunks]] — the
+    * shift-robust complement of [[noveltyScores]] (grid chunks miss a
+    * duplicate that moved by one token; CDC chunks re-anchor): per
+    * document, how many of its content-defined chunks (and what token
+    * mass) appear verbatim in at least one OTHER document.
+    *
+    * Scale shape: the [[cdcChunks]] kernel (shuffle-free) into one
+    * chunk-hash exchange (countDistinct doc per 60-bit hash long —
+    * the q156 wire discipline) and a join back + per-doc aggregate:
+    * the q131 corpus-positions cost band.
+    *
+    * Output: (id, n_chunks, dup_chunks, total_tokens, dup_tokens,
+    * dup_frac = dup_tokens/total_tokens). */
+  def cdcDedupStats(df: DataFrame, id: String, text: String,
+      window: Int = 4, divisor: Int = 16): DataFrame = {
+    val ch = cdcChunks(df, id, text, window, divisor)
+      .withColumn("__h", conv(col("chunk_hash"), 16, 10).cast("long"))
+    val dfreq = ch.groupBy(col("__h"))
+      .agg(countDistinct(col(id)).as("__df"))
+    ch.join(dfreq, "__h")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(col("len")).as("total_tokens"),
+        sum(when(col("__df") >= 2, col("len")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col(id), col("n_chunks"), col("dup_chunks"),
+        col("total_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("dup_frac"))
+  }
+
   /** The grid chunks of [[boilerplateChunkRemoval]] keyed by their
     * 60-bit md5 (longs on the wire, never chunk bodies). */
   private def hashedChunks(df: DataFrame, id: String, text: String,

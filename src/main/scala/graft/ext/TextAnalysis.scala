@@ -1074,6 +1074,84 @@ object TextAnalysis {
       window: Int, minCount: Int, k: Int): org.apache.spark.sql.DataFrame =
     cooccurrenceLift(df, text, window, minCount, k)
 
+  /** Heaps-law vocabulary growth curve — the tokenizer/vocab-sizing
+    * tool (how fast does the vocabulary grow as the corpus grows?
+    * the curve a BPE vocab budget or a hash-vectorizer width is read
+    * off): at each of `k` evenly spaced doc_id thresholds, the number
+    * of documents ingested so far, the cumulative token instances,
+    * and the DISTINCT vocabulary seen so far. Emitting the raw curve
+    * (exact integers), not a fitted Heaps exponent — the fit needs
+    * logs (outside the cross-engine hash gate) and is a driver-side
+    * afterthought on k points.
+    *
+    * "So far" is doc_id order — the deterministic ingest order every
+    * incremental operator in this repo uses. Thresholds are value
+    * thresholds over [min_id, max_id] (t_j = min + ⌊j·(max−min)/k⌋),
+    * NOT rank quantiles: a global doc-rank ntile would be a
+    * single-partition window sort at corpus scale, while value
+    * thresholds cost one 1-row min/max aggregate.
+    *
+    * Scale shape: one word exchange to (word, first_doc = min doc_id)
+    * — vocab-sized output; one doc-level aggregate to (doc_id count,
+    * token sum) per threshold via a bounded k-way explode (each row
+    * joins the thresholds ≥ its doc_id: a ≤ k-fan-out map-side
+    * explode, k ~ tens); the vocab frame pays the same bounded
+    * explode. No window, no driver state beyond the 1-row min/max.
+    *
+    * Output: (checkpoint 1..k, max_doc_id, docs_cum, tokens_cum,
+    * vocab_cum), ordered by checkpoint. */
+  def vocabGrowth(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val ws = words(col(text))
+    val base = df.where(col(text).isNotNull)
+      .select(col(id).cast("long").as("__id"), size(ws).as("__n"),
+        ws.as("__ws"))
+    // thresholds t_1..t_k as a broadcast 1-row frame carrying the
+    // array; the k-th threshold is exactly max_id so the last
+    // checkpoint covers the whole corpus
+    val bounds = base.agg(min(col("__id")).as("__lo"),
+      max(col("__id")).as("__hi"))
+    val thr = bounds.select(transform(sequence(lit(1), lit(k)), j =>
+      when(j === k, col("__hi")).otherwise(
+        col("__lo") + floor((col("__hi") - col("__lo"))
+          .cast("double") * j.cast("double") / lit(k.toDouble))
+          .cast("long"))).as("__ts"))
+    // per-checkpoint doc/token cumulatives: each doc explodes onto
+    // the checkpoints whose threshold >= its id (<= k copies)
+    // array_distinct: colliding thresholds (id range < k) must count
+    // each doc once per distinct VALUE — the checkpoint join below
+    // fans the per-value row back out to every checkpoint sharing it
+    val docsCum = base.select(col("__id"), col("__n"))
+      .crossJoin(broadcast(thr))
+      .select(col("__id"), col("__n"),
+        explode(array_distinct(
+          filter(col("__ts"), t => t >= col("__id")))).as("__t"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("docs_cum"),
+        coalesce(sum(col("__n")), lit(0L)).cast("long").as("tokens_cum"))
+    // vocabulary first-sightings: vocab-sized, same bounded explode
+    val firstDoc = base
+      .select(col("__id"), explode(col("__ws")).as("__w"))
+      .groupBy(col("__w")).agg(min(col("__id")).as("__fd"))
+    val vocabCum = firstDoc.crossJoin(broadcast(thr))
+      .select(explode(array_distinct(
+        filter(col("__ts"), t => t >= col("__fd")))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("vocab_cum"))
+    thr.select(posexplode(col("__ts")))
+      .select((col("pos") + 1).cast("long").as("checkpoint"),
+        col("col").as("max_doc_id"))
+      .join(docsCum, col("max_doc_id") === docsCum("__t"), "left")
+      .drop("__t")
+      .join(vocabCum, col("max_doc_id") === vocabCum("__t"), "left")
+      .drop("__t")
+      .select(col("checkpoint"), col("max_doc_id"),
+        coalesce(col("docs_cum"), lit(0L)).as("docs_cum"),
+        coalesce(col("tokens_cum"), lit(0L)).as("tokens_cum"),
+        coalesce(col("vocab_cum"), lit(0L)).as("vocab_cum"))
+      .orderBy(col("checkpoint"))
+  }
+
   /** Within-document chunk self-dedup — the intra-doc counterpart of
     * [[graft.ext.Dedup.boilerplateChunkRemoval]] (scraped pages repeat
     * their own nav blocks / list items; machine-generated text loops):

@@ -259,6 +259,96 @@ class ChunkDedupSpec extends SparkSuite {
     assert(got.nonEmpty, "corpus should plant at least one overlap")
   }
 
+  // independent driver replay of the CDC contract: token value = md5
+  // first-8-hex mod 2^20, h = Σ t·31^q mod 2^20 over the window, cut
+  // after i in [window, n-1] iff h mod divisor == 0, final token
+  // always closes the last chunk
+  private def cdcReplay(ws: Seq[String], window: Int,
+      divisor: Int): Seq[(Long, Long, String)] = {
+    val M = 1L << 20
+    def tv(w: String): Long =
+      java.lang.Long.parseLong(md5hex(w).take(8), 16) % M
+    val t = ws.map(tv)
+    val n = ws.length
+    val cuts = (window to n - 1).filter { p =>
+      val h = (0 until window).foldLeft(0L)((a, q) =>
+        (a * 31 + t(p - window + q)) % M)
+      h % divisor == 0
+    } :+ n
+    var start = 1
+    cuts.zipWithIndex.map { case (end, ci) =>
+      val hash = md5hex(ws.slice(start - 1, end).mkString(" ")).take(15)
+      val row = (start.toLong, (end - start + 1).toLong, hash)
+      start = end + 1
+      row
+    }
+  }
+
+  test("cdcChunks: driver replay on the corpus; every doc covered " +
+      "exactly once in order") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.cdcChunks(docs, "doc_id", "text", window = 4,
+        divisor = 16)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    val want = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.words(col("text")))
+      .as[(Long, Seq[String])].collect().toSeq.flatMap { case (id, ws) =>
+        cdcReplay(ws, 4, 16).zipWithIndex.map { case ((st, ln, h), ci) =>
+          (id, (ci + 1).toLong, st, ln, h)
+        }
+      }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // coverage law: per doc, chunk lens sum to the token count and
+    // starts are contiguous
+    got.groupBy(_._1).foreach { case (id, ch) =>
+      val sorted = ch.sortBy(_._2)
+      assert(sorted.head._3 == 1L, s"doc $id starts at 1")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 == a._3 + a._4, s"doc $id gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("cdcDedupStats: a one-token prefix insertion re-anchors — the " +
+      "shifted copy still shares chunk mass where grid chunks cannot") {
+    import spark.implicits._
+    val body = (0 until 64).map(i => s"w${i % 13}x$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, s"inserted $body"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcDedupStats(docs, "doc_id", "text", window = 4,
+        divisor = 16)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // replay both docs, count shared hashes
+    val h1 = cdcReplay(body.split(" ").toSeq, 4, 16)
+    val h2 = cdcReplay(("inserted " + body).split(" ").toSeq, 4, 16)
+    val shared = h1.map(_._3).toSet.intersect(h2.map(_._3).toSet)
+    assert(shared.nonEmpty,
+      "the planted corpus must re-anchor (re-craft the body if not)")
+    def expect(ch: Seq[(Long, Long, String)]): (Long, Long) = {
+      val dup = ch.filter(c => shared(c._3))
+      (dup.length.toLong, dup.map(_._2).sum)
+    }
+    val (d1, m1) = expect(h1)
+    assert(got(1L) == ((1L, h1.length.toLong, d1, h1.map(_._2).sum, m1,
+      m1.toDouble / h1.map(_._2).sum)))
+    val (d2, m2) = expect(h2)
+    assert(got(2L) == ((2L, h2.length.toLong, d2, h2.map(_._2).sum, m2,
+      m2.toDouble / h2.map(_._2).sum)))
+    // the grid-chunk counterpart finds NOTHING on the shifted pair
+    // (every grid chunk of doc 2 is offset by one token): novelty 1.0
+    // for both docs — the shift-robustness CDC exists for
+    val grid = Dedup.noveltyScores(docs, "doc_id", "text", size = 4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(grid(1L) == 1.0 && grid(2L) == 1.0,
+      "grid chunks must miss the shifted duplicate entirely")
+  }
+
   test("canonicalByQuality: best score wins, ties to the lower id; " +
       "group counts; singletons are their own canonical") {
     import spark.implicits._

@@ -219,6 +219,40 @@ class KeywordOovSpec extends SparkSuite {
     assert(flushed == columnForm(3, 5, 40), "flushCap=7 drain path")
   }
 
+  test("vocabGrowth: closed-form curve at value thresholds; colliding " +
+      "thresholds count once per value; null text excluded") {
+    // ids 0..4, vocab arrives as: d0 {a,b}, d1 {a}, d2 {c}, d3 {},
+    // d4(null) excluded, d5 {a,d}
+    val docs = Seq(
+      (0L, "a b"), (1L, "a"), (2L, "c"), (3L, "b b"),
+      (4L, null.asInstanceOf[String]), (5L, "a d"))
+      .toDF("doc_id", "text")
+    // lo=0, hi=5, k=5: t_j = floor(5j/5) = 1,2,3,4,5
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 3L, 2L),   // d0,d1: 3 tokens, vocab {a,b}
+      (2L, 2L, 3L, 4L, 3L),   // +d2: {a,b,c}
+      (3L, 3L, 4L, 6L, 3L),   // +d3 (b b): vocab unchanged
+      (4L, 4L, 4L, 6L, 3L),   // d4 null: nothing arrives
+      (5L, 5L, 5L, 8L, 4L)))  // +d5: {a,b,c,d}
+    // id range smaller than k: thresholds collide; every checkpoint
+    // still reports the exact per-VALUE cumulative (the
+    // array_distinct pin — a naive explode would double-count)
+    val tiny = Seq((0L, "x"), (1L, "y"), (2L, "x z"))
+      .toDF("doc_id", "text")
+    val got10 = TextAnalysis.vocabGrowth(tiny, "doc_id", "text", k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // t_j = floor(2j/10) = 0,0,0,1,1,1,1,1,1 then hi=2
+    val byT = Map(0L -> ((1L, 1L, 1L)), 1L -> ((2L, 2L, 2L)),
+      2L -> ((3L, 4L, 3L)))
+    assert(got10 == (1 to 10).map { j =>
+      val t = if (j == 10) 2L else (2L * j / 10)
+      val (d, tok, v) = byT(t)
+      (j.toLong, t, d, tok, v)
+    })
+  }
+
   test("vectorizers: NULL text yields the zero vector (the oracle's " +
       "row), never an NPE") {
     val docs = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
