@@ -185,12 +185,21 @@ object Bench {
     // queries N-1 more times in the same JVM, stderr only (driver never
     // sets it) — separates per-JVM costs (plan compile, codegen JIT)
     // from steady-state per-run cost when chasing a solo-vs-sweep gap.
-    // toIntOption: a malformed value (e.g. "2x") must not abort the
-    // whole sweep before any query runs — ignore it instead
+    // SPARK_GRAFT_REPEAT_ONLY=q99 narrows the repeats to a subset while
+    // the MAIN pass still runs everything — the "repeat one query in
+    // the full-sweep JVM order" experiment the q99 variance note asks
+    // for. toIntOption: a malformed value (e.g. "2x") must not abort
+    // the whole sweep before any query runs — ignore it instead
     sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).filter(_ > 1).foreach {
       n =>
+        val repSel = sys.env.get("SPARK_GRAFT_REPEAT_ONLY")
+          .map(_.split(",").filter(_.nonEmpty).toSet)
+          .filter(_.nonEmpty)
+          .map(ro => selected.filter { case (nm, _) =>
+            ro.exists(nm.startsWith) })
+          .getOrElse(selected)
         (2 to n).foreach { i =>
-          selected.foreach { case (name, fn) =>
+          repSel.foreach { case (name, fn) =>
             val (sec, h, _) = run1(name, fn)
             System.err.println(f"[bench] repeat $i $name%s $sec%.2f s " +
               f"(jit ${h.jitMs} ms, gc ${h.gcMs} ms)")

@@ -821,6 +821,57 @@ object ScaleBench {
     "q117_kmeans_distributed", "q99_routed_default",
     "q114_occupancy_law")
 
+  /** Documents-only replica — the text-dedup counterpart of
+    * [[ensureScaledEmbeddings]] for the 1000× decade on the chunk/LSH
+    * families: same per-replica doc_id shift and per-replica word
+    * prefix as [[ensureScaled]] (within-replica shingle structure
+    * preserved exactly, cross-replica overlap zero), one typed flatMap
+    * instead of a K-way union. The prefix is the identical Java-regex
+    * replaceAll the column form compiles to, so content is
+    * bit-identical either way (spec-pinned). */
+  def ensureScaledDocuments(spark: SparkSession, base: String,
+      out: String, k: Int): Unit = {
+    val fullMarker = java.nio.file.Paths.get(out, "_built")
+    val fullStamp = s"$base x$k v3 fp=${sourceFingerprint(base)}"
+    if (java.nio.file.Files.exists(fullMarker) &&
+      new String(java.nio.file.Files.readAllBytes(fullMarker),
+        "UTF-8") == fullStamp)
+      return
+    val marker = java.nio.file.Paths.get(out, "_built_documents")
+    val stamp = s"$base x$k documents-v1 fp=${sourceFingerprint(base)}"
+    if (java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        "UTF-8") == stamp)
+      return
+    java.nio.file.Files.deleteIfExists(marker): Unit
+    store.RrdStore.deleteTree(s"$out/documents.parquet")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    import spark.implicits._
+    val kk = k
+    Tables.table(spark, base, "documents")
+      .select(col("doc_id").cast("long"), col("text"), col("lang"),
+        col("source"), col("n_chars").cast("long"))
+      .as[(Long, String, String, String, Long)]
+      .flatMap { case (did, text, lang, source, nChars) =>
+        (0 until kk).iterator.map { i =>
+          val t =
+            if (i == 0 || text == null) text
+            else text.replaceAll("(\\S+)", s"r${i}x$$1")
+          (did + i.toLong * 100000000L, t, lang, source, nChars)
+        }
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(math.max(32, 32 * k / 100))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    java.nio.file.Files.write(marker, stamp.getBytes("UTF-8")): Unit
+  }
+
+  /** Rows that read ONLY the documents table (the 1000× text-dedup
+    * decade). */
+  val DocumentsOnly: Set[String] = Set(
+    "q25_dedup_exact", "q131_boilerplate_chunks", "q154_novelty_score",
+    "q160_cdc_dedup", "q133_selfdedup_chunks")
+
   def ensureScaled(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
     val marker = java.nio.file.Paths.get(out, "_built")
@@ -926,6 +977,8 @@ object ScaleBench {
       ensureScaledEvents(spark, base, out, k)
     else if (onlyPeek.exists(o => o.nonEmpty && o.subsetOf(EmbeddingsOnly)))
       ensureScaledEmbeddings(spark, base, out, k)
+    else if (onlyPeek.exists(o => o.nonEmpty && o.subsetOf(DocumentsOnly)))
+      ensureScaledDocuments(spark, base, out, k)
     else
       ensureScaled(spark, base, out, k)
 

@@ -355,6 +355,31 @@ class SessionizeSpec extends SparkSuite {
     }
   }
 
+  test("ensureScaledDocuments: the typed-kernel replica builder emits " +
+      "the identical table to ensureScaled's union form") {
+    val outA = java.nio.file.Files
+      .createTempDirectory("graft_dock").toString
+    val outB = java.nio.file.Files
+      .createTempDirectory("graft_docu").toString
+    try {
+      ScaleBench.ensureScaledDocuments(spark, sf, outA, 3)
+      ScaleBench.ensureScaled(spark, sf, outB, 3)
+      def read(dir: String): Map[Long, (String, String, String, Long)] =
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("long"), col("text"), col("lang"),
+            col("source"), col("n_chars").cast("long"))
+          .as[(Long, String, String, String, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val a = read(outA)
+      val b = read(outB)
+      assert(a.size == b.size && a.size > 0)
+      assert(a == b, "replica content must be identical either way")
+    } finally {
+      graft.store.RrdStore.deleteTree(outA)
+      graft.store.RrdStore.deleteTree(outB)
+    }
+  }
+
   test("incrementalSemanticNearDupPairs: a re-ingested id is superseded " +
       "by its batch row and counts ONCE toward the combined cap") {
     def vec(xs: (Int, Double)*): Seq[Double] = {
