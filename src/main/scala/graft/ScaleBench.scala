@@ -125,6 +125,9 @@ object ScaleBench {
     "q154_novelty_score",  // chunk-hash countDistinct + same-key join
     "q159_vocab_growth",   // word min-doc exchange + bounded k-explode
     "q160_cdc_dedup",      // CDC kernel + chunk-hash DF agg + join back
+    // (q161's oracle form splits at an ABSOLUTE doc_id threshold —
+    // degenerate on K× replicas like q46/q116's oracle forms; the
+    // honest slope row is the Extra q161_incr_scale below)
     "q119_diverse_sample", // distributed-quantizer cells + bounded top-k
     "q120_hard_negatives", // fixed anchor batch (replica 0) vs K× corpus
     "q121_leakage_split",  // q43 components + component-keyed md5 split
@@ -151,6 +154,20 @@ object ScaleBench {
     // as the corpus decades: a super-linear drift here would mean the
     // mine's cell cogroup is quietly quadratic even if one wall-clock
     // row looks fine.
+    // q161 with the split WITHIN each replica (doc_ids shift by
+    // 1e8/replica — the oracle's absolute threshold would put most of
+    // replica 0 alone in the index at K×, the q46/q116 degeneracy):
+    // index and batch scale together, the shape a production CDC
+    // ingest gate grows on.
+    "q161_incr_scale" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val rep = col("doc_id") % 100000000L
+      val thr = docs.where(col("doc_id") < 100000000L).count() * 4 / 5
+      val idx = ext.Dedup.cdcChunkIndex(docs.where(rep < thr),
+        "doc_id", "text", window = 4, divisor = 16)
+      ext.Dedup.incrementalCdcDedup(docs.where(rep >= thr), idx,
+        "doc_id", "text", window = 4, divisor = 16)
+    }),
     "q114_occupancy_law" -> ((s: SparkSession, dir: String) => {
       val e = Tables.embeddings(s, dir)
       val cent = ext.Similarity.seededCentroids(e, "vec_id",
@@ -870,7 +887,7 @@ object ScaleBench {
     * decade). */
   val DocumentsOnly: Set[String] = Set(
     "q25_dedup_exact", "q131_boilerplate_chunks", "q154_novelty_score",
-    "q160_cdc_dedup", "q133_selfdedup_chunks")
+    "q160_cdc_dedup", "q133_selfdedup_chunks", "q161_incr_scale")
 
   def ensureScaled(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {

@@ -2492,7 +2492,23 @@ object SparkEntry {
     "q160_cdc_dedup" -> ((s, dir) =>
       ext.Dedup.cdcDedupStats(Tables.documents(s, dir), "doc_id",
           "text", window = 4, divisor = 16)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // The CDC family's incremental axis: batch chunk frequencies plus
+    // the persisted corpus index, combined df >= 2 flags duplicates —
+    // identical to a full re-mine of corpus ∪ batch restricted to
+    // batch docs (the q141 identity law on content-defined chunks).
+    "q161_cdc_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thr = docs.count() * 4 / 5
+      val idx = ext.Dedup.cdcChunkIndex(
+        docs.where(col("doc_id") < thr), "doc_id", "text",
+        window = 4, divisor = 16)
+      ext.Dedup.incrementalCdcDedup(
+          docs.where(col("doc_id") >= thr), idx, "doc_id", "text",
+          window = 4, divisor = 16)
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB-side exact sum. The VARCHAR round-trip matters: DuckDB's
@@ -5431,44 +5447,56 @@ object SparkEntry {
     // 2^20, h_i = (t_{i-3}*31^3 + t_{i-2}*31^2 + t_{i-1}*31 + t_i)
     // mod 2^20, a cut after i in [4, n-1] iff h_i mod 16 = 0 — every
     // term < 2^37, exact 64-bit integers on both engines
-    "q160_cdc_dedup" ->
-      s"""$sqlDocWords,
-        |base AS (SELECT doc_id, ws, len(ws) AS n FROM d
-        |         WHERE norm IS NOT NULL AND len(ws) > 0),
-        |tv AS (SELECT doc_id, ws, n,
-        |  list_transform(ws, w ->
-        |    ${sqlHexToLong("substr(md5(w), 1, 8)")} % 1048576) AS tv
-        | FROM base),
-        |cut AS (SELECT doc_id, ws,
-        |  list_concat(
-        |   CASE WHEN n >= 5 THEN
-        |    list_filter(generate_series(4, n - 1), i ->
-        |     (tv[i-3]*29791 + tv[i-2]*961 + tv[i-1]*31 + tv[i])
-        |       % 1048576 % 16 = 0)
-        |   ELSE [] END, [n]) AS cuts
-        | FROM tv),
-        |ch AS (SELECT doc_id,
-        |  CASE WHEN ci = 1 THEN CAST(1 AS BIGINT)
-        |   ELSE cuts[ci - 1] + 1 END AS start,
-        |  cuts[ci] AS endp, ws
-        | FROM cut, unnest(generate_series(1, len(cuts))) AS u(ci)),
-        |ch2 AS (SELECT doc_id, endp - start + 1 AS len,
-        |  substr(md5(array_to_string(ws[start : endp], ' ')), 1, 15)
-        |    AS h
-        | FROM ch),
-        |dfq AS (SELECT h, COUNT(DISTINCT doc_id) AS cdf
-        |        FROM ch2 GROUP BY h)
-        |SELECT c.doc_id AS doc_id, COUNT(*) AS n_chunks,
-        | CAST(SUM(CASE WHEN dfq.cdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS dup_chunks,
-        | CAST(SUM(c.len) AS BIGINT) AS total_tokens,
-        | CAST(SUM(CASE WHEN dfq.cdf >= 2 THEN c.len ELSE 0 END)
-        |   AS BIGINT) AS dup_tokens,
-        | CAST(SUM(CASE WHEN dfq.cdf >= 2 THEN c.len ELSE 0 END)
-        |   AS DOUBLE) / CAST(SUM(c.len) AS DOUBLE) AS dup_frac
-        |FROM ch2 c JOIN dfq USING (h)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+    "q160_cdc_dedup" -> sqlCdcStats(""),
+
+    // the identity form: the full corpus ∪ batch re-mine restricted to
+    // batch docs — exactly what the incremental gate must reproduce
+    "q161_cdc_incremental" ->
+      sqlCdcStats(s"WHERE c.doc_id >= $sqlBatchThr")
   )
+
+  /** CDC dedup-stats oracle (shared by q160 and the q161 identity
+    * form): the pinned rolling-hash chunking + combined-df ≥ 2 dup
+    * mass, with `extraWhere` restricting the OUTPUT docs while the
+    * chunk document frequencies always count the whole corpus. */
+  private def sqlCdcStats(extraWhere: String): String =
+    s"""$sqlDocWords,
+      |base AS (SELECT doc_id, ws, len(ws) AS n FROM d
+      |         WHERE norm IS NOT NULL AND len(ws) > 0),
+      |tv AS (SELECT doc_id, ws, n,
+      |  list_transform(ws, w ->
+      |    ${sqlHexToLong("substr(md5(w), 1, 8)")} % 1048576) AS tv
+      | FROM base),
+      |cut AS (SELECT doc_id, ws,
+      |  list_concat(
+      |   CASE WHEN n >= 5 THEN
+      |    list_filter(generate_series(4, n - 1), i ->
+      |     (tv[i-3]*29791 + tv[i-2]*961 + tv[i-1]*31 + tv[i])
+      |       % 1048576 % 16 = 0)
+      |   ELSE [] END, [n]) AS cuts
+      | FROM tv),
+      |ch AS (SELECT doc_id,
+      |  CASE WHEN ci = 1 THEN CAST(1 AS BIGINT)
+      |   ELSE cuts[ci - 1] + 1 END AS start,
+      |  cuts[ci] AS endp, ws
+      | FROM cut, unnest(generate_series(1, len(cuts))) AS u(ci)),
+      |ch2 AS (SELECT doc_id, endp - start + 1 AS len,
+      |  substr(md5(array_to_string(ws[start : endp], ' ')), 1, 15)
+      |    AS h
+      | FROM ch),
+      |dfq AS (SELECT h, COUNT(DISTINCT doc_id) AS cdf
+      |        FROM ch2 GROUP BY h)
+      |SELECT c.doc_id AS doc_id, COUNT(*) AS n_chunks,
+      | CAST(SUM(CASE WHEN dfq.cdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS dup_chunks,
+      | CAST(SUM(c.len) AS BIGINT) AS total_tokens,
+      | CAST(SUM(CASE WHEN dfq.cdf >= 2 THEN c.len ELSE 0 END)
+      |   AS BIGINT) AS dup_tokens,
+      | CAST(SUM(CASE WHEN dfq.cdf >= 2 THEN c.len ELSE 0 END)
+      |   AS DOUBLE) / CAST(SUM(c.len) AS DOUBLE) AS dup_frac
+      |FROM ch2 c JOIN dfq USING (h)
+      |$extraWhere
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared docs CTE: `d(doc_id, lang, norm, ws)`. */
   private val sqlDocWords: String =

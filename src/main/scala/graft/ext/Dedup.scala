@@ -1492,6 +1492,64 @@ object Dedup {
           col("total_tokens").cast("double")).as("dup_frac"))
   }
 
+  /** Chunk document-frequency index for the CDC family — the persisted
+    * half of the incremental axis: (60-bit chunk hash, distinct-doc
+    * frequency) over a corpus's [[cdcChunks]], built with one
+    * partial-agg'd exchange (the [[boilerplateChunkIndex]] discipline
+    * on content-defined boundaries). */
+  def cdcChunkIndex(corpus: DataFrame, id: String, text: String,
+      window: Int = 4, divisor: Int = 16): DataFrame =
+    cdcChunks(corpus, id, text, window, divisor)
+      .withColumn("__h", conv(col("chunk_hash"), 16, 10).cast("long"))
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(id)).as("df"))
+
+  /** Persist a [[cdcChunkIndex]] bucket-sorted on its 60-bit probe key
+    * — the [[writeBoilerplateChunkIndexBucketed]] layout, so the
+    * incremental gate's probe join plans exchange-free on the
+    * corpus-sized index side. */
+  def writeCdcChunkIndexBucketed(index: DataFrame, table: String,
+      buckets: Int): Unit =
+    graft.sources.Bucketed.writeBucketed(index, table, "__h", buckets)
+
+  /** Incremental [[cdcDedupStats]] — the batch-vs-index axis
+    * (q46/q125/q141 discipline) for the CDC family: an arriving
+    * batch's chunks count their own distinct-doc frequency, add the
+    * PERSISTED corpus frequency from [[cdcChunkIndex]], and a chunk is
+    * duplicate iff the COMBINED frequency reaches 2 — identical to a
+    * full [[cdcDedupStats]] re-mine of corpus ∪ batch restricted to
+    * batch documents (the identity law, spec-pinned; batch ids must be
+    * disjoint from the corpus, the ingest contract every incremental
+    * gate here shares).
+    *
+    * Scale shape: the CDC kernel on the BATCH only (map-side), one
+    * batch-chunk exchange, and a left probe join against the index on
+    * the 60-bit long — bucketed index ⇒ no corpus-sized exchange per
+    * batch. Output: the [[cdcDedupStats]] schema. */
+  def incrementalCdcDedup(batch: DataFrame, index: DataFrame,
+      id: String, text: String, window: Int = 4,
+      divisor: Int = 16): DataFrame = {
+    val ch = cdcChunks(batch, id, text, window, divisor)
+      .withColumn("__h", conv(col("chunk_hash"), 16, 10).cast("long"))
+    val comb = ch.groupBy(col("__h"))
+      .agg(countDistinct(col(id)).as("__bdf"))
+      .join(index.select(col("__h"), col("df").as("__idf")),
+        Seq("__h"), "left")
+      .select(col("__h"),
+        (coalesce(col("__idf"), lit(0L)) + col("__bdf")).as("__cdf"))
+    ch.join(comb, "__h")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__cdf") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(col("len")).as("total_tokens"),
+        sum(when(col("__cdf") >= 2, col("len")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col(id), col("n_chunks"), col("dup_chunks"),
+        col("total_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("dup_frac"))
+  }
+
   /** The grid chunks of [[boilerplateChunkRemoval]] keyed by their
     * 60-bit md5 (longs on the wire, never chunk bodies). */
   private def hashedChunks(df: DataFrame, id: String, text: String,

@@ -145,4 +145,43 @@ class ExactLedgerSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS graft_test_q141_idx")
     }
   }
+
+  test("CDC incremental gate: identity law vs the full re-mine; the " +
+      "bucketed index plans ZERO index-side exchange") {
+    val docs = Tables.documents(spark, sf)
+    val thr = docs.count() * 4 / 5
+    val corpus = docs.where(col("doc_id") < thr)
+    val batch = docs.where(col("doc_id") >= thr)
+    // identity law: the gate over (inline) index == the full re-mine
+    // of corpus ∪ batch restricted to batch docs
+    val inc = Dedup.incrementalCdcDedup(batch,
+        Dedup.cdcChunkIndex(corpus, "doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val batchIds = batch.select(col("doc_id")).as[Long].collect().toSet
+    val full = Dedup.cdcDedupStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().filter(r => batchIds(r._1)).sortBy(_._1).toSeq
+    assert(inc == full, "identity law")
+    assert(inc.exists(_._3 > 0), "batch must see corpus duplicates")
+    // bucketed layout: no corpus-sized exchange on the index side
+    Dedup.writeCdcChunkIndexBucketed(
+      Dedup.cdcChunkIndex(corpus, "doc_id", "text"),
+      "graft_test_q161_idx", buckets = 4)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val gate = Dedup.incrementalCdcDedup(batch,
+        spark.table("graft_test_q161_idx"), "doc_id", "text")
+      val ex = indexSideExchanges(gate.queryExecution.executedPlan)
+      assert(ex.isEmpty,
+        s"gate re-shuffled the bucketed CDC index:\n${ex.mkString("\n")}")
+      assert(gate.as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq == inc,
+        "layout changes bytes, never content")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS graft_test_q161_idx")
+    }
+  }
 }
