@@ -644,6 +644,18 @@ object ScaleBench {
     // memoryUsedBytes here reports RocksDB's tracked usage, so the
     // bytes column is provider-relative, not comparable across
     // providers row-to-row.
+    // streaming CDC duplicate gate: state rows = distinct chunk hashes
+    // seen (the ingest-time form of the persisted cdcChunkIndex) — the
+    // law to confirm is rows ∝ corpus chunks. Documents table, NOT
+    // events: excluded from the events-only replica subset below.
+    "q162_stream_scale" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val rep = col("doc_id") % 100000000L
+      val thr = docs.where(col("doc_id") < 100000000L).count() * 4 / 5
+      graft.streaming.StreamingCdcDedup.cdcBatchStats(s,
+        docs.where(rep < thr), docs.where(rep >= thr),
+        "doc_id", "text", window = 4, divisor = 16)
+    }),
     "q72_stream_rocksdb" -> ((s: SparkSession, dir: String) => {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
@@ -887,7 +899,8 @@ object ScaleBench {
     * decade). */
   val DocumentsOnly: Set[String] = Set(
     "q25_dedup_exact", "q131_boilerplate_chunks", "q154_novelty_score",
-    "q160_cdc_dedup", "q133_selfdedup_chunks", "q161_incr_scale")
+    "q160_cdc_dedup", "q133_selfdedup_chunks", "q161_incr_scale",
+    "q162_stream_scale")
 
   def ensureScaled(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
@@ -989,8 +1002,9 @@ object ScaleBench {
     // of parquet the batch rows never read
     val onlyPeek = args.lift(2).map(_.split(",").filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // q162 streams DOCUMENTS — it must not ride the events-only build
     if (onlyPeek.exists(o => o.nonEmpty &&
-        o.subsetOf(Streaming.map(_._1).toSet)))
+        o.subsetOf(Streaming.map(_._1).toSet - "q162_stream_scale")))
       ensureScaledEvents(spark, base, out, k)
     else if (onlyPeek.exists(o => o.nonEmpty && o.subsetOf(EmbeddingsOnly)))
       ensureScaledEmbeddings(spark, base, out, k)

@@ -2508,6 +2508,21 @@ object SparkEntry {
           docs.where(col("doc_id") >= thr), idx, "doc_id", "text",
           window = 4, divisor = 16)
         .orderBy("doc_id")
+    }),
+
+    // The CDC gate at INGEST TIME: a real micro-batch query — corpus
+    // seeds per-chunk-hash state (batch 1), the arriving docs face it
+    // (batch 2), every chunk verdict lands in the sink the moment its
+    // document arrives. Stream ≡ batch-incremental ≡ full re-mine
+    // restricted to the batch (the q161 oracle certifies all three).
+    "q162_streaming_cdc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thr = docs.count() * 4 / 5
+      graft.streaming.StreamingCdcDedup.cdcBatchStats(s,
+          docs.where(col("doc_id") < thr),
+          docs.where(col("doc_id") >= thr),
+          "doc_id", "text", window = 4, divisor = 16)._1
+        .orderBy("doc_id")
     })
   )
 
@@ -5452,6 +5467,10 @@ object SparkEntry {
     // the identity form: the full corpus ∪ batch re-mine restricted to
     // batch docs — exactly what the incremental gate must reproduce
     "q161_cdc_incremental" ->
+      sqlCdcStats(s"WHERE c.doc_id >= $sqlBatchThr"),
+
+    // the streaming gate's contract IS the q161 identity: same oracle
+    "q162_streaming_cdc" ->
       sqlCdcStats(s"WHERE c.doc_id >= $sqlBatchThr")
   )
 

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders,
+  SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Streaming content-defined-chunk duplicate gate — the ingest-time
+  * form of [[graft.ext.Dedup.incrementalCdcDedup]]: documents arrive
+  * in micro-batches, each document's CDC chunks (the
+  * [[graft.ext.Dedup.cdcChunks]] kernel runs unchanged on the
+  * streaming frame — it is stateless per row) face per-chunk-hash
+  * state holding the distinct-doc frequency seen so far, and every
+  * chunk instance gets a duplicate verdict the moment its document
+  * arrives: dup iff prior-batch frequency + this batch's distinct-doc
+  * count for the hash reaches 2.
+  *
+  * That rule makes the stream provably equal to the BATCH incremental
+  * gate at every micro-batch boundary: for a batch arriving after a
+  * corpus, the verdicts are exactly
+  * `incrementalCdcDedup(batch, cdcChunkIndex(corpus))` — the identity
+  * chain (spec-pinned) is stream ≡ batch-incremental ≡ full re-mine
+  * restricted to the batch.
+  *
+  * Spark-first shape: `flatMapGroupsWithState` keyed on the 60-bit
+  * chunk hash (a LONG key — the q156 wire discipline applies to state
+  * keys too), one small state record per DISTINCT chunk hash ever
+  * seen. State rows ∝ distinct chunks in the corpus — the same growth
+  * law as the persisted [[graft.ext.Dedup.cdcChunkIndex]] it replaces
+  * at ingest time; ScaleBench measures it via
+  * [[StreamRun.StateMetrics]].
+  */
+object StreamingCdcDedup {
+
+  /** One chunk instance on the stream. */
+  final case class ChunkRow(docId: Long, h: Long, len: Long)
+
+  /** The gate's verdict for one chunk instance: `df` is the combined
+    * distinct-doc frequency as of this micro-batch. */
+  final case class ChunkVerdict(docId: Long, h: Long, len: Long,
+    dup: Boolean, df: Long)
+
+  /** Per-chunk-hash state: distinct-doc frequency seen so far. */
+  final case class SeenDf(df: Long)
+
+  /** The stateful gate. Within a micro-batch the rule is the batch
+    * rule (distinct docs carrying the hash all count), so verdicts do
+    * not depend on row order inside the batch — deterministic given
+    * the batch boundaries, like every gate in this package. */
+  def gate(ds: Dataset[ChunkRow]): Dataset[ChunkVerdict] = {
+    implicit val vEnc: Encoder[ChunkVerdict] =
+      Encoders.product[ChunkVerdict]
+    implicit val sEnc: Encoder[SeenDf] = Encoders.product[SeenDf]
+    ds.groupByKey(_.h)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[ChunkRow], state: GroupState[SeenDf]) =>
+          val prior = state.getOption.map(_.df).getOrElse(0L)
+          val batch = rows.toSeq
+          val fresh = batch.map(_.docId).distinct.length.toLong
+          val df = prior + fresh
+          state.update(SeenDf(df))
+          batch.iterator.map(c =>
+            ChunkVerdict(c.docId, c.h, c.len, df >= 2, df))
+      }
+  }
+
+  /** CDC chunk instances of a (batch or streaming) documents frame,
+    * hashed to longs — the gate's input. */
+  def chunksOf(df: DataFrame, id: String, text: String, window: Int,
+      divisor: Int): Dataset[ChunkRow] = {
+    val spark = df.sparkSession
+    implicit val enc: Encoder[ChunkRow] = Encoders.product[ChunkRow]
+    graft.ext.Dedup.cdcChunks(df, id, text, window, divisor)
+      .select(col(id).cast("long").as("docId"),
+        conv(col("chunk_hash"), 16, 10).cast("long").as("h"),
+        col("len"))
+      .as[ChunkRow]
+  }
+
+  /** Execute the gate as a REAL micro-batch query — file source → CDC
+    * kernel → stateful verdicts → parquet sink. `corpus` lands as
+    * micro-batch 1 (seeding the per-hash state), `batch` as
+    * micro-batch 2 (facing it — the ingest-gate moment). Returns every
+    * chunk verdict from BOTH batches plus the run's state footprint
+    * (rows = distinct chunk hashes seen). */
+  def cdcFileRun(spark: SparkSession, corpus: DataFrame,
+      batch: DataFrame, id: String, text: String, window: Int = 4,
+      divisor: Int = 16): (DataFrame, Option[StreamRun.StateMetrics]) =
+    StreamRun.run(spark, corpus,
+      src => gate(chunksOf(src, id, text, window, divisor)).toDF(),
+      Seq(batch))
+
+  /** [[cdcFileRun]] rolled up to the [[graft.ext.Dedup.cdcDedupStats]]
+    * schema for the documents of the ARRIVING batch (`idsFrom` selects
+    * them) — the frame the q161 oracle certifies. */
+  def cdcBatchStats(spark: SparkSession, corpus: DataFrame,
+      batch: DataFrame, id: String, text: String, window: Int = 4,
+      divisor: Int = 16): (DataFrame, Option[StreamRun.StateMetrics]) = {
+    val (out, st) = cdcFileRun(spark, corpus, batch, id, text, window,
+      divisor)
+    val batchIds = batch.select(col(id).cast("long").as("docId"))
+    val stats = out.join(batchIds, Seq("docId"), "left_semi")
+      .groupBy(col("docId").as(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(col("len")).as("total_tokens"),
+        sum(when(col("dup"), col("len")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col(id), col("n_chunks"), col("dup_chunks"),
+        col("total_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("dup_frac"))
+    (stats, st)
+  }
+}

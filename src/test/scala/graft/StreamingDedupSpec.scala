@@ -59,4 +59,39 @@ class StreamingDedupSpec extends SparkSuite {
       spark, input, Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"))
     assert(out.count() == 2L)
   }
+
+  test("streaming CDC gate: stream == batch-incremental == full re-mine " +
+      "restricted to the batch; state rows == distinct chunk hashes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Dedup
+    import graft.streaming.StreamingCdcDedup
+    val docs = Tables.documents(spark, sf)
+    val thr = docs.count() * 4 / 5
+    val corpus = docs.where(col("doc_id") < thr)
+    val batch = docs.where(col("doc_id") >= thr)
+    val (stats, st) = StreamingCdcDedup.cdcBatchStats(
+      spark, corpus, batch, "doc_id", "text")
+    val got = stats.as[(Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    // identity 1: the batch incremental gate
+    val inc = Dedup.incrementalCdcDedup(batch,
+        Dedup.cdcChunkIndex(corpus, "doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == inc, "stream == batch incremental")
+    // identity 2: the full re-mine restricted to batch docs
+    val batchIds = batch.select(col("doc_id")).as[Long].collect().toSet
+    val full = Dedup.cdcDedupStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)]
+      .collect().filter(r => batchIds(r._1)).sortBy(_._1).toSeq
+    assert(got == full, "stream == full re-mine on batch docs")
+    assert(got.exists(_._3 > 0), "batch must see corpus duplicates")
+    // state law: one row per distinct chunk hash over corpus + batch
+    val distinctHashes = Dedup.cdcChunks(docs, "doc_id", "text", 4, 16)
+      .select(col("chunk_hash")).distinct().count()
+    val m = st.getOrElse(fail("the CDC gate must be stateful"))
+    assert(m.maxRows == distinctHashes,
+      s"state rows ${m.maxRows} != distinct chunk hashes $distinctHashes")
+  }
 }
