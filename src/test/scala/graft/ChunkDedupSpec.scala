@@ -313,6 +313,32 @@ class ChunkDedupSpec extends SparkSuite {
     }
   }
 
+  test("cdcChunks edges: docs shorter than the window are one chunk; " +
+      "divisor=1 cuts at every candidate position; coverage exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"),            // 1 token < window: single chunk
+      (2L, "a b c"),        // 3 tokens < window=4: single chunk
+      (3L, "a b c d"),      // n=4: candidates [4, 3] empty -> 1 chunk
+      (4L, "a b c d e f"))  // n=6: candidates at 4, 5
+      .toDF("doc_id", "text")
+    val one = Dedup.cdcChunks(docs, "doc_id", "text", window = 4,
+        divisor = 1) // every candidate position cuts
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(one(1L).map(c => (c._3, c._4)).toSeq == Seq((1L, 1L)))
+    assert(one(2L).map(c => (c._3, c._4)).toSeq == Seq((1L, 3L)))
+    assert(one(3L).map(c => (c._3, c._4)).toSeq == Seq((1L, 4L)))
+    // n=6, divisor 1: cuts after 4 and 5, final at 6
+    assert(one(4L).map(c => (c._3, c._4)).toSeq ==
+      Seq((1L, 4L), (5L, 1L), (6L, 1L)))
+    // replay parity holds on the edges too
+    for ((id, t) <- Seq(1L -> "a", 4L -> "a b c d e f")) {
+      val want = cdcReplay(t.split(" ").toSeq, 4, 1)
+      assert(one(id).map(c => (c._3, c._4, c._5)).toSeq == want, s"doc $id")
+    }
+  }
+
   test("cdcDedupStats: a one-token prefix insertion re-anchors — the " +
       "shifted copy still shares chunk mass where grid chunks cannot") {
     import spark.implicits._

@@ -253,6 +253,15 @@ class KeywordOovSpec extends SparkSuite {
     })
   }
 
+  test("vocabGrowth: an all-null corpus degenerates to k zero-count " +
+      "checkpoints (null thresholds), never an error") {
+    val docs = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text", k = 3)
+      .as[(Long, Option[Long], Long, Long, Long)].collect().toSeq
+    assert(got == (1 to 3).map(j => (j.toLong, None, 0L, 0L, 0L)))
+  }
+
   test("vectorizers: NULL text yields the zero vector (the oracle's " +
       "row), never an NPE") {
     val docs = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
