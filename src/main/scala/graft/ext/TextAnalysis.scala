@@ -1109,14 +1109,18 @@ object TextAnalysis {
         ws.as("__ws"))
     // thresholds t_1..t_k as a broadcast 1-row frame carrying the
     // array; the k-th threshold is exactly max_id so the last
-    // checkpoint covers the whole corpus
+    // checkpoint covers the whole corpus. MATERIALIZED: three
+    // consumers reference it (both cumulatives + the checkpoint
+    // spine), and an unmaterialized 1-row aggregate re-scans the
+    // corpus per reference (the q156 lesson at 1-row scale).
     val bounds = base.agg(min(col("__id")).as("__lo"),
       max(col("__id")).as("__hi"))
-    val thr = bounds.select(transform(sequence(lit(1), lit(k)), j =>
-      when(j === k, col("__hi")).otherwise(
-        col("__lo") + floor((col("__hi") - col("__lo"))
-          .cast("double") * j.cast("double") / lit(k.toDouble))
-          .cast("long"))).as("__ts"))
+    val thr = Dedup.materialize(
+      bounds.select(transform(sequence(lit(1), lit(k)), j =>
+        when(j === k, col("__hi")).otherwise(
+          col("__lo") + floor((col("__hi") - col("__lo"))
+            .cast("double") * j.cast("double") / lit(k.toDouble))
+            .cast("long"))).as("__ts")))
     // per-checkpoint doc/token cumulatives: each doc explodes onto
     // the checkpoints whose threshold >= its id (<= k copies)
     // array_distinct: colliding thresholds (id range < k) must count
