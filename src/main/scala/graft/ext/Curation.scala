@@ -197,7 +197,10 @@ object Curation {
     }
     val wmap = map(weights.flatMap { case (s, w) =>
       Seq(lit(s), lit(w)) }: _*)
-    val looked = element_at(wmap, col(source))
+    // try_element_at: null (not an ANSI MAP_KEY error) for a missing
+    // key in ANY session config, so the guard below owns the failure
+    // message everywhere
+    val looked = try_element_at(wmap, col(source))
     val wcol = when(looked.isNotNull, looked)
       .otherwise(raise_error(concat(lit("mixingManifest: source '"),
         col(source), lit("' has no declared weight"))).cast("double"))
