@@ -174,10 +174,17 @@ object Bench {
         codeHeapUsed >> 20, storeMb, loadAvg, stealD), err)
     }
 
-    // Local-iteration subset: SPARK_GRAFT_ONLY=q28,q39 (driver never sets it)
+    // Local-iteration subset: SPARK_GRAFT_ONLY=q28,q39 (driver never sets
+    // it). A selector matches its exact query name or as a qNN prefix up
+    // to the next underscore — "q16" selects q16_pdp_normalize and can
+    // NEVER silently sweep in q160/q161/q162 (these knobs feed numbers
+    // into BASELINE.md; surprising selection is a measurement bug)
+    def selMatch(sel: String, name: String): Boolean =
+      name == sel || name.startsWith(sel + "_")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) =>
+        only.forall(_.exists(selMatch(_, name))) }
     val results = selected.map { case (name, fn) => name -> run1(name, fn) }
     val skey = keyFor(selected.keys)
 
@@ -196,7 +203,7 @@ object Bench {
           .map(_.split(",").filter(_.nonEmpty).toSet)
           .filter(_.nonEmpty)
           .map(ro => selected.filter { case (nm, _) =>
-            ro.exists(nm.startsWith) })
+            ro.exists(selMatch(_, nm)) })
           .getOrElse(selected)
         (2 to n).foreach { i =>
           repSel.foreach { case (name, fn) =>

@@ -900,7 +900,8 @@ object ScaleBench {
   val DocumentsOnly: Set[String] = Set(
     "q25_dedup_exact", "q131_boilerplate_chunks", "q154_novelty_score",
     "q160_cdc_dedup", "q133_selfdedup_chunks", "q161_incr_scale",
-    "q162_stream_scale")
+    "q162_stream_scale", "q155_winnow_fingerprints", "q156_winnow_pairs",
+    "q152_collocations", "q158_skipgram_pmi")
 
   def ensureScaled(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
@@ -1020,15 +1021,18 @@ object ScaleBench {
 
     type St = Option[graft.streaming.StreamRun.StateMetrics]
     def time(fn: (SparkSession, String) => (DataFrame, St),
-        dir: String): (Double, St) = {
+        dir: String): (Double, St, DataFrame) = {
       // run twice, report the warm pass: the cold pass pays plan-shape
-      // JIT/codegen that would otherwise bias whichever dir runs first
-      def once(): (Double, St) = {
+      // JIT/codegen that would otherwise bias whichever dir runs first.
+      // The warm pass's frame rides along for SPARK_GRAFT_SHOW — for
+      // streaming rows it reads the already-written sink, so showing
+      // rows never launches a third micro-batch run
+      def once(): (Double, St, DataFrame) = {
         val t0 = System.nanoTime()
         val (df, st) = fn(spark, dir)
         df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
           .agg(expr("bit_xor(h)")).collect()
-        ((System.nanoTime() - t0) / 1e9, st)
+        ((System.nanoTime() - t0) / 1e9, st, df)
       }
       once(); once()
     }
@@ -1049,14 +1053,14 @@ object ScaleBench {
       .filterNot { case (name, _) => skip(name) }
       .filter { case (name, _) => only.forall(_(name)) }
       .map { case (name, fn) =>
-        val (b, stB) = time(fn, base)
-        val (s, stS) = time(fn, out)
+        val (b, stB, dfB) = time(fn, base)
+        val (s, stS, dfS) = time(fn, out)
         // SPARK_GRAFT_SHOW: dump each row's head to stderr — for
         // law rows (e.g. q114_occupancy_law) whose VALUES, not just
-        // walls, go into SCALE.md
+        // walls, go into SCALE.md; reuses the timed runs' frames
         if (sys.env.contains("SPARK_GRAFT_SHOW"))
-          for (dir <- Seq(base, out); r <- fn(spark, dir)._1
-              .limit(20).collect())
+          for ((dir, d) <- Seq(base -> dfB, out -> dfS);
+              r <- d.limit(20).collect())
             System.err.println(s"[scale][show] $name $dir $r")
         val stateNote = (stB, stS) match {
           case (Some(mb), Some(ms)) =>

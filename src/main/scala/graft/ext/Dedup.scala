@@ -1373,8 +1373,9 @@ object Dedup {
     * [window, n−1]; the final token always closes the last chunk.
     * Docs shorter than `window` are one chunk.
     *
-    * Scale shape: ONE typed kernel pass per document (per-partition
-    * md5 memo, O(window)/position), shuffle-free — rows emit
+    * Scale shape: ONE typed kernel pass per document (capped
+    * per-partition md5 memo, O(1)/position rolling update),
+    * shuffle-free — rows emit
     * (id, chunk_id, start, len, chunk_hash) for consumers to join on.
     *
     * Output: (id, chunk_id 1.., start 1-based, len, chunk_hash = 15
@@ -1393,10 +1394,15 @@ object Dedup {
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val memo = new java.util.HashMap[String, Long]()
+        // memo is CAPPED (the hashingVectorize discipline): a
+        // partition's distinct-token set grows with the data it scans,
+        // so past 2^20 entries new tokens hash uncached instead of
+        // growing the map — a cache, never a memory liability
+        val memoCap = 1 << 20
+        val memo = new java.util.HashMap[String, java.lang.Long]()
         def tokVal(w: String): Long = {
           val cached = memo.get(w)
-          if (cached != 0L || memo.containsKey(w)) cached
+          if (cached != null) cached.longValue()
           else {
             md.reset()
             val dig = md.digest(w.getBytes("UTF-8"))
@@ -1405,7 +1411,7 @@ object Dedup {
             var b = 0
             while (b < 4) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
             val out = v % M
-            memo.put(w, out)
+            if (memo.size < memoCap) memo.put(w, java.lang.Long.valueOf(out))
             out
           }
         }
@@ -1437,13 +1443,26 @@ object Dedup {
             var i = 0
             while (i < n) { tv(i) = tokVal(ws(i)); i += 1 }
             val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
-            var p = window // 1-based boundary position candidate
-            while (p <= n - 1) {
+            if (n > window) {
+              // O(1) rolling update (the cited LBFS anchor's own
+              // trick): seed h over tokens 1..window once, then per
+              // position drop the leaving token's t·B^(window-1) and
+              // shift in the arriving one — every intermediate < 2^40,
+              // exact, identical mod-M values to the direct sum
+              var bw = 1L // B^(window-1) mod M
+              var e = 0
+              while (e < window - 1) { bw = (bw * B) % M; e += 1 }
               var h = 0L
               var q = 0
-              while (q < window) { h = (h * B + tv(p - window + q)) % M; q += 1 }
-              if (h % divisor == 0) cuts += p
-              p += 1
+              while (q < window) { h = (h * B + tv(q)) % M; q += 1 }
+              var p = window // 1-based boundary position candidate
+              while (p <= n - 1) {
+                if (h % divisor == 0) cuts += p
+                if (p <= n - 2)
+                  h = ((((h - (tv(p - window) * bw) % M) % M + M) % M)
+                    * B + tv(p)) % M
+                p += 1
+              }
             }
             cuts += n
             var start = 1

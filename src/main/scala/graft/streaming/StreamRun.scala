@@ -79,8 +79,19 @@ object StreamRun {
     val inDir = root.resolve("in")
     val outDir = root.resolve("out").toString
     val ckpt = root.resolve("ckpt")
-    input.write.parquet(inDir.toString)
-    val src = spark.readStream.schema(input.schema).parquet(inDir.toString)
+    // One SUBDIRECTORY per logical batch, made visible to the source's
+    // glob by a single ATOMIC rename: the running query triggers
+    // continuously, and a multi-file parquet commit into a watched dir
+    // is non-atomic — a trigger landing mid-commit would split the
+    // logical batch across two micro-batches (real flake: a
+    // batch-internal duplicate pair then straddles the boundary and
+    // the CDC gate's within-batch df misses it). Staging outside the
+    // glob and renaming the whole directory is all-or-nothing, so a
+    // listing sees either none or all of a batch's files.
+    java.nio.file.Files.createDirectories(inDir)
+    input.write.parquet(inDir.resolve("batch-0").toString)
+    val src = spark.readStream.schema(input.schema)
+      .parquet(inDir.toString + "/batch-*")
     val q = transform(src)
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt.toString)
@@ -88,8 +99,12 @@ object StreamRun {
     val metrics =
       try {
         q.processAllAvailable() // batch 1: all input files
-        extraBatches.foreach { b =>
-          b.write.mode("append").parquet(inDir.toString)
+        extraBatches.zipWithIndex.foreach { case (b, i) =>
+          val stage = root.resolve(s"stage-${i + 1}")
+          b.write.parquet(stage.toString)
+          java.nio.file.Files.move(stage,
+            inDir.resolve(s"batch-${i + 1}"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           q.processAllAvailable()
         }
         // per-batch state footprint (rows, bytes) summed over stateful

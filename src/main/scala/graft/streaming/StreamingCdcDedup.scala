@@ -51,21 +51,53 @@ object StreamingCdcDedup {
   /** The stateful gate. Within a micro-batch the rule is the batch
     * rule (distinct docs carrying the hash all count), so verdicts do
     * not depend on row order inside the batch — deterministic given
-    * the batch boundaries, like every gate in this package. */
-  def gate(ds: Dataset[ChunkRow]): Dataset[ChunkVerdict] = {
+    * the batch boundaries, like every gate in this package.
+    *
+    * Ingest contract (the one every incremental gate here shares,
+    * stated for [[graft.ext.Dedup.incrementalCdcDedup]] and equally
+    * binding on the stream): each docId is delivered EXACTLY ONCE over
+    * the stream's lifetime. State holds per-hash frequencies, not doc
+    * sets, so a docId re-delivered in a later micro-batch would count
+    * again and silently inflate `df` versus the batch gate's global
+    * countDistinct.
+    *
+    * Memory: verdict-correctness forces the group's instances to
+    * buffer until the combined `df` is known (every verdict carries
+    * it), so one pass folds the distinct-doc set WHILE buffering and
+    * `maxInstances` is the loud per-(hash, micro-batch) ceiling — the
+    * [[graft.ext.Curation.exactQuantilesPerGroup]] maxSlots
+    * discipline. A boilerplate chunk present in most documents of a
+    * huge micro-batch concentrates that batch's instances in one
+    * task; past the ceiling the gate fails loudly (cap the arriving
+    * batch, or pre-filter mega-frequent hashes with the batch
+    * family's maxDf discipline) instead of OOMing an executor. */
+  def gate(ds: Dataset[ChunkRow],
+      maxInstances: Int = 1 << 22): Dataset[ChunkVerdict] = {
+    require(maxInstances >= 1,
+      s"maxInstances=$maxInstances must be >= 1")
     implicit val vEnc: Encoder[ChunkVerdict] =
       Encoders.product[ChunkVerdict]
     implicit val sEnc: Encoder[SeenDf] = Encoders.product[SeenDf]
     ds.groupByKey(_.h)(Encoders.scalaLong)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[ChunkRow], state: GroupState[SeenDf]) =>
+        (h: Long, rows: Iterator[ChunkRow], state: GroupState[SeenDf]) =>
           val prior = state.getOption.map(_.df).getOrElse(0L)
-          val batch = rows.toSeq
-          val fresh = batch.map(_.docId).distinct.length.toLong
-          val df = prior + fresh
+          val buf = new scala.collection.mutable.ArrayBuffer[ChunkRow]
+          val docs = new java.util.HashSet[java.lang.Long]()
+          while (rows.hasNext) {
+            val c = rows.next()
+            buf += c
+            docs.add(java.lang.Long.valueOf(c.docId))
+            require(buf.length <= maxInstances,
+              s"streaming CDC gate exceeded maxInstances=$maxInstances " +
+                s"buffered chunk instances for hash $h in one " +
+                "micro-batch — cap the arriving batch or pre-filter " +
+                "mega-frequent chunk hashes (the batch maxDf discipline)")
+          }
+          val df = prior + docs.size.toLong
           state.update(SeenDf(df))
-          batch.iterator.map(c =>
+          buf.iterator.map(c =>
             ChunkVerdict(c.docId, c.h, c.len, df >= 2, df))
       }
   }
@@ -91,9 +123,11 @@ object StreamingCdcDedup {
     * (rows = distinct chunk hashes seen). */
   def cdcFileRun(spark: SparkSession, corpus: DataFrame,
       batch: DataFrame, id: String, text: String, window: Int = 4,
-      divisor: Int = 16): (DataFrame, Option[StreamRun.StateMetrics]) =
+      divisor: Int = 16, maxInstances: Int = 1 << 22)
+      : (DataFrame, Option[StreamRun.StateMetrics]) =
     StreamRun.run(spark, corpus,
-      src => gate(chunksOf(src, id, text, window, divisor)).toDF(),
+      src => gate(chunksOf(src, id, text, window, divisor),
+        maxInstances).toDF(),
       Seq(batch))
 
   /** [[cdcFileRun]] rolled up to the [[graft.ext.Dedup.cdcDedupStats]]

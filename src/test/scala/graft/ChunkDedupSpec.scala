@@ -339,6 +339,44 @@ class ChunkDedupSpec extends SparkSuite {
     }
   }
 
+  test("cdcChunks parameter sweep: window in {1,2,8} x divisor in " +
+      "{4,64} replayed exactly — the grammar corners beyond the 4/16 " +
+      "every oracle fixes (window and divisor are public knobs)") {
+    import spark.implicits._
+    // a real-corpus slice plus planted corners: constant content (every
+    // window hash identical), a doc shorter than window=8, long synth
+    val planted = Seq(
+      (9000001L, "a b c d e f g h i j k l m n o p q r s t"),
+      (9000002L, "a a a a a a a a a a"),
+      (9000003L, "one two"),
+      (9000004L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf)
+      .where(col("text").isNotNull && col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val wsById = docs
+      .select(col("doc_id"), TextAnalysis.words(col("text")))
+      .as[(Long, Seq[String])].collect().toSeq
+    for (w <- Seq(1, 2, 8); d <- Seq(4, 64)) {
+      val got = Dedup.cdcChunks(docs, "doc_id", "text", window = w,
+          divisor = d)
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      val want = wsById.flatMap { case (id, ws) =>
+        cdcReplay(ws, w, d).zipWithIndex.map { case ((st, ln, h), ci) =>
+          (id, (ci + 1).toLong, st, ln, h)
+        }
+      }.sortBy(r => (r._1, r._2))
+      assert(got == want, s"window=$w divisor=$d")
+      // non-degenerate at the permissive divisor: real cut points exist
+      // (the sweep must exercise the rolling update, not just finals)
+      if (d == 4)
+        assert(got.groupBy(_._1).exists(_._2.length >= 2),
+          s"window=$w divisor=$d produced no multi-chunk doc")
+    }
+  }
+
   test("cdcDedupStats: a one-token prefix insertion re-anchors — the " +
       "shifted copy still shares chunk mass where grid chunks cannot") {
     import spark.implicits._

@@ -94,4 +94,37 @@ class StreamingDedupSpec extends SparkSuite {
     assert(m.maxRows == distinctHashes,
       s"state rows ${m.maxRows} != distinct chunk hashes $distinctHashes")
   }
+
+  test("streaming CDC gate mega-bucket skew: a chunk present in EVERY " +
+      "batch doc gets correct verdicts under the default cap; a tiny " +
+      "maxInstances ceiling fails loudly instead of buffering") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingCdcDedup
+    // identical boilerplate text in every doc: all instances of each
+    // chunk hash land in ONE flatMapGroupsWithState task's buffer —
+    // the skew the batch families cap with maxDf
+    val boiler = "nav bar home search about contact login logout"
+    val corpus = Seq((1L, boiler)).toDF("doc_id", "text")
+    val batch = (2L to 41L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val (out, _) = StreamingCdcDedup.cdcBatchStats(
+      spark, corpus, batch, "doc_id", "text")
+    val got = out.as[(Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got.length == 40)
+    // df = 41 for every chunk: every chunk of every batch doc is dup
+    assert(got.forall(r => r._3 == r._2 && r._2 >= 1 && r._6 == 1.0),
+      s"all-boilerplate batch docs must be fully duplicate: $got")
+    // the loud ceiling: 40 instances of one hash in the arriving
+    // micro-batch > maxInstances=8 — the gate must raise, not OOM
+    val ex = intercept[Exception] {
+      StreamingCdcDedup.cdcFileRun(spark, corpus, batch,
+        "doc_id", "text", maxInstances = 8)._1.count()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("maxInstances")),
+      s"expected the loud maxInstances error, got: ${msgs.take(3)}")
+  }
 }
