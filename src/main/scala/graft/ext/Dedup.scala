@@ -1,6 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -1312,25 +1314,32 @@ object Dedup {
     * evidence weight. By the winnowing guarantee, any pair sharing a
     * run of ≥ w + k − 1 words is a candidate here.
     *
-    * Scale shape: the fingerprint relation reduces to DISTINCT
-    * (fp, id) rows (~2n/(w+1) per doc), MATERIALIZED once — it feeds
-    * the df filter and BOTH self-join legs, three references that
-    * would otherwise each re-run the per-doc gram/window selection
-    * (the q26 shingle lesson; measured 111.6 → 26.0 s at the 100×
-    * replica). Fingerprints carried by more than `maxDf` documents are
-    * dropped BEFORE the self-join (the LSH mega-bucket cap — a
-    * boilerplate gram pairing everything is the q131 family's job, not
-    * a similarity signal), so the join fans out ≤ maxDf per hash. One
-    * fp exchange + a bounded self-join + a pair count aggregate.
+    * Scale shape (round-15 rework — the 1000× decade OOM'd the r14
+    * form): ONE corpus scan into a capped distinct-id-set aggregate
+    * per fingerprint hash ([[CappedDistinctIdsAggregator]] — the
+    * topKPerGroup bounded-buffer discipline: map-side partial
+    * aggregation carries ≤ maxDf+1 ids per hash per task, and a hash
+    * past the cap stays at maxDf+1 forever, so a boilerplate gram
+    * never buffers its full carrier set anywhere), then ordered pairs
+    * explode from each kept set (≤ maxDf²/2, the same fan-out bound
+    * the old self-join had) into the pair-count aggregate. Two
+    * exchanges total, no self-join, and — the OOM fix — no
+    * corpus-sized fingerprint frame pinned in block-manager memory:
+    * the r14 form localCheckpoint'ed ~30 distinct fps × every doc to
+    * feed a df filter plus both self-join legs, which at the 5 M-doc
+    * replica overran the heap before the join even started.
+    * Fingerprints carried by more than `maxDf` documents are dropped
+    * (the LSH mega-bucket cap — a boilerplate gram pairing everything
+    * is the q131 family's job, not a similarity signal).
     *
     * The wire type is the 60-bit hash as a LONG (the LSH `conv()`
     * discipline): [[winnowFingerprints]]' 15-hex-char key is the
     * SELECTION order inside the per-doc kernel (and that operator's
-    * public output), but the overlap join only needs hash identity,
-    * and an 8-byte long through the distinct/df/self-join exchanges
-    * carries ~4× fewer bytes than the 15-char string (hex→long is
-    * injective below 2^60, so the distinct sets — and every count
-    * downstream — are unchanged; kernel-vs-string parity is
+    * public output), but the overlap grouping only needs hash
+    * identity, and an 8-byte long through the exchange carries ~4×
+    * fewer bytes than the 15-char string (hex→long is injective below
+    * 2^60, so the distinct sets — and every count downstream — are
+    * unchanged; parity with the string-keyed self-join form is
     * spec-pinned).
     *
     * Output: (id1 < id2, shared_fps). */
@@ -1338,21 +1347,83 @@ object Dedup {
       k: Int, w: Int, minShared: Int, maxDf: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
     require(maxDf >= 2, s"maxDf=$maxDf must be >= 2")
-    val fps = materialize(winnowFingerprints(df, id, text, k, w)
-      .select(col(id),
-        conv(col("fp"), 16, 10).cast("long").as("fp"))
-      .distinct())
-    val rare = fps.groupBy(col("fp"))
-      .agg(countDistinct(col(id)).as("__df"))
-      .where(col("__df") <= maxDf)
-      .select(col("fp"))
-    val kept = fps.join(rare, "fp")
-    kept.as("a").join(kept.as("b"),
-        col("a.fp") === col("b.fp") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .groupBy(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fps = winnowFingerprints(df, id, text, k, w)
+      .select(conv(col("fp"), 16, 10).cast("long").as("_1"),
+        col(id).cast("long").as("_2"))
+      .as[(Long, Long)]
+    val ids = new CappedDistinctIdsAggregator(maxDf).toColumn
+    fps.groupByKey(_._1)
+      .agg(ids.name("ids"))
+      .flatMap { case (_, set) =>
+        // length maxDf+1 marks "over the cap" (dropped); sets are
+        // sorted ascending, so i < j gives id1 < id2 directly
+        val m = set.length
+        if (m < 2 || m > maxDf) Iterator.empty
+        else for {
+          i <- (0 until m).iterator
+          j <- (i + 1 until m).iterator
+        } yield (set(i), set(j))
+      }
+      .toDF("id1", "id2")
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("shared_fps"))
       .where(col("shared_fps") >= minShared)
+  }
+
+  /** Bounded distinct-set aggregator for [[winnowOverlapPairs]]: the
+    * sorted distinct ids carrying a key, hard-capped at `cap + 1`
+    * entries. EXACT for every key the caller keeps: a key whose true
+    * distinct count is ≤ cap can never hit the ceiling in any partial
+    * buffer (partials are subsets), so no trim ever discards its ids;
+    * a key past cap stays at cap + 1 entries forever — the sentinel
+    * the consumer drops — and costs O(1) from then on. Buffer memory
+    * and shuffle volume are ≤ cap + 1 longs per key per map task (the
+    * [[graft.ext.Curation.TopKAggregator]] discipline). */
+  final class CappedDistinctIdsAggregator(cap: Int)
+      extends Aggregator[(Long, Long), Seq[Long], Seq[Long]] {
+    require(cap >= 1, s"cap=$cap must be >= 1")
+    def zero: Seq[Long] = Vector.empty
+    def reduce(buf: Seq[Long], in: (Long, Long)): Seq[Long] = {
+      if (buf.length > cap) buf // poisoned: stays poisoned
+      else {
+        val v = in._2
+        val i = search(buf, v)
+        if (i < buf.length && buf(i) == v) buf
+        else (buf.take(i) :+ v) ++ buf.drop(i)
+      }
+    }
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      if (a.length > cap) a
+      else if (b.length > cap) b
+      else {
+        // merge two sorted distinct runs, stopping once poisoned
+        val out = Vector.newBuilder[Long]
+        var i = 0; var j = 0; var n = 0
+        while ((i < a.length || j < b.length) && n <= cap) {
+          val v =
+            if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+              val x = a(i); if (j < b.length && b(j) == x) j += 1
+              i += 1; x
+            } else { val x = b(j); j += 1; x }
+          out += v; n += 1
+        }
+        out.result()
+      }
+    }
+    def finish(buf: Seq[Long]): Seq[Long] = buf
+    def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    // first index with buf(i) >= v (binary search on the sorted buffer)
+    private def search(buf: Seq[Long], v: Long): Int = {
+      var lo = 0; var hi = buf.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (buf(mid) < v) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
   }
 
   /** Content-defined chunking (the rsync/FastCDC idea on tokens —

@@ -259,6 +259,28 @@ class ChunkDedupSpec extends SparkSuite {
     assert(got.nonEmpty, "corpus should plant at least one overlap")
   }
 
+  test("winnow overlap pairs maxDf boundary: a fingerprint carried by " +
+      "exactly maxDf docs still pairs; one more carrier drops it (the " +
+      "capped-set aggregator's poison sentinel, exercised at the limit)") {
+    import spark.implicits._
+    // identical text ⇒ identical fingerprint sets; with maxDf = 3,
+    // 3 carriers yield all 3-choose-2 pairs, 4 carriers vanish
+    val t = "alpha beta gamma delta epsilon zeta"
+    val k = 3; val w = 2
+    val kept = Dedup.winnowOverlapPairs(
+        (1L to 3L).map(i => (i, t)).toDF("doc_id", "text"),
+        "doc_id", "text", k, w, minShared = 1, maxDf = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(kept.map(p => (p._1, p._2)) ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(kept.map(_._3).distinct.length == 1,
+      "identical docs must share the same fingerprint count")
+    val dropped = Dedup.winnowOverlapPairs(
+        (1L to 4L).map(i => (i, t)).toDF("doc_id", "text"),
+        "doc_id", "text", k, w, minShared = 1, maxDf = 3).count()
+    assert(dropped == 0L)
+  }
+
   // independent driver replay of the CDC contract: token value = md5
   // first-8-hex mod 2^20, h = Σ t·31^q mod 2^20 over the window, cut
   // after i in [window, n-1] iff h mod divisor == 0, final token
