@@ -57,15 +57,30 @@ object StreamingIngest {
     * disorder keeps the earliest-first subsequence, matching a client
     * that sends sorted updates).
     */
-  def gate[T](ds: Dataset[T])(key: T => String, ts: T => Long)(
+  def gate[T](ds: Dataset[T], maxInstances: Int = 1 << 22)(
+      key: T => String, ts: T => Long)(
       implicit enc: Encoder[T]): Dataset[T] = {
+    require(maxInstances >= 1, s"maxInstances=$maxInstances must be >= 1")
     implicit val stateEnc: Encoder[LastUp] = Encoders.product[LastUp]
     ds.groupByKey(key)(Encoders.STRING)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[T], state: GroupState[LastUp]) =>
+        (k: String, rows: Iterator[T], state: GroupState[LastUp]) =>
           var last = state.getOption.map(_.tsUs).getOrElse(Long.MinValue)
-          val accepted = rows.toSeq.sortBy(ts).filter { s =>
+          // timestamp-order semantics force the group to buffer before
+          // any verdict, so the buffer carries the StreamingCdcDedup
+          // loud ceiling: one series receiving a whole huge micro-batch
+          // fails with a diagnosis instead of OOMing an executor
+          val buf = new scala.collection.mutable.ArrayBuffer[T]
+          while (rows.hasNext) {
+            buf += rows.next()
+            require(buf.length <= maxInstances,
+              s"streaming monotonic gate exceeded maxInstances=" +
+                s"$maxInstances buffered rows for series '$k' in one " +
+                "micro-batch — cap the arriving batch or shrink the " +
+                "trigger interval")
+          }
+          val accepted = buf.sortBy(ts).filter { s =>
             val ok = ts(s) > last
             if (ok) last = ts(s)
             ok
