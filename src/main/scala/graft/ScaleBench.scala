@@ -902,7 +902,7 @@ object ScaleBench {
     "q160_cdc_dedup", "q133_selfdedup_chunks", "q161_incr_scale",
     "q162_stream_scale", "q155_winnow_fingerprints", "q156_winnow_pairs",
     "q152_collocations", "q158_skipgram_pmi", "q94_shingle_containment",
-    "q27_minhash_lsh")
+    "q27_minhash_lsh", "q43_neardup_groups")
 
   def ensureScaled(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
