@@ -1122,15 +1122,23 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val d = dotK(dim) _
-    val c = centroids.count()
+    // The centroid frame is consumed THREE times (count, coarse-seed
+    // collect, bucketing) and is typically a filter over the corpus
+    // ([[seededCentroids]]) — unmaterialized, each consumer re-runs
+    // the full corpus scan (guide §1.2/§2.4: passes, not configs).
+    // One localCheckpoint (corpus/occupancy-sized blocks, never the
+    // driver) turns those into block reads; values are unchanged.
+    val cent = Dedup.materialize(
+      centroids.select(col(id).cast("long").as(id), col(vec)))
+    val c = cent.count()
     require(c > 0, "empty centroid frame")
     val g = math.ceil(math.sqrt(c.toDouble)).toInt
     // the ONLY driver materialization: ⌈√c⌉ lowest-id coarse seeds
     val coarse = collectNormed(
-      centroids.orderBy(col(id).cast("long")).limit(g), id, vec, dim)
+      cent.orderBy(col(id)).limit(g), id, vec, dim)
     val bcCo = spark.sparkContext.broadcast(coarse)
     // centroid frame → (bucket, cid, cv, cn); stays distributed
-    val bucketed = centroids.select(col(id).cast("long"), col(vec))
+    val bucketed = cent
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val co = bcCo.value
