@@ -619,17 +619,42 @@ object RrdStore extends Serializable {
       series :+ "pdp_ts", "left")
   }
 
+  /** One row per series: its newest slot. The tiny frame [[retained]]
+    * and the fetch key set both derive from — an aggregate (partial
+    * map-side, ~#series rows on the wire) instead of the previous
+    * whole-table window (full exchange + sort per reference; guide
+    * §2.3/§2.4). */
+  private def lastPerSeries(df: DataFrame, series: Seq[String]): DataFrame =
+    if (series.isEmpty) df.agg(max(col("ts")).as("__last"))
+    else df.groupBy(series.map(col): _*).agg(max(col("ts")).as("__last"))
+
+  /** [[retained]] against a precomputed [[lastPerSeries]] frame — the
+    * fetch path shares one aggregate between the horizon filter and
+    * the grid key set. Null-safe series equality (<=>) keeps a
+    * null-keyed series grouped with itself, exactly as the window
+    * partitioned it. */
+  private def retainedWithLast(df: DataFrame, series: Seq[String],
+      rra: RraDef, stepSec: Long, last: DataFrame): DataFrame = {
+    val rraStep = stepSec * rra.pdpCnt
+    val horizon = lit(rra.rowCnt * rraStep)
+    val joined =
+      if (series.isEmpty) df.crossJoin(last)
+      else {
+        val l = last.select(series.map(c => col(c).as(s"__k_$c")) :+
+          col("__last"): _*)
+        df.join(l, series.map(c => col(c) <=> col(s"__k_$c"))
+          .reduce(_ && _))
+      }
+    joined.where(col("ts") > col("__last") - horizon)
+      .drop(("__last" +: series.map("__k_" + _)): _*)
+  }
+
   /** Retention horizon filter: keep slots within `rowCnt` rows of each
     * series' newest slot (the circular buffer's reach, rra_def_t.row_cnt).
     */
   private def retained(df: DataFrame, series: Seq[String], rra: RraDef,
-      stepSec: Long): DataFrame = {
-    val rraStep = stepSec * rra.pdpCnt
-    val w = Window.partitionBy(series.map(col): _*)
-    df.withColumn("_last", max(col("ts")).over(w))
-      .where(col("ts") > col("_last") - lit(rra.rowCnt * rraStep))
-      .drop("_last")
-  }
+      stepSec: Long): DataFrame =
+    retainedWithLast(df, series, rra, stepSec, lastPerSeries(df, series))
 
   /** Rewrite an RRA table keeping only in-retention rows — the physical
     * half of retention (Delta: DELETE WHERE + OPTIMIZE). */
@@ -983,9 +1008,17 @@ object RrdStore extends Serializable {
     val i = schema.rras.indexOf(rra)
     val step = schema.stepSec * rra.pdpCnt
     val (s0, e0) = Fetch.align(startSec, endSec, step)
-    val roll = retained(rraOrEmpty(i), series, rra, schema.stepSec)
+    val raw = rraOrEmpty(i)
+    // ONE per-series max aggregate serves both the retention filter
+    // and the grid key set (the previous shape ran a whole-table
+    // window per reference plus a distinct over the filtered table —
+    // three corpus-sized passes for what one partial-agg'd exchange
+    // derives). The newest slot of a series always survives its own
+    // horizon, so last's key set == the retained table's distinct keys.
+    val last = lastPerSeries(raw, series)
+    val roll = retainedWithLast(raw, series, rra, schema.stepSec, last)
     // per-series grid: distinct series keys × slots (broadcastable grid)
-    val keys = roll.select(series.map(col): _*).distinct()
+    val keys = last.select(series.map(col): _*)
     val grid = Fetch.grid(spark, s0, e0, step).crossJoin(keys)
     (grid.join(roll.select(series.map(col) :+ col("ts") :++ dss.map(col): _*),
         series :+ "ts", "left")
