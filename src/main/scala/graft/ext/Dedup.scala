@@ -1171,7 +1171,7 @@ object Dedup {
       .agg(countDistinct(col(id)).as("__df"))
       .where(col("__df") >= minDocs)
       .select(col("__h"), lit(true).as("__b"))
-    exciseChunks(chunks, boiler, id)
+    exciseChunks(df, id, text, size, chunks, boiler)
   }
 
   /** Per-document n-gram NOVELTY score — the content-originality
@@ -1649,19 +1649,71 @@ object Dedup {
         conv(substring(md5(col("chunk_text")), 1, 15), 16, 10)
           .cast("long"))
 
-  /** Shared excision/rebuild: flag chunks against the boilerplate set
-    * `boiler(__h, __b)` and reassemble each doc from its kept chunks
-    * in order (bounded by doc length). */
-  private def exciseChunks(chunks: DataFrame, boiler: DataFrame,
-      id: String): DataFrame =
-    chunks.join(boiler, Seq("__h"), "left")
+  /** Shared excision/rebuild: join the scalar (id, chunk_id, __h)
+    * projection of `chunks` against the boilerplate set `boiler(__h)`
+    * to get each doc's REMOVED position set (boilerplate positions
+    * only — usually a small fraction of the grid), then rebuild every
+    * doc from its own text in one typed kernel.
+    *
+    * Round-15 rework (guide §2.3 "shuffle keys, not payloads" / §8):
+    * the previous form left-joined the FULL chunk frame (chunk_text
+    * riding along) and reassembled via groupBy(id) + sort_array over
+    * collected (chunk_id, chunk_text) structs — the whole corpus text
+    * crossed the rebuild exchange and the per-doc sort was interpreted
+    * (the q133 lesson). Now only (id, chunk_id) scalars cross
+    * exchanges; the rebuild re-derives the grid per doc locally (one
+    * extra tokenize pass, O(doc), shuffle-free) and skips removed
+    * positions with a sorted-array pointer. Values are identical: the
+    * grid is deterministic, kept chunks concatenate in chunk order
+    * with the same single-space join. */
+  private def exciseChunks(docs: DataFrame, id: String, text: String,
+      size: Int, chunks: DataFrame, boiler: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val removed = chunks.select(col(id), col("chunk_id"), col("__h"))
+      .join(boiler.select(col("__h")), Seq("__h"))
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("__b"), 1L).otherwise(0L)).as("removed_chunks"),
-        array_join(transform(
-          sort_array(collect_list(when(col("__b").isNull,
-            struct(col("chunk_id"), col("chunk_text"))))),
-          s => s.getField("chunk_text")), " ").as("clean_text"))
+      .agg(sort_array(collect_list(col("chunk_id"))).as("__rm"))
+    docs.where(col(text).isNotNull)
+      .select(col(id).cast("long").as(id),
+        TextAnalysis.words(col(text)).as("__ws"))
+      .where(org.apache.spark.sql.functions.size(col("__ws")) > 0)
+      .join(removed, Seq(id), "left")
+      .as[(Long, Seq[String], Seq[Long])]
+      .mapPartitions { it =>
+        it.map { case (docId, ws0, rm) =>
+          val ws = ws0.toIndexedSeq
+          val n = ws.length
+          val nChunks = (n - 1) / size + 1
+          val sb = new java.lang.StringBuilder()
+          var removedCnt = 0L
+          var first = true
+          var ci = 0
+          var rp = 0
+          while (ci < nChunks) {
+            val isRm = rm != null && {
+              while (rp < rm.length && rm(rp) < ci) rp += 1
+              rp < rm.length && rm(rp) == ci
+            }
+            if (isRm) removedCnt += 1
+            else {
+              if (!first) sb.append(' ')
+              first = false
+              var t = ci * size
+              val end = math.min(n, t + size)
+              while (t < end) {
+                sb.append(ws(t))
+                if (t != end - 1) sb.append(' ')
+                t += 1
+              }
+            }
+            ci += 1
+          }
+          (docId, nChunks.toLong, removedCnt, sb.toString)
+        }
+      }
+      .toDF(id, "n_chunks", "removed_chunks", "clean_text")
+  }
 
   /** Chunk document-frequency index — the persisted half of the
     * incremental boilerplate axis: (60-bit chunk hash, distinct-doc
@@ -1740,6 +1792,6 @@ object Dedup {
         Seq("__h"), "left")
       .where(coalesce(col("__idf"), lit(0L)) + col("__bdf") >= minDocs)
       .select(col("__h"), lit(true).as("__b"))
-    exciseChunks(chunks, boiler, id)
+    exciseChunks(batch, id, text, size, chunks, boiler)
   }
 }
