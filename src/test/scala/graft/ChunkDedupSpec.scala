@@ -54,6 +54,29 @@ class ChunkDedupSpec extends SparkSuite {
     assert(none(1L)._3 == "nav bar a b c d")
   }
 
+  test("boilerplateChunkRemoval: several interleaved removals in one " +
+      "doc rebuild with correct order, separators, and short tail") {
+    import spark.implicits._
+    // doc 1's grid (size=2): [nav bar][a b][foo baz][c d][tail] — the
+    // shared chunks sit at positions 0, 2, and the SHORT final chunk 4,
+    // so the rebuild must skip non-adjacent removed positions and keep
+    // exactly "a b c d" with single spaces (pins the excision kernel's
+    // sorted-pointer walk, not just single-removal docs)
+    val docs = Seq(
+      1L -> "nav bar a b foo baz c d tail",
+      2L -> "nav bar q r foo baz s t tail u")
+    val got = Dedup.boilerplateChunkRemoval(docs.toDF("doc_id", "text"),
+        "doc_id", "text", size = 2, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "tail" is doc 1's short tail chunk but sits INSIDE doc 2's
+    // "tail u" grid chunk — grid units differ, so it is NOT shared;
+    // only "nav bar" and "foo baz" are boilerplate
+    assert(got(1L) == ((5L, 2L, "a b c d tail")))
+    assert(got(2L) == ((5L, 2L, "q r s t tail u")))
+  }
+
   test("boilerplateChunkRemoval: misaligned repeats don't match " +
       "(the chunk GRID is the unit, as documented)") {
     import spark.implicits._
