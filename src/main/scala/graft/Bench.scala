@@ -143,6 +143,13 @@ object Bench {
       .agg(expr("bit_xor(xxhash64(id))")).collect()
     Tables.table(spark, sfDir, "region").collect()
 
+    // Sweep-wide hypervisor-steal sample: the one number that lets a
+    // reader discount a contention-poisoned sweep (this host's steal
+    // bursts inflated full sweeps 1.5-3x in rounds 14-15). Sampled
+    // around the timed region only; reported as whole seconds
+    // (USER_HZ = 100 jiffies/s on this platform).
+    val sweepSteal0 = cpuStealJiffies
+
     def run1(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Health, Option[String]) = {
@@ -258,20 +265,55 @@ object Bench {
       java.nio.file.Paths.get("bench_last.json"), full + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench_last.json: $e") }
-    // The ONE stdout line stays driver-parseable AND tail-sized: short
-    // qNN keys, 2-decimal seconds (~15 bytes/query → 72 queries ≈ 1.1 kB
-    // with room for the error map when something breaks).
+    // The ONE stdout line stays driver-parseable AND tail-sized. The
+    // driver's artifact keeps only a ~2000-char stdout TAIL and sbt's
+    // trailing "[success] Total time…" line eats ~70 of those chars: at
+    // 160 queries the old 2-decimal line (~1.96 kB) lost its HEAD and
+    // never parsed (BENCH_r14/r15 `parsed: null`). Budget now: short
+    // qNN keys + adaptive seconds (2 decimals < 1 s, 1 decimal >= 1 s,
+    // worst-case quantization 5% at 1.0 s — under the driver's 10%
+    // regression threshold) ≈ 1.78 kB at 160 queries, plus a hard
+    // length guard that drops reruns/errors (still in bench_last.json)
+    // before ever letting the line outgrow the tail.
     def r2(d: Double): String = // Double.toString is locale-independent
       (math.round(d * 100) / 100.0).toString
-    def short2(m: Iterable[(String, (Double, Health, Option[String]))]) =
+    def fmtSec(d: Double): String = {
+      // Double.toString, not an f-interpolator: locale-independent
+      val s = if (d < 1) (math.round(d * 100) / 100.0).toString
+      else (math.round(d * 10) / 10.0).toString
+      val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0')
+        .dropWhile(_ == '.').reverse else s
+      if (t.isEmpty) "0" else t
+    }
+    def shortQ(m: Iterable[(String, (Double, Health, Option[String]))]) =
       m.map { case (k, (sec, _, _)) =>
-        "\"" + skey(k) + "\":" + r2(sec) }.mkString("{", ",", "}")
+        "\"" + skey(k) + "\":" + fmtSec(sec) }.mkString("{", ",", "}")
     val errsShort = errPairs.map { case (k, e) =>
-      "\"" + skey(k) + "\":\"" + escape(e.take(80)) + "\"" }
+      "\"" + skey(k) + "\":\"" + escape(e.take(40)) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-      s""""queries":${short2(results)},"reruns":${short2(reruns)},""" +
-      s""""errors":$errsShort,"detail":"bench_last.json","sf":"$sfDir"}""")
+    val stealS: Long = {
+      val now = cpuStealJiffies
+      if (sweepSteal0 < 0 || now < 0) -1L else (now - sweepSteal0) / 100
+    }
+    // sf as a bare number when the dir follows the sf<N> convention
+    // (saves ~19 chars); the full path stays in bench_last.json.
+    val sfOut = {
+      val base = new java.io.File(sfDir).getName
+      if (base.startsWith("sf") && base.drop(2).toDoubleOption.isDefined)
+        base.drop(2)
+      else "\"" + sfDir + "\""
+    }
+    def line(extra: String) =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+        s""""queries":${shortQ(results)}$extra,"steal_s":$stealS,"sf":$sfOut}"""
+    val withDetail = line(s""","reruns":${shortQ(reruns)},"errors":$errsShort""")
+    println(
+      if (withDetail.length <= 1900) withDetail
+      else {
+        System.err.println(s"[bench] stdout line ${withDetail.length} chars " +
+          "> 1900 budget - dropping reruns/errors (see bench_last.json)")
+        line("")
+      })
     spark.stop()
   }
 }

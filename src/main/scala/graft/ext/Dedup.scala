@@ -357,8 +357,12 @@ object Dedup {
     * default leaves them until the directory is cleaned — set the conf
     * in long-running checkpoint-dir sessions, as
     * [[connectedComponents]]'s per-round cleanup notes). Only hand this
-    * CANDIDATE-sized frames — a corpus-sized checkpoint would be the
-    * bug this fixes. */
+    * frames whose BYTES are a small bounded fraction of their input:
+    * candidate sets, or per-document SCALAR projections (an id plus a
+    * few numerics, ~1/100 of corpus bytes — the [[TextAnalysis.lmQualityBuckets]]
+    * scored frame). A corpus-sized checkpoint — anything carrying text,
+    * embeddings, or per-POSITION rows — would be the bug this fixes
+    * (the q156 OOM class). */
   def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
@@ -1151,12 +1155,17 @@ object Dedup {
     * discipline, same cosmically-unlikely-collision caveat), the
     * boilerplate set joins back on that same key (both sides leave the
     * exchange hash-partitioned on it — AQE broadcasts when the set is
-    * small, which at real-corpus skew it is), and the rebuild is a
-    * per-doc sort_array over collect_list, bounded by doc length.
+    * small, which at real-corpus skew it is), and the rebuild is the
+    * [[exciseChunks]] typed kernel: only (id, chunk_id) scalars cross
+    * exchanges, each doc rebuilds from its own text, O(doc).
     * "≥ minDocs distinct" aggregates as countDistinct, which
     * partial-aggregates map-side; minDocs = 2 additionally plans as the
     * min≠max trick via the same exchange. Nothing driver-side, nothing
     * ∝ corpus beyond the two keyed exchanges.
+    *
+    * Contract: `id` must be distinct per row (the shared ingest
+    * contract, as q46 pins for batch/corpus disjointness) and integral
+    * — it widens to BIGINT in the output; see [[exciseChunks]].
     *
     * Output: (id, n_chunks, removed_chunks, clean_text) — one row per
     * document with ≥ 1 token; a fully-boilerplate document keeps its
@@ -1665,7 +1674,17 @@ object Dedup {
     * extra tokenize pass, O(doc), shuffle-free) and skips removed
     * positions with a sorted-array pointer. Values are identical: the
     * grid is deterministic, kept chunks concatenate in chunk order
-    * with the same single-space join. */
+    * with the same single-space join.
+    *
+    * Id typing: the typed kernel narrows the id to LONG via the
+    * encoder's analysis-time upcast — integral ids widen to BIGINT in
+    * the output, and a non-numeric (string) id is refused LOUDLY at
+    * analysis (never an explicit cast, which would null non-numeric
+    * ids silently and misjoin — the file's typed-kernel contract).
+    * Input must carry distinct ids (the shared ingest contract): the
+    * kernel emits one row per input doc row, so duplicate-id inputs
+    * would each join the union of their removed positions rather than
+    * merge into one row as the old groupBy reassembly did. */
   private def exciseChunks(docs: DataFrame, id: String, text: String,
       size: Int, chunks: DataFrame, boiler: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -1675,7 +1694,7 @@ object Dedup {
       .groupBy(col(id))
       .agg(sort_array(collect_list(col("chunk_id"))).as("__rm"))
     docs.where(col(text).isNotNull)
-      .select(col(id).cast("long").as(id),
+      .select(col(id),
         TextAnalysis.words(col(text)).as("__ws"))
       .where(org.apache.spark.sql.functions.size(col("__ws")) > 0)
       .join(removed, Seq(id), "left")
@@ -1781,6 +1800,8 @@ object Dedup {
     * bucketed on `__h` ([[writeBoilerplateChunkIndexBucketed]]),
     * making the probe exchange-free on the corpus-sized side instead
     * of a per-batch index re-shuffle past the broadcast threshold.
+    * Same id contract as [[boilerplateChunkRemoval]]: distinct
+    * integral ids, widened to BIGINT in the output.
     * Output: [[boilerplateChunkRemoval]]'s schema, batch docs only. */
   def incrementalBoilerplateRemoval(batch: DataFrame, index: DataFrame,
       id: String, text: String, size: Int, minDocs: Int): DataFrame = {

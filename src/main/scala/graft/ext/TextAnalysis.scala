@@ -742,8 +742,17 @@ object TextAnalysis {
   def lmQualityBuckets(df: org.apache.spark.sql.DataFrame, id: String,
       lang: String, text: String, minCount: Long = 2L,
       maxTrigramsPerLang: Int = 65536): org.apache.spark.sql.DataFrame = {
-    val lm = trigramLmScore(df, id, lang, text, minCount,
-      maxTrigramsPerLang)
+    // The scored frame feeds TWO consumers — the threshold aggregate
+    // and the bucket join below — and exchange reuse does not span
+    // join trees, so unmaterialized it re-ran the text scan + the
+    // per-doc trigram scoring kernel once per consumer (2x the scoring
+    // cost at 100 TB; r15 verdict item 2). Checkpoint the SCORED frame,
+    // not the corpus: 4 scalar columns per document (~40 B/doc,
+    // ~1/250 of corpus bytes) — inside the materialize helper's
+    // bytes-bounded contract, unlike the corpus-positions frames the
+    // q156 OOM banned.
+    val lm = Dedup.materialize(trigramLmScore(df, id, lang, text,
+      minCount, maxTrigramsPerLang))
     val th = Curation.exactQuantilesPerGroupsDouble(
       lm.where(col("score").isNotNull), Seq(lang), col("score"),
       Seq(("__t1", 1.0 / 3), ("__t2", 2.0 / 3)))
